@@ -1,0 +1,74 @@
+"""Table loading for the driver parquet layout (TESTDATA.md).
+
+``load(spark, sf_dir, name)`` is the single scan entry point used by every
+registered query — keeping it centralized means pushdown/pruning behavior is
+uniform and the plan-shape tests only cover one reader.
+
+Timestamp policy (measured this session with pyarrow + Spark 4.1.2):
+
+- ``orders.o_orderdate`` / ``lineitem.l_shipdate`` are parquet ``timestamp[ms]``
+  with ``isAdjustedToUTC=false`` → Spark reads TIMESTAMP_NTZ natively, which is
+  the exact semantic twin of DuckDB's naive TIMESTAMP. No conversion needed.
+- ``events.ts`` is parquet ``timestamp[ns]`` which Spark's reader REJECTS
+  (``PARQUET_TYPE_ILLEGAL: INT64 (TIMESTAMP(NANOS,false))``). We read it via
+  the session conf ``spark.sql.legacy.parquet.nanosAsLong=true`` (runtime
+  settable — verified) and convert ``ns → µs`` with integer division, which
+  truncates identically to DuckDB's ns→µs read (verified on sf0.001: both
+  yield e.g. ``.778549`` from ``.778549829ns``). The conversion goes through
+  ``timestamp_micros`` (an absolute-instant type) and a cast to NTZ; both
+  steps use the session timezone, which :func:`modforms_db_spark.session.prep`
+  pins to UTC so they cancel exactly.
+
+The reference persisted records as a filesystem-as-database plus GridFS
+metadata+blob documents (SURVEY.md §1.1 [R]); parquet column pruning is the
+Spark-native equivalent of "read the metadata without fetching the blob".
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.schemas import SCHEMAS, TABLES
+
+
+def path_for(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table, normalized to its canonical schema."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    df = spark.read.parquet(path_for(sf_dir, name))
+    target = SCHEMAS[name]
+    if df.schema == target:
+        return df
+    cast_cols = [
+        F.col(f.name) if df.schema[f.name].dataType == f.dataType
+        else F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in target.fields
+    ]
+    return df.select(*cast_cols)
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path_for(sf_dir, "events"))
+    # ts arrives as bigint nanoseconds; div-1000 truncation == DuckDB's read.
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,330 @@
+"""Aggregations — SURVEY.md §2.4.
+
+Reference capabilities [R]: per-(N,k) dimension totals, distinct
+coefficient-field counts, "largest level with complete data" (max_by),
+assembling ap-lists from chunks (ordered collect), subtotal reports over
+the (N,k) hierarchy (rollup), wide "web"-record assembly (pivot).
+
+All hash aggregations: Spark plans partial (map-side) + final aggregation
+automatically, so at 100 TB each of these is one shuffle of the
+already-combined partials, keyed on the group-by columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.parity import r2, r4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q_agg_flagship",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {R2('SUM(l_quantity)')}                                       AS sum_qty,
+           {R2('SUM(l_extendedprice)')}                                  AS sum_base_price,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')}               AS sum_disc_price,
+           {R2('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+           {R4('AVG(l_quantity)')}                                       AS avg_qty,
+           {R4('AVG(l_extendedprice)')}                                  AS avg_price,
+           {R4('AVG(l_discount)')}                                       AS avg_disc,
+           COUNT(*)                                                      AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    priority="P0",
+    headline=True,
+    tags=("agg", "flagship"),
+)
+def q_agg_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue — the entry() flagship. Scan → filter → hash agg
+    (partial+final) over two low-cardinality keys. Per-(N,k) totals [R]."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(
+            F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp_ntz")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    priority="P1",
+    tags=("agg",),
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type (expand + two-phase agg)."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_approx_distinct",
+    oracle=None,  # HLL sketch ≠ oracle; own test asserts ±5% of exact
+    priority="P2",
+    tags=("agg", "approx"),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
+    exact distinct. Rows-only check; tests/test_operators.py bounds the
+    relative error against the exact count."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle=f"""
+    SELECT {R4('stddev_samp(l_extendedprice)')} AS sd_price,
+           {R4('var_samp(l_extendedprice)')}    AS var_price,
+           {R4('corr(l_extendedprice, l_quantity)')}       AS corr_pq,
+           {R4('covar_samp(l_extendedprice, l_quantity)')} AS covar_pq,
+           {R2('MIN(l_extendedprice)')} AS min_price,
+           {R2('MAX(l_extendedprice)')} AS max_price
+    FROM lineitem
+    """,
+    priority="P1",
+    tags=("agg", "stats"),
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates — sanity stats over stored dimensions [R]."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r4(F.var_samp("l_extendedprice")).alias("var_price"),
+        r4(F.corr("l_extendedprice", "l_quantity")).alias("corr_pq"),
+        r4(F.covar_samp("l_extendedprice", "l_quantity")).alias("covar_pq"),
+        r2(F.min("l_extendedprice")).alias("min_price"),
+        r2(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {R4('quantile_cont(o_totalprice, 0.5)')} AS median_price,
+           {R4('quantile_cont(o_totalprice, 0.9)')} AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("agg", "percentile"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.percentile("o_totalprice", F.lit(0.5))).alias("median_price"),
+        r4(F.percentile("o_totalprice", F.lit(0.9))).alias("p90_price"),
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle=f"""
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS max_order,
+           arg_min(o_orderkey, o_totalprice) AS min_order,
+           {R2('MAX(o_totalprice)')} AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    priority="P1",
+    tags=("agg",),
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by — "largest level with complete data" [R]. o_totalprice
+    is a continuous double, so ties (the nondeterministic case) don't occur
+    in this data; the unit test covers tie behavior explicitly."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("max_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("min_order"),
+        r2(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    priority="P1",
+    tags=("agg", "collect"),
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list agg (sorted distinct, emitted as CSV so the value
+    hash is unambiguous) — ap-list assembly from chunks [R]."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_cust
+    FROM customer GROUP BY c_nationkey HAVING COUNT(*) > 50
+    """,
+    priority="P1",
+    tags=("agg", "having"),
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — levels with more factors than X [R]."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .where(F.col("n_cust") > 50)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {R2('SUM(o_totalprice)')} AS total,
+           GROUPING(r_name, n_name) AS gid
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    priority="P1",
+    tags=("agg", "rollup"),
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id — subtotal reports over the (N,k) hierarchy [R].
+    The dims are broadcast; the only shuffle is the rollup agg itself."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        r2(F.sum("o_totalprice")).alias("total"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+    priority="P2",
+    tags=("agg", "cube"),
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           {R2('SUM(c_acctbal)')} AS bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    priority="P2",
+    tags=("agg", "grouping_sets"),
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL API."""
+    prep(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mfdb_customer_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+               ROUND(SUM(c_acctbal), 2) AS bal
+        FROM mfdb_customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "q_agg_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click'    THEN 1 END) AS n_click,
+           COUNT(CASE WHEN event_type = 'error'    THEN 1 END) AS n_error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+           COUNT(CASE WHEN event_type = 'signup'   THEN 1 END) AS n_signup,
+           COUNT(CASE WHEN event_type = 'view'     THEN 1 END) AS n_view
+    FROM events GROUP BY user_id
+    """,
+    priority="P2",
+    tags=("agg", "pivot"),
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide — "web" record assembly from long storage [R]."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )

@@ -1,0 +1,130 @@
+"""Projections / filters / predicates — SURVEY.md §2.2.
+
+Reference capability [R]: derived metadata fields (dimension arithmetic),
+compound Mongo filters over (N,k,chi) ranges, label-pattern lookups, and
+missing-field handling in schemaless documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.parity import r2
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_project_expr",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R2('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
+           CAST(l_linenumber AS BIGINT) AS ln_big
+    FROM lineitem
+    """,
+    priority="P0",
+    tags=("project",),
+)
+def q_project_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection with casts and aliasing."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r2(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("double").alias("qty_dec"),
+        F.col("l_linenumber").cast("bigint").alias("ln_big"),
+    )
+
+
+@register(
+    "q_filter_conjunct",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (o_orderstatus = 'O' OR o_orderstatus = 'F')
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
+      AND NOT (o_totalprice < 10000)
+    """,
+    priority="P0",
+    tags=("filter",),
+)
+def q_filter_conjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND/OR/NOT/BETWEEN/IN compound predicate on orders."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-12-31 00:00:00").cast("timestamp_ntz")
+    return o.where(
+        ((F.col("o_orderstatus") == "O") | (F.col("o_orderstatus") == "F"))
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & F.col("o_orderdate").between(lo, hi)
+        & ~(F.col("o_totalprice") < 10000)
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+@register(
+    "q_filter_like_regexp",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%gear%'
+       OR (p_name LIKE 'b%' AND regexp_matches(p_name, '^[a-h].* (bolt|widget)$'))
+    """,
+    priority="P1",
+    tags=("filter", "regex"),
+)
+def q_filter_like_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / rlike in the Java∩RE2 common regex subset (SURVEY.md §2.11)."""
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").like("%gear%")
+        | (F.col("p_name").like("b%") & F.col("p_name").rlike("^[a-h].* (bolt|widget)$"))
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "q_filter_null",
+    oracle="""
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS seg,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NULL) AS is_building,
+           (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL) AS null_safe_eq
+    FROM customer
+    WHERE NULLIF(c_mktsegment, 'AUTOMOBILE') IS NOT NULL
+    """,
+    priority="P1",
+    tags=("filter", "null"),
+)
+def q_filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: nullif-injected nulls, isNull, null-safe <=>, coalesce."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    seg_null = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.where(
+        F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")).isNotNull()
+    ).select(
+        "c_custkey",
+        F.coalesce(seg_null, F.lit("(redacted)")).alias("seg"),
+        seg_null.isNull().alias("is_building"),
+        seg_null.eqNullSafe(F.lit(None).cast("string")).alias("null_safe_eq"),
+    )
+
+
+@register(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    priority="P0",
+    tags=("distinct",),
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — distinct levels/weights present in the DB [R]."""
+    prep(spark)
+    return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()

@@ -1,0 +1,302 @@
+"""Joins — SURVEY.md §2.3.
+
+Reference capabilities [R]: character-table lookup joins (broadcast),
+space ⋈ factors by (N,k,i) (the big equi-join), completeness scans
+("which spaces still need computation" — anti join, the reference's
+signature query), files-store vs Mongo-store reconciliation (full outer),
+parameter-grid generation (cross join), and version-chained lookups
+(as-of join).
+
+Scale notes (100 TB): the dimension sides (region/nation ↔ character
+tables) are broadcast — no shuffle. The fact-fact joins shuffle on their
+equi-keys and AQE handles skew; the as-of join is a single shuffle on
+user_id followed by one window pass (no self-join blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    priority="P0",
+    tags=("join", "broadcast"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-dim inner join with an explicit broadcast hint."""
+    prep(spark)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner"
+    ).select("n_nationkey", "n_name", "r_name")
+
+
+@register(
+    "q_join_sortmerge",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, l_linenumber,
+           {R2('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderstatus = 'O'
+    """,
+    priority="P0",
+    headline=True,
+    tags=("join",),
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large fact-fact equi-join (space ⋈ factors analogue), merge hint."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey, "inner")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "l_linenumber",
+            F.round(li.l_extendedprice * (1 - li.l_discount), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    priority="P1",
+    tags=("join",),
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer — spaces with/without computed factors [R]."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM customer RIGHT JOIN orders ON c_custkey = o_custkey
+    """,
+    priority="P2",
+    tags=("join",),
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    SELECT c_custkey, s_suppkey,
+           COALESCE(c_nationkey, s_nationkey) AS nationkey
+    FROM (SELECT * FROM customer WHERE c_nationkey < 12) c
+    FULL JOIN (SELECT * FROM supplier WHERE s_nationkey >= 8) s
+      ON c_nationkey = s_nationkey
+    """,
+    priority="P1",
+    tags=("join",),
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer — reconcile files-store vs Mongo-store record sets [R]."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer").where(F.col("c_nationkey") < 12)
+    s = load(spark, sf_dir, "supplier").where(F.col("s_nationkey") >= 8)
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        "c_custkey",
+        "s_suppkey",
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    priority="P1",
+    tags=("join", "semi"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi — "which spaces already have aps?" [R]."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    priority="P0",
+    tags=("join", "anti"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti — the reference's signature completeness scan [R]:
+    records that still need computation."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    priority="P2",
+    tags=("join", "cross"),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join — parameter-grid generation (all (N,k) pairs) [R]."""
+    prep(spark)
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "q_join_theta",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, o_orderdate, l_shipdate
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    """,
+    priority="P1",
+    tags=("join", "theta"),
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + range predicate join — ap-coverage vs required-precision [R]."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "inner",
+    ).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(signup_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS last_signup_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id, ts AS purchase_ts, last_signup_ts
+    FROM w WHERE event_type = 'purchase'
+    """,
+    priority="P2",
+    tags=("join", "asof"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via window emulation (no native DF primitive): for each
+    purchase, the latest prior-or-equal signup of the same user. One shuffle
+    on user_id + one window pass — no self-join blowup, which is what makes
+    this the 100 TB-safe formulation. Version-chained record lookup [R]."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.withColumn(
+        "signup_ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            "last_signup_ts",
+        )
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 5 MINUTE
+    """,
+    priority="P2",
+    tags=("join", "interval"),
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution: view→purchase pairs of the same user within 5 minutes."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return v.join(
+        p,
+        (v.user_id == p.p_user_id)
+        & (p.purchase_ts >= v.view_ts)
+        & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")

@@ -1,0 +1,152 @@
+"""Set operations — SURVEY.md §2.7.
+
+Reference capabilities [R]: merging record sets from the two stores
+(union), records present in files AND Mongo (intersect), records in the
+files store missing from Mongo — the sync diff (except), duplicate-aware
+reconciliation (bag variants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+def _seg_keys(spark: SparkSession, sf_dir: str, seg: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == seg)
+        .select("c_custkey")
+    )
+
+
+def _buyers_of_type(spark: SparkSession, sf_dir: str, ptype: str) -> DataFrame:
+    """Customers who bought a part of the given type (3-way join chain)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == ptype)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey")
+        .distinct()
+    )
+
+
+_BUYERS_SQL = """
+    SELECT DISTINCT o_custkey
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = '{t}'
+    JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+@register(
+    "q_set_union_all",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    priority="P1",
+    tags=("setop",),
+)
+def q_set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union (overlapping inputs ⇒ real duplicates preserved)."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.unionAll(b)
+
+
+@register(
+    "q_set_union_distinct",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+    priority="P1",
+    tags=("setop",),
+)
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+@register(
+    "q_set_intersect",
+    oracle=(
+        _BUYERS_SQL.format(t="PROMO") + " INTERSECT " + _BUYERS_SQL.format(t="ECONOMY")
+    ),
+    priority="P1",
+    tags=("setop",),
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buyers of PROMO ∩ buyers of ECONOMY — records present in both
+    stores [R]."""
+    prep(spark)
+    return _buyers_of_type(spark, sf_dir, "PROMO").intersect(
+        _buyers_of_type(spark, sf_dir, "ECONOMY")
+    )
+
+
+@register(
+    "q_set_except",
+    oracle=(
+        _BUYERS_SQL.format(t="PROMO") + " EXCEPT " + _BUYERS_SQL.format(t="ECONOMY")
+    ),
+    priority="P1",
+    tags=("setop",),
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buyers of PROMO ∖ buyers of ECONOMY — the sync diff [R]."""
+    prep(spark)
+    return _buyers_of_type(spark, sf_dir, "PROMO").exceptAll(
+        _buyers_of_type(spark, sf_dir, "ECONOMY")
+    ).distinct()
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    priority="P2",
+    tags=("setop", "bag"),
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersect — duplicate-aware reconciliation [R]."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    priority="P2",
+    tags=("setop", "bag"),
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.exceptAll(b)

@@ -1,0 +1,210 @@
+"""Window functions — SURVEY.md §2.5.
+
+Reference capabilities [R]: top-k factors per space, rank levels by
+completeness, successive-version deltas, cumulative coefficient coverage,
+trailing-window coverage checks, first/last computed version per space.
+
+Scale note: every window here partitions by a key (customer, user,
+nation) — one shuffle on the partition key, then a sorted streaming pass
+per partition. No global ordering except where the query semantics demand
+a global rank (none here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.parity import r2, r4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_win_topk_pergroup",
+    oracle="""
+    SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    priority="P0",
+    headline=True,
+    tags=("window", "topk"),
+)
+def q_win_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (o_orderkey tiebreak) — top-k factors per
+    space [R]."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "q_win_ranking",
+    oracle=f"""
+    SELECT s_suppkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           {R4('percent_rank() OVER w')} AS pct_rank,
+           {R4('cume_dist()    OVER w')} AS cdist
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    priority="P1",
+    tags=("window", "rank"),
+)
+def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over supplier account balance (suppkey tiebreak)."""
+    prep(spark)
+    s = load(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        r4(F.percent_rank().over(w)).alias("pct_rank"),
+        r4(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w)  AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    priority="P1",
+    tags=("window", "lag"),
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (µs) + next event type — successive-version
+    deltas [R]. Gap computed in epoch micros so both engines do exact
+    integer arithmetic."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (us - prev_us).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_running",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           {R2('''SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')} AS running_total,
+           {R4('''AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)''')} AS moving_avg3
+    FROM orders
+    """,
+    priority="P1",
+    tags=("window", "frame"),
+)
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average — cumulative coverage [R]."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        r2(
+            F.sum("o_totalprice").over(
+                base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("running_total"),
+        r4(
+            F.avg("o_totalprice").over(base.rowsBetween(-2, Window.currentRow))
+        ).alias("moving_avg3"),
+    )
+
+
+@register(
+    "q_win_range_interval",
+    oracle=f"""
+    SELECT user_id, event_id, ts,
+           {R4('''SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)''')} AS trailing_1h
+    FROM events
+    """,
+    priority="P2",
+    tags=("window", "range"),
+)
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE frame (trailing 1 hour of value per user) — the DF API's
+    rangeBetween is long-typed, so this goes through the SQL API, which both
+    engines share verbatim. Trailing coverage checks [R]."""
+    prep(spark)
+    load(spark, sf_dir, "events").createOrReplaceTempView("mfdb_events_ri")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, ts,
+               ROUND(SUM(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS trailing_1h
+        FROM mfdb_events_ri
+        """
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           first_value(s_suppkey) OVER w AS poorest,
+           last_value(s_suppkey)  OVER w AS richest
+    FROM supplier
+    WINDOW w AS (
+      PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    priority="P2",
+    tags=("window", "first_last"),
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last_value with an explicit full-partition frame — first/last
+    computed version per space [R]."""
+    prep(spark)
+    s = load(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal", "s_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(w).alias("poorest"),
+        F.last("s_suppkey").over(w).alias("richest"),
+    )

@@ -1,0 +1,108 @@
+"""Query registry — the executable form of SURVEY.md §2's operator inventory.
+
+Every operator registers a :class:`QueryDef`: a DataFrame builder
+``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) the DuckDB
+oracle SQL the driver hash-matches it against (__spark_entry__.py contract).
+``oracle=None`` → the driver records the weaker rows-only check (streaming,
+sketches).
+
+The registry is populated by importing the operator modules
+(:func:`_load_all`), so ``queries()`` / ``oracle_sql()`` in
+``__spark_entry__.py`` are just views over it.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "QueryDef"] = {}
+
+# Modules that register operators on import; order mirrors SURVEY.md §2.
+_OPERATOR_MODULES = [
+    "modforms_db_spark.operators.scans",
+    "modforms_db_spark.operators.filters",
+    "modforms_db_spark.operators.joins",
+    "modforms_db_spark.operators.aggregates",
+    "modforms_db_spark.operators.windows",
+    "modforms_db_spark.operators.sorts",
+    "modforms_db_spark.operators.setops",
+    "modforms_db_spark.sources.sinks",
+    "modforms_db_spark.functions.strings",
+    "modforms_db_spark.functions.dates_math",
+    "modforms_db_spark.functions.arrays_json",
+    "modforms_db_spark.functions.udfs",
+    "modforms_db_spark.streaming.batch_twins",
+    "modforms_db_spark.streaming.streams",
+    "modforms_db_spark.llm.dedup",
+    "modforms_db_spark.llm.similarity",
+    "modforms_db_spark.llm.text_stats",
+    "modforms_db_spark.llm.multimodal",
+]
+
+_loaded = False
+
+
+@dataclass
+class QueryDef:
+    name: str
+    builder: Builder
+    oracle: str | None  # DuckDB SQL, or None → rows-only check
+    priority: str = "P1"  # P0..P4 per SURVEY.md §2
+    headline: bool = False  # included in bench.py's timed set
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    priority: str = "P1",
+    headline: bool = False,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[Builder], Builder]:
+    def deco(fn: Builder) -> Builder:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QueryDef(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            priority=priority,
+            headline=headline,
+            doc=doc or (fn.__doc__ or "").strip().splitlines()[0] if (doc or fn.__doc__) else "",
+            tags=tags,
+        )
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _OPERATOR_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def get_queries() -> dict[str, Builder]:
+    _load_all()
+    return {name: qd.builder for name, qd in REGISTRY.items()}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+
+
+def get_registry() -> dict[str, QueryDef]:
+    _load_all()
+    return REGISTRY

@@ -1,0 +1,76 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle
+connections per SF dir, and the parity comparator that mirrors the
+driver's row-count + schema + order-insensitive value-hash check."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from modforms_db_spark.schemas import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("MFDB_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "8")
+    from modforms_db_spark.session import get_spark
+
+    s = get_spark("mfdb-tests")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form for cross-engine comparison: columns sorted by name,
+    dtypes normalized, rows sorted by stringified values."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
+    for c in pdf.columns:
+        dt = pdf[c].dtype
+        if pd.api.types.is_datetime64_any_dtype(dt):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(dt):
+            pdf[c] = pdf[c].astype("boolean")
+        elif pd.api.types.is_integer_dtype(dt):
+            pdf[c] = pdf[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(dt):
+            pdf[c] = pdf[c].astype("float64")
+    if len(pdf):
+        key = pdf.astype(str).agg("\x00".join, axis=1)
+        pdf = pdf.iloc[key.sort_values(kind="mergesort").index].reset_index(drop=True)
+    return pdf
+
+
+def assert_parity(spark, ddb, name: str, sf_dir: str = SF_DIR) -> None:
+    """Run a registered query on Spark and its oracle on DuckDB; assert
+    identical canonical frames (the driver's check, but stricter: exact
+    value equality, not just hash equality)."""
+    from modforms_db_spark.registry import get_registry
+
+    qd = get_registry()[name]
+    assert qd.oracle is not None, f"{name} has no oracle (rows-only query)"
+    got = canon(qd.builder(spark, sf_dir).toPandas())
+    want = canon(ddb.execute(qd.oracle).df())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
