@@ -1,1 +1,144 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Date/time, math, and conditional bundles — SURVEY.md §2.8.
+
+Reference capabilities [R]: version-date handling, dimension formulas /
+normalizations, flag derivation (is_cm, is_complete).
+
+Dialect notes (SURVEY.md §2.11, verified): avoid ``date_format`` (Java vs
+strftime patterns); Spark ``dayofweek`` is 1-based Sunday=1 vs DuckDB
+``dow`` 0-based Sunday=0 → align with ``dayofweek - 1``; day differences
+computed on CAST-to-DATE values on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.parity import r4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate)  AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           EXTRACT(day FROM o_orderdate)   AS dom,
+           date_trunc('month', o_orderdate)                 AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           EXTRACT(dow FROM o_orderdate)   AS dow,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate AS DATE) + INTERVAL 90 DAY       AS due_ts
+    FROM orders
+    """,
+    priority="P1",
+    tags=("dates",),
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bundle — version-date handling [R]. All extracts return BIGINT
+    on DuckDB, so Spark's INTs are cast up; dow aligned to 0-based Sunday."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        F.last_day(d.cast("date")).cast("timestamp_ntz").alias("month_end"),
+        (F.dayofweek(d) - 1).cast("bigint").alias("dow"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("days_since"),
+        (d.cast("date") + F.expr("INTERVAL 90 DAYS"))
+        .cast("timestamp_ntz")
+        .alias("due_ts"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000)            AS dev,
+           {R4('sqrt(l_extendedprice)')}           AS root,
+           {R4('pow(l_discount + 1, 3)')}          AS disc_cubed,
+           {R4('ln(l_extendedprice + 1)')}         AS log_nat,
+           {R4('log10(l_extendedprice + 1)')}      AS log_ten,
+           {R4('exp(l_discount)')}                 AS e_disc,
+           CAST(l_orderkey % 7 AS BIGINT)          AS key_mod,
+           CAST(sign(l_extendedprice - 50000) AS DOUBLE) AS dev_sign,
+           ceil(l_quantity)                        AS qty_ceil,
+           floor(l_quantity)                       AS qty_floor,
+           greatest(l_quantity, l_discount * 100)  AS g,
+           least(l_quantity, l_discount * 100)     AS l
+    FROM lineitem
+    """,
+    priority="P1",
+    tags=("math",),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math bundle — dimension formulas / normalizations [R]."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(price - 50000).alias("dev"),
+        r4(F.sqrt(price)).alias("root"),
+        r4(F.pow(F.col("l_discount") + 1, 3)).alias("disc_cubed"),
+        r4(F.log(price + 1)).alias("log_nat"),
+        r4(F.log10(price + 1)).alias("log_ten"),
+        r4(F.exp("l_discount")).alias("e_disc"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
+        F.signum(price - 50000).alias("dev_sign"),
+        F.ceil("l_quantity").cast("double").alias("qty_ceil"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.greatest("l_quantity", F.col("l_discount") * 100).alias("g"),
+        F.least("l_quantity", F.col("l_discount") * 100).alias("l"),
+    )
+
+
+@register(
+    "q_cond_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'large'
+                WHEN o_totalprice >= 50000  THEN 'medium'
+                ELSE 'small' END AS size_class,
+           CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS is_open,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'pending-hidden') AS status_masked,
+           IF(o_orderpriority IN ('1-URGENT','2-HIGH'), 'rush', 'normal') AS speed
+    FROM orders
+    """,
+    priority="P1",
+    tags=("cond",),
+)
+def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / if / coalesce / nullif — flag derivation (is_cm,
+    is_complete) [R]."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp >= 150000, "large")
+        .when(tp >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.when(F.col("o_orderstatus") == "O", 1).otherwise(0).alias("is_open"),
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("pending-hidden")
+        ).alias("status_masked"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rush"
+        )
+        .otherwise("normal")
+        .alias("speed"),
+    )

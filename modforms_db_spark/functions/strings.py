@@ -1,1 +1,127 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""String function bundles — SURVEY.md §2.8.
+
+Reference capabilities [R]: label formatting ``"{N}.{k}.{chi}"``, parsing
+labels back into (N,k,i), fuzzy label matching, content-addressing blobs
+(GridFS checksums).
+
+Dialect discipline (SURVEY.md §2.11): regexes stay in the Java∩RE2 common
+subset (no lookahead/backrefs); Spark ``instr`` ↔ DuckDB ``strpos``;
+Spark ``sha2(x,256)`` ↔ DuckDB ``sha256(x)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type)                          AS type_lower,
+           upper(p_name)                          AS name_upper,
+           trim(concat('  ', p_name, ' '))        AS trimmed,
+           length(p_name)                         AS name_len,
+           substring(p_name, 1, 5)                AS name_pfx,
+           concat_ws('|', p_brand, p_type)        AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')  AS size_pad,
+           replace(p_name, ' ', '_')              AS name_snake,
+           strpos(p_name, 'e')                    AS first_e
+    FROM part
+    """,
+    priority="P1",
+    tags=("strings",),
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string bundle — label formatting "{N}.{k}.{chi}" [R]."""
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_name").alias("name_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.instr("p_name", "e").alias("first_e"),
+    )
+
+
+@register(
+    "q_str_regexp",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT) AS cnum,
+           regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+           regexp_matches(c_name, '^Customer#0*[0-9]{1,3}$') AS short_id
+    FROM customer
+    """,
+    priority="P1",
+    tags=("strings", "regex"),
+)
+def q_str_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace — parsing labels back into (N,k,i) [R].
+    Spark replaces all matches by default; DuckDB needs the 'g' flag."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#([0-9]+)", 1)
+        .cast("bigint")
+        .alias("cnum"),
+        F.regexp_replace("c_name", r"0+", "0").alias("name_squeezed"),
+        F.col("c_name").rlike(r"^Customer#0*[0-9]{1,3}$").alias("short_id"),
+    )
+
+
+@register(
+    "q_str_levenshtein",
+    oracle="""
+    SELECT levenshtein(c_name, 'Customer#000000001') AS dist, COUNT(*) AS n
+    FROM customer GROUP BY dist
+    """,
+    priority="P2",
+    tags=("strings", "fuzzy"),
+)
+def q_str_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance buckets — fuzzy label matching [R]."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.levenshtein(F.col("c_name"), F.lit("Customer#000000001")).alias("dist")
+        )
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_hash_funcs",
+    oracle="""
+    SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+           substring(md5(text), 1, 2) AS bucket
+    FROM documents
+    """,
+    priority="P1",
+    tags=("strings", "hash"),
+)
+def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressing (GridFS checksum analogue [R]): md5 + sha256 hex.
+    xxhash64 is Spark-only → exercised in unit tests, not in the oracle."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.substring(F.md5("text"), 1, 2).alias("bucket"),
+    )

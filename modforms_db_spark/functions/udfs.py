@@ -1,1 +1,190 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.10.
+
+Reference capabilities [R]: Conrey↔Sage character-conversion functions
+(pure scalar functions), batch numeric transforms, custom reductions over
+orbit data, per-space recompute of derived fields, expanding one stored
+object into many records.
+
+Execution notes: the row UDF (`q_udf_python`) is the sanctioned slow path
+and exists to cover the API, not for hot paths. Everything else crosses
+Python↔JVM via Arrow (pandas UDFs / applyInPandas / mapInPandas) — the
+vectorized boundary that scales; at 100 TB each Arrow batch is processed
+per-partition with no driver involvement.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_udf_python",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           gcd(c_custkey, CAST(c_nationkey AS BIGINT) + 1) AS key_gcd,
+           (c_custkey * (CAST(c_nationkey AS BIGINT) + 3)) % 97 AS chi_index
+    FROM customer
+    """,
+    priority="P1",
+    tags=("udf",),
+)
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — character-index normalizer arithmetic
+    (Conrey↔Sage conversion [R]). Deliberately the pickle slow path."""
+    prep(spark)
+
+    @F.udf(T.LongType())
+    def key_gcd(custkey: int, nationkey: int) -> int:
+        return math.gcd(custkey, nationkey + 1)
+
+    @F.udf(T.LongType())
+    def chi_index(custkey: int, nationkey: int) -> int:
+        return (custkey * (nationkey + 3)) % 97
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        key_gcd("c_custkey", "c_nationkey").alias("key_gcd"),
+        chi_index("c_custkey", "c_nationkey").alias("chi_index"),
+    )
+
+
+@register(
+    "q_udf_pandas_scalar",
+    oracle=f"""
+    SELECT event_id,
+           {R4('(value - AVG(value) OVER ()) / stddev_samp(value) OVER ()')} AS zscore
+    FROM events
+    """,
+    priority="P1",
+    tags=("udf", "pandas"),
+)
+def q_udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) scalar pandas UDF: z-score of event value against
+    global mean/std. The stats come from a 1-row Spark agg broadcast-joined
+    in, so the UDF itself is a pure elementwise batch transform [R]."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    stats = e.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+
+    @pandas_udf(T.DoubleType())
+    def zscore(v: pd.Series, mu: pd.Series, sigma: pd.Series) -> pd.Series:
+        return (v - mu) / sigma
+
+    return e.crossJoin(F.broadcast(stats)).select(
+        "event_id", F.round(zscore("value", "mu", "sigma"), 4).alias("zscore")
+    )
+
+
+@register(
+    "q_udaf_pandas",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {R4('exp(AVG(ln(o_totalprice)))')} AS geo_mean
+    FROM orders GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("udf", "udaf"),
+)
+def q_udaf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: geometric mean per priority — custom
+    reductions over orbit data [R]."""
+    prep(spark)
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean")
+    )
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle=f"""
+    SELECT o_orderkey,
+           {R4('o_totalprice - AVG(o_totalprice) OVER (PARTITION BY o_orderpriority)')} AS centered
+    FROM orders
+    """,
+    priority="P2",
+    tags=("udf", "grouped_map"),
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: mean-center o_totalprice within each
+    priority — per-space batch recompute of derived fields [R]."""
+    prep(spark)
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["o_totalprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "centered": vals - vals.mean(),
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    # Rounding happens Spark-side: numpy's round is half-even, which would
+    # diverge from the oracle's HALF_UP semantics at digit boundaries.
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInPandas(center, "o_orderkey bigint, centered double")
+        .select("o_orderkey", F.round("centered", 4).alias("centered"))
+    )
+
+
+@register(
+    "q_map_in_pandas",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R4('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem WHERE l_discount > 0.05
+    """,
+    priority="P2",
+    tags=("udf", "map_partitions"),
+)
+def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise pandas transform (filter + project) — chunked ap-list
+    processing [R]. Arrow batches in, Arrow batches out; no shuffle."""
+    prep(spark)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf["l_discount"] > 0.05]
+            yield pd.DataFrame(
+                {
+                    "l_orderkey": keep["l_orderkey"],
+                    "l_linenumber": keep["l_linenumber"],
+                    "revenue": keep["l_extendedprice"] * (1 - keep["l_discount"]),
+                }
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    # Rounded Spark-side (numpy round is half-even; see q_apply_in_pandas).
+    return li.mapInPandas(
+        fn, "l_orderkey bigint, l_linenumber int, revenue double"
+    ).select("l_orderkey", "l_linenumber", F.round("revenue", 4).alias("revenue"))

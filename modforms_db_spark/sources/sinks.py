@@ -1,1 +1,156 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Sources & sinks — SURVEY.md §2.1 roundtrips.
+
+Reference capability [R]: the file-store layout ``data/N/k/i/`` is a
+partitioned write; Mongo document import/export maps to JSON lines; the
+sync path re-reads what it wrote. Each query here writes a driver table to
+a scratch dir in one format, reads it back with an explicit schema, and
+aggregates — the oracle runs the same aggregate on the source table, so a
+hash match proves the roundtrip was lossless.
+
+Scale note: ``partitionBy`` on a low-cardinality column is exactly the
+reference's directory layout; at 100 TB you'd partition by the query key
+(lang / date) and let partition pruning skip directories — the read-back
+here filters one partition value to exercise that pruning path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "mfdb_spark_sinks")
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@register(
+    "q_sink_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {R2('SUM(l_extendedprice)')} AS total
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+    priority="P1",
+    tags=("sink", "partition"),
+)
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write → read back with a partition filter →
+    group-count. The partition filter ('A','R') prunes the 'N' directory
+    entirely (partition pruning, asserted in plan tests)."""
+    prep(spark)
+    path = _scratch("lineitem_by_flag")
+    li = load(spark, sf_dir, "lineitem")
+    (
+        li.select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q_source_json_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n, {R2('SUM(value)')} AS total_value,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid
+    FROM events GROUP BY event_type
+    """,
+    priority="P2",
+    tags=("source", "json"),
+)
+def q_source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines write → schema'd read → aggregate (Mongo export/import [R]).
+
+    ts is written as epoch micros (JSON has no timestamp type; explicit
+    representation keeps the roundtrip exact), props stays a JSON string.
+    """
+    prep(spark)
+    path = _scratch("events_json")
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    e.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum("user_id").alias("sum_uid"),
+    )
+
+
+@register(
+    "q_source_csv_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    priority="P2",
+    tags=("source", "csv"),
+)
+def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write with header → schema'd read incl. timestamp parsing →
+    min/max ts per type proves the timestamp text roundtrip is exact."""
+    prep(spark)
+    path = _scratch("events_csv")
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    (
+        e.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -42,9 +42,16 @@ def ddb():
 def canon(pdf: pd.DataFrame) -> pd.DataFrame:
     """Canonical form for cross-engine comparison: columns sorted by name,
     dtypes normalized, rows sorted by stringified values."""
+    import datetime
+
     pdf = pdf.reindex(sorted(pdf.columns), axis=1).copy()
     for c in pdf.columns:
         dt = pdf[c].dtype
+        if dt == object and pdf[c].map(
+            lambda v: v is None or isinstance(v, datetime.date)
+        ).all() and pdf[c].notna().any():
+            pdf[c] = pd.to_datetime(pdf[c]).astype("datetime64[us]")
+            dt = pdf[c].dtype
         if pd.api.types.is_datetime64_any_dtype(dt):
             pdf[c] = pdf[c].astype("datetime64[us]")
         elif pd.api.types.is_bool_dtype(dt):
@@ -73,4 +80,12 @@ def assert_parity(spark, ddb, name: str, sf_dir: str = SF_DIR) -> None:
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    # Dtype KINDS must match: the driver hashes stringified values, so an
+    # int64/float64 divergence ("1" vs "1.0") is a hash mismatch even when
+    # the numeric values compare equal.
+    got_kinds = [d.kind if hasattr(d, "kind") else "O" for d in got.dtypes]
+    want_kinds = [d.kind if hasattr(d, "kind") else "O" for d in want.dtypes]
+    assert got_kinds == want_kinds, (
+        f"{name}: dtype-kind mismatch {list(zip(got.columns, got_kinds, want_kinds))}"
+    )
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
