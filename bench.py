@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs the headline queries (SURVEY.md §2, ``headline=True`` in the registry)
+at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Timing policy: one shared SparkSession for the whole run (JVM startup and
+plan caching amortized, as a real deployment would); per-query time is
+build-plan + execute + collect to the driver, the end-to-end latency a
+user observes. A warmup run of the flagship primes the JVM (codegen,
+parquet footer caches) before timing starts — we measure steady-state
+engine throughput, not first-query JIT noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Parse "0.1" out of ".../sf0.1" for the report; fall back to the path.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf: float | str = float(base.removeprefix("sf"))
+    except ValueError:
+        sf = base
+
+    from modforms_db_spark.registry import get_registry
+    from modforms_db_spark.session import get_spark
+
+    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "32")
+    spark = get_spark("mfdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = get_registry()
+    headline = [name for name, qd in sorted(reg.items()) if qd.headline]
+
+    # Warmup: prime JVM codegen + parquet footers, untimed.
+    reg["q_agg_flagship"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        reg[name].builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
