@@ -188,3 +188,40 @@ def q_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.mapInPandas(
         fn, "l_orderkey bigint, l_linenumber int, revenue double"
     ).select("l_orderkey", "l_linenumber", F.round("revenue", 4).alias("revenue"))
+
+
+@register(
+    "q_udtf",
+    oracle="""
+    SELECT doc_id, word, COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 50)
+    GROUP BY doc_id, word
+    """,
+    priority="P3",
+    tags=("udf", "udtf"),
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): expand each document into (word, count) rows
+    via LATERAL join — one stored object fanning out into many records [R].
+    Bounded to doc_id < 50 to keep the t2 result small."""
+    prep(spark)
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, cnt bigint")
+    class WordCounts:
+        def eval(self, text: str):
+            for word, n in Counter((text or "").split(" ")).items():
+                yield word, n
+
+    spark.udtf.register("mfdb_word_counts", WordCounts)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("mfdb_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.cnt
+        FROM mfdb_udtf_docs d, LATERAL mfdb_word_counts(d.text) t
+        WHERE d.doc_id < 50
+        """
+    )

@@ -1,1 +1,288 @@
-"""Placeholder — populated in a later milestone (SURVEY.md §7)."""
+"""True Structured Streaming queries — SURVEY.md §2.9 (P3/P4).
+
+Each builder runs a real ``readStream`` pipeline to completion with an
+``availableNow`` trigger and a memory sink, then returns the sink contents
+as a batch DataFrame (the driver collects it; rows-only check — streaming
+results can't be DuckDB-hash-matched, so correctness is established by the
+batch-twin equivalence tests in tests/test_streaming.py against the
+oracle-checked twins in batch_twins.py).
+
+Reference capability [R]: the reference's ingest was batch-only (rerunnable
+compute jobs, idempotent re-ingest via GridFS find-before-insert); the
+streaming surface is the north-star LLM-pipeline extension
+(BASELINE.json:6) — incremental corpus ingest with exactly-once dedup,
+late-data discipline, and running per-user state.
+
+Scale notes (100 TB / 1000-executor):
+
+- The file source scales by listing: ``maxFilesPerTrigger`` bounds batch
+  size; state (agg windows, dedup keys, per-user counts) lives in the
+  executor state store, sized by watermark horizon × key cardinality — the
+  watermark is what keeps state finite, which is why every query here
+  declares one.
+- Memory sink is test-only; a deployment writes ``toTable``/kafka. The
+  query shapes (watermarked window agg, watermarked dropDuplicates,
+  applyInPandasWithState) are the deployment shapes verbatim.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "mfdb_spark_streams")
+
+# Raw schema of events.parquet under nanosAsLong=true: ts is INT64 nanos.
+_RAW_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table with the same ns→µs normalization
+    as the batch reader (io.py) — identical values, streaming source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TimestampType (not NTZ) — prep() pins UTC, so the
+    # LTZ wall values equal the batch reader's NTZ values exactly.
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+class _stream_shuffle:
+    """Pin a small shuffle-partition count for the duration of a streaming
+    run, restoring the prior value after. Streaming state stores partition
+    by spark.sql.shuffle.partitions at first checkpoint, AQE is disabled
+    for stateful workloads, and the driver's session keeps the 200 default
+    — 200 state-store tasks over 10k rows is pure overhead. At production
+    scale this is the one knob that MUST be sized to the cluster before
+    the first run, because it's frozen into the checkpoint."""
+
+    def __init__(self, spark: SparkSession, n: str = "8"):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.n)
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _run_to_table(sdf_writer, name_prefix: str, spark: SparkSession) -> DataFrame:
+    """Start an availableNow stream into a memory sink, wait, return table."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    with _stream_shuffle(spark):
+        q = sdf_writer.queryName(name).trigger(availableNow=True).start()
+        q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "q_stream_tumbling",
+    oracle=None,  # rows-only; ≡ q_win_tumbling (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming",),
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → 1h watermark → 1h tumbling window × type → memory sink.
+
+    Complete output mode so the single availableNow batch emits every
+    window (append would hold windows the final watermark never passed);
+    the watermark still bounds state in a continuous deployment."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return _run_to_table(
+        agg.writeStream.format("memory").outputMode("complete"),
+        "stream_tumbling",
+        spark,
+    )
+
+
+@register(
+    "q_stream_dedup",
+    oracle=None,  # rows-only; ≡ batch distinct (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming",),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates(event_id) under a duplicated source.
+
+    The source is unioned with itself (every event arrives exactly twice —
+    the reference's idempotent re-ingest scenario); the dedup operator must
+    emit each event_id once. Append mode: dedup emits rows immediately and
+    the watermark lets state for old keys expire."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    doubled = events.union(_stream_events(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    return _run_to_table(
+        deduped.writeStream.format("memory").outputMode("append"),
+        "stream_dedup",
+        spark,
+    )
+
+
+@register(
+    "q_stream_late",
+    oracle=None,  # rows-only; own late-drop assertion in tests
+    priority="P3",
+    tags=("streaming",),
+)
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data discipline across a restart: run 1 ingests the RECENT half
+    of events (watermark advances to max(ts) − 30 min and is persisted in
+    the checkpoint); run 2 — same checkpoint, i.e. a query restart — then
+    ingests the OLD half, every row of which is now late beyond the
+    watermark and is dropped (numRowsDroppedByWatermark > 0, asserted in
+    tests). The emitted result is therefore exactly the closed windows of
+    the recent half; old-half windows never appear.
+
+    Within a single availableNow run the late filter uses the watermark at
+    query start (measured on 4.1.2), so the restart is what makes the drop
+    observable — which is also the realistic deployment scenario (late
+    data arriving after recovery)."""
+    prep(spark)
+    run_dir = os.path.join(_SCRATCH, f"late_{uuid.uuid4().hex[:8]}")
+    src_dir = os.path.join(run_dir, "src")
+    ckpt = os.path.join(run_dir, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    try:
+        # Cast to TimestampType (LTZ) up front: watermarks require it, and
+        # writing it means the re-read stream needs no further conversion.
+        ev = (
+            load(spark, sf_dir, "events")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .cache()
+        )
+        split_ts = ev.agg(
+            F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as bigint))")
+        ).first()[0]
+        schema = ev.schema
+        p1, p2 = os.path.join(run_dir, "f1"), os.path.join(run_dir, "f2")
+        ev.where(F.col("ts") >= F.lit(split_ts)).coalesce(1).write.parquet(p1)
+        ev.where(F.col("ts") < F.lit(split_ts)).coalesce(1).write.parquet(p2)
+        ev.unpersist()
+
+        def _publish(part_dir: str, dest: str) -> None:
+            f = next(
+                fn for fn in os.listdir(part_dir) if fn.endswith(".parquet")
+            )
+            shutil.copyfile(os.path.join(part_dir, f), os.path.join(src_dir, dest))
+
+        emitted: list = []
+
+        def _run_once() -> None:
+            stream = spark.readStream.schema(schema).parquet(src_dir)
+            agg = (
+                stream.withWatermark("ts", "30 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.col("w.start").alias("ws"), "event_type", "n")
+            )
+            with _stream_shuffle(spark):
+                q = (
+                    agg.writeStream.foreachBatch(
+                        lambda df, _bid: emitted.append(df.toPandas())
+                    )
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+        _publish(p1, "recent.parquet")
+        _run_once()
+        _publish(p2, "old.parquet")
+        _run_once()
+
+        import pandas as pd
+
+        out = pd.concat([e for e in emitted if len(e)], ignore_index=True)
+        return spark.createDataFrame(
+            out, schema="ws timestamp, event_type string, n bigint"
+        )
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
+@register(
+    "q_stream_stateful",
+    oracle=None,  # rows-only; ≡ batch groupBy count (tests)
+    priority="P4",
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user event count via applyInPandasWithState — arbitrary
+    stateful op; state is one long per user, updated every micro-batch.
+    Update mode emits the running count each batch; the final answer per
+    user (counts are monotone) equals the batch groupBy count."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+
+    out_schema = "user_id bigint, n_events bigint"
+    state_schema = "n bigint"
+
+    def update_count(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    counts = events.groupBy("user_id").applyInPandasWithState(
+        update_count,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_table(
+        counts.writeStream.format("memory").outputMode("update"),
+        "stream_stateful",
+        spark,
+    )
+    # Update mode appends one row per (batch, user); running counts are
+    # monotone, so max = final. This is a batch agg over the sink table.
+    return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))

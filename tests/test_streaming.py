@@ -1,0 +1,82 @@
+"""Batch ≡ stream equivalence (SURVEY.md §5.2 layer 3).
+
+The streaming queries are rows-only for the driver; their correctness
+anchor is equality with the oracle-checked batch twins, asserted here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import get_registry
+
+from tests.conftest import SF_DIR, canon
+
+
+def _run(spark, name):
+    return get_registry()[name].builder(spark, SF_DIR)
+
+
+def test_stream_tumbling_equals_batch_twin(spark):
+    stream = canon(_run(spark, "q_stream_tumbling").toPandas())
+    batch = canon(_run(spark, "q_win_tumbling").toPandas())
+    assert stream.equals(batch)
+
+
+def test_stream_dedup_recovers_distinct(spark):
+    """Doubled source + dropDuplicates == original events exactly."""
+    got = canon(
+        _run(spark, "q_stream_dedup")
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )
+    want = canon(
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )
+    assert got.equals(want)
+
+
+def test_stream_late_drops_old_half(spark):
+    """Batch-2 (old-half) rows are beyond the batch-1 watermark → the
+    emitted windows must all be from the recent half, and every recent
+    window closed by the final watermark must match the batch twin."""
+    out = _run(spark, "q_stream_late").toPandas()
+    assert len(out) > 0
+    ev = load(spark, SF_DIR, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    split_ts = ev.agg(
+        F.expr("timestamp_micros(cast(percentile(unix_micros(ts), 0.5) as bigint))")
+    ).first()[0]
+    # Every emitted window starts at/after the hour containing split_ts - 1h
+    # (a window straddling the split may contain recent rows; nothing older).
+    import pandas as pd
+
+    floor_split = pd.Timestamp(split_ts).floor("h")
+    assert (pd.to_datetime(out["ws"]) >= floor_split).all()
+
+    # Emitted counts agree with a batch computation over the recent half.
+    batch = (
+        ev.where(F.col("ts") >= F.lit(split_ts))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .toPandas()
+    )
+    merged = out.merge(batch, on=["ws", "event_type"], suffixes=("_s", "_b"))
+    assert len(merged) == len(out)  # every emitted window exists in batch
+    assert (merged["n_s"] == merged["n_b"]).all()
+
+
+def test_stream_stateful_equals_batch_groupby(spark):
+    got = canon(_run(spark, "q_stream_stateful").toPandas())
+    want = canon(
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    assert got.equals(want)
