@@ -1,0 +1,72 @@
+"""Plan-shape assertions (SURVEY.md §4/§5.3): the optimizer obligations —
+pushdown reaches the scan, dims broadcast, big joins shuffle on their keys,
+aggregation is partial+final — verified against the physical plan string.
+These are the properties that keep the 100 TB plan sane; at sf they cost
+nothing, so a regression here is caught before it matters."""
+
+from __future__ import annotations
+
+import re
+
+from modforms_db_spark.registry import get_registry
+
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = get_registry()[name].builder(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    plan = _plan(spark, "q_scan_pushdown")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # The shipdate predicate must be pushed into the scan, not a post-filter.
+    assert "l_shipdate" in scan and ">=" in scan
+    # Column pruning: the scan reads only the projected + filtered columns.
+    cols = re.search(r"FileScan parquet \[([^\]]*)\]", scan).group(1)
+    assert len(cols.split(",")) <= 3, cols
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(spark, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_join_shuffles_on_key(spark):
+    plan = _plan(spark, "q_join_sortmerge")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "hashpartitioning(o_orderkey" in plan
+    assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_flagship_agg_is_partial_final(spark):
+    df = get_registry()["q_agg_flagship"].builder(spark, SF_DIR)
+    df.collect()  # AQE finalizes the plan (and WSCG spans) on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Two HashAggregate levels (partial map-side combine + final).
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # Whole-stage codegen shows as the "*(n)" operator prefix in toString.
+    assert "*(" in plan
+
+
+def test_anti_join_strategy(spark):
+    plan = _plan(spark, "q_join_anti")
+    assert "LeftAnti" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "q_topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    """Brute-force kNN must broadcast the small query batch and stream the
+    candidate set past it — a shuffle CartesianProduct here would be the
+    classic 100 TB killer. BroadcastNestedLoopJoin IS the right plan: the
+    build side is the 20-row query set."""
+    plan = _plan(spark, "q_sim_cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
