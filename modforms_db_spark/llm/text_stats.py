@@ -48,27 +48,31 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile: doc count, mean token count, vocabulary
     size, type-token ratio."""
     prep(spark)
+    # Single pass: one split/explode, one shuffle on lang. The per-doc
+    # average falls out exactly: AVG(n_toks) = Σ n_toks / n_docs =
+    # total_toks / n_docs — both integer-sum-over-count divisions, so the
+    # value is bit-identical to the oracle's two-branch formulation.
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
-    per_doc = toks.select("doc_id", "lang", F.size("toks").alias("n_toks"))
-    vocab = (
-        toks.select("lang", F.explode("toks").alias("tok"))
-        .groupBy("lang")
-        .agg(
-            F.countDistinct("tok").alias("n_vocab"),
-            F.count(F.lit(1)).alias("total_toks"),
-        )
+    ex = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
     )
     return (
-        per_doc.join(F.broadcast(vocab), "lang")
-        .groupBy("lang")
+        ex.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_toks"), 4).alias("avg_tokens"),
-            F.min("n_vocab").alias("vocab"),
-            F.round(
-                F.min("n_vocab") * F.lit(1.0) / F.min("total_toks"), 4
-            ).alias("ttr"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("total_toks"),
+            F.countDistinct("tok").alias("n_vocab"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("total_toks") / F.col("n_docs"), 4).alias(
+                "avg_tokens"
+            ),
+            F.col("n_vocab").alias("vocab"),
+            F.round(F.col("n_vocab") * F.lit(1.0) / F.col("total_toks"), 4).alias(
+                "ttr"
+            ),
         )
     )
 
