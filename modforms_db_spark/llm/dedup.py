@@ -165,6 +165,127 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id, lang,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+      FROM t
+    ), bg AS (
+      SELECT DISTINCT doc_id, lang, gram FROM bg0 WHERE gram IS NOT NULL
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM bg a JOIN bg b
+        ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, {R4('CAST(i AS DOUBLE) / (s1.n + s2.n - i)')} AS jac
+    FROM inter
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE {R4('CAST(i AS DOUBLE) / (s1.n + s2.n - i)')} >= 0.8
+"""
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=_NGRAM_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "ngram"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram (2-shingle) Jaccard ≥ 0.8 within lang — order-sensitive
+    near-dup detection, the shingling stage of MinHash pipelines. Unlike the
+    token-SET Jaccard (`q_dedup_jaccard`), reordering a document destroys
+    its bigrams, so this finds only true sequential near-dups (6 pairs at
+    sf0.01, measured; the token-set collision groups score ≈0.13 here).
+
+    Spark shape: bigrams are built JVM-side with `zip_with` over two array
+    slices — no explode until the set is distinct, so the shuffle carries
+    one row per (doc, distinct-gram). Same skew caveat as the token join:
+    at 100 TB cap gram document-frequency before the self-join."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    bg = d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+    sizes = bg.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = bg.alias("a")
+    b = bg.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("s1.n") + F.col("s2.n") - F.col("i")), 4
+    )
+    return (
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", jac.alias("jac"))
+        .where(F.col("jac") >= 0.8)
+    )
+
+
+@register(
+    "q_dedup_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+    SELECT a.vec_id AS v1, b.vec_id AS v2,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.45
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates: all pairs with rounded cosine
+    ≥ 0.45 (14 pairs at sf0.01 — measured; max pairwise cosine is 0.513 on
+    this corpus, so 0.45 marks the extreme tail that a semantic-dedup pass
+    would flag). Exact all-pairs is the oracle-checked contract; at 100 TB
+    the same verification runs only on ANN candidates (`q_sim_ann_lsh` /
+    `q_sim_ivf_topk` prefilter), never all-pairs."""
+    prep(spark)
+    from modforms_db_spark.llm.similarity import _dot, _emb, _norm
+
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    a = e.alias("a")
+    b = e.alias("b")
+    cos4 = F.round(
+        _dot("a.emb", "b.emb") / (F.col("a.nrm") * F.col("b.nrm")), 4
+    ).alias("cos4")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cos4,
+        )
+        .where(F.col("cos4") >= 0.45)
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, sig: array<bigint>) — 32 min-hashes per doc.
 

@@ -203,6 +203,94 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_COS = "round(list_cosine_similarity(e.emb, c.cemb), 4)"
+
+
+@register(
+    "q_sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+    cc AS (
+      SELECT e.vec_id, c.cid, {_IVF_COS} AS cs,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {_IVF_COS} DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    asg AS (SELECT vec_id, cid FROM cc WHERE rn = 1),
+    probe AS (SELECT vec_id AS q_id, cid FROM cc WHERE vec_id < 20 AND rn <= 4),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS nb_id
+      FROM probe p JOIN asg a ON p.cid = a.cid
+      WHERE a.vec_id != p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.nb_id,
+             round(list_cosine_similarity(q.emb, n.emb), 4) AS cos4
+      FROM cand
+      JOIN e q ON cand.q_id = q.vec_id
+      JOIN e n ON cand.nb_id = n.vec_id
+    )
+    SELECT q_id, nb_id, cos4, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY cos4 DESC, nb_id
+      ) AS rn FROM scored
+    ) WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "ivf", "scale-path"),
+)
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN, fully deterministic and oracle-checked.
+
+    Coarse quantizer: 16 seed centroids (the vectors with vec_id < 16 — a
+    deterministic stand-in for sampled k-means centers). Every vector is
+    assigned to its nearest centroid by rounded cosine (centroid-id
+    tiebreak); queries (vec_id < 20) probe their 4 nearest cells and
+    exact-rerank only the vectors assigned there — top-5 per query.
+
+    Scale path vs the all-pairs crossJoin: assignment is one broadcast join
+    (centroids are tiny) + a linear scan; at 100 TB the cell table is
+    written `partitionBy(cid)`/bucketed so an nprobe=4 query reads 4/16 of
+    the data via partition pruning, and centroids come from MLlib KMeans on
+    a sample. Recall vs exact kNN is measured in tests/test_llm.py."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    c = e.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cs = F.round(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm")), 4)
+    cc = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "emb", "nrm", "cid", cs.alias("cs")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    ranked = cc.withColumn("rn", F.row_number().over(wa))
+    asg = ranked.where(F.col("rn") == 1).select("vec_id", "emb", "nrm", "cid")
+    probe = (
+        ranked.where((F.col("vec_id") < 20) & (F.col("rn") <= 4))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            "cid",
+        )
+    )
+    cand = probe.join(asg, "cid").where(F.col("vec_id") != F.col("q_id"))
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    scored = cand.select("q_id", F.col("vec_id").alias("nb_id"), cos4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "cos4", "rn")
+    )
+
+
 @register(
     "q_sim_ann_lsh",
     oracle=None,  # approximate; recall vs exact measured in tests
