@@ -62,6 +62,16 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_ivf_broadcasts_centroids(spark):
+    """IVF assignment must be a broadcast join against the tiny centroid
+    table — a shuffle here would defeat the linear-scan design (SCALE.md
+    §7). The centroid side is 16 rows; any non-broadcast cross/cartesian
+    plan is a regression."""
+    plan = _plan(spark, "q_sim_ivf_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+
+
 def test_cosine_topk_broadcasts_query_side(spark):
     """Brute-force kNN must broadcast the small query batch and stream the
     candidate set past it — a shuffle CartesianProduct here would be the
