@@ -71,6 +71,61 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_sink_bucketed",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           {R2('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    priority="P2",
+    tags=("sink", "bucketing", "scale-path"),
+)
+def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed write → co-located join with NO shuffle — the 100 TB
+    co-location path. Both fact tables are written `bucketBy(8, orderkey)`
+    (external parquet tables, explicit scratch location), then joined on
+    the bucket key: Spark's bucketed-scan rule gives both sides the same
+    hash partitioning, so the sort-merge join runs with zero Exchange
+    (asserted in plan tests). At 100 TB this is the difference between
+    re-shuffling two facts per join and paying the shuffle once at write
+    time — the reference's `data/N/k/i/` layout served the same role for
+    its (N,k,i)-keyed lookups [R].
+
+    Oracle: the same join+agg on the source tables — a hash match proves
+    the bucketed layout is lossless."""
+    prep(spark)
+    for tbl, src, key, cols in (
+        ("mfdb_orders_bkt", "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ("mfdb_lineitem_bkt", "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice", "l_discount"]),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf_dir, src)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("path", _scratch(tbl))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+    o = spark.table("mfdb_orders_bkt")
+    li = spark.table("mfdb_lineitem_bkt")
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "q_source_json_roundtrip",
     oracle=f"""
     SELECT event_type, COUNT(*) AS n, {R2('SUM(value)')} AS total_value,

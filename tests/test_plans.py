@@ -62,6 +62,30 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_bucketed_join_has_no_shuffle_on_join_keys(spark):
+    """The bucketed fact-fact join must NOT exchange on the join keys —
+    bucketing paid the shuffle at write time (SCALE.md). The only Exchange
+    allowed in the plan is the final aggregation's (on o_orderpriority)."""
+    plan = _plan(spark, "q_sink_bucketed")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    # Both scans actually read the bucketed layout.
+    assert "Bucketed: true" in plan
+
+
+def test_partitioned_sink_readback_prunes(spark):
+    """Reading back the partitionBy('l_returnflag') layout with an IN
+    filter must prune directories: the filter appears as a PartitionFilter
+    on the scan, not a data Filter."""
+    plan = _plan(spark, "q_sink_roundtrip")
+    scan = next(
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "lineitem_by_flag" in l
+    )
+    assert "PartitionFilters" in scan and "l_returnflag" in scan.split("PartitionFilters", 1)[1]
+
+
 def test_ivf_broadcasts_centroids(spark):
     """IVF assignment must be a broadcast join against the tiny centroid
     table — a shuffle here would defeat the linear-scan design (SCALE.md
