@@ -126,22 +126,30 @@ _JACCARD_ORACLE = f"""
 """
 
 
-@register(
-    "q_dedup_jaccard",
-    oracle=_JACCARD_ORACLE,
-    priority="P2",
-    tags=("llm", "dedup", "jaccard"),
-)
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact pairwise Jaccard ≥ 0.8 on distinct-token sets within lang.
-    Threshold applied to the ROUNDED value so the boundary can't flip
-    between engines."""
-    prep(spark)
-    d = load(spark, sf_dir, "documents")
-    toks = _distinct_tokens(d)
+def jaccard_pairs(
+    toks: DataFrame, threshold: float, max_df: int | None = None
+) -> DataFrame:
+    """Pairwise Jaccard core over a (doc_id, lang, tok) long table.
+
+    ``max_df`` is the 100 TB skew mitigation (SCALE.md §6): tokens
+    appearing in more than ``max_df`` documents (within lang) are dropped
+    BEFORE the self-join, bounding per-token fanout to max_df² candidate
+    rows. Denominators still use the FULL token-set sizes, so a capped
+    Jaccard is a lower bound on the true value — the cap can only lose
+    pairs whose overlap is carried by stop-tokens, never invent pairs.
+    ``max_df=None`` (the oracle-checked contract path) is exact."""
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
+    joinable = toks
+    if max_df is not None:
+        df_counts = toks.groupBy("lang", "tok").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        joinable = toks.join(
+            df_counts.where(F.col("df") <= max_df).select("lang", "tok"),
+            ["lang", "tok"],
+        )
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     inter = (
         a.join(
             b,
@@ -161,8 +169,24 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .select("d1", "d2", jac.alias("jac"))
-        .where(F.col("jac") >= 0.8)
+        .where(F.col("jac") >= threshold)
     )
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=_JACCARD_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise Jaccard ≥ 0.8 on distinct-token sets within lang.
+    Threshold applied to the ROUNDED value so the boundary can't flip
+    between engines. Exact (no df cap) — the skew-capped variant is
+    :func:`jaccard_pairs` with ``max_df`` set, unit-tested separately."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    return jaccard_pairs(_distinct_tokens(d), 0.8, max_df=None)
 
 
 _NGRAM_ORACLE = f"""

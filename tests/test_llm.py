@@ -94,6 +94,35 @@ def test_ngram_dedup_is_order_sensitive_subset(spark):
         assert r.d1 < r.d2
 
 
+def test_jaccard_df_cap_bounds_fanout_but_keeps_real_dups(spark):
+    """The max_df skew cap (SCALE.md §6): a stop-token shared by every doc
+    must not generate candidate pairs once capped, while genuine near-dups
+    (overlap carried by rare tokens) survive with their jac a lower bound
+    on the uncapped value."""
+    from modforms_db_spark.llm.dedup import jaccard_pairs
+
+    rows = [
+        # docs 1/2: near-dups via rare tokens; all docs share stop-token "the"
+        (1, "en", ["the", "alpha", "beta", "gamma", "delta"]),
+        (2, "en", ["the", "alpha", "beta", "gamma", "epsilon"]),
+        # docs 3/4: overlap ONLY via the stop-token
+        (3, "en", ["the", "zeta"]),
+        (4, "en", ["the", "eta"]),
+    ]
+    toks = (
+        spark.createDataFrame(rows, "doc_id long, lang string, toks array<string>")
+        .select("doc_id", "lang", __import__("pyspark").sql.functions.explode("toks").alias("tok"))
+    )
+    uncapped = {(r.d1, r.d2): r.jac for r in jaccard_pairs(toks, 0.0).collect()}
+    capped = {(r.d1, r.d2): r.jac for r in jaccard_pairs(toks, 0.0, max_df=3).collect()}
+    # Stop-token-only pair disappears under the cap; the real pair survives.
+    assert (3, 4) in uncapped and (3, 4) not in capped
+    assert (1, 2) in capped
+    # Capped jac is a lower bound on the true value.
+    for p, j in capped.items():
+        assert j <= uncapped[p]
+
+
 def test_embedding_dedup_symmetric_and_bounded(spark):
     rows = get_registry()["q_dedup_embedding"].builder(spark, SF_DIR).collect()
     for r in rows:
