@@ -328,3 +328,44 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in EVENT_TYPES
         ],
     )
+
+
+@register(
+    "q_unpivot",
+    oracle=f"""
+    SELECT metric, n, val4 FROM (
+      SELECT 'l_discount' AS metric, COUNT(*) AS n,
+             {R4('AVG(l_discount)')} AS val4 FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', COUNT(*), {R4('AVG(l_extendedprice)')} FROM lineitem
+      UNION ALL
+      SELECT 'l_quantity', COUNT(*), {R4('AVG(l_quantity)')} FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', COUNT(*), {R4('AVG(l_tax)')} FROM lineitem
+    )
+    """,
+    priority="P2",
+    tags=("agg", "unpivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (the inverse of `q_agg_pivot`): melt the four
+    lineitem measures into (metric, value) rows, then profile each metric.
+    `DataFrame.unpivot` is a zero-shuffle projection (each input row emits
+    4 rows map-side); the only exchange is the final 4-group aggregate."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=measures,
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("val4"),
+        )
+        .select("metric", "n", "val4")
+    )

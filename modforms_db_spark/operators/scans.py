@@ -9,6 +9,7 @@ tests/test_plans.py — PushedFilters + ReadSchema must show both fired).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.registry import register
@@ -47,4 +48,39 @@ def q_scan_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .where(F.col("l_shipdate") >= F.lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
         .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+
+
+@register(
+    "q_sample",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 100 < 20
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("scan", "sample"),
+)
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% Bernoulli sample by content hash (Knuth
+    multiplicative hashing on the row key), then a per-flag profile.
+
+    `df.sample(seed=...)`/TABLESAMPLE is partition-order-dependent — the
+    same seed yields different rows after a repartition, which is useless
+    for reproducible holdouts. Hashing the ROW KEY makes the sample a pure
+    function of the data: stable across engines, partitionings, and
+    cluster sizes (and hence oracle-checkable). At 100 TB this predicate
+    is sargable arithmetic — it rides the scan inside codegen with no
+    shuffle at all."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    keep = (
+        (F.col("l_orderkey") * F.lit(2654435761).cast("bigint")
+         + F.col("l_linenumber") * F.lit(40503)) % 100
+    ) < 20
+    return (
+        li.where(keep)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
