@@ -245,6 +245,45 @@ def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stream_session",
+    oracle=None,  # rows-only; ≡ q_win_session (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → 30-min watermark → per-user `session_window` (30-min
+    inactivity gap) → count + activity duration → memory sink. Same output
+    shape as the oracle-checked batch twin `q_win_session`; equivalence is
+    asserted in tests. Complete mode so the single availableNow batch
+    emits every session; in a continuous deployment the watermark is what
+    lets the state store merge-and-expire session state."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    sw = F.session_window("ts", "30 minutes").alias("w")
+    gap_us = 30 * 60 * 1_000_000
+    agg = (
+        events.withWatermark("ts", "30 minutes")
+        .groupBy("user_id", sw)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            (
+                F.unix_micros(F.col("w.end").cast("timestamp"))
+                - F.unix_micros(F.col("w.start").cast("timestamp"))
+                - F.lit(gap_us)
+            ).alias("dur_us"),
+        )
+    )
+    return _run_to_table(
+        agg.writeStream.format("memory").outputMode("complete"),
+        "stream_session",
+        spark,
+    )
+
+
+@register(
     "q_stream_stateful",
     oracle=None,  # rows-only; ≡ batch groupBy count (tests)
     priority="P4",

@@ -24,6 +24,14 @@ def test_stream_tumbling_equals_batch_twin(spark):
     assert stream.equals(batch)
 
 
+def test_stream_session_equals_batch_twin(spark):
+    """session_window in a watermarked stream must produce exactly the
+    batch sessionization (complete mode, availableNow ⇒ all sessions)."""
+    stream = canon(_run(spark, "q_stream_session").toPandas())
+    batch = canon(_run(spark, "q_win_session").toPandas())
+    assert stream.equals(batch)
+
+
 def test_stream_dedup_recovers_distinct(spark):
     """Doubled source + dropDuplicates == original events exactly."""
     got = canon(
