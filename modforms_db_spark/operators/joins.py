@@ -300,3 +300,58 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 5 MINUTES")),
         "inner",
     ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+
+
+@register(
+    "q_join_skew_salted",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("join", "skew", "scale"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join via explicit key salting.
+
+    The 100 TB problem: a hot join key (one orderkey with millions of
+    lineitems, one stop-token, one power-law user) lands an entire key's
+    rows on ONE reducer and the stage runs at the speed of that straggler.
+    AQE's skew-join split handles sort-merge skew automatically, but
+    salting is the portable fix that also works for aggregations and for
+    engines/paths AQE can't re-plan (and it's what SCALE.md §3 promises).
+
+    Mechanics — result provably identical to the plain join:
+    - Fact (big, skewed) side: add ``salt = pmod(hash(tiebreak cols), S)``
+      — a DETERMINISTIC spread of each hot key's rows over S sub-keys
+      (no rand(): re-runs and retried tasks must salt identically).
+    - Dim side: replicate each row S times (explode over 0..S-1).
+    - Join on (key, salt): each hot key now occupies S reducers; the
+      replicated dim side costs S× a BROADCAST-sized table, not S× the
+      fact table.
+    The oracle is the UNSALTED join+agg — salting must not change results.
+    """
+    prep(spark)
+    S = 8
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(S))
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(S)]))
+    )
+    j = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt),
+        "inner",
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

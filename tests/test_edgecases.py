@@ -100,3 +100,31 @@ def test_knn_symmetric_under_exact_cosine(spark):
     out = get_registry()["q_sim_threshold"].builder(spark, SF_DIR)
     pairs = out.select("v1", "v2").collect()
     assert all(r["v1"] < r["v2"] for r in pairs)
+
+
+def test_salted_join_spreads_hot_key_and_preserves_result(spark):
+    """q_join_skew_salted's mechanics on a synthetic skewed input: one hot
+    key (80% of rows) must be spread over >1 salt sub-key, and the salted
+    join must return exactly the plain join's rows."""
+    S = 8
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(400)] + [(k, 1000 + k) for k in range(2, 102)],
+        "k int, seq int",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], "k int, w string")
+
+    salted_fact = fact.withColumn("salt", F.pmod(F.xxhash64("k", "seq"), F.lit(S)))
+    salted_dim = dim.withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(S)])))
+
+    # The hot key's 400 rows land on several sub-keys, not one reducer.
+    hot_salts = (
+        salted_fact.where(F.col("k") == 1).select("salt").distinct().count()
+    )
+    assert hot_salts == S  # 400 draws over 8 buckets: all hit w.p. ~1
+
+    plain = fact.join(dim, "k").select("k", "seq", "w")
+    salted = salted_fact.join(
+        salted_dim, ["k", "salt"]
+    ).select("k", "seq", "w")
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
