@@ -225,3 +225,50 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 50
         """
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           {R4('o_totalprice * 1.07')} AS gross
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    priority="P2",
+    tags=("udf", "arrow", "map_partitions"),
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` (Spark 4): the lowest-overhead Python escape hatch —
+    pyarrow RecordBatches in/out with NO pandas conversion layer on either
+    side. For numeric batch transforms (the reference's bulk recompute of
+    derived fields [R]) this skips the Arrow→pandas→Arrow round trip that
+    ``mapInPandas`` pays, which matters when the batch is wide or the
+    transform is a few vectorized ops (compute cost ≪ conversion cost).
+
+    Scale: same plan shape as mapInPandas — a zero-shuffle partition-wise
+    map; Arrow batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    prep(spark)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            keep = b.filter(pc.equal(b.column("o_orderstatus"), "O"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keep.column("o_orderkey"),
+                    keep.column("o_custkey"),
+                    pc.multiply(keep.column("o_totalprice"), pa.scalar(1.07)),
+                ],
+                names=["o_orderkey", "o_custkey", "gross"],
+            )
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    # Round Spark-side (oracle_dialect rule): arrow compute is bit-identical
+    # to the JVM double product, but the rounding must be Spark's.
+    return orders.mapInArrow(
+        fn, "o_orderkey bigint, o_custkey bigint, gross double"
+    ).select("o_orderkey", "o_custkey", F.round("gross", 4).alias("gross"))

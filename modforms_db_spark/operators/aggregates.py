@@ -154,6 +154,31 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_approx_percentile",
+    oracle=None,  # sketch output — own test bounds it against the exact quantile
+    priority="P2",
+    tags=("agg", "percentile", "sketch"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_approx`` (Greenwald-Khanna summaries) — the 100 TB
+    percentile. Exact percentile needs a full sort per group; the GK sketch
+    is a bounded-size mergeable summary (partial+final agg, one shuffle of
+    sketches not rows). accuracy=10000 → rank error ≤ 1/10000·n.
+    Rows-only for the driver; tests/test_edgecases.py bounds it against
+    the exact `percentile` on the same data."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "median_approx"
+        ),
+        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
+            "p90_approx"
+        ),
+    )
+
+
+@register(
     "q_agg_minmax_by",
     oracle=f"""
     SELECT o_orderpriority,

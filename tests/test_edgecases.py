@@ -128,3 +128,22 @@ def test_salted_join_spreads_hot_key_and_preserves_result(spark):
     ).select("k", "seq", "w")
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_approx_percentile_within_rank_tolerance(spark):
+    """GK-sketch percentile guarantees RANK error ≤ 1/accuracy, not value
+    error (it returns an actual element; value gaps depend on data
+    density). Assert the returned element's empirical rank is within the
+    sketch bound (plus 1/n discretization slack) of the target quantile."""
+    reg = get_registry()
+    approx = {
+        r["o_orderpriority"]: r
+        for r in reg["q_agg_approx_percentile"].builder(spark, SF_DIR).collect()
+    }
+    orders = load(spark, SF_DIR, "orders")
+    for k, row in approx.items():
+        grp = orders.where(F.col("o_orderpriority") == k)
+        n = grp.count()
+        for col, q in (("median_approx", 0.5), ("p90_approx", 0.9)):
+            rank = grp.where(F.col("o_totalprice") <= row[col]).count()
+            assert abs(rank / n - q) <= 1 / 10000 + 1 / n, (k, col)
