@@ -208,3 +208,39 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("s_suppkey").over(w).alias("poorest"),
         F.last("s_suppkey").over(w).alias("richest"),
     )
+
+
+@register(
+    "q_win_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    priority="P1",
+    tags=("window", "dedup", "version"),
+)
+def q_win_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-version per key — the reference's version-chained read
+    ("latest computation per space" [R]) and the standard SCD/ingest dedup:
+    row_number over (key ORDER BY version DESC) = 1, with event_id as the
+    deterministic tiebreak for equal timestamps.
+
+    Scale: one shuffle on the key; Spark plans rn=1 as a WindowGroupLimit
+    (top-1 per key pushed before the full sort materializes). At 100 TB
+    prefer this over groupBy(max(ts))+self-join — half the shuffles.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )

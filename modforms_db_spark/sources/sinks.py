@@ -209,3 +209,61 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH src AS (
+      SELECT c_custkey AS k, {R2('c_acctbal * 1.1')} AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT COALESCE(t.c_custkey, s.k) AS key,
+           {R2('COALESCE(s.new_bal, t.c_acctbal)')} AS bal,
+           CASE WHEN s.k IS NULL THEN 'keep'
+                WHEN t.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS action
+    FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
+    """,
+    priority="P1",
+    tags=("sink", "merge", "etl"),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics over immutable parquet — the reference's
+    files-store → Mongo sync [R]: for each record, update if present,
+    insert if missing, keep the rest untouched.
+
+    Without a transactional table format, MERGE is expressed relationally:
+    target ⟗ source on the key, COALESCE picking source values where they
+    exist — matched → update, source-only → insert, target-only → keep.
+    The output is the complete post-merge table (plus the action taken),
+    so the oracle hash proves all three branches.
+
+    Scale: one shuffle on the merge key (or zero if both sides are
+    bucketed by it — q_sink_bucketed's layout); at 100 TB you'd write the
+    result partition-wise and swap directories atomically, or use a table
+    format (Delta/Iceberg) whose MERGE compiles to this same join.
+    """
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("new_bal"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("k"),
+        F.lit(0.0).alias("new_bal"),
+    )
+    src = updates.union(inserts)
+    t = cust.select("c_custkey", "c_acctbal")
+    merged = t.join(src, t.c_custkey == src.k, "full_outer")
+    return merged.select(
+        F.coalesce(t.c_custkey, src.k).alias("key"),
+        F.round(F.coalesce(src.new_bal, t.c_acctbal), 2).alias("bal"),
+        F.when(src.k.isNull(), F.lit("keep"))
+        .when(t.c_custkey.isNull(), F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )

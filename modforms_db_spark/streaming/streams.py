@@ -325,3 +325,32 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Update mode appends one row per (batch, user); running counts are
     # monotone, so max = final. This is a batch agg over the sink table.
     return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@register(
+    "q_stream_sliding",
+    oracle=None,  # rows-only; ≡ q_win_sliding (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → 1h watermark → 1h window sliding 15 min × type.
+
+    Overlapping windows are the state-heavy streaming case: every event
+    lives in 4 windows, so state size is 4× tumbling for the same span —
+    the watermark bounding state is what makes this deployable; complete
+    mode here only because the single availableNow batch must emit every
+    window for the batch-twin equality test."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return _run_to_table(
+        agg.writeStream.format("memory").outputMode("complete"),
+        "stream_sliding",
+        spark,
+    )

@@ -104,3 +104,20 @@ def test_cosine_topk_broadcasts_query_side(spark):
     plan = _plan(spark, "q_sim_cosine_topk")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+
+
+def test_keep_latest_plans_window_group_limit(spark):
+    """rn=1 must plan as WindowGroupLimit (top-1 per key before the full
+    per-partition sort materializes), not a full Window + Filter."""
+    plan = _plan(spark, "q_win_keep_latest")
+    assert "WindowGroupLimit" in plan
+
+
+def test_salted_join_keys_include_salt(spark):
+    """The join must be keyed on BOTH orderkey and salt — the mechanism
+    that spreads a hot key over S sub-keys. (At test SF the dim side is
+    broadcast-sized so there is no Exchange to inspect; at scale the same
+    keys become the hashpartitioning columns.)"""
+    plan = _plan(spark, "q_join_skew_salted")
+    join_line = next(l for l in plan.splitlines() if "Join" in l and "l_orderkey" in l)
+    assert "salt" in join_line, join_line

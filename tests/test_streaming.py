@@ -88,3 +88,9 @@ def test_stream_stateful_equals_batch_groupby(spark):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_stream_sliding_equals_batch_twin(spark):
+    stream = canon(_run(spark, "q_stream_sliding").toPandas())
+    batch = canon(_run(spark, "q_win_sliding").toPandas())
+    assert stream.equals(batch)
