@@ -430,3 +430,98 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(63):
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
     return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+_COMPONENTS_EDGE_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+      FROM t a JOIN t b ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2
+    FROM inter
+    JOIN sz s1 ON d1 = s1.doc_id
+    JOIN sz s2 ON d2 = s2.doc_id
+    WHERE {R4('CAST(i AS DOUBLE) / (s1.n + s2.n - i)')} >= 0.5
+"""
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_COMPONENTS_EDGE_SQL}),
+    sym AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "graph"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP formation: connected components over the near-dup
+    pair graph (Jaccard ≥ 0.5 edges), each doc labeled with its
+    component's min doc_id — the step that turns pairwise similarity into
+    "keep one per group" decisions in every production dedup pipeline
+    (pairs alone can't dedup: near-dup is not transitive, components make
+    it so by fiat).
+
+    Algorithm: distributed min-label propagation — each round every node
+    takes the min label over itself and its neighbors; converges in
+    diameter rounds. Each round is one shuffle (join + groupBy on node);
+    `localCheckpoint` truncates the growing lineage so round N doesn't
+    re-execute rounds 1..N-1. The driver-side loop carries only a single
+    convergence scalar per round — the data never leaves the cluster.
+
+    Scale: label propagation is the BSP/Pregel formulation (GraphX/
+    GraphFrames run the same rounds); for power-law graphs at 100 TB the
+    alternating large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce") cuts rounds to O(log n) and bounds per-node
+    fanout — same join/agg primitives, different message rule. Isolated
+    docs (no near-dup edge) are excluded by construction: dedup only needs
+    labels for docs that might merge.
+
+    Oracle: DuckDB recursive CTE computing full reachability then MIN —
+    exponential-state on big graphs but exact at test SF; the edge set is
+    the already-oracle-matched Jaccard machinery at threshold 0.5.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(_distinct_tokens(d), 0.5).select("d1", "d2")
+    sym = edges.union(edges.select(F.col("d2"), F.col("d1"))).toDF("v", "nbr")
+    sym = sym.localCheckpoint()  # edge set reused every round: compute once
+
+    labels = (
+        sym.select("v").distinct().withColumn("lbl", F.col("v"))
+    ).localCheckpoint()
+    while True:
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("v", "nbr"), "nbr")
+            .groupBy("v")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "v", "left")
+            .select(
+                "v",
+                F.least(F.col("lbl"), F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))

@@ -128,3 +128,41 @@ def test_embedding_dedup_symmetric_and_bounded(spark):
     for r in rows:
         assert r.v1 < r.v2
         assert -1.0 <= r.cos4 <= 1.0
+
+
+def test_components_absorb_canonical_groups(spark):
+    """Docs with IDENTICAL token sets (q_dedup_canonical groups) AND the
+    same lang have pairwise Jaccard 1.0 ≥ 0.5 (edges are within-lang), so
+    each same-lang slice of a canonical group must land inside exactly one
+    connected component."""
+    from collections import defaultdict
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in reg["q_dedup_components"].builder(spark, SF_DIR).collect()
+    }
+    assert comp, "no components found — edge threshold broke"
+    langs = {
+        r["doc_id"]: r["lang"] for r in load(spark, SF_DIR, "documents").collect()
+    }
+    groups = reg["q_dedup_canonical"].builder(spark, SF_DIR).collect()
+    assert groups
+    checked = 0
+    for g in groups:
+        by_lang = defaultdict(list)
+        for x in g["doc_ids_csv"].split(","):
+            by_lang[langs[int(x)]].append(int(x))
+        for ids in by_lang.values():
+            if len(ids) < 2:
+                continue
+            labels = {comp[i] for i in ids}
+            assert len(labels) == 1, (ids, labels)
+            checked += 1
+    assert checked > 0, "no same-lang canonical group to check"
+    # Component labels are the component's min member id.
+    for doc, lbl in comp.items():
+        assert lbl <= doc
+        assert comp[lbl] == lbl
