@@ -334,27 +334,63 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_minhash_lsh",
     oracle=None,  # sketch-based; tests assert exact-Jaccard agreement
     priority="P2",
+    headline=True,
     tags=("llm", "dedup", "lsh", "scale-path"),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates, exact-verified — the 100 TB dedup
-    path. Banding: 8 bands × 4 rows ⇒ P(candidate) ≈ 98.5% at jac=0.8,
-    →100% as jac→1. Candidates are exact-verified with the same Jaccard as
-    q_dedup_jaccard, so output ⊆ exact output (recall measured in tests).
+    """MinHash+LSH near-dup pairs, exact-verified — the 100 TB dedup path,
+    in the production two-tier shape:
+
+    1. **Exact collapse first**: group docs by (lang, canonical token-set
+       hash); LSH runs over one REPRESENTATIVE per group. Identical sets
+       are quadratic poison for any pairwise stage (this corpus: 5000 docs
+       → 3935 distinct sets, one 248-doc group = 30 628 pairs that collapse
+       to a single node) — every real pipeline exact-dedups before fuzzy.
+    2. Banding over representatives: 8 bands × 4 rows ⇒ P(candidate) ≈
+       98.5% at jac=0.8, →1 as jac→1; candidates exact-verified with the
+       same rounded Jaccard as `q_dedup_jaccard`.
+    3. **Expand back**: intra-group member pairs (jac = 1.0 by identity)
+       ∪ verified rep pairs × both groups' members (identical sets ⇒ the
+       rep Jaccard IS each member pair's Jaccard).
+
+    Output ≡ the naive per-doc LSH (subset of `q_dedup_jaccard`; recall
+    measured in tests), but the quadratic stages see only distinct sets.
     """
     prep(spark)
-    sigs = minhash_signatures(spark, sf_dir)
-    bands = sigs.select(
+    d = load(spark, sf_dir, "documents")
+    tokset = d.select(
+        "doc_id",
+        "lang",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("toks"),
+    )
+    groups = (
+        tokset.groupBy("lang", F.xxhash64(F.array_join("toks", " ")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.first("toks").alias("toks"),
+        )
+    ).localCheckpoint()  # reused 4×: sigs, verify (×2 sides), expand
+
+    # -- LSH over representatives --------------------------------------
+    reps = groups.select(F.col("rep").alias("doc_id"), "lang", "toks")
+    toks_long = reps.select(
+        "doc_id", "lang", F.explode("toks").alias("tok")
+    )
+    mins = toks_long.groupBy("doc_id", "lang").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    bands = mins.select(
         "doc_id",
         "lang",
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        *[
-                            F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
-                            for r in range(_ROWS_PER_BAND)
-                        ]
+                        *[F.col(f"h{b * _ROWS_PER_BAND + r}") for r in range(_ROWS_PER_BAND)]
                     )
                     for b in range(_BANDS)
                 ]
@@ -371,31 +407,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("r1"), F.col("b.doc_id").alias("r2"))
         .distinct()
     )
-    # Exact verification on candidates only.
-    d = load(spark, sf_dir, "documents")
-    tokset = d.select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    g1 = groups.select(
+        F.col("rep").alias("r1"),
+        F.col("toks").alias("toks1"),
+        F.col("members").alias("m1"),
     )
-    t1 = tokset.alias("t1")
-    t2 = tokset.alias("t2")
-    verified = (
-        cand.join(t1, F.col("d1") == F.col("t1.doc_id"))
-        .join(t2, F.col("d2") == F.col("t2.doc_id"))
+    g2 = groups.select(
+        F.col("rep").alias("r2"),
+        F.col("toks").alias("toks2"),
+        F.col("members").alias("m2"),
+    )
+    rep_pairs = (
+        cand.join(g1, "r1")
+        .join(g2, "r2")
         .select(
-            "d1",
-            "d2",
+            "m1",
+            "m2",
             F.round(
-                F.size(F.array_intersect("t1.toks", "t2.toks")).cast("double")
-                / F.size(F.array_union("t1.toks", "t2.toks")),
+                F.size(F.array_intersect("toks1", "toks2")).cast("double")
+                / F.size(F.array_union("toks1", "toks2")),
                 4,
             ).alias("jac"),
         )
         .where(F.col("jac") >= 0.8)
     )
-    return verified
+
+    # -- Expand back to doc pairs --------------------------------------
+    # Inter-group: every member of g1 × every member of g2, same jac.
+    inter = (
+        rep_pairs.select(F.explode("m1").alias("da"), "m2", "jac")
+        .select("da", F.explode("m2").alias("db"), "jac")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jac",
+        )
+    )
+    # Intra-group: all member pairs of size-≥2 groups, jac = 1.0 exactly.
+    intra = (
+        groups.where(F.size("members") >= 2)
+        .select(F.explode("members").alias("d1"), F.col("members"))
+        .select("d1", F.explode("members").alias("d2"))
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.lit(1.0).alias("jac"))
+    )
+    return inter.unionByName(intra)
 
 
 @register(

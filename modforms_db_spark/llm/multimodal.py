@@ -206,3 +206,41 @@ def _decode_image_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out["height"].append(n % 480)
         out["mean_byte"].append(float(sum(b)) / n if n else 0.0)
     return pd.DataFrame(out)
+
+
+@register(
+    "q_mm_resize",
+    oracle=None,  # stub transform; shape/determinism asserted in tests
+    priority="P3",
+    tags=("llm", "multimodal", "stub"),
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/resample plumbing: every blob mapped to a fixed-size (64-byte)
+    payload by deterministic stride sampling — the shape of image thumbnail
+    / audio downsample jobs. STUB math (take every ⌈n/64⌉-th byte); with
+    PIL/librosa the same mapInPandas body would call the real resampler.
+    Output is binary-in → binary-out, proving blob columns survive the
+    Arrow round trip in both directions."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    TARGET = 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_blobs = []
+            for b in pdf["blob"]:
+                b = bytes(b)
+                step = max(1, -(-len(b) // TARGET))  # ceil
+                out_blobs.append(b[::step][:TARGET])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": out_blobs,
+                    "thumb_len": [len(t) for t in out_blobs],
+                }
+            )
+
+    return d.mapInPandas(resize, "doc_id bigint, thumb binary, thumb_len int")

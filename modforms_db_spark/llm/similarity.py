@@ -238,6 +238,7 @@ _IVF_COS = "round(list_cosine_similarity(e.emb, c.cemb), 4)"
       ) AS rn FROM scored
     ) WHERE rn <= 5
     """,
+    headline=True,
     priority="P2",
     tags=("llm", "similarity", "ivf", "scale-path"),
 )

@@ -312,6 +312,7 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o_orderpriority
     """,
     priority="P2",
+    headline=True,
     tags=("join", "skew", "scale"),
 )
 def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -228,6 +228,7 @@ def q_source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.k
     """,
     priority="P1",
+    headline=True,
     tags=("sink", "merge", "etl"),
 )
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

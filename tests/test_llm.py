@@ -166,3 +166,16 @@ def test_components_absorb_canonical_groups(spark):
     for doc, lbl in comp.items():
         assert lbl <= doc
         assert comp[lbl] == lbl
+
+
+def test_mm_resize_fixed_size_and_deterministic(spark):
+    """Stride resize: every thumbnail ≤ 64 bytes (== 64 when source ≥ 64),
+    binary survives the Arrow round trip, and reruns are byte-identical."""
+    reg = get_registry()
+    rows1 = {r["doc_id"]: r for r in reg["q_mm_resize"].builder(spark, SF_DIR).collect()}
+    rows2 = {r["doc_id"]: r for r in reg["q_mm_resize"].builder(spark, SF_DIR).collect()}
+    assert rows1.keys() == rows2.keys()
+    for k, r in rows1.items():
+        assert isinstance(r["thumb"], (bytes, bytearray))
+        assert r["thumb_len"] == len(r["thumb"]) <= 64
+        assert bytes(r["thumb"]) == bytes(rows2[k]["thumb"])
