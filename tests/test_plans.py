@@ -121,3 +121,50 @@ def test_salted_join_keys_include_salt(spark):
     plan = _plan(spark, "q_join_skew_salted")
     join_line = next(l for l in plan.splitlines() if "Join" in l and "l_orderkey" in l)
     assert "salt" in join_line, join_line
+
+
+def test_sorted_layout_gives_disjoint_rowgroup_stats(spark, tmp_path):
+    """The z-order-lite claim in SCALE.md §1: writing a table sorted by the
+    filter column produces parquet row groups with narrow, ordered min/max
+    ranges, so a range predicate prunes row groups via footer stats alone.
+    Proven here from the footers: sorted row-group [min,max] spans are
+    pairwise disjoint, while the unsorted layout's spans all overlap."""
+    import pyarrow.parquet as pq
+
+    from modforms_db_spark.io import load
+
+    # sf0.01 (60k rows) regardless of SF_DIR: the test needs enough data
+    # for several row groups at the shrunken block size.
+    li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_shipdate", "l_orderkey"
+    )
+    small_rg = {"parquet.block.size": str(64 * 1024)}  # force many row groups
+
+    sorted_dir = str(tmp_path / "sorted")
+    (li.repartition(1).sortWithinPartitions("l_shipdate")
+       .write.options(**small_rg).parquet(sorted_dir))
+    unsorted_dir = str(tmp_path / "unsorted")
+    li.repartition(1).write.options(**small_rg).parquet(unsorted_dir)
+
+    def spans(d):
+        import glob
+        f = glob.glob(d + "/part-*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        out = []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "l_shipdate":
+                    out.append((c.statistics.min, c.statistics.max))
+        return out
+
+    s, u = spans(sorted_dir), spans(unsorted_dir)
+    assert len(s) >= 3, "need multiple row groups for the test to mean anything"
+    # Sorted: consecutive row-group ranges never overlap.
+    for (a_min, a_max), (b_min, b_max) in zip(s, s[1:]):
+        assert a_max <= b_min, (a_max, b_min)
+    # Unsorted: every row group spans ~the full date range (no pruning possible).
+    lo, hi = min(m for m, _ in u), max(M for _, M in u)
+    overlapping = sum(1 for m, M in u if m < hi and M > lo)
+    assert overlapping == len(u)
