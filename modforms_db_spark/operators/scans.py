@@ -84,3 +84,50 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('en', 50), ('de', 20), ('fr', 20), ('es', 10), ('zh', 5))
+             AS t(lang, pct)
+    )
+    SELECT d.lang, COUNT(*) AS n_sampled,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE (doc_id * 2654435761) % 100 < r.pct
+    GROUP BY d.lang
+    """,
+    priority="P2",
+    tags=("scan", "sample", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different content-hash keep
+    rate per stratum (lang) — the rebalancing step of every training-data
+    mix (downsample the head language, keep the tail). Same
+    partition-independence argument as `q_sample`; the per-stratum rate
+    arrives via a broadcast dimension join, so the predicate is still
+    scan-side arithmetic (no shuffle, no `sampleBy` seed drift).
+
+    Scale: `df.stat.sampleBy` is seed+partition-order dependent —
+    unusable for reproducible mixes; this formulation re-samples
+    identically on any engine or cluster shape.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 50), ("de", 20), ("fr", 20), ("es", 10), ("zh", 5)],
+        "lang string, pct int",
+    )
+    keep = (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % 100 < F.col("pct")
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .where(keep)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

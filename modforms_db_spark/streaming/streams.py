@@ -354,3 +354,83 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_sliding",
         spark,
     )
+
+
+@register(
+    "q_stream_upsert",
+    oracle=None,  # rows-only; own test: store ≡ batch groupBy after replay
+    priority="P3",
+    tags=("streaming", "merge", "etl"),
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental store build via ``foreachBatch`` MERGE — the streaming
+    form of the reference's files→Mongo sync [R] and of every incremental
+    DB build: each micro-batch's per-user aggregates are upserted into a
+    persistent parquet store (update existing keys, insert new ones).
+
+    ``foreachBatch`` is where Structured Streaming meets batch sinks that
+    lack native streaming writers: the batch DataFrame is merged with the
+    current store using the same full-outer/COALESCE plan as
+    `q_merge_upsert`, then atomically swapped. Exactly-once comes from
+    idempotence: re-running a batch produces the same store (tested by
+    comparing against a batch groupBy of the whole input).
+
+    Scale: the store would be a Delta/Iceberg table (MERGE INTO compiles
+    to this same join) or a partition-overwrite layout; the swap-dir
+    pattern here is the minimal transactional write parquet allows.
+    """
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+
+    store_dir = os.path.join(_SCRATCH, f"upsert_store_{uuid.uuid4().hex[:8]}")
+    os.makedirs(_SCRATCH, exist_ok=True)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        delta = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        cur_path = os.path.join(store_dir, "current")
+        if os.path.exists(cur_path):
+            cur = sp.read.parquet(cur_path)
+            t, s = cur.alias("t"), delta.alias("s")
+            merged = (
+                t.join(s, F.col("t.user_id") == F.col("s.user_id"), "full_outer")
+                .select(
+                    F.coalesce(F.col("t.user_id"), F.col("s.user_id")).alias("user_id"),
+                    (
+                        F.coalesce(F.col("t.n_events"), F.lit(0))
+                        + F.coalesce(F.col("s.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    F.round(
+                        F.coalesce(F.col("t.total_value"), F.lit(0.0))
+                        + F.coalesce(F.col("s.total_value"), F.lit(0.0)),
+                        4,
+                    ).alias("total_value"),
+                )
+            )
+        else:
+            merged = delta
+        nxt = os.path.join(store_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(nxt)
+        # Atomic-enough swap for a local store: point "current" at the new
+        # version. A real deployment uses a table format's commit protocol.
+        tmp_link = cur_path + ".tmp"
+        if os.path.islink(tmp_link):
+            os.remove(tmp_link)
+        os.symlink(nxt, tmp_link)
+        os.replace(tmp_link, cur_path)
+
+    with _stream_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", store_dir + "_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(store_dir, "current"))

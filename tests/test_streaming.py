@@ -94,3 +94,24 @@ def test_stream_sliding_equals_batch_twin(spark):
     stream = canon(_run(spark, "q_stream_sliding").toPandas())
     batch = canon(_run(spark, "q_win_sliding").toPandas())
     assert stream.equals(batch)
+
+
+def test_stream_upsert_store_equals_batch_groupby(spark):
+    """Replaying the whole events table through the foreachBatch MERGE
+    must leave the store identical to a batch groupBy over all events."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+    from tests.conftest import SF_DIR
+
+    store = canon(_run(spark, "q_stream_upsert").toPandas())
+    batch = canon(
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+    )
+    assert store.equals(batch)
