@@ -168,3 +168,48 @@ def test_sorted_layout_gives_disjoint_rowgroup_stats(spark, tmp_path):
     lo, hi = min(m for m, _ in u), max(M for _, M in u)
     overlapping = sum(1 for m, M in u if m < hi and M > lo)
     assert overlapping == len(u)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """SCALE.md §3's zero-code skew mitigation, demonstrated live: a 90%-
+    hot-key join under AQE with test-scale thresholds must re-plan as
+    SortMergeJoin(skew=true) with the hot partition split (AQEShuffleRead
+    'skewed'). This is the runtime complement to the explicit salting of
+    q_join_skew_salted."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 1_000_000).select(
+            F.when(F.col("id") < 900_000, F.lit(1)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 100_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = big.join(dim, "k")
+        # hot key 1 matches its single dim row for all 900k fact rows; the
+        # non-hot keys (ids ≥ 900000) are outside the dim's key range.
+        assert j.count() == 900_000
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -41,3 +41,73 @@ def test_jaccard_pairs_matches_bruteforce(spark, docs):
                     len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4
                 )
     assert got == want
+
+
+asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user_id
+        st.integers(min_value=0, max_value=50),    # ts (seconds)
+        st.booleans(),                             # True = signup, False = purchase
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evs=asof_events)
+def test_asof_join_matches_bruteforce(spark, evs):
+    """The union-tag + last(ignorenulls) as-of emulation ≡ brute force:
+    for each purchase, the latest signup of the same user at ts' ≤ ts
+    (tie at equal ts: the signup counts, matching ORDER BY ts, event_id
+    with signups enumerated first)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            u,
+            base + dt.timedelta(seconds=ts),
+            "signup" if is_signup else "purchase",
+        )
+        for i, (u, ts, is_signup) in enumerate(evs)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    # Same formulation as q_join_asof (inlined: the operator is bound to the
+    # driver tables; the algorithm is what's under test).
+    tagged = e.withColumn(
+        "signup_ts", F.when(F.col("event_type") == "signup", F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = {
+        r.event_id: r.last_signup_ts
+        for r in tagged.withColumn(
+            "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    }
+
+    want = {}
+    for i, (u, ts, is_signup) in enumerate(evs):
+        if is_signup:
+            continue
+        cands = [
+            (ts2, j)
+            for j, (u2, ts2, is2) in enumerate(evs)
+            if is2 and u2 == u and (ts2 < ts or (ts2 == ts and j < i))
+        ]
+        want[i] = (
+            base + dt.timedelta(seconds=max(cands)[0]) if cands else None
+        )
+    assert got == want
