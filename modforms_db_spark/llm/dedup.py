@@ -584,3 +584,59 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+@register(
+    "q_dedup_apply",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ), keep AS (
+      SELECT lang, h, MIN(doc_id) AS keeper, COUNT(*) AS grp
+      FROM c GROUP BY lang, h
+    )
+    SELECT c.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id = k.keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN c.doc_id = k.keeper THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM c JOIN keep k ON c.lang = k.lang AND c.h = k.h
+    GROUP BY c.lang
+    """,
+    priority="P1",
+    tags=("llm", "dedup", "apply"),
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied: keep the min-doc_id member of every
+    (lang, canonical token set) group, drop the rest; report kept/dropped
+    per lang. Detection (`q_dedup_canonical`) and grouping
+    (`q_dedup_components`) feed this final step — the output a corpus
+    curation run actually ships.
+
+    Scale: keeper election is one hash-groupBy (32-byte keys); the
+    keep/drop tag is a window-free join back on (lang, hash) — two
+    shuffles total on small keys, payload never moves until the final
+    filtered write.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    c = d.select("doc_id", "lang", canon.alias("h"))
+    keep = c.groupBy("lang", "h").agg(F.min("doc_id").alias("keeper"))
+    return (
+        c.join(keep, ["lang", "h"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keeper"), 0).otherwise(1)
+            ).alias("n_dropped"),
+        )
+    )

@@ -356,3 +356,61 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q_build_wide_records",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {R2('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority,
+           c_name AS customer, n_name AS nation, r_name AS region
+    FROM lineitem
+    JOIN orders   ON l_orderkey  = o_orderkey
+    JOIN customer ON o_custkey   = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+    priority="P1",
+    tags=("join", "etl", "denormalize"),
+)
+def q_build_wide_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-record ETL — the reference's "web object" build [R]: the
+    full star join (fact → parent fact → dim chain) denormalized into one
+    wide record per line item, filtered to the recent slice.
+
+    Scale shape: ONE fact-fact shuffle (lineitem ⋈ orders on orderkey);
+    the dim chain (customer, nation, region) is broadcast. At test SF all
+    three are broadcast-sized; at 100 TB customer graduates to a second
+    key shuffle (or a bucketed layout) while nation/region stay broadcast
+    — the decision is size-driven per dim, which is why the broadcast
+    hints sit on the dims and not on a config. The wide result is written
+    partitioned by the serving key, never collected.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("c_name").alias("customer"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
