@@ -1,0 +1,306 @@
+"""Training-data-pipeline operators — SURVEY.md §2.11 extension: benchmark
+decontamination, PII redaction, repetition (boilerplate) filtering, and
+sequence packing.
+
+These are the corpus-preparation steps a 100 TB pretraining pipeline runs
+after dedup (llm/dedup.py) and quality scoring (llm/text_stats.py):
+remove eval-set overlap, scrub PII, drop repetitive boilerplate, and pack
+variable-length documents into fixed token budgets for the trainer.
+
+All but packing are pure JVM-side (split/explode/transform/agg); packing
+is inherently sequential per shard, so it runs as one Arrow-batched
+`applyInPandas` per lang — the canonical "stateful scan inside a
+partition, embarrassingly parallel across partitions" shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+# Held-out split: the last docs by id play the role of the benchmark /
+# eval set; everything below is training data to be decontaminated.
+_EVAL_SPLIT = 450
+_SHINGLE_N = 5
+
+
+@register(
+    "q_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - {_SHINGLE_N - 1}),
+               i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
+      FROM toks
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id >= {_EVAL_SPLIT}
+    )
+    SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
+    FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE s.doc_id < {_EVAL_SPLIT}
+    GROUP BY s.doc_id
+    ORDER BY doc_id
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id < 450) that share
+    at least one 5-token shingle with the held-out eval split (doc_id >=
+    450), with the count of distinct overlapping shingles — the standard
+    n-gram-overlap test-set-leakage check run before pretraining.
+
+    Scale: the eval set is small by construction (benchmarks are KBs-MBs
+    vs a 100 TB corpus), so its distinct-shingle set broadcast-joins
+    against the exploded training side — no shuffle of the big side at
+    all; the explode is combined map-side into per-doc distinct counts.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.size(F.split("text", " ")) - (_SHINGLE_N - 1),
+                ),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.split("text", " "), i, _SHINGLE_N)
+                ),
+            )
+        ).alias("shingle"),
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") >= _EVAL_SPLIT).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") < _EVAL_SPLIT)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact ' || source || '@mail' || CAST(doc_id % 3 AS VARCHAR)
+                  || '.com or 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM enriched
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "pii"),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and phone-shaped numbers from
+    document text, reporting per-doc match counts and the redacted text.
+    (The synthetic corpus contains no PII, so the query deterministically
+    plants one email + one phone per doc from key columns first — the
+    regex machinery under test is exactly the production scrubbing pass.)
+
+    Scale: pure per-row projection — no shuffle, no state; whole-stage
+    codegen over regexp_replace/regexp_extract_all at scan speed.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@mail"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com or 555-"),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return (
+        enriched.where(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias(
+                "n_phones"
+            ),
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            ).alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+      FROM toks WHERE len(t) > 1
+    ), freq AS (
+      SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram
+    ), per_doc AS (
+      SELECT doc_id, MAX(n) AS top_n, CAST(SUM(n) AS BIGINT) AS total
+      FROM freq GROUP BY doc_id
+    )
+    SELECT doc_id, top_n, total,
+           ROUND(top_n * 1.0 / total, 4) AS top_bigram_ratio
+    FROM per_doc
+    WHERE top_n * 1.0 / total > 0.1
+    ORDER BY doc_id
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "quality"),
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition (boilerplate) filter, Gopher-style: per document, the
+    fraction of all bigrams taken by the single most frequent bigram;
+    flag documents where that ratio exceeds 0.1 — the standard signal
+    for templated / machine-generated boilerplate.
+
+    Scale: explode → two-level agg keyed by doc_id; partial aggregation
+    collapses each doc's bigrams map-side, so the shuffle carries
+    per-(doc, bigram) counts, never raw token streams. Linear, one
+    shuffle, same plan at 100 TB.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bg = d.where(F.size(t) > 1).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total"))
+    )
+    return (
+        per_doc.where(F.col("top_n") * 1.0 / F.col("total") > 0.1)
+        .select(
+            "doc_id",
+            "top_n",
+            "total",
+            F.round(F.col("top_n") * 1.0 / F.col("total"), 4).alias(
+                "top_bigram_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PACK_BUDGET = 64
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, lang, n_toks,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM toks
+    ), packed AS (
+      SELECT doc_id, lang, n_toks, rn, n_toks AS fill, 0 AS bin
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.lang, o.n_toks, o.rn,
+             CASE WHEN p.fill + o.n_toks > {_PACK_BUDGET}
+                  THEN o.n_toks ELSE p.fill + o.n_toks END,
+             CASE WHEN p.fill + o.n_toks > {_PACK_BUDGET}
+                  THEN p.bin + 1 ELSE p.bin END
+      FROM ordered o JOIN packed p
+        ON o.lang = p.lang AND o.rn = p.rn + 1
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
+    FROM packed
+    GROUP BY lang, bin
+    ORDER BY lang, bin
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "packing"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: greedy next-fit packing of documents (ordered by
+    doc_id within each lang shard) into 64-token training bins — a doc
+    that would overflow the current bin opens the next one. Emits per-bin
+    doc count and token total, the shape a trainer's data loader consumes.
+
+    Scale: packing is a sequential scan, but only WITHIN a shard — so it
+    runs as one Arrow-batched applyInPandas per lang (at 100 TB the shard
+    key is (lang, shard_id) with shard boundaries pre-chunked, keeping
+    each group bounded). The oracle is the same greedy recurrence as a
+    recursive CTE. State per group is two integers (fill, bin), never the
+    document list.
+    """
+    import pandas as pd
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for n in pdf["n_toks"]:
+            if fill and fill + n > _PACK_BUDGET:
+                b, fill = b + 1, 0
+            fill += n
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf
+
+    packed = toks.groupBy("lang").applyInPandas(
+        pack, "doc_id long, lang string, n_toks int, bin long"
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )

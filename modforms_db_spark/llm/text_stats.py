@@ -298,3 +298,98 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("lang", "tok", "tfidf", "rn")
     )
+
+
+_BM25_EXPR = (
+    "ln((CAST((SELECT n FROM stats) AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1)"
+    " * (tf.tf * 2.2)"
+    " / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avgdl FROM stats)))"
+)
+
+
+@register(
+    "q_bm25_topterms",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 30
+    ), all_t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS dl FROM all_t GROUP BY doc_id
+    ), stats AS (
+      SELECT COUNT(DISTINCT doc_id) AS n,
+             CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+      FROM all_t
+    ), df AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM all_t GROUP BY tok
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY doc_id, tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.tok,
+             {R4(_BM25_EXPR)} AS bm25
+      FROM tf JOIN df ON tf.tok = df.tok JOIN dl ON tf.doc_id = dl.doc_id
+    )
+    SELECT doc_id, tok, bm25, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25 DESC, tok) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    priority="P2",
+    tags=("llm", "text", "bm25"),
+)
+def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75): top-3 terms per document for doc_id <
+    30, corpus statistics (df, avgdl, N) computed over ALL documents.
+    The retrieval-grade refinement of tf-idf: tf saturation (k1) and
+    document-length normalization (b).
+
+    Scale: df/avgdl/N are one linear agg pass each, broadcast to the
+    scoring join; scoring shuffles on tok once. The doc_id < 30 slice
+    bounds the t2 result, not the statistics.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    all_t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = all_t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = all_t.agg(
+        F.countDistinct("doc_id").alias("n"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+            "avgdl"
+        ),
+    )
+    df_ = all_t.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = (
+        all_t.where(F.col("doc_id") < 30)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    scored = (
+        tf.join(df_, "tok")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.log(
+                    (F.col("n").cast("double") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                ),
+                4,
+            ).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("bm25"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "tok", "bm25", "rn")
+    )

@@ -244,3 +244,69 @@ def q_win_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+      SELECT e.user_id, MIN(e.ts) AS v_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'view' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.v_ts
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM v) AS n_signup_view,
+           (SELECT COUNT(*) FROM p) AS n_signup_view_purchase
+    """,
+    priority="P2",
+    tags=("window", "funnel", "events"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then viewed AT OR
+    AFTER their first signup, then purchased at or after that first
+    qualifying view — the standard product-analytics sequence query
+    (order matters; a purchase before the view doesn't count).
+
+    Scale: three stage aggregations, each one shuffle on user_id and each
+    consuming the previous stage's (user_id, ts) — state per user is one
+    timestamp per stage, never the event list. The alternative
+    (collect_list + UDF scan per user) holds whole histories in memory;
+    this shape doesn't.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        e.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(v.agg(F.count(F.lit(1)).alias("n_signup_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_signup_view_purchase"))
+        )
+    )

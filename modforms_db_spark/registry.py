@@ -43,6 +43,7 @@ _OPERATOR_MODULES = [
     "modforms_db_spark.llm.similarity",
     "modforms_db_spark.llm.text_stats",
     "modforms_db_spark.llm.multimodal",
+    "modforms_db_spark.llm.pipeline",
 ]
 
 _loaded = False

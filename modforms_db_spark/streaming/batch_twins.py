@@ -119,3 +119,56 @@ def q_win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_us"),
         )
     )
+
+
+@register(
+    "q_join_stream_twin",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS delay_s
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+    priority="P2",
+    tags=("streaming", "join"),
+)
+def q_join_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of q_stream_join: (view, purchase) pairs per user where
+    the purchase lands within 30 minutes of the view — the attribution
+    join. Identical semantics to the watermarked stream-stream join
+    (tests/test_streaming.py asserts equality).
+
+    Scale: equality key user_id dominates the join; the time-range is a
+    residual predicate, so this is a plain shuffled hash join on user_id —
+    the same physical shape the streaming version's state store uses.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(p, "user_id")
+        .where(
+            (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+                "delay_s"
+            ),
+        )
+    )

@@ -434,3 +434,64 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(os.path.join(store_dir, "current"))
+
+
+@register(
+    "q_stream_join",
+    oracle=None,  # rows-only; ≡ q_join_stream_twin (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming", "join"),
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: views joined to purchases by user within
+    30 minutes, both sides watermarked 1 hour — the attribution join as a
+    true Structured Streaming query (state store holds both sides; the
+    time-range condition + watermarks bound eviction).
+
+    Scale: state per key is the watermark horizon's worth of events for
+    that user on each side; the range condition lets Spark evict a view
+    row once the purchase-side watermark passes v_ts + 30 min. Without
+    the range bound, state would be unbounded — this is the canonical
+    "always give a stream-stream join a time constraint" shape.
+    """
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = (
+        v.join(
+            p,
+            (v["user_id"] == p["user_id"])
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            v["user_id"],
+            "view_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+                "delay_s"
+            ),
+        )
+    )
+    return _run_to_table(
+        joined.writeStream.format("memory").outputMode("append"),
+        "stream_join",
+        spark,
+    )

@@ -4,7 +4,7 @@ the driver data nor hand-written fixtures contain (SURVEY.md §5.2)."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from modforms_db_spark.llm.dedup import jaccard_pairs
@@ -110,4 +110,61 @@ def test_asof_join_matches_bruteforce(spark, evs):
         want[i] = (
             base + dt.timedelta(seconds=max(cands)[0]) if cands else None
         )
+    assert got == want
+
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # user_id
+        st.integers(min_value=0, max_value=7200),   # ts offset seconds
+    ),
+    min_size=1,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evs=session_events)
+# Pin the boundary: a gap of exactly 30 min MERGES (verified against
+# Spark: session end is exclusive, merge condition is ts <= prev_end).
+@example(evs=[(1, 0), (1, 1800), (1, 3601)])
+def test_session_window_matches_bruteforce(spark, evs):
+    """Spark's session_window(30 min gap) ≡ brute-force sessionization:
+    sort a user's timestamps, break whenever the gap exceeds 30 min;
+    session end = last event + gap (Spark's close semantics)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=s)) for u, s in sorted(set(evs))
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.user_id, r.start, r.end): r.n
+        for r in e.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n")
+        .collect()
+    }
+
+    GAP = dt.timedelta(minutes=30)
+    want = {}
+    by_user = {}
+    for u, ts in rows:
+        by_user.setdefault(u, []).append(ts)
+    for u, tss in by_user.items():
+        tss.sort()
+        start, prev, n = tss[0], tss[0], 1
+        for ts in tss[1:]:
+            if ts - prev > GAP:
+                want[(u, start, prev + GAP)] = n
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        want[(u, start, prev + GAP)] = n
     assert got == want

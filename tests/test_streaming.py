@@ -115,3 +115,13 @@ def test_stream_upsert_store_equals_batch_groupby(spark):
         .toPandas()
     )
     assert store.equals(batch)
+
+
+def test_stream_join_equals_batch_twin(spark):
+    """Watermarked stream-stream attribution join (append mode,
+    availableNow ⇒ final watermark passes everything) must emit exactly
+    the batch interval-join pairs."""
+    stream = canon(_run(spark, "q_stream_join").toPandas())
+    batch = canon(_run(spark, "q_join_stream_twin").toPandas())
+    assert len(batch) > 0
+    assert stream.equals(batch)
