@@ -310,23 +310,32 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _perm_hash(i: int):
+    """Single-arg lambda factory for F.transform: permutation-i token hash.
+    MUST be one-arg — a two-parameter lambda makes transform pass the
+    array INDEX as the second argument, silently replacing the seed."""
+    return lambda t: F.xxhash64(F.lit(i), t)
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, sig: array<bigint>) — 32 min-hashes per doc.
 
     Permutations are simulated with xxhash64(seed, token); min over the
-    doc's distinct tokens per seed. One explode + one groupBy — linear."""
+    doc's distinct tokens per seed, computed per-row with
+    `array_min(transform(...))` — pure projection, NO explode and NO
+    shuffle (the naive explode+groupBy form shuffles every token; this
+    form never moves a row)."""
     d = load(spark, sf_dir, "documents")
-    toks = _distinct_tokens(d)
-    mins = toks.groupBy("doc_id", "lang").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
-            for i in range(_N_PERM)
-        ]
-    )
-    return mins.select(
+    toks = F.array_distinct(F.split("text", " "))
+    return d.select(
         "doc_id",
         "lang",
-        F.array(*[F.col(f"h{i}") for i in range(_N_PERM)]).alias("sig"),
+        F.array(
+            *[
+                F.array_min(F.transform(toks, _perm_hash(i)))
+                for i in range(_N_PERM)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -374,14 +383,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- LSH over representatives --------------------------------------
     reps = groups.select(F.col("rep").alias("doc_id"), "lang", "toks")
-    toks_long = reps.select(
-        "doc_id", "lang", F.explode("toks").alias("tok")
-    )
-    mins = toks_long.groupBy("doc_id", "lang").agg(
+    # Signatures per-row via array_min(transform(...)): no explode, no
+    # shuffle — the token stream never leaves its partition.
+    mins = reps.select(
+        "doc_id",
+        "lang",
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+            F.array_min(F.transform("toks", _perm_hash(i))).alias(f"h{i}")
             for i in range(_N_PERM)
-        ]
+        ],
     )
     bands = mins.select(
         "doc_id",

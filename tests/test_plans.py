@@ -213,3 +213,17 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_signatures_are_shuffle_free(spark):
+    """The 32-permutation MinHash signature computation must be a pure
+    projection (array_min over transform) — no explode, no Exchange. The
+    naive explode+groupBy form shuffles every token of the corpus; at
+    100 TB that's the widest shuffle in the whole dedup pipeline, and it
+    is entirely avoidable."""
+    from modforms_db_spark.llm.dedup import minhash_signatures
+
+    df = minhash_signatures(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode either
