@@ -467,19 +467,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inter.unionByName(intra)
 
 
-@register(
-    "q_dedup_simhash",
-    oracle=None,  # sketch-based; tests assert near-dup groups are found
-    priority="P2",
-    tags=("llm", "dedup", "simhash", "scale-path"),
-)
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from distinct-token hashes: bit b of the
-    fingerprint is the sign of Σ_tokens (±1 per token's hash bit b).
-    Expressed entirely with JVM-side higher-order functions — no UDF.
-    Emits (doc_id, simhash). Pairing/verification lives in tests; at scale
-    you bucket on 16-bit prefixes and compare hamming distance in-bucket."""
-    prep(spark)
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 63-bit SimHash from distinct-token hashes: bit
+    b of the fingerprint is the sign of Σ_tokens (±1 per token's hash bit
+    b). JVM-side only (explode + 64 conditional sums); shared by
+    q_dedup_simhash (emit) and q_dedup_simhash_pairs (band + verify)."""
     d = load(spark, sf_dir, "documents")
     toks = _distinct_tokens(d)
     th = toks.select("doc_id", F.xxhash64("tok").alias("h"))
@@ -499,6 +491,74 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(63):
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint") * (1 << i)).otherwise(0)
     return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=None,  # sketch-based; tests assert near-dup groups are found
+    priority="P2",
+    tags=("llm", "dedup", "simhash", "scale-path"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document — emits (doc_id, simhash). Pairing is
+    q_dedup_simhash_pairs; at scale you bucket on 16-bit chunks and
+    compare hamming distance in-bucket."""
+    prep(spark)
+    return _simhash_fp(spark, sf_dir)
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    oracle=None,  # simhash isn't SQL-expressible; exactness proven in tests
+    priority="P2",
+    tags=("llm", "dedup", "simhash", "scale-path"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ 3, found by EXACT
+    chunk banding: split the 64-bit fingerprint into 4 chunks of 16 bits;
+    by pigeonhole, any pair within Hamming 3 agrees on at least one whole
+    chunk, so bucketing on (chunk_idx, chunk_value) has 100% recall — not
+    probabilistic like MinHash banding (tests assert ≡ brute force).
+
+    Scale: candidates are O(pairs sharing a 16-bit chunk), verified with
+    one bit_count(xor) each — the self-join shuffles on the chunk value,
+    and only fingerprints (16 bytes/doc) move, never text.
+    """
+    prep(spark)
+    fp = _simhash_fp(spark, sf_dir)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * c)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias(f"c{c}")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+    return cand
 
 
 _COMPONENTS_EDGE_SQL = f"""

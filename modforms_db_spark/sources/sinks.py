@@ -268,3 +268,65 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     )
+
+
+@register(
+    "q_source_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    priority="P2",
+    tags=("source", "orc"),
+)
+def q_source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write → schema-preserving read → aggregate. ORC is the other
+    columnar format a lake migration encounters; Spark's native reader
+    gives it the same pushdown/pruning machinery as parquet (predicate
+    pushdown via ORC SearchArguments), so the engine treats both as
+    first-class scan sources."""
+    prep(spark)
+    path = _scratch("lineitem_orc")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity"
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+    )
+
+
+@register(
+    "q_source_text_lines",
+    oracle="""
+    SELECT lang, COUNT(*) AS n, CAST(SUM(len(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    priority="P2",
+    tags=("source", "text"),
+)
+def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines roundtrip: docs written one per line as
+    `lang\\ttext`, read back with `spark.read.text` and re-split — the
+    shape of raw-corpus ingest (WET/plain-text dumps) where there IS no
+    schema'd format and parsing is part of the scan. Tab is safe: the
+    corpus text is space-separated tokens (asserted by the oracle match —
+    a tab in `text` would break the split and the counts)."""
+    prep(spark)
+    path = _scratch("documents_text")
+    d = load(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", "lang", "text").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.substring_index("value", "\t", 1).alias("lang"),
+        F.expr("substring(value, instr(value, '\t') + 1)").alias("text"),
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )

@@ -179,3 +179,28 @@ def test_mm_resize_fixed_size_and_deterministic(spark):
         assert isinstance(r["thumb"], (bytes, bytearray))
         assert r["thumb_len"] == len(r["thumb"]) <= 64
         assert bytes(r["thumb"]) == bytes(rows2[k]["thumb"])
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    """4×16-bit chunk banding is EXACT for Hamming ≤ 3 (pigeonhole: 3
+    flipped bits touch ≤ 3 of the 4 chunks, so one chunk matches) — the
+    banded pairs must equal the brute-force all-pairs result, not just
+    approximate it."""
+    reg = get_registry()
+    fps = {
+        r.doc_id: r.simhash
+        for r in reg["q_dedup_simhash"].builder(spark, SF_DIR).collect()
+    }
+    ids = sorted(fps)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.d1, r.d2)
+        for r in reg["q_dedup_simhash_pairs"].builder(spark, SF_DIR).collect()
+    }
+    assert want, "fixture should contain near-dup simhash pairs"
+    assert got == want
