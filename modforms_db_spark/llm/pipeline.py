@@ -49,6 +49,7 @@ _SHINGLE_N = 5
     ORDER BY doc_id
     """,
     priority="P2",
+    headline=True,
     tags=("llm", "pipeline", "decontamination"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +184,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_id
     """,
     priority="P2",
+    headline=True,
     tags=("llm", "pipeline", "quality"),
 )
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,6 +261,7 @@ _PACK_BUDGET = 64
     ORDER BY lang, bin
     """,
     priority="P2",
+    headline=True,
     tags=("llm", "pipeline", "packing"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

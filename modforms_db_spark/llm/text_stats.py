@@ -336,6 +336,7 @@ _BM25_EXPR = (
     ) WHERE rn <= 3
     """,
     priority="P2",
+    headline=True,
     tags=("llm", "text", "bm25"),
 )
 def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:

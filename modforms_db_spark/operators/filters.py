@@ -128,3 +128,43 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT — distinct levels/weights present in the DB [R]."""
     prep(spark)
     return load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@register(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders o
+            WHERE o.o_custkey = c.c_custkey) AS max_order
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    priority="P2",
+    tags=("filter", "subquery", "sql"),
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subqueries through the SQL front door: a correlated
+    scalar subquery (max order price per customer) + a correlated EXISTS
+    filter — the query shapes a SQL user brings verbatim. Catalyst
+    de-correlates both into joins (the scalar subquery becomes an
+    aggregate + left outer join, EXISTS a left-semi join), so the
+    executed plan is the same shuffled-join shape as the explicit-join
+    queries — no per-row re-execution, which is what makes the construct
+    survive 100 TB.
+    """
+    prep(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mfdb_sq_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM mfdb_sq_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order
+        FROM mfdb_sq_customer c
+        WHERE EXISTS (SELECT 1 FROM mfdb_sq_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+        """
+    )

@@ -227,3 +227,15 @@ def test_minhash_signatures_are_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan  # no explode either
+
+
+def test_simhash_fingerprints_are_shuffle_free(spark):
+    """The 64-bit SimHash fold must be a pure projection (one aggregate
+    lambda over the token array) — no explode, no Exchange, same argument
+    as the MinHash signatures."""
+    from modforms_db_spark.llm.dedup import _simhash_fp
+
+    df = _simhash_fp(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan, plan
