@@ -394,3 +394,37 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("metric", "n", "val4")
     )
+
+
+@register(
+    "q_agg_hll_merge",
+    oracle=None,  # sketch binary differs per engine; accuracy tested vs exact
+    priority="P2",
+    tags=("agg", "sketch", "scale-path"),
+)
+def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level HyperLogLog: build one HLL sketch of distinct customers
+    per order-priority (`hll_sketch_agg`), then merge the five sketches
+    (`hll_union_agg`) into the overall estimate — the 100 TB pattern
+    where per-partition/per-day sketches are persisted once and any
+    rollup is a cheap merge, never a re-scan. Emits each priority's
+    estimate plus an ALL row from the merged sketch.
+
+    Scale: sketches are ~KB regardless of input size, so the merge stage
+    moves 5 sketches instead of re-shuffling every customer key; this is
+    what replaces count(DISTINCT) when the exact answer isn't contractual
+    (q_agg_approx_distinct is the one-level approx_count_distinct form).
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    per_grp = sketches.select(
+        "o_orderpriority",
+        F.expr("hll_sketch_estimate(sk)").alias("est_custkeys"),
+    )
+    merged = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_custkeys")
+    ).select(F.lit("ALL").alias("o_orderpriority"), "est_custkeys")
+    return per_grp.unionByName(merged)

@@ -168,3 +168,42 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND o.o_orderpriority = '1-URGENT')
         """
     )
+
+
+_RECURSIVE_CHAIN_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT n_nationkey AS child, n_regionkey AS rk, n_name AS name,
+         lag(n_nationkey) OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS parent
+  FROM {nation}
+), chain AS (
+  SELECT child, rk, name AS path, 1 AS depth FROM edges WHERE parent IS NULL
+  UNION ALL
+  SELECT e.child, e.rk, c.path || '>' || e.name, c.depth + 1
+  FROM edges e JOIN chain c ON e.parent = c.child
+)
+SELECT child AS n_nationkey, rk AS r_key, path, depth FROM chain
+"""
+
+
+@register(
+    "q_sql_recursive_chain",
+    oracle=_RECURSIVE_CHAIN_SQL.format(nation="nation"),
+    priority="P2",
+    tags=("sql", "recursive"),
+)
+def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native `WITH RECURSIVE` (Spark 4's UnionLoopExec): walk the
+    per-region nation chain (parent = previous nationkey in the region,
+    derived with a window) accumulating the root→node path and depth.
+    The SQL text is IDENTICAL on both engines — the recursion itself is
+    hash-matched, not an emulation of it.
+
+    Scale: recursive CTEs iterate one distributed join per LEVEL, so
+    they're for hierarchy walks (org charts, category trees, BOM graphs
+    — depth O(10)), not per-row recurrences; depth-per-row workloads
+    like sequence packing belong in applyInPandas (q_pack_sequences),
+    and Spark enforces that boundary with its recursion-level limit.
+    """
+    prep(spark)
+    load(spark, sf_dir, "nation").createOrReplaceTempView("mfdb_rc_nation")
+    return spark.sql(_RECURSIVE_CHAIN_SQL.format(nation="mfdb_rc_nation"))

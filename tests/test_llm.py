@@ -204,3 +204,29 @@ def test_simhash_pairs_exact_vs_bruteforce(spark):
     }
     assert want, "fixture should contain near-dup simhash pairs"
     assert got == want
+
+
+def test_hll_merge_close_to_exact(spark):
+    """Sketch estimates (per group and merged) must land within 5% of the
+    exact distinct counts — the accuracy contract that makes the persisted
+    sketch + merge rollup usable in place of count(DISTINCT)."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    got = {
+        r.o_orderpriority: r.est_custkeys
+        for r in reg["q_agg_hll_merge"].builder(spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert got.keys() == exact.keys()
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
