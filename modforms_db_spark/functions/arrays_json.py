@@ -166,3 +166,39 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_struct.alias("k_struct"),
         (k_struct % 10 == 0).alias("k_round"),
     )
+
+
+@register(
+    "q_json_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing,
+           'OBJECT<k: BIGINT>' AS sch
+    FROM events
+    WHERE event_id < 200
+    """,
+    priority="P2",
+    tags=("json", "variant"),
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse once
+    (`parse_json`), then typed extraction (`variant_get`), missing-path
+    tolerance (`try_variant_get` → NULL, no exception), and runtime
+    schema discovery (`schema_of_variant`). VARIANT keeps a parsed binary
+    form, so repeated field access skips re-parsing the JSON text — the
+    schemaless-document answer at scale (shredded columnar variant
+    storage), where `from_json` with a fixed struct is the schema-known
+    answer.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.where(F.col("event_id") < 200).select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.expr(
+            "try_variant_get(parse_json(props), '$.missing', 'bigint')"
+        ).alias("missing"),
+        F.schema_of_variant(v).alias("sch"),
+    )

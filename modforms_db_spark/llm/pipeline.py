@@ -233,6 +233,22 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 64
 
 
+def _pack_pdf(pdf):
+    """Greedy next-fit packer for one shard (Arrow batch): walk docs in
+    doc_id order, open a new bin when the doc would overflow the budget;
+    an oversize doc occupies a bin alone (never splits). Module-level so
+    tests drive the EXACT function applyInPandas ships to executors."""
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    bins, fill, b = [], 0, 0
+    for n in pdf["n_toks"]:
+        if fill and fill + n > _PACK_BUDGET:
+            b, fill = b + 1, 0
+        fill += n
+        bins.append(b)
+    pdf["bin"] = bins
+    return pdf
+
+
 @register(
     "q_pack_sequences",
     oracle=f"""
@@ -277,27 +293,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE. State per group is two integers (fill, bin), never the
     document list.
     """
-    import pandas as pd
-
     prep(spark)
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, fill, b = [], 0, 0
-        for n in pdf["n_toks"]:
-            if fill and fill + n > _PACK_BUDGET:
-                b, fill = b + 1, 0
-            fill += n
-            bins.append(b)
-        pdf["bin"] = bins
-        return pdf
-
     packed = toks.groupBy("lang").applyInPandas(
-        pack, "doc_id long, lang string, n_toks int, bin long"
+        _pack_pdf, "doc_id long, lang string, n_toks int, bin long"
     )
     return (
         packed.groupBy("lang", "bin")
@@ -306,4 +308,91 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").alias("bin_tokens"),
         )
         .orderBy("lang", "bin")
+    )
+
+
+@register(
+    "q_pipeline_e2e",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+      FROM t WHERE len(toks) > 1
+    ), rep AS (
+      SELECT doc_id, MAX(n) * 1.0 / SUM(n) AS ratio
+      FROM (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    ), clean AS (
+      SELECT t.* FROM t JOIN rep ON t.doc_id = rep.doc_id
+      WHERE rep.ratio <= 0.1
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM (SELECT doc_id,
+                   sha256(array_to_string(list_sort(list_distinct(toks)), ' ')) AS h
+            FROM clean)
+      GROUP BY h
+    )
+    SELECT c.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(c.toks)) AS BIGINT) AS total_tokens
+    FROM clean c JOIN keep k ON c.doc_id = k.doc_id
+    GROUP BY c.lang
+    """,
+    priority="P1",
+    headline=True,
+    tags=("llm", "pipeline", "e2e"),
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep pipeline END-TO-END as one composed plan:
+    (1) repetition filter (drop docs whose top bigram exceeds 10% of all
+    bigrams), (2) exact near-dup collapse (canonical token-set hash, keep
+    min doc_id), (3) the per-language training-mix report (docs + tokens
+    surviving). This is the query a data engineer actually ships — the
+    stages are the already-proven operators composed, and Catalyst fuses
+    them into one job.
+
+    Scale: stage shuffles key on doc_id then hash — both well-distributed;
+    the bigram explode is collapsed map-side (partial agg) before its
+    shuffle; nothing materializes between stages.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bg = d.where(F.size(toks) > 1).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    rep = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg((F.max("n") * 1.0 / F.sum("n")).alias("ratio"))
+    )
+    clean = d.join(rep, "doc_id").where(F.col("ratio") <= 0.1)
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256
+    )
+    keep = (
+        clean.select("doc_id", canon.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        clean.join(keep, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+        )
     )

@@ -33,6 +33,7 @@ _OPERATOR_MODULES = [
     "modforms_db_spark.operators.sorts",
     "modforms_db_spark.operators.setops",
     "modforms_db_spark.sources.sinks",
+    "modforms_db_spark.sources.python_ds",
     "modforms_db_spark.functions.strings",
     "modforms_db_spark.functions.dates_math",
     "modforms_db_spark.functions.arrays_json",

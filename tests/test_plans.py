@@ -239,3 +239,10 @@ def test_simhash_fingerprints_are_shuffle_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Generate" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval-split shingle set is guaranteed small (SCALE.md §8b), so
+    the plan must broadcast it — the training side is never shuffled."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan

@@ -168,3 +168,119 @@ def test_session_window_matches_bruteforce(spark, evs):
             prev = ts
         want[(u, start, prev + GAP)] = n
     assert got == want
+
+
+pack_docs = st.lists(
+    st.integers(min_value=1, max_value=90),  # token counts, some > budget
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(counts=pack_docs)
+# Boundary pins: exact fill (no overflow), oversize doc alone in its bin.
+@example(counts=[32, 32, 64, 65, 1])
+def test_pack_sequences_matches_greedy(spark, counts):
+    """The applyInPandas packer must implement exact greedy next-fit:
+    walk docs in doc_id order, open a new bin when the doc would overflow
+    64 tokens (an oversize doc occupies a bin alone, never splits)."""
+    from modforms_db_spark.llm.pipeline import _PACK_BUDGET
+
+    rows = [(i, "en", "x " * (n - 1) + "x") for i, n in enumerate(counts)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    df.createOrReplaceTempView("pack_prop_docs")
+
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.llm.pipeline import _pack_pdf
+
+    toks = df.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    got = {
+        (r.doc_id, r.bin)
+        for r in toks.groupBy("lang")
+        .applyInPandas(_pack_pdf, "doc_id long, lang string, n_toks int, bin long")
+        .collect()
+    }
+
+    want, fill, b = set(), 0, 0
+    for i, n in enumerate(counts):
+        if fill and fill + n > _PACK_BUDGET:
+            b, fill = b + 1, 0
+        fill += n
+        want.add((i, b))
+    assert got == want
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),            # user_id
+        st.sampled_from(["signup", "view", "purchase"]),  # event_type
+        st.integers(min_value=0, max_value=100),          # ts offset
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evs=funnel_events)
+# Boundary pin: purchase exactly AT the first qualifying view counts.
+@example(evs=[(0, "signup", 5), (0, "view", 5), (0, "purchase", 5),
+              (1, "purchase", 1), (1, "view", 2), (1, "signup", 3)])
+def test_events_funnel_matches_bruteforce(spark, evs):
+    """The 3-stage min-agg funnel must equal the brute-force definition:
+    first signup, first view at-or-after it, first purchase at-or-after
+    THAT view — order matters, equal timestamps qualify."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, t, base + dt.timedelta(seconds=s))
+        for i, (u, t, s) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+
+    from pyspark.sql import functions as F
+
+    s = (
+        df.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    v = (
+        df.where(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = (
+        df.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    got = (s.count(), v.count(), p.count())
+
+    by_user = {}
+    for _, u, t, ts in rows:
+        by_user.setdefault(u, []).append((t, ts))
+    n_s = n_v = n_p = 0
+    for u, es in by_user.items():
+        s_ts = min((ts for t, ts in es if t == "signup"), default=None)
+        if s_ts is None:
+            continue
+        n_s += 1
+        v_ts = min((ts for t, ts in es if t == "view" and ts >= s_ts), default=None)
+        if v_ts is None:
+            continue
+        n_v += 1
+        if any(t == "purchase" and ts >= v_ts for t, ts in es):
+            n_p += 1
+    assert got == (n_s, n_v, n_p)
