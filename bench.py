@@ -53,11 +53,19 @@ def main() -> None:
     # Results come back over the Arrow path (toPandas) — columnar exchange,
     # the way a real consumer of a 200k-row result would read it; collect()
     # would time Python row-object construction instead of the engine.
+    # Two timed runs per query, report the min: the first execution of a
+    # query pays one-time JVM JIT + codegen compilation (seconds for the
+    # wide lambda expressions) and single-node VM noise; the min is the
+    # steady-state number a long-running deployment sees, which is what
+    # this bench claims to measure (see module docstring).
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        reg[name].builder(spark, sf_dir).toPandas()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name].builder(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
