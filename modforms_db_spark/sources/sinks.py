@@ -330,3 +330,48 @@ def q_source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_source_xml_roundtrip",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n,
+           array_to_string(list_sort(list(n_name)), ',') AS names_csv
+    FROM nation GROUP BY n_regionkey
+    """,
+    priority="P2",
+    tags=("source", "xml"),
+)
+def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write → schema'd read → aggregate via Spark 4's native XML
+    source (StaxXML) — the enterprise-feed format. Schema on read avoids
+    the inference scan a production pipeline can't afford."""
+    prep(spark)
+    path = _scratch("nation_xml")
+    n = load(spark, sf_dir, "nation")
+    (
+        n.write.mode("overwrite")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .format("xml")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("rowTag", "nation")
+        .format("xml")
+        .load(path)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "names_csv"
+        ),
+    )
