@@ -394,3 +394,70 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("doc_id", "tok", "bm25", "rn")
     )
+
+
+@register(
+    "q_winnow",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+               tok -> CAST(17 * length(tok) + ascii(substring(tok, 1, 1))
+                           AS BIGINT)) AS vals
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(vals) - 2),
+               i -> ((vals[i] * 131 + vals[i+1]) * 131 + vals[i+2])
+                    % {_FP_MOD}) AS gh
+      FROM t WHERE len(vals) >= 3
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(gh) - LEAST(4, len(gh)) + 1),
+               j -> list_min(list_slice(gh, j,
+                                        j + LEAST(4, len(gh)) - 1)))) AS fps
+      FROM g
+    )
+    """,
+    priority="P2",
+    tags=("llm", "text", "fingerprint", "winnow"),
+)
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD'03): hash
+    every 3-token shingle, slide a w=4 window over the hash stream, keep
+    each window's minimum, emit the distinct selected hashes per doc — the
+    guarantee-bearing subset fingerprint (any shared run ≥ k+w-1 tokens
+    shares a selected hash).
+
+    Scale shape: entirely per-row array math (transform/slice/array_min)
+    — ZERO shuffles to fingerprint, like `q_dedup_minhash_lsh`'s signature
+    stage; only the exploded (doc, fp) output shuffles if joined later.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    vals = F.transform(
+        F.split("text", " "),
+        lambda tok: (17 * F.length(tok) + F.ascii(F.substring(tok, 1, 1))).cast(
+            "bigint"
+        ),
+    )
+    d = d.select("doc_id", vals.alias("vals")).where(F.size("vals") >= 3)
+    gh = F.transform(
+        F.sequence(F.lit(1), F.size("vals") - 2),
+        lambda i: (
+            (F.element_at("vals", i) * 131 + F.element_at("vals", i + 1)) * 131
+            + F.element_at("vals", i + 2)
+        )
+        % F.lit(_FP_MOD),
+    )
+    d = d.select("doc_id", gh.alias("gh"))
+    wl = F.least(F.lit(4), F.size("gh"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("gh") - wl + 1),
+            lambda j: F.array_min(F.slice("gh", j, wl)),
+        )
+    )
+    return d.select("doc_id", F.explode(sel).alias("fp"))

@@ -12,7 +12,7 @@ already-combined partials, keyed on the group-by columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
@@ -428,3 +428,78 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_custkeys")
     ).select(F.lit("ALL").alias("o_orderpriority"), "est_custkeys")
     return per_grp.unionByName(merged)
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_type, n
+    FROM (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM cnt
+    ) WHERE rn = 1
+    """,
+    priority="P1",
+    tags=("agg", "mode"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: most frequent event_type per user, ties broken
+    lexicographically — Spark's builtin `mode()` is tie-nondeterministic,
+    so the contract form is count + window top-1 (WindowGroupLimit), which
+    both engines agree on exactly.
+
+    Scale: the groupBy pre-aggregates to ≤ |users|×|types| rows before the
+    window pass, so the sort-per-key touches tiny groups (≤5 rows each).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 11) AS BIGINT) AS bucket,
+           CAST(LEAST(FLOOR(o_totalprice / 50000), 11) AS BIGINT) * 50000
+             AS bucket_lo,
+           COUNT(*) AS n_orders,
+           {R2('AVG(o_totalprice)')} AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    priority="P1",
+    tags=("agg", "histogram"),
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (12 buckets of 50k, top bucket
+    open) — the distribution profile a curation run reports. Pure
+    arithmetic bucketing ⇒ identical in both engines, and at 100 TB it is
+    a single map-side-combined agg keyed on 12 values (no skew risk: the
+    per-bucket partials are one row each).
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(11)).cast(
+        "bigint"
+    )
+    return (
+        o.groupBy(
+            bucket.alias("bucket"), (bucket * 50000).alias("bucket_lo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.avg("o_totalprice")).alias("avg_price"),
+        )
+    )

@@ -1,0 +1,314 @@
+"""Temporal / record-lifecycle operators — SURVEY.md §2.12.
+
+Reference capabilities [R] these generalize: the reference keeps
+version-chained records (recomputations of the same (N,k,i) space over
+time) and syncs stores by replaying a change log (files → Mongo upserts).
+SCD-2 interval building, CDC log compaction, and gap-filled rollups are
+the lakehouse-native forms of those capabilities; the bin-pruned interval
+join is the 100 TB-safe form of the attribution join.
+
+Scale notes (SCALE.md §2b):
+
+- `q_scd2_build` / `q_cdc_apply`: one shuffle on the entity key, then a
+  sorted streaming pass per partition (window functions). At 100 TB the
+  entity key (user/space) is high-cardinality and unskewed → partitions
+  stay balanced; no driver-side state.
+- `q_gapfill_rollup`: the dense spine is generated from ONE aggregated
+  row (min/max) — spine size = hours × types, independent of fact
+  cardinality, so it is broadcast-joined against the rolled-up (already
+  tiny) aggregate. The 100 TB cost is the first groupBy only.
+- `q_join_range_binned`: time-bucket bins bound join fanout when the
+  equi-key alone is too hot (celebrity users) or absent (global
+  attribution): candidate pairs = same (user, 5-min bin) ± 1 bin instead
+  of all pairs per user. Bin width = the predicate range ⇒ each match is
+  found in exactly one of the two probed bins (no dedup pass needed).
+  The oracle is the UNBINNED join — binning must not change results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.parity import r4
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_scd2_build",
+    oracle=f"""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           (lead(ts) OVER w IS NULL) AS is_current,
+           {R4('value')} AS value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    priority="P1",
+    tags=("temporal", "scd2", "window"),
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build: each event is a new version of its user's
+    record; emit [valid_from, valid_to) intervals + is_current flag — the
+    version-chained record store [R] as a relational transform.
+
+    One shuffle on user_id, then a single sorted pass (lead + row_number
+    share one window spec ⇒ one Window physical operator).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+        r4("value").alias("value"),
+    )
+
+
+@register(
+    "q_cdc_apply",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           ts AS last_ts,
+           CASE event_type WHEN 'signup' THEN 'insert'
+                           WHEN 'error'  THEN 'delete'
+                           ELSE 'update' END AS last_op,
+           {R4('value')} AS last_value
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    priority="P1",
+    tags=("temporal", "cdc", "window"),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: interpret events as a change log (signup=insert,
+    error=delete, rest=update) and materialize the post-replay snapshot —
+    latest op per key wins, deleted keys drop out. The reference's
+    store-sync replay [R] as one window + filter (plans as
+    WindowGroupLimit: top-1 per key never materializes full rank).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.when(F.col("event_type") == "signup", F.lit("insert"))
+            .when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("last_op"),
+            r4("value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "q_gapfill_rollup",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT h0 FROM b), (SELECT h1 FROM b),
+                                    INTERVAL 1 HOUR)) AS h
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n_events, {R4('SUM(value)')} AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.h, t.event_type,
+           COALESCE(a.n_events, 0) AS n_events,
+           COALESCE(a.sum_value, 0.0) AS sum_value
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.h = s.h AND a.event_type = t.event_type
+    """,
+    priority="P1",
+    headline=False,
+    tags=("temporal", "gapfill", "rollup"),
+)
+def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup with gap fill: dense (hour × type)
+    spine generated from the aggregated min/max, left-joined to the rollup,
+    missing buckets zero-filled — the time-series densification every
+    monitoring/training-mix dashboard needs.
+
+    Scale shape: the 100 TB cost is the single fact groupBy (map-side
+    partial agg); the spine derives from ONE row (global min/max) and is
+    spine-sized (hours × types), so both sides of the gap-fill join are
+    post-aggregation tiny and broadcast-able regardless of fact size.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    agg = e.groupBy("h", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        r4(F.sum("value")).alias("sum_value"),
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine_h = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    return (
+        spine_h.crossJoin(F.broadcast(types))
+        .join(F.broadcast(agg), ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ), med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med FROM hourly GROUP BY 1
+    ), mad AS (
+      SELECT h.event_type, any_value(m.med) AS med,
+             quantile_cont(abs(h.n - m.med), 0.5) AS mad
+      FROM hourly h JOIN med m USING (event_type)
+      GROUP BY h.event_type
+    )
+    SELECT h.event_type, h.h, CAST(h.n AS BIGINT) AS n,
+           {R4('m.med')} AS med, {R4('m.mad')} AS mad
+    FROM hourly h JOIN mad m USING (event_type)
+    WHERE abs(h.n - m.med) > 3 * m.mad
+    """,
+    priority="P2",
+    tags=("temporal", "anomaly", "percentile"),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-monitoring anomaly flags: hours whose event count deviates
+    from the per-type median by > 3 median-absolute-deviations — the
+    robust-statistics outlier gate over a rollup (what a 100 TB ingest
+    pipeline alerts on).
+
+    Two tiny post-rollup percentile passes over (type, hour) groups —
+    the fact table is touched once. Exact `percentile` matches DuckDB's
+    `quantile_cont` (dialect rule, SURVEY.md §2.11).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n", 0.5).alias("med")
+    )
+    mad = (
+        hourly.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("n") - F.col("med")), 0.5).alias("mad"),
+        )
+    )
+    return (
+        hourly.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("n") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            "h",
+            F.col("n").cast("bigint").alias("n"),
+            r4("med").alias("med"),
+            r4("mad").alias("mad"),
+        )
+    )
+
+
+@register(
+    "q_join_range_binned",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 5 MINUTE
+    """,
+    priority="P2",
+    tags=("join", "interval", "binned"),
+)
+def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-pruned interval join: same semantics as `q_join_interval`
+    (view→purchase within 5 min) but the join key is (user, 5-min time
+    bin), with the view side probing its own bin and the next one.
+
+    Bin width == predicate range ⇒ a qualifying purchase lands in exactly
+    one of the two probed bins, so no post-join dedup is needed, and the
+    per-key candidate set is bounded by bin occupancy instead of total
+    per-user history — the scale fix when users are hot or the equi-key
+    is absent. Oracle = the UNBINNED join: binning must not change
+    results (same discipline as `q_join_skew_salted`).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    # window(ts, "5 minutes").start is the bin label — idiomatic, NTZ-safe.
+    v = (
+        e.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.window("ts", "5 minutes").start.alias("bin0"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.col("bin0"), F.col("bin0") + F.expr("INTERVAL 5 MINUTES")
+                )
+            ),
+        )
+        .drop("bin0")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.window("ts", "5 minutes").start.alias("p_bin"),
+    )
+    return (
+        v.join(
+            p,
+            (v.user_id == p.p_user_id)
+            & (v.bin == p.p_bin)
+            & (p.purchase_ts >= v.view_ts)
+            & (p.purchase_ts <= v.view_ts + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        )
+        .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+    )

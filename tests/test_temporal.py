@@ -1,0 +1,140 @@
+"""Unit/property tests for the temporal-lifecycle operators (§2.12) and the
+winnowing fingerprint (§2.11): invariants the oracle hash can't see."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.registry import get_registry
+
+from tests.conftest import SF_DIR
+
+
+def _q(name):
+    return get_registry()[name].builder
+
+
+def test_scd2_intervals_chain_and_single_current(spark):
+    out = _q("q_scd2_build")(spark, SF_DIR).cache()
+    # Exactly one open (is_current) interval per user.
+    per_user = out.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"),
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max("version").alias("max_version"),
+    )
+    bad = per_user.where(
+        (F.col("n_open") != 1) | (F.col("n_versions") != F.col("max_version"))
+    )
+    assert bad.count() == 0
+    # Intervals chain: every non-current version's valid_to equals the next
+    # version's valid_from (no gaps, no overlaps).
+    a = out.alias("a")
+    b = out.alias("b")
+    chained = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.version") + 1 == F.col("b.version")),
+    ).where(F.col("a.valid_to") != F.col("b.valid_from"))
+    assert chained.count() == 0
+    out.unpersist()
+
+
+def test_cdc_apply_deletes_and_latest_win(spark):
+    from modforms_db_spark.io import load
+
+    snap = _q("q_cdc_apply")(spark, SF_DIR)
+    e = load(spark, SF_DIR, "events")
+    w_last = (
+        e.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    deleted = w_last.where(F.col("event_type") == "error").select("user_id")
+    live = w_last.where(F.col("event_type") != "error").select("user_id")
+    # Snapshot contains exactly the live keys.
+    assert snap.join(deleted, "user_id").count() == 0
+    assert snap.count() == live.count()
+
+
+def test_cdc_apply_plans_window_group_limit(spark):
+    plan = _q("q_cdc_apply")(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_gapfill_dense_and_mass_conserving(spark):
+    from modforms_db_spark.io import load
+
+    out = _q("q_gapfill_rollup")(spark, SF_DIR).cache()
+    e = load(spark, SF_DIR, "events")
+    n_types = e.select("event_type").distinct().count()
+    hours = e.select(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    ).collect()[0]
+    n_hours = int((hours.h1 - hours.h0).total_seconds() // 3600) + 1
+    # Dense spine: every (hour, type) cell present exactly once.
+    assert out.count() == n_hours * n_types
+    assert out.select("h", "event_type").distinct().count() == out.count()
+    # Gap fill adds zeros, never loses events.
+    assert (
+        out.agg(F.sum("n_events")).collect()[0][0] == e.count()
+    )
+    out.unpersist()
+
+
+def test_binned_interval_join_equals_naive(spark):
+    binned = _q("q_join_range_binned")(spark, SF_DIR)
+    naive = _q("q_join_interval")(spark, SF_DIR)
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+
+
+def _write_docs(spark, tmpdir: str, rows: list[tuple[int, str]]) -> str:
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "documents.parquet")
+    )
+    return tmpdir
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, tmp_path):
+    # k=3, w=4: any shared token run of length >= k+w-1 = 6 must yield at
+    # least one shared selected hash (the winnowing guarantee).
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (0, f"one two {shared} three four"),
+        (1, f"{shared} five six seven eight nine"),
+        (2, "totally different words with no overlap at all here"),
+    ]
+    sf = _write_docs(spark, str(tmp_path), rows)
+    out = _q("q_winnow")(spark, sf).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1], "docs sharing a 6-token run must share a fingerprint"
+    # Identical docs fingerprint identically.
+    rows2 = [(0, rows[0][1]), (1, rows[0][1])]
+    sf2 = _write_docs(spark, str(tmp_path / "b"), rows2)
+    out2 = _q("q_winnow")(spark, sf2).collect()
+    fps2 = {}
+    for r in out2:
+        fps2.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps2[0] == fps2[1]
+
+
+def test_winnow_short_doc_selects_global_min(spark, tmp_path):
+    # 3 tokens -> one 3-gram -> window shrinks to the gram list -> one fp.
+    sf = _write_docs(spark, str(tmp_path), [(0, "a b c")])
+    out = _q("q_winnow")(spark, sf).collect()
+    assert len(out) == 1
