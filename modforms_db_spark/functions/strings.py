@@ -125,3 +125,35 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("h_sha256"),
         F.substring(F.md5("text"), 1, 2).alias("bucket"),
     )
+
+
+@register(
+    "q_str_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',')
+             AS vowel_runs_csv,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+             AS n_runs,
+           regexp_extract_all(p_name, '[aeiou]+')[1] AS first_run
+    FROM part
+    WHERE p_partkey <= 200
+    """,
+    priority="P1",
+    tags=("string", "regex"),
+)
+def q_str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`regexp_extract_all`: every vowel run in the part name, with count
+    and first match — multi-match extraction (vs `q_str_regexp`'s single
+    match). Pattern stays in the RE2∩Java common subset (§2.11); pure
+    projection, codegen'd at scan speed.
+    """
+    prep(spark)
+    p = load(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    runs = F.regexp_extract_all("p_name", F.lit("[aeiou]+"), 0)
+    return p.select(
+        "p_partkey",
+        F.array_join(runs, ",").alias("vowel_runs_csv"),
+        F.size(runs).cast("bigint").alias("n_runs"),
+        F.element_at(runs, 1).alias("first_run"),
+    )

@@ -503,3 +503,73 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             r2(F.avg("o_totalprice")).alias("avg_price"),
         )
     )
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       {round_open} AS open_value,
+       COUNT(DISTINCT o_custkey) FILTER (WHERE o_totalprice > 200000)
+         AS big_buyers
+FROM {orders}
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_agg_filter_clause",
+    oracle=_FILTER_CLAUSE_SQL.format(
+        orders="orders",
+        round_open=R2("SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O')"),
+    ),
+    priority="P1",
+    tags=("agg", "filter-clause", "sql"),
+)
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation via the ANSI `FILTER (WHERE …)` clause —
+    one pass computes differently-filtered aggregates side by side (the
+    SQL-user form of pivoted CASE WHEN sums). Single map-side-combined
+    hash agg at any scale; the per-agg predicates are evaluated inside
+    the partial, so no extra scan or shuffle per condition.
+    """
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_fc_orders")
+    return spark.sql(
+        _FILTER_CLAUSE_SQL.format(
+            orders="mfdb_fc_orders",
+            round_open=(
+                "round(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)"
+            ),
+        )
+    )
+
+
+@register(
+    "q_agg_string",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    priority="P1",
+    tags=("agg", "string-agg"),
+)
+def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): comma-joined nation names per
+    region, deterministically ordered — the label-assembly shape
+    (`"{N}.{k}.{chi}"` rollups [R]). Spark form: collect_list → array_sort
+    → array_join, which keeps the unordered-agg + cheap per-group sort
+    structure (partial aggregation still applies; the sort touches only
+    the final per-group list, never a global order).
+    """
+    prep(spark)
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

@@ -207,3 +207,35 @@ def q_sql_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     load(spark, sf_dir, "nation").createOrReplaceTempView("mfdb_rc_nation")
     return spark.sql(_RECURSIVE_CHAIN_SQL.format(nation="mfdb_rc_nation"))
+
+
+_LATERAL_SQL = """
+SELECT r.r_name, t.n_nationkey, t.n_name
+FROM {region} r, LATERAL (
+  SELECT n_nationkey, n_name FROM {nation} n
+  WHERE n.n_regionkey = r.r_regionkey
+  ORDER BY n_name DESC, n_nationkey LIMIT 2
+) t
+"""
+
+
+@register(
+    "q_join_lateral",
+    oracle=_LATERAL_SQL.format(region="region", nation="nation"),
+    priority="P2",
+    tags=("join", "lateral", "sql"),
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (per-region top-2 nations by name)
+    through the SQL front door — IDENTICAL SQL text runs on both engines.
+    Catalyst de-correlates the LIMIT'd lateral into a window top-k under
+    the hood (same physical shape as `q_win_topk_pergroup`), so the
+    construct scales like any windowed top-k: one shuffle on the
+    correlation key, per-key group limit, no per-row re-execution.
+    """
+    prep(spark)
+    load(spark, sf_dir, "region").createOrReplaceTempView("mfdb_lat_region")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("mfdb_lat_nation")
+    return spark.sql(
+        _LATERAL_SQL.format(region="mfdb_lat_region", nation="mfdb_lat_nation")
+    )

@@ -310,3 +310,38 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             p.agg(F.count(F.lit(1)).alias("n_signup_view_purchase"))
         )
     )
+
+
+@register(
+    "q_win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER w AS second_best_order,
+           nth_value(o_totalprice, 2) OVER w AS second_best_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    priority="P2",
+    tags=("window", "nth-value"),
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`nth_value` with an explicit full-partition frame: each customer's
+    second-largest order (NULL for single-order customers) — the "runner-up
+    version per space" read. DISTINCT collapses the per-row window output
+    to one row per key; same one-shuffle sorted-pass shape as the other
+    windows.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_best_price"),
+    ).distinct()
