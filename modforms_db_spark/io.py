@@ -72,3 +72,23 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition to full parallelism before compute-heavy
+    per-row work (tokenization, hashing, shingling).
+
+    Why this exists: an input whose files/row-groups are fewer than the
+    cluster's cores runs every narrow stage on those few tasks — the
+    driver's single-row-group parquet files at test SF are the extreme
+    case (1 task for the whole scan). One cheap shuffle of the RAW rows
+    (pre-explosion, pre-fan-out: the smallest the data ever is) buys full
+    parallelism for everything downstream. At 100 TB inputs normally
+    arrive in thousands of splits and this becomes a no-op-sized guard —
+    keep it only ahead of stages whose compute-per-byte is extreme
+    (signatures, shingle explosion), where even there the shuffled bytes
+    are a rounding error next to the fan-out they parallelize.
+    """
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)

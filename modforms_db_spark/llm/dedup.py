@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -323,8 +323,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc's distinct tokens per seed, computed per-row with
     `array_min(transform(...))` — pure projection, NO explode and NO
     shuffle (the naive explode+groupBy form shuffles every token; this
-    form never moves a row)."""
-    d = load(spark, sf_dir, "documents")
+    form never moves a row). Input is `spread()` first (io.spread)."""
+    d = spread(load(spark, sf_dir, "documents"))
     toks = F.array_distinct(F.split("text", " "))
     return d.select(
         "doc_id",
@@ -365,7 +365,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in tests), but the quadratic stages see only distinct sets.
     """
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     tokset = d.select(
         "doc_id",
         "lang",
@@ -426,21 +426,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep").alias("r1"),
         F.col("toks").alias("toks1"),
         F.col("members").alias("m1"),
+        F.size("toks").alias("s1"),
     )
     g2 = groups.select(
         F.col("rep").alias("r2"),
         F.col("toks").alias("toks2"),
         F.col("members").alias("m2"),
+        F.size("toks").alias("s2"),
     )
+    # Verify each candidate pair. Two measured savings vs the naive
+    # intersect+union form: (a) jac >= t bounds the SIZE ratio (jac <=
+    # |A|/|B| for |A|<=|B|), so `min >= t*max` kills most candidates with
+    # integer arithmetic before any array work; (b) |A∪B| = s1+s2-|A∩B|,
+    # so the union array is never materialized.
     rep_pairs = (
         cand.join(g1, "r1")
         .join(g2, "r2")
+        .where(F.least("s1", "s2") >= 0.8 * F.greatest("s1", "s2"))
+        .select(
+            "m1",
+            "m2",
+            "s1",
+            "s2",
+            F.size(F.array_intersect("toks1", "toks2")).alias("i"),
+        )
         .select(
             "m1",
             "m2",
             F.round(
-                F.size(F.array_intersect("toks1", "toks2")).cast("double")
-                / F.size(F.array_union("toks1", "toks2")),
+                F.col("i").cast("double")
+                / (F.col("s1") + F.col("s2") - F.col("i")),
                 4,
             ).alias("jac"),
         )
@@ -476,8 +491,11 @@ def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure projection, no explode and NO shuffle (plan-asserted); the
     explode + 64-conditional-sums groupBy form it replaces shuffled every
     token of the corpus. Shared by q_dedup_simhash (emit) and
-    q_dedup_simhash_pairs (band + verify)."""
-    d = load(spark, sf_dir, "documents")
+    q_dedup_simhash_pairs (band + verify). Input is `spread()` first —
+    the fold is compute-heavy per row and must not inherit a few-split
+    input's parallelism (io.spread); the only Exchange in the plan is
+    that round-robin normalization."""
+    d = spread(load(spark, sf_dir, "documents"))
     # Fold token hashes into 64 signed bit-sums, then assemble
     # Σ 2^i [bit_sum_i > 0] over bits 0..62 (bigint-positive domain).
     return d.select(

@@ -18,14 +18,48 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, spread
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
-# Held-out split: the last docs by id play the role of the benchmark /
-# eval set; everything below is training data to be decontaminated.
-_EVAL_SPLIT = 450
+# Held-out split: the top 10% of doc ids play the role of the benchmark /
+# eval set (450 at sf0.01); everything below is training data to be
+# decontaminated. Fraction-relative so the eval side stays the SMALL side
+# at every scale factor — the broadcast direction must not flip at 100 TB.
+_EVAL_FRACTION = 0.9
 _SHINGLE_N = 5
+
+
+def _per_doc_bigram_counts(d):
+    """(doc_id, top_n, total) over each doc's bigram multiset: explode →
+    (doc, bigram) counts → per-doc max/sum.
+
+    Measured note (sf0.1, this machine): a "zero-shuffle" per-row
+    formulation — array_sort + an `aggregate` fold tracking the longest
+    equal-run — is 5-6× SLOWER than this explode form. Higher-order
+    functions with struct state evaluate interpreted (outside codegen),
+    and a shuffle-free plan also inherits the input's partitioning, which
+    for few-split inputs means no parallelism at all. The explode form
+    keeps every operator inside codegen and partial aggregation collapses
+    each doc's bigrams map-side; `spread()` on the raw docs first buys
+    full parallelism for the fan-out.
+    """
+    t = F.split("text", " ")
+    bg = d.where(F.size(t) > 1).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total"))
+    )
 
 
 @register(
@@ -39,12 +73,16 @@ _SHINGLE_N = 5
                generate_series(1, len(t) - {_SHINGLE_N - 1}),
                i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
       FROM toks
+    ), b AS (
+      SELECT CAST(FLOOR({_EVAL_FRACTION} * (MAX(doc_id) + 1)) AS BIGINT)
+        AS eval_from FROM documents
     ), eval_sh AS (
-      SELECT DISTINCT shingle FROM sh WHERE doc_id >= {_EVAL_SPLIT}
+      SELECT DISTINCT shingle FROM sh
+      WHERE doc_id >= (SELECT eval_from FROM b)
     )
     SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
     FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
-    WHERE s.doc_id < {_EVAL_SPLIT}
+    WHERE s.doc_id < (SELECT eval_from FROM b)
     GROUP BY s.doc_id
     ORDER BY doc_id
     """,
@@ -53,18 +91,27 @@ _SHINGLE_N = 5
     tags=("llm", "pipeline", "decontamination"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training docs (doc_id < 450) that share
-    at least one 5-token shingle with the held-out eval split (doc_id >=
-    450), with the count of distinct overlapping shingles — the standard
-    n-gram-overlap test-set-leakage check run before pretraining.
+    """Benchmark decontamination: training docs (bottom 90% of doc ids)
+    that share at least one 5-token shingle with the held-out eval split
+    (top 10% of doc ids; = doc_id >= 450 at sf0.01), with the count of
+    distinct overlapping shingles — the standard n-gram-overlap
+    test-set-leakage check run before pretraining.
 
-    Scale: the eval set is small by construction (benchmarks are KBs-MBs
-    vs a 100 TB corpus), so its distinct-shingle set broadcast-joins
-    against the exploded training side — no shuffle of the big side at
-    all; the explode is combined map-side into per-doc distinct counts.
+    Scale: the eval set is small BY CONSTRUCTION at every scale factor
+    (fraction-relative split — benchmarks are KBs-MBs vs a 100 TB
+    corpus), so its distinct-shingle set broadcast-joins against the
+    exploded training side — no shuffle of the big side at all; the
+    explode is combined map-side into per-doc distinct counts. The split
+    threshold derives from a one-row aggregate broadcast into both
+    filters, never a collected literal.
     """
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
+    split = d.agg(
+        F.floor(_EVAL_FRACTION * (F.max("doc_id") + 1))
+        .cast("bigint")
+        .alias("eval_from")
+    )
     sh = d.select(
         "doc_id",
         F.explode(
@@ -78,12 +125,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("shingle"),
-    )
+    ).crossJoin(F.broadcast(split))
     eval_sh = (
-        sh.where(F.col("doc_id") >= _EVAL_SPLIT).select("shingle").distinct()
+        sh.where(F.col("doc_id") >= F.col("eval_from"))
+        .select("shingle")
+        .distinct()
     )
     return (
-        sh.where(F.col("doc_id") < _EVAL_SPLIT)
+        sh.where(F.col("doc_id") < F.col("eval_from"))
         .join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
@@ -195,29 +244,16 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode → two-level agg keyed by doc_id; partial aggregation
     collapses each doc's bigrams map-side, so the shuffle carries
-    per-(doc, bigram) counts, never raw token streams. Linear, one
-    shuffle, same plan at 100 TB.
+    per-(doc, bigram) counts, never raw token streams. Input is
+    `spread()` first: the bigram fan-out is the expensive stage, and it
+    must not inherit a few-split input's parallelism (see io.spread and
+    the measured note on `_per_doc_bigram_counts`).
     """
     prep(spark)
-    d = load(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    bg = d.where(F.size(t) > 1).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-            )
-        ).alias("bigram"),
-    )
-    per_doc = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg(F.max("n").alias("top_n"), F.sum("n").alias("total"))
-    )
+    d = spread(load(spark, sf_dir, "documents"))
     return (
-        per_doc.where(F.col("top_n") * 1.0 / F.col("total") > 0.1)
+        _per_doc_bigram_counts(d)
+        .where(F.col("top_n") * 1.0 / F.col("total") > 0.1)
         .select(
             "doc_id",
             "top_n",
@@ -358,25 +394,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: stage shuffles key on doc_id then hash — both well-distributed;
     the bigram explode is collapsed map-side (partial agg) before its
-    shuffle; nothing materializes between stages.
+    shuffle; nothing materializes between stages. Input is `spread()`
+    once and the spread scan feeds both the repetition stage and the
+    join-back (Catalyst reuses the exchange).
     """
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
-    bg = d.where(F.size(toks) > 1).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            )
-        ).alias("bigram"),
-    )
-    rep = (
-        bg.groupBy("doc_id", "bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("doc_id")
-        .agg((F.max("n") * 1.0 / F.sum("n")).alias("ratio"))
+    rep = _per_doc_bigram_counts(d).select(
+        "doc_id", (F.col("top_n") * 1.0 / F.col("total")).alias("ratio")
     )
     clean = d.join(rep, "doc_id").where(F.col("ratio") <= 0.1)
     canon = F.sha2(

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -422,6 +422,7 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     priority="P2",
+    headline=True,
     tags=("llm", "text", "fingerprint", "winnow"),
 )
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +437,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; only the exploded (doc, fp) output shuffles if joined later.
     """
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     vals = F.transform(
         F.split("text", " "),
         lambda tok: (17 * F.length(tok) + F.ascii(F.substring(tok, 1, 1))).cast(

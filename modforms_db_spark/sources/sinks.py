@@ -375,3 +375,66 @@ def q_source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "names_csv"
         ),
     )
+
+
+@register(
+    "q_sink_compaction",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+    priority="P2",
+    tags=("sink", "compaction", "lake-ops"),
+)
+def q_sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance job a streaming
+    ingest makes mandatory: stage 1 writes events per-type with a
+    fragmented layout (32-way round robin → up to 32 files per partition
+    dir, the micro-batch debris shape); stage 2 rewrites each partition
+    to 1 file via repartition on the partition key. The query returns
+    per-type counts from the COMPACTED store — the oracle on the source
+    proves compaction was lossless, and the unit test asserts the file
+    count actually collapsed.
+
+    Scale: repartition(partition_cols) aligns shuffle output with the
+    directory layout, so each task writes exactly one file per directory
+    — the standard OPTIMIZE/rewrite pattern. At 100 TB add a target file
+    size (maxRecordsPerFile) and compact only partitions whose file
+    count exceeds threshold; the job shuffles each partition's bytes
+    once, which is why real tables compact incrementally, not globally.
+    """
+    prep(spark)
+    frag = _scratch("events_fragmented")
+    compact = _scratch("events_compacted")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # Stage 1: fragmented write (simulates many micro-batches).
+    e.repartition(32).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(frag)
+    # Stage 2: compaction rewrite — one shuffle keyed on the layout.
+    frag_df = spark.read.parquet(frag)
+    frag_df.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def compacted_file_counts() -> tuple[int, int]:
+    """(fragmented, compacted) data-file counts from the last
+    `q_sink_compaction` run — test hook proving the rewrite collapsed
+    the layout."""
+    import glob
+
+    frag = glob.glob(os.path.join(_SCRATCH, "events_fragmented", "*", "*.parquet"))
+    comp = glob.glob(os.path.join(_SCRATCH, "events_compacted", "*", "*.parquet"))
+    return len(frag), len(comp)

@@ -217,27 +217,33 @@ def test_aqe_splits_skewed_join_partition(spark):
 
 def test_minhash_signatures_are_shuffle_free(spark):
     """The 32-permutation MinHash signature computation must be a pure
-    projection (array_min over transform) — no explode, no Exchange. The
-    naive explode+groupBy form shuffles every token of the corpus; at
-    100 TB that's the widest shuffle in the whole dedup pipeline, and it
-    is entirely avoidable."""
+    projection (array_min over transform) — no explode, and no Exchange
+    beyond the single round-robin input spread (io.spread). The naive
+    explode+groupBy form shuffles every token of the corpus keyed on
+    token; at 100 TB that's the widest shuffle in the whole dedup
+    pipeline, and it is entirely avoidable."""
     from modforms_db_spark.llm.dedup import minhash_signatures
 
     df = minhash_signatures(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "RoundRobinPartitioning" in plan or "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan  # no keyed shuffle
     assert "Generate" not in plan, plan  # no explode either
 
 
 def test_simhash_fingerprints_are_shuffle_free(spark):
     """The 64-bit SimHash fold must be a pure projection (one aggregate
-    lambda over the token array) — no explode, no Exchange, same argument
-    as the MinHash signatures."""
+    lambda over the token array) — no explode, and no Exchange beyond
+    the round-robin input spread, same argument as the MinHash
+    signatures."""
     from modforms_db_spark.llm.dedup import _simhash_fp
 
     df = _simhash_fp(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "RoundRobinPartitioning" in plan or "Exchange" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
     assert "Generate" not in plan, plan
 
 
@@ -246,3 +252,13 @@ def test_decontaminate_broadcasts_eval_side(spark):
     the plan must broadcast it — the training side is never shuffled."""
     plan = _plan(spark, "q_decontaminate")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_repetition_filter_partial_aggregates(spark):
+    """The bigram fan-out must collapse map-side: two HashAggregate
+    levels (partial + final) keyed on (doc_id, bigram), so the shuffle
+    carries per-doc distinct-bigram counts, never the raw bigram
+    stream."""
+    plan = _plan(spark, "q_repetition_filter")
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    assert "HashAggregate" in plan, plan

@@ -138,3 +138,15 @@ def test_winnow_short_doc_selects_global_min(spark, tmp_path):
     sf = _write_docs(spark, str(tmp_path), [(0, "a b c")])
     out = _q("q_winnow")(spark, sf).collect()
     assert len(out) == 1
+
+
+def test_compaction_collapses_files_losslessly(spark, ddb):
+    from modforms_db_spark.sources.sinks import compacted_file_counts
+
+    from tests.conftest import assert_parity
+
+    assert_parity(spark, ddb, "q_sink_compaction")
+    frag, comp = compacted_file_counts()
+    n_types = 5
+    assert comp == n_types, (frag, comp)
+    assert frag > comp, (frag, comp)
