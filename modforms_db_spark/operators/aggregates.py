@@ -573,3 +573,27 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_nations"),
     )
+
+
+@register(
+    "q_stat_freq_items",
+    oracle=None,  # sketch (false positives allowed); own test pins the guarantee
+    priority="P2",
+    tags=("agg", "sketch", "heavy-hitters"),
+)
+def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via `df.stat.freqItems` (Karp/Misra-Gries style
+    single-pass counters): every value of o_orderpriority with frequency
+    > 5% is guaranteed present (false positives possible, false negatives
+    not — the test pins the guarantee against exact counts).
+
+    Scale: fixed O(1/support) state per partition merged once — the
+    100 TB "what are the hot keys" primer that decides whether a join
+    needs salting (SCALE.md §3), at a vanishing fraction of the exact
+    groupBy's shuffle.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.stat.freqItems(["o_orderpriority"], 0.05).select(
+        F.array_sort("o_orderpriority_freqItems").alias("freq_priorities")
+    )

@@ -8,6 +8,8 @@ tests/test_plans.py — PushedFilters + ReadSchema must show both fired).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -129,5 +131,37 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sampled"),
             F.min("doc_id").alias("min_id"),
             F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+@register(
+    "q_scan_metadata",
+    oracle=None,  # file paths/sizes are engine-side facts; own test audits them
+    priority="P2",
+    tags=("scan", "metadata", "lineage"),
+)
+def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file scan audit via the hidden `_metadata` struct (file_path,
+    file_size, row_index): one row per data file with its row count and
+    row-index span — the scan-level lineage a 100 TB ingest audit needs
+    (which files fed this table, were any partially read). The GridFS
+    metadata-without-blob read [R], at file granularity.
+    """
+    prep(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        df.select(
+            F.regexp_extract("_metadata.file_path", r"([^/]+)$", 1).alias(
+                "file_name"
+            ),
+            F.col("_metadata.file_size").alias("file_size"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("row_index").alias("first_row_index"),
+            F.max("row_index").alias("last_row_index"),
         )
     )

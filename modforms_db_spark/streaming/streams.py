@@ -23,6 +23,12 @@ Scale notes (100 TB / 1000-executor):
 - Memory sink is test-only; a deployment writes ``toTable``/kafka. The
   query shapes (watermarked window agg, watermarked dropDuplicates,
   applyInPandasWithState) are the deployment shapes verbatim.
+- ``transformWithStateInPandas`` (Spark 4's successor stateful API) was
+  probed and is NOT runnable here: its Python worker requires
+  ``google.protobuf`` (absent in this environment, installs forbidden) —
+  the driver worker crashes on import. ``applyInPandasWithState`` is the
+  shipped arbitrary-state shape; the migration is mechanical (ValueState
+  per user replaces the GroupState dict).
 """
 
 from __future__ import annotations

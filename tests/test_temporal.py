@@ -150,3 +150,34 @@ def test_compaction_collapses_files_losslessly(spark, ddb):
     n_types = 5
     assert comp == n_types, (frag, comp)
     assert frag > comp, (frag, comp)
+
+
+def test_freq_items_guarantee(spark):
+    from modforms_db_spark.io import load
+
+    out = _q("q_stat_freq_items")(spark, SF_DIR).collect()
+    assert len(out) == 1
+    got = set(out[0].freq_priorities)
+    o = load(spark, SF_DIR, "orders")
+    total = o.count()
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # Guarantee: every value above the support threshold must be present.
+    for val, n in exact.items():
+        if n / total > 0.05:
+            assert val in got, (val, n, total, got)
+
+
+def test_scan_metadata_audit(spark):
+    from modforms_db_spark.io import load
+
+    rows = _q("q_scan_metadata")(spark, SF_DIR).collect()
+    total = load(spark, SF_DIR, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == total
+    for r in rows:
+        assert r.file_name.endswith(".parquet")
+        assert r.file_size > 0
+        # row_index spans exactly the file's rows (nothing skipped).
+        assert r.last_row_index - r.first_row_index + 1 == r.n_rows
