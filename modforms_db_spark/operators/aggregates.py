@@ -597,3 +597,62 @@ def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.stat.freqItems(["o_orderpriority"], 0.05).select(
         F.array_sort("o_orderpriority_freqItems").alias("freq_priorities")
     )
+
+
+@register(
+    "q_agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)        AS all_over_1k,
+           bool_or(o_orderstatus = 'F')         AS any_finished,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    priority="P1",
+    tags=("agg", "boolean"),
+)
+def q_agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (`bool_and`/`bool_or`/`count_if`) — the
+    completeness-flag rollup ("every record of this level checked?",
+    "any failures?") [R `check_records`]. Same partial+final hash-agg
+    shape as every other aggregate.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+    )
+
+
+@register(
+    "q_agg_decimal_exact",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue_exact,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    priority="P1",
+    tags=("agg", "decimal"),
+)
+def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal aggregation: cast the measure to DECIMAL(18,2) and
+    sum EXACTLY — no float rounding policy needed, the hash must match
+    bit-for-bit because decimal addition is associative (the one place
+    the engines can agree without the r2/r4 rule). The exact-arithmetic
+    discipline of the reference's number-field coefficients [R], in the
+    type system Spark actually ships.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue_exact"),
+        F.count(F.lit(1)).alias("n"),
+    )

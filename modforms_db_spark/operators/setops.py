@@ -150,3 +150,49 @@ def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return a.exceptAll(b)
+
+
+@register(
+    "q_set_union_by_name",
+    oracle="""
+    SELECT key, name, acctbal, segment FROM (
+      SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+             c_mktsegment AS segment
+      FROM customer WHERE c_custkey <= 50
+      UNION ALL BY NAME
+      SELECT s_suppkey AS key, s_name AS name, NULL AS acctbal,
+             NULL AS segment
+      FROM supplier WHERE s_suppkey <= 50
+    )
+    """,
+    priority="P2",
+    tags=("setop", "union-by-name"),
+)
+def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: `unionByName(allowMissingColumns=True)`
+    aligns by COLUMN NAME and null-fills the gaps — how record sets from
+    two stores with drifted schemas merge [R files-vs-Mongo reconcile].
+    Position-based union would silently misalign; this is the safe form.
+    """
+    prep(spark)
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 50)
+        .select(
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_suppkey") <= 50)
+        .select(
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return c.unionByName(s, allowMissingColumns=True).select(
+        "key", "name", "acctbal", "segment"
+    )
