@@ -284,3 +284,61 @@ def test_events_funnel_matches_bruteforce(spark, evs):
         if any(t == "purchase" and ts >= v_ts for t, ts in es):
             n_p += 1
     assert got == (n_s, n_v, n_p)
+
+
+cdc_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user_id
+        st.integers(min_value=0, max_value=100),   # ts offset seconds
+        st.sampled_from(["signup", "click", "view", "purchase", "error"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(evs=cdc_logs)
+def test_cdc_apply_matches_bruteforce_replay(spark, evs):
+    """q_cdc_apply's window formulation ≡ literal log replay: apply ops in
+    (ts, event_id) order per user; the surviving state is the last op when
+    it isn't a delete. Duplicate timestamps break ties by event_id, same
+    as the operator's ORDER BY ts DESC, event_id DESC."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, u, base + dt.timedelta(seconds=ts), typ)
+        for i, (u, ts, typ) in enumerate(evs)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    got = {
+        r.user_id: r.last_op
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "signup", F.lit("insert"))
+            .when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("last_op"),
+        )
+        .collect()
+    }
+
+    want = {}
+    state: dict[int, str] = {}
+    for i, (u, ts, typ) in sorted(
+        enumerate(evs), key=lambda p: (p[1][1], p[0])
+    ):
+        state[u] = typ
+    for u, typ in state.items():
+        if typ != "error":
+            want[u] = {"signup": "insert"}.get(typ, "update")
+    assert got == want
