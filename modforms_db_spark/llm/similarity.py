@@ -377,3 +377,92 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("q_id", "nb_id", "cos4", "rn")
     )
+
+
+@register(
+    "q_vec_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, e,
+             list_min(e) AS mn,
+             (list_max(e) - list_min(e)) / 255.0 AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, label, mn, scale,
+             list_transform(e, x -> CAST(FLOOR((x - mn) / scale + 0.5)
+                                         AS BIGINT)) AS codes,
+             e
+      FROM s
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(mn * 10000 + 0.5) AS BIGINT) AS mn_fp,
+           CAST(FLOOR(scale * 1000000 + 0.5) AS BIGINT) AS scale_fp,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           list_max(list_transform(generate_series(1, len(e)),
+             i -> CAST(FLOOR(abs(mn + codes[i] * scale - e[i]) / scale * 100
+                             + 0.5) AS BIGINT))) AS max_err_pct_of_scale
+    FROM q
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "quantization", "scale-path"),
+)
+def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (0..255) min/max quantization of embeddings — the ANN STORAGE
+    path: 64 float32 → 64 bytes + 2 scalars (4× smaller, and the form IVF/
+    PQ engines scan). Emits per-vector codebook params, the code checksum,
+    and the max dequantization error as an integer percentage of one
+    quantization step — the bound (≤ 50% of a step, i.e. scale/2) that
+    makes the compression safe, asserted in tests.
+
+    Everything is fixed-point integerized (floor(x+0.5)) so the hash
+    matches bit-for-bit across engines with no float-rounding dialect
+    risk; per-row array math only — ZERO shuffles, like the signature
+    stages.
+    """
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    s = v.select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("scale"),
+    )
+    codes = F.transform(
+        "e",
+        lambda x: F.floor((x - F.col("mn")) / F.col("scale") + 0.5).cast(
+            "bigint"
+        ),
+    )
+    q = s.select("vec_id", "label", "mn", "scale", codes.alias("codes"), "e")
+    err = F.transform(
+        F.sequence(F.lit(1), F.size("e")),
+        lambda i: F.floor(
+            F.abs(
+                F.col("mn")
+                + F.element_at("codes", i) * F.col("scale")
+                - F.element_at("e", i)
+            )
+            / F.col("scale")
+            * 100
+            + 0.5
+        ).cast("bigint"),
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("mn") * 10000 + 0.5).cast("bigint").alias("mn_fp"),
+        F.floor(F.col("scale") * 1000000 + 0.5).cast("bigint").alias(
+            "scale_fp"
+        ),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_max(err).alias("max_err_pct_of_scale"),
+    )

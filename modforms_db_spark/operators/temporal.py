@@ -313,3 +313,78 @@ def q_join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
     )
+
+
+@register(
+    "q_rollup_cascade",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+      FROM hourly GROUP BY 1, 2
+    ), monthly AS (
+      SELECT date_trunc('month', bucket) AS bucket, event_type,
+             CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT 'hour'  AS grain, bucket, event_type, n, {R4('sv')} AS sum_value FROM hourly
+    UNION ALL
+    SELECT 'day'   AS grain, bucket, event_type, n, {R4('sv')} AS sum_value FROM daily
+    UNION ALL
+    SELECT 'month' AS grain, bucket, event_type, n, {R4('sv')} AS sum_value FROM monthly
+    """,
+    priority="P1",
+    tags=("temporal", "rollup", "cascade"),
+)
+def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading multi-granularity rollup (hypertable continuous-aggregate
+    shape): hour buckets from the facts ONCE, then day from hour and month
+    from day — each coarser grain aggregates the previous grain's partials,
+    never re-scanning the fact table. Rounding applies only at EMISSION
+    (the cascade itself sums raw doubles), so coarser grains don't
+    accumulate rounding error.
+
+    Scale: the fact scan + first groupBy is the only O(rows) stage; the
+    day/month stages run over hours×types and days×types rows. This is
+    how dashboard hierarchies stay O(1) per refresh at 100 TB — persist
+    the hourly partials, derive everything coarser from them.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+    monthly = (
+        daily.groupBy(
+            F.date_trunc("month", "bucket").alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    )
+
+    def emit(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            "n",
+            r4("sv").alias("sum_value"),
+        )
+
+    return (
+        emit(hourly, "hour")
+        .unionByName(emit(daily, "day"))
+        .unionByName(emit(monthly, "month"))
+    )

@@ -181,3 +181,29 @@ def test_scan_metadata_audit(spark):
         assert r.file_size > 0
         # row_index spans exactly the file's rows (nothing skipped).
         assert r.last_row_index - r.first_row_index + 1 == r.n_rows
+
+
+def test_vec_quantize_error_bound(spark):
+    # Dequantization error must stay within half a quantization step
+    # (floor(x+0.5) rounds to nearest code), i.e. <= 50% of scale.
+    out = _q("q_vec_quantize")(spark, SF_DIR).collect()
+    assert out, "no vectors"
+    for r in out:
+        assert 0 <= r.max_err_pct_of_scale <= 50, r
+        assert r.scale_fp >= 0
+
+
+def test_rollup_cascade_mass_conservation(spark):
+    out = _q("q_rollup_cascade")(spark, SF_DIR)
+    per_grain = {
+        r.grain: (r.total_n, round(r.total_v, 2))
+        for r in out.groupBy("grain")
+        .agg(
+            F.sum("n").alias("total_n"),
+            F.sum("sum_value").alias("total_v"),
+        )
+        .collect()
+    }
+    # Every grain accounts for every event; sums agree to rounding noise.
+    assert per_grain["hour"][0] == per_grain["day"][0] == per_grain["month"][0]
+    assert abs(per_grain["hour"][1] - per_grain["month"][1]) < 0.01
