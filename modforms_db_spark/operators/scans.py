@@ -165,3 +165,43 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("row_index").alias("last_row_index"),
         )
     )
+
+
+@register(
+    "q_scan_observed",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+    FROM orders GROUP BY o_orderstatus
+    """,
+    priority="P2",
+    tags=("scan", "observe", "metrics"),
+)
+def q_scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation with in-flight `Observation` metrics: the SAME pass that
+    answers the query also reports rows-scanned and null-key counts to the
+    driver (no second job, no extra scan) — the reference's
+    `check_records` instrumentation [R] as Spark's observe() API. The
+    observation is invisible to the result (oracle-checked); the unit
+    test asserts the metrics.
+
+    Scale: observe() piggybacks accumulators on the existing tasks —
+    0-cost monitoring at 100 TB, vs a separate validation scan that
+    doubles the read.
+    """
+    prep(spark)
+    from pyspark.sql import Observation
+
+    obs = Observation("scan_audit")
+    o = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_scanned"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_keys"),
+    )
+    out = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("keysum"),
+    )
+    # Stash the Observation so tests can read the metrics after the
+    # driver/test collects the result.
+    q_scan_observed.last_observation = obs  # type: ignore[attr-defined]
+    return out

@@ -207,3 +207,15 @@ def test_rollup_cascade_mass_conservation(spark):
     # Every grain accounts for every event; sums agree to rounding noise.
     assert per_grain["hour"][0] == per_grain["day"][0] == per_grain["month"][0]
     assert abs(per_grain["hour"][1] - per_grain["month"][1]) < 0.01
+
+
+def test_scan_observed_metrics(spark):
+    from modforms_db_spark.io import load
+    from modforms_db_spark.operators.scans import q_scan_observed
+
+    out = _q("q_scan_observed")(spark, SF_DIR)
+    out.collect()  # metrics materialize with the action
+    obs = q_scan_observed.last_observation
+    m = obs.get
+    assert m["rows_scanned"] == load(spark, SF_DIR, "orders").count()
+    assert m["null_keys"] == 0
