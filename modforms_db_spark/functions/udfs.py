@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R2, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -272,3 +272,42 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.mapInArrow(
         fn, "o_orderkey bigint, o_custkey bigint, gross double"
     ).select("o_orderkey", "o_custkey", F.round("gross", 4).alias("gross"))
+
+
+@register(
+    "q_udf_sql",
+    oracle=f"""
+    SELECT l_returnflag,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')} AS net_revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    priority="P1",
+    tags=("udf", "sql-udf"),
+)
+def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (Spark 4 `CREATE FUNCTION … RETURN expr`):
+    user-named reusable logic that INLINES into the plan — unlike Python
+    UDFs it stays inside Catalyst and whole-stage codegen, so it is the
+    zero-cost way to share expression logic (the Conrey↔Sage conversion
+    functions [R] would ship this way when they're pure arithmetic).
+    """
+    prep(spark)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION mfdb_net(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1 - d)
+        """
+    )
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("mfdb_sqludf_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(SUM(mfdb_net(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               COUNT(*) AS n
+        FROM mfdb_sqludf_li
+        GROUP BY l_returnflag
+        """
+    )

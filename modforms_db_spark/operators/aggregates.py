@@ -656,3 +656,47 @@ def q_agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue_exact"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_transpose",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_returnflag,
+             {R2('SUM(l_quantity)')} AS sum_qty,
+             {R2('AVG(l_extendedprice)')} AS avg_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS R
+    FROM a
+    UNION ALL
+    SELECT 'avg_price' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN avg_price END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN avg_price END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN avg_price END) AS R
+    FROM a
+    """,
+    priority="P2",
+    tags=("agg", "transpose"),
+)
+def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.transpose` (Spark 4): flip a small per-flag aggregate to
+    measures-as-rows × flags-as-columns — the report orientation step.
+    Transpose requires collecting the index column to name the output
+    columns, so it is a SMALL-RESULT-ONLY operator by construction (here:
+    3×2 post-aggregation cells); never transpose a fact table.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.avg("l_extendedprice")).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return agg.transpose("l_returnflag")

@@ -239,3 +239,37 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(region="mfdb_lat_region", nation="mfdb_lat_nation")
     )
+
+
+@register(
+    "q_sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(MAX(o_orderdate) AS TIMESTAMP) AS latest
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("filter", "sql", "parameterized"),
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (`spark.sql(query, args={...})`): named `:params`
+    bound server-side — the injection-safe form of templated queries (vs
+    f-string splicing). The bound literals constant-fold, so pushdown and
+    partition pruning see them exactly as if hard-coded.
+    """
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               MAX(o_orderdate) AS latest
+        FROM mfdb_param_orders
+        WHERE o_orderstatus = :status
+          AND o_orderdate >= CAST(:since AS TIMESTAMP_NTZ)
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "O", "since": "1997-01-01 00:00:00"},
+    )
