@@ -388,3 +388,54 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(emit(daily, "day"))
         .unionByName(emit(monthly, "month"))
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS c0
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+      FROM events
+    )
+    SELECT c.c0 AS cohort_day,
+           CAST(date_diff('day', c.c0, a.d) AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM cohort c
+    JOIN activity a ON a.user_id = c.user_id AND a.d >= c.c0
+    WHERE date_diff('day', c.c0, a.d) <= 7
+    GROUP BY 1, 2
+    """,
+    priority="P1",
+    tags=("temporal", "retention", "cohort"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-signup day, counted
+    as active per day-offset 0..7 — the product-analytics staple over the
+    version-activity log [R: which spaces keep getting recomputed].
+
+    Scale: cohorts are a per-user aggregate (one shuffle), activity a
+    distinct projection (second shuffle); the cohort side is users-sized
+    and joins on user_id — well-distributed, no fact×fact blowup, and the
+    offset cap bounds output to cohorts × 8 rows.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("c0"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    off = F.datediff(F.col("d"), F.col("c0")).cast("bigint")
+    return (
+        activity.join(cohort, "user_id")
+        .where((F.col("d") >= F.col("c0")) & (off <= 7))
+        .groupBy(F.col("c0").alias("cohort_day"), off.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -342,3 +342,51 @@ def test_cdc_apply_matches_bruteforce_replay(spark, evs):
         if typ != "error":
             want[u] = {"signup": "insert"}.get(typ, "update")
     assert got == want
+
+
+winnow_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+        min_size=3,
+        max_size=20,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=winnow_docs)
+def test_winnow_guarantee_randomized(spark, docs, tmp_path_factory):
+    """Winnowing guarantee on random corpora: identical docs fingerprint
+    identically, and any two docs sharing a contiguous run of k+w-1 = 6
+    tokens share at least one selected hash."""
+    import os as _os
+    import uuid as _uuid
+
+    from modforms_db_spark.registry import get_registry
+
+    tmp = str(tmp_path_factory.mktemp(f"winnow_{_uuid.uuid4().hex[:8]}"))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(tmp, "documents.parquet")
+    )
+    out = get_registry()["q_winnow"].builder(spark, tmp).collect()
+    fps: dict[int, set] = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+
+    def runs6(toks):
+        return {tuple(toks[i : i + 6]) for i in range(len(toks) - 5)}
+
+    for i, a in enumerate(docs):
+        assert fps.get(i), f"doc {i} got no fingerprints"
+        for j, b in enumerate(docs):
+            if j <= i:
+                continue
+            if runs6(a) & runs6(b):
+                assert fps[i] & fps[j], (a, b)
