@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -462,3 +463,71 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", F.explode(sel).alias("fp"))
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tf AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT lang, tok, COUNT(*) AS n FROM tf GROUP BY lang, tok
+    ), ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rn,
+             SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, tok
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER (PARTITION BY lang) AS total
+      FROM freq
+    )
+    SELECT lang,
+           CAST(MIN(rn) AS BIGINT) AS vocab_size,
+           CAST(MIN_BY(cum, rn) AS BIGINT) AS covered_tokens,
+           CAST(MIN(total) AS BIGINT) AS total_tokens,
+           {R4('MIN_BY(cum, rn) * 1.0 / MIN(total)')} AS coverage
+    FROM ranked
+    WHERE cum >= 0.9 * total
+    GROUP BY lang
+    """,
+    priority="P2",
+    tags=("llm", "text", "vocab"),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary budget: per language, the smallest frequency-ranked
+    vocabulary covering ≥ 90% of token occurrences (the Zipf question a
+    tokenizer budget starts from), with the exact coverage achieved.
+
+    Scale: term frequencies are one explode + map-side-combined groupBy;
+    the ranking window partitions by lang over the (already tiny)
+    per-term counts — never the token stream.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wo = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        "lang",
+        "n",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("n")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("total"),
+    )
+    return (
+        ranked.where(F.col("cum") >= 0.9 * F.col("total"))
+        .groupBy("lang")
+        .agg(
+            F.min("rn").cast("bigint").alias("vocab_size"),
+            F.min_by("cum", "rn").cast("bigint").alias("covered_tokens"),
+            F.min("total").cast("bigint").alias("total_tokens"),
+            r4(F.min_by("cum", "rn") * 1.0 / F.min("total")).alias(
+                "coverage"
+            ),
+        )
+    )
