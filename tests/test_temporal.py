@@ -219,3 +219,33 @@ def test_scan_observed_metrics(spark):
     m = obs.get
     assert m["rows_scanned"] == load(spark, SF_DIR, "orders").count()
     assert m["null_keys"] == 0
+
+
+def _write_empty_events(spark, tmpdir: str) -> str:
+    # Raw layout of events.parquet: ts is INT64 nanoseconds (io.py reads
+    # it with nanosAsLong and converts) — an empty frame with that schema.
+    df = spark.createDataFrame(
+        [],
+        "event_id bigint, ts bigint, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmpdir, "events.parquet")
+    )
+    return tmpdir
+
+
+def test_temporal_ops_survive_empty_input(spark, tmp_path):
+    sf = _write_empty_events(spark, str(tmp_path))
+    for name in [
+        "q_scd2_build",
+        "q_cdc_apply",
+        "q_gapfill_rollup",
+        "q_anomaly_mad",
+        "q_join_range_binned",
+        "q_agg_mode",
+        "q_rollup_cascade",
+        "q_events_retention",
+    ]:
+        out = _q(name)(spark, sf).collect()
+        assert out == [], (name, out)
