@@ -466,3 +466,77 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("code_sum"),
         F.array_max(err).alias("max_err_pct_of_scale"),
     )
+
+
+@register(
+    "q_sim_topk_incremental",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id, {R4(_COS)} AS cos4
+      FROM (SELECT * FROM e WHERE vec_id < 20) a
+      JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT q_id, nb_id, cos4, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos4 DESC, nb_id) AS rn
+      FROM p
+    ) WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "incremental"),
+)
+def q_sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session /
+    streaming-corpus shape; cf. the incremental top-k similarity-search
+    line in PAPERS.md): queries hold a top-5 computed over the BASE
+    corpus (bottom 90% of vec_ids); a small DELTA batch (top 10%)
+    arrives; the refreshed top-5 over base ∪ delta is derived from the
+    cached base top-k ∪ (query × delta) scores ONLY — the base corpus is
+    never re-scored. Correct because top-k is monotone under insertion:
+    the new global top-k ⊆ old top-k ∪ new candidates.
+
+    The oracle is the FULL recompute over all vectors — equality IS the
+    incremental-maintenance property (same discipline as
+    `q_join_range_binned` / `q_join_skew_salted`: the optimized path must
+    not change results). Scale: per-refresh cost is |Q|×|delta| + a
+    KB-sized cached state per query, vs |Q|×|corpus| for recompute.
+    """
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    split = e.agg(
+        F.floor(0.9 * (F.max("vec_id") + 1)).cast("bigint").alias("d0")
+    )
+    e = e.crossJoin(F.broadcast(split))
+    base = e.where(F.col("vec_id") < F.col("d0"))
+    delta = e.where(F.col("vec_id") >= F.col("d0"))
+    q = base.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+
+    def scored(side: DataFrame) -> DataFrame:
+        pairs = side.crossJoin(F.broadcast(q)).where(
+            F.col("vec_id") != F.col("q_id")
+        )
+        return pairs.select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            F.round(
+                _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+            ).alias("cos4"),
+        )
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    base_topk = (
+        scored(base)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )  # the cached state an interactive session keeps
+    cand = base_topk.unionByName(scored(delta))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "cos4", "rn")
+    )
