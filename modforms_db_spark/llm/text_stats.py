@@ -531,3 +531,74 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i + 1])) AS w2
+      FROM t WHERE len(toks) > 1
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS n12 FROM bg GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM big GROUP BY w1
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           {R4('AVG(ln(b.n12 * 1.0 / u.n1))')} AS avg_logprob
+    FROM bg
+    JOIN big b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+    JOIN uni u ON bg.w1 = u.w1
+    GROUP BY bg.doc_id
+    """,
+    priority="P2",
+    tags=("llm", "text", "language-model"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language model scoring: P(w2|w1) = count(w1 w2) /
+    count(w1 ·) estimated from the whole corpus, each document scored by
+    its mean bigram log-probability — the statistical-LM fluency signal
+    (low = improbable token transitions) quality pipelines use beside
+    the rule-based `q_quality_score`.
+
+    Scale: model = two aggregations over the exploded bigrams (map-side
+    combined); scoring joins each doc's bigrams to the model on the
+    bigram key — well-distributed, and at 100 TB you'd broadcast the
+    top-M-pruned model instead of shuffle-joining the full one (the
+    tail of the model barely moves scores).
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    bg = d.where(F.size(toks) > 1).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uni = big.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    return (
+        bg.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r4(F.avg(F.log(F.col("n12") * 1.0 / F.col("n1")))).alias(
+                "avg_logprob"
+            ),
+        )
+    )
