@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -310,4 +311,87 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mfdb_sqludf_li
         GROUP BY l_returnflag
         """
+    )
+
+
+def _cogroup_balance(key, cust_pdf, ord_pdf):
+    """Per-customer cogroup merge (module-level so tests can drive the
+    exact function Spark ships to executors): one output row per customer
+    present in the CUSTOMER side — order count + total spend against the
+    account balance. Customers with no orders get zeros (ord_pdf empty);
+    order groups with no customer row are dropped (inner-ish semantics on
+    the dimension side, like the oracle's LEFT JOIN from customer)."""
+    import pandas as pd
+
+    if len(cust_pdf) == 0:
+        return pd.DataFrame(
+            columns=["c_custkey", "acctbal", "n_orders", "total_spend", "spend_ratio"]
+        )
+    bal = float(cust_pdf["c_acctbal"].iloc[0])
+    total = float(ord_pdf["o_totalprice"].sum()) if len(ord_pdf) else 0.0
+    # NO rounding here: Python's round() is banker's rounding, which can
+    # disagree with the engine rounding policy on half-way values — raw
+    # floats out, Spark-side round() applied by the caller (parity.py).
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(key[0])],
+            "acctbal": [bal],
+            "n_orders": [len(ord_pdf)],
+            "total_spend": [total],
+            "spend_ratio": [total / bal if bal != 0 else None],
+        }
+    )
+
+
+@register(
+    "q_cogroup_pandas",
+    oracle=f"""
+    SELECT c.c_custkey,
+           {R2('c.c_acctbal')} AS acctbal,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           {R2('COALESCE(SUM(o.o_totalprice), 0.0)')} AS total_spend,
+           CASE WHEN c.c_acctbal <> 0
+                THEN {R4('COALESCE(SUM(o.o_totalprice), 0.0) / c.c_acctbal')}
+           END AS spend_ratio
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey <= 300
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    priority="P2",
+    tags=("udf", "cogroup", "pandas"),
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`groupBy().cogroup().applyInPandas` — the two-sided Arrow interop:
+    both tables shuffle on the key ONCE and arrive as aligned pandas
+    frames per key (no pre-join materialization). The escape hatch for
+    per-entity logic that needs BOTH sides at once (reconcile a space's
+    file-store records against its Mongo records [R]) when it can't be
+    expressed as a join.
+
+    Scale: same shuffle cost as a shuffled join, plus the Arrow hop; keys
+    are per-customer so groups are tiny and skew-free. The oracle proves
+    the pandas path agrees with the relational formulation exactly.
+    """
+    prep(spark)
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 300)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    raw = (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            _cogroup_balance,
+            "c_custkey long, acctbal double, n_orders bigint,"
+            " total_spend double, spend_ratio double",
+        )
+    )
+    return raw.select(
+        "c_custkey",
+        r2("acctbal").alias("acctbal"),
+        "n_orders",
+        r2("total_spend").alias("total_spend"),
+        r4("spend_ratio").alias("spend_ratio"),
     )
