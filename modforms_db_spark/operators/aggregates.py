@@ -700,3 +700,100 @@ def q_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return agg.transpose("l_returnflag")
+
+
+@register(
+    "q_agg_moments",
+    oracle=f"""
+    WITH mu AS (SELECT AVG(l_quantity) AS m FROM lineitem),
+    cm AS (
+      SELECT AVG(POWER(l_quantity - mu.m, 2)) AS m2,
+             AVG(POWER(l_quantity - mu.m, 3)) AS m3,
+             AVG(POWER(l_quantity - mu.m, 4)) AS m4,
+             MIN(mu.m) AS m
+      FROM lineitem, mu
+    )
+    SELECT {R4('m')} AS mean_qty,
+           {R4('m2')} AS m2,
+           {R4('m3 / POWER(m2, 1.5)')} AS skewness_pop,
+           {R4('m4 / POWER(m2, 2) - 3')} AS excess_kurtosis_pop
+    FROM cm
+    """,
+    priority="P2",
+    tags=("agg", "stats", "moments"),
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment statistics (population skewness, excess kurtosis)
+    computed EXPLICITLY from central moments — not the `skewness()`/
+    `kurtosis()` builtins, whose sample-vs-population correction factors
+    differ between engines (a dialect trap the explicit formula removes).
+    Two passes: mean, then centered moments with the mean broadcast via a
+    one-row cross join — the standard distributed-moments shape (at
+    100 TB: one-pass co-moment accumulation if the second scan hurts).
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_quantity")
+    mu = li.agg(F.avg("l_quantity").alias("m"))
+    x = F.col("l_quantity") - F.col("m")
+    cm = li.crossJoin(F.broadcast(mu)).agg(
+        F.avg(F.pow(x, 2)).alias("m2"),
+        F.avg(F.pow(x, 3)).alias("m3"),
+        F.avg(F.pow(x, 4)).alias("m4"),
+        F.min("m").alias("m"),
+    )
+    return cm.select(
+        r4("m").alias("mean_qty"),
+        r4("m2").alias("m2"),
+        r4(F.col("m3") / F.pow("m2", 1.5)).alias("skewness_pop"),
+        r4(F.col("m4") / F.pow("m2", 2) - 3).alias("excess_kurtosis_pop"),
+    )
+
+
+@register(
+    "q_profile_columns",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+             COUNT(o_orderstatus) AS nn2, COUNT(DISTINCT o_orderstatus) AS nd2,
+             COUNT(o_orderpriority) AS nn3, COUNT(DISTINCT o_orderpriority) AS nd3
+      FROM orders
+    )
+    SELECT 'o_custkey' AS col, n - nn1 AS n_nulls, nd1 AS n_distinct FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n - nn2, nd2 FROM s
+    UNION ALL
+    SELECT 'o_orderpriority', n - nn3, nd3 FROM s
+    """,
+    priority="P1",
+    tags=("agg", "profiling", "data-quality"),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile (null count + distinct count per
+    column) in ONE scan: all per-column statistics computed in a single
+    aggregation, then unpivoted to long form — never one scan per column
+    (the difference between 1× and C× the table read at 100 TB).
+    The reference's `check_records` schema audit [R] as a profile query.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn1"),
+        F.countDistinct("o_custkey").alias("nd1"),
+        F.count("o_orderstatus").alias("nn2"),
+        F.countDistinct("o_orderstatus").alias("nd2"),
+        F.count("o_orderpriority").alias("nn3"),
+        F.countDistinct("o_orderpriority").alias("nd3"),
+    )
+    return s.select(
+        F.expr(
+            """
+            stack(3,
+              'o_custkey',       n - nn1, nd1,
+              'o_orderstatus',   n - nn2, nd2,
+              'o_orderpriority', n - nn3, nd3)
+              AS (col, n_nulls, n_distinct)
+            """
+        )
+    )

@@ -439,3 +439,51 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c0").alias("cohort_day"), off.alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "q_events_path",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    )
+    SELECT path, COUNT(*) AS n FROM paths GROUP BY path
+    ORDER BY n DESC, path LIMIT 10
+    """,
+    priority="P2",
+    tags=("temporal", "path-analysis", "window"),
+)
+def q_events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 10 most frequent 3-step event-type sequences
+    across all users (sliding window over each user's ordered stream) —
+    the "how do users actually move" companion to the fixed-order funnel
+    (`q_events_funnel`).
+
+    Scale: one shuffle on user_id for the window, then the path strings
+    pre-aggregate map-side (≤ |types|³ = 125 distinct paths); the top-10
+    is a TakeOrdered, not a global sort.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
