@@ -142,3 +142,36 @@ def q_cond_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("normal")
         .alias("speed"),
     )
+
+
+@register(
+    "q_bit_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS ln_and,
+           bit_or(l_linenumber)  AS ln_or,
+           bit_xor(l_linenumber) AS ln_xor,
+           CAST(SUM(bit_count(CAST(l_orderkey AS BIGINT))) AS BIGINT)
+             AS popcount_sum
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("math", "bitwise"),
+)
+def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate bundle (`bit_and`/`bit_or`/`bit_xor` + popcount
+    sum) — flag-mask rollups (which computation stages completed per
+    level, stored as bitmasks [R]). Same partial+final hash-agg shape;
+    bitwise partials combine associatively like sums.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("ln_and"),
+        F.bit_or("l_linenumber").alias("ln_or"),
+        F.bit_xor("l_linenumber").alias("ln_xor"),
+        F.sum(F.bit_count(F.col("l_orderkey").cast("bigint")))
+        .cast("bigint")
+        .alias("popcount_sum"),
+    )

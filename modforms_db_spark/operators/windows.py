@@ -345,3 +345,38 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_best_price"),
     ).distinct()
+
+
+@register(
+    "q_win_range_numeric",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_within_10k
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+    priority="P2",
+    tags=("window", "range-frame"),
+)
+def q_win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame (value-based, not row-based): per priority,
+    how many orders price within 10k BELOW each order — the peer-density
+    read a ROWS frame cannot express (RANGE includes all value-ties and
+    spans by the ordering value itself). DataFrame-API `rangeBetween` is
+    long-typed; the frame is evaluated in one sorted pass per partition,
+    same cost shape as every other window.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_10k"),
+    )
