@@ -244,3 +244,63 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(resize, "doc_id bigint, thumb binary, thumb_len int")
+
+
+_AUDIO_WIN = 1024
+_AUDIO_HOP = 512
+
+
+def _audio_rms_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """STUB decode: treat the blob's bytes as signed 8-bit PCM samples
+    (real impl: soundfile/librosa load → float PCM at the stored sample
+    rate). The windowing/RMS DSP below is REAL and runs unchanged on a
+    true decode — window 1024, hop 512, RMS per window."""
+    import numpy as np
+
+    rows = {"doc_id": [], "win_idx": [], "win_start": [], "rms": []}
+    for doc_id, b in zip(pdf["doc_id"], pdf["blob"]):
+        samples = np.frombuffer(b, dtype=np.int8).astype(np.float64) / 128.0
+        n = len(samples)
+        idx = 0
+        for start in range(0, max(n - _AUDIO_WIN + 1, 1), _AUDIO_HOP):
+            w = samples[start : start + _AUDIO_WIN]
+            if len(w) == 0:
+                continue
+            rows["doc_id"].append(doc_id)
+            rows["win_idx"].append(idx)
+            rows["win_start"].append(start)
+            rows["rms"].append(float(np.sqrt(np.mean(w * w))))
+            idx += 1
+    return pd.DataFrame(rows)
+
+
+@register(
+    "q_mm_audio_windows",
+    oracle=None,  # stub decode; windowing/determinism asserted in tests
+    priority="P3",
+    tags=("llm", "multimodal", "audio", "stub"),
+)
+def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped blob processing: per-document waveform → overlapping
+    analysis windows (1024 samples, hop 512) → RMS energy per window, via
+    `mapInPandas` (Arrow binary in, long-form frames out) — the VAD /
+    silence-trim / loudness-normalization front end of an audio pipeline.
+
+    STUB decode (no audio libs in this container): bytes are read as
+    int8 PCM; the windowing and RMS math is real DSP and identical under
+    a true decode. Scale: one Arrow hop per partition, output rows =
+    ceil(samples/hop) per doc — bounded fan-out, no shuffle until a
+    downstream agg.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("blob")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _audio_rms_batch(pdf)
+
+    return d.mapInPandas(
+        run, "doc_id bigint, win_idx int, win_start int, rms double"
+    )

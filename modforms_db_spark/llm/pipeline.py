@@ -227,7 +227,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM freq GROUP BY doc_id
     )
     SELECT doc_id, top_n, total,
-           ROUND(top_n * 1.0 / total, 4) AS top_bigram_ratio
+           CAST(ROUND(CAST(CAST((top_n * 1.0 / total) AS VARCHAR)
+                           AS DECIMAL(38,18)), 4) AS DOUBLE)
+             AS top_bigram_ratio
     FROM per_doc
     WHERE top_n * 1.0 / total > 0.1
     ORDER BY doc_id

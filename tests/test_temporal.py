@@ -249,3 +249,27 @@ def test_temporal_ops_survive_empty_input(spark, tmp_path):
     ]:
         out = _q(name)(spark, sf).collect()
         assert out == [], (name, out)
+
+
+def test_audio_windows_shape_and_determinism(spark):
+    from modforms_db_spark.io import load
+    from modforms_db_spark.llm.multimodal import _AUDIO_HOP, _AUDIO_WIN
+
+    out1 = _q("q_mm_audio_windows")(spark, SF_DIR).collect()
+    out2 = _q("q_mm_audio_windows")(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+    docs = {
+        r.doc_id: r.n for r in
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", F.length(F.encode("text", "UTF-8")).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in out1:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in per_doc.items():
+        n = docs[doc_id]
+        expect = len(range(0, max(n - _AUDIO_WIN + 1, 1), _AUDIO_HOP))
+        assert len(rows) == expect, (doc_id, n, len(rows), expect)
+        for r in rows:
+            assert 0.0 <= r.rms <= 1.0
