@@ -59,10 +59,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path_for(sf_dir, "events"))
-    # ts arrives as bigint nanoseconds; div-1000 truncation == DuckDB's read.
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # timestamp[ns] physical type: arrives as bigint nanoseconds under
+        # nanosAsLong; div-1000 truncation == DuckDB's ns→µs read.
+        ts_col = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    else:
+        # timestamp[us/ms] physical type: Spark reads a timestamp natively;
+        # normalize to NTZ (no-op when isAdjustedToUTC=false, and the session
+        # timezone is pinned UTC so an instant-typed read converts losslessly).
+        ts_col = F.col("ts").cast("timestamp_ntz")
     return df.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz").alias("ts"),
+        ts_col.alias("ts"),
         "user_id",
         "event_type",
         "value",

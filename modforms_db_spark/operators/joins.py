@@ -414,3 +414,99 @@ def q_build_wide_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
         )
     )
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle=f"""
+    SELECT l_returnflag,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("join", "bloom", "scale"),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join: fact rows are discarded BEFORE the join
+    shuffle by probing a broadcast Bloom filter built from the (small)
+    key side — the pattern behind Spark's runtime row-level bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``), built here
+    explicitly so the mechanism is testable and portable.
+
+    The 100 TB problem: a selective dim-side predicate (high-value
+    orders) means most fact rows will NOT survive the join — but a plain
+    shuffle join still shuffles all of them. A Bloom filter of the
+    surviving keys is kilobytes; broadcasting it and filtering the fact
+    side first means the shuffle carries only (near-)matching rows.
+
+    Mechanics — result provably identical to the exact semi-join:
+    - m = 65 536 bits as 1 024 longs, k = 2 hashes (``xxhash64(seed, key)``).
+    - Build: explode each key's k (word, mask) pairs → ``bit_or`` per word
+      → a ≤1 024-row bitmap table, broadcast to every task.
+    - Probe: the fact side joins the bitmap on each hash's word index and
+      keeps rows with all k bits set. A missing word ⇒ no bits set ⇒ the
+      inner join's drop is the correct "definitely absent" verdict.
+    - False positives are removed by the exact semi-join that follows, so
+      the Bloom stage can ONLY shrink the shuffle, never change results —
+      which is what the plain-semi-join oracle pins.
+    """
+    prep(spark)
+    m_words = 1024
+    m_bits = m_words * 64
+    k = 2
+
+    keys = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+        .distinct()
+    )
+
+    def word_mask(key_col: str, seed: int, prefix: str):
+        bitpos = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(m_bits))
+        return [
+            F.shiftright(bitpos, 6).cast("int").alias(f"{prefix}w"),
+            F.expr(
+                f"shiftleft(1L, cast(pmod(xxhash64({seed}L, {key_col}), {m_bits}) % 64 as int))"
+            ).alias(f"{prefix}m"),
+        ]
+
+    bloom = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[F.struct(*word_mask("o_orderkey", i, "")) for i in range(k)]
+                )
+            ).alias("wm")
+        )
+        .groupBy(F.col("wm.w").alias("w"))
+        .agg(F.bit_or("wm.m").alias("bits"))
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    for i in range(k):
+        probe = li.select(
+            *li.columns, *word_mask("l_orderkey", i, f"h{i}_")
+        )
+        b = F.broadcast(
+            bloom.select(F.col("w").alias(f"b{i}_w"), F.col("bits").alias(f"b{i}_bits"))
+        )
+        li = (
+            probe.join(b, F.col(f"h{i}_w") == F.col(f"b{i}_w"), "inner")
+            .where(F.col(f"b{i}_bits").bitwiseAND(F.col(f"h{i}_m")) != 0)
+            .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+        )
+
+    survived = li.join(keys, li.l_orderkey == keys.o_orderkey, "left_semi")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return survived.groupBy("l_returnflag").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -48,33 +48,49 @@ from modforms_db_spark.session import prep
 
 _SCRATCH = os.path.join(tempfile.gettempdir(), "mfdb_spark_streams")
 
-# Raw schema of events.parquet under nanosAsLong=true: ts is INT64 nanos.
-_RAW_EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _raw_events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
+    """Streaming sources need an explicit schema; the driver's events.parquet
+    has shipped with both timestamp[ns] (read as INT64 nanos under
+    nanosAsLong=true) and timestamp[us] physical types — probe the footer
+    (pyarrow, metadata-only) and declare accordingly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    is_nanos = str(t) == "timestamp[ns]"
+    ts_field = T.LongType() if is_nanos else T.TimestampNTZType()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_field),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, is_nanos
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table with the same ns→µs normalization
     as the batch reader (io.py) — identical values, streaming source."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, is_nanos = _raw_events_schema(sf_dir)
     raw = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
     # Watermarks require TimestampType (not NTZ) — prep() pins UTC, so the
     # LTZ wall values equal the batch reader's NTZ values exactly.
+    ts_col = (
+        F.timestamp_micros(F.expr("ts div 1000"))
+        if is_nanos
+        else F.col("ts").cast("timestamp")
+    )
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        ts_col.alias("ts"),
         "user_id",
         "event_type",
         "value",

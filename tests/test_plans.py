@@ -262,3 +262,13 @@ def test_repetition_filter_partial_aggregates(spark):
     plan = _plan(spark, "q_repetition_filter")
     assert "partial_count" in plan or "partial" in plan.lower(), plan
     assert "HashAggregate" in plan, plan
+
+
+def test_bloom_prefilter_probes_broadcast_bitmap(spark):
+    """q_join_bloom_prefilter: both bitmap probes must be broadcast hash
+    joins (the bitmap is ≤1024 rows — if it ever shuffles, the prefilter
+    costs more than the shuffle it exists to shrink)."""
+    plan = _plan(spark, "q_join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # The exact membership check stays a real (semi) join after the probes.
+    assert "LeftSemi" in plan, plan
