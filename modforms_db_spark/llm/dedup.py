@@ -325,13 +325,18 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (the naive explode+groupBy form shuffles every token; this
     form never moves a row). Input is `spread()` first (io.spread)."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.array_distinct(F.split("text", " "))
-    return d.select(
+    # Distinct-token array projected ONCE to a named column: as a bare
+    # expression it would be re-evaluated as the input of each of the 32
+    # transforms (32 split+distinct passes per row).
+    toks = d.select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    return toks.select(
         "doc_id",
         "lang",
         F.array(
             *[
-                F.array_min(F.transform(toks, _perm_hash(i)))
+                F.array_min(F.transform(F.col("toks"), _perm_hash(i)))
                 for i in range(_N_PERM)
             ]
         ).alias("sig"),

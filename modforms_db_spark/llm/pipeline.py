@@ -44,13 +44,18 @@ def _per_doc_bigram_counts(d):
     each doc's bigrams map-side; `spread()` on the raw docs first buys
     full parallelism for the fan-out.
     """
-    t = F.split("text", " ")
-    bg = d.where(F.size(t) > 1).select(
+    # Project the token array to a NAMED column before the lambda consumes
+    # it: an outer expression captured inside transform()'s lambda is
+    # re-evaluated per ELEMENT (O(tokens²) character work per doc), while a
+    # bound attribute is computed once per row. CollapseProject keeps the
+    # projection because the alias is referenced more than once.
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.where(F.size("t") > 1).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(t) - 1),
-                lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
             )
         ).alias("bigram"),
     )
@@ -112,16 +117,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("eval_from")
     )
-    sh = d.select(
+    # Token array projected to a named column first — a split captured
+    # inside the lambda would re-run per shingle (measured 15× slower at
+    # sf0.1; see _per_doc_bigram_counts note).
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    sh = toks.select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.size(F.split("text", " ")) - (_SHINGLE_N - 1),
-                ),
+                F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
                 lambda i: F.concat_ws(
-                    " ", F.slice(F.split("text", " "), i, _SHINGLE_N)
+                    " ", F.slice(F.col("t"), i, _SHINGLE_N)
                 ),
             )
         ).alias("shingle"),

@@ -576,15 +576,17 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
-    toks = F.split("text", " ")
-    bg = d.where(F.size(toks) > 1).select(
+    # Named token-array column: a split captured inside the lambda would
+    # re-evaluate per bigram (O(tokens²); see pipeline._per_doc_bigram_counts).
+    tk = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = tk.where(F.size("t") > 1).select(
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
+                F.sequence(F.lit(1), F.size("t") - 1),
                 lambda i: F.struct(
-                    F.element_at(toks, i).alias("w1"),
-                    F.element_at(toks, i + 1).alias("w2"),
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
                 ),
             )
         ).alias("p"),
