@@ -89,18 +89,33 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_distinct",
-    oracle=None,  # HLL sketch ≠ oracle; own test asserts ±5% of exact
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE                    AS within_tol
+    FROM events GROUP BY event_type
+    """,
     priority="P2",
     tags=("agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB substitute for
-    exact distinct. Rows-only check; tests/test_operators.py bounds the
-    relative error against the exact count."""
+    exact distinct. Self-validating hash-matchable form: the same pass
+    computes the exact distinct (which the oracle reproduces) and the
+    sketch estimate, and emits `within_tol` = |approx − exact| ≤ 5 %
+    of exact (rsd=0.02, so 5 % is > 2σ headroom). A sketch drifting out
+    of its error bound flips the boolean and fails the driver hash."""
     prep(spark)
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.countDistinct("user_id")
+            )
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("within_tol"),
     )
 
 
@@ -155,7 +170,13 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_approx_percentile",
-    oracle=None,  # sketch output — own test bounds it against the exact quantile
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           TRUE     AS median_within,
+           TRUE     AS p90_within
+    FROM orders GROUP BY o_orderpriority
+    """,
     priority="P2",
     tags=("agg", "percentile", "sketch"),
 )
@@ -163,18 +184,27 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``percentile_approx`` (Greenwald-Khanna summaries) — the 100 TB
     percentile. Exact percentile needs a full sort per group; the GK sketch
     is a bounded-size mergeable summary (partial+final agg, one shuffle of
-    sketches not rows). accuracy=10000 → rank error ≤ 1/10000·n.
-    Rows-only for the driver; tests/test_edgecases.py bounds it against
-    the exact `percentile` on the same data."""
+    sketches not rows). accuracy=10000 → rank error ≤ n/10000.
+
+    Self-validating hash-matchable form: the same pass computes the
+    exact interpolated percentiles at q±0.01 and asserts the GK estimate
+    lands inside that rank window (the sketch's guarantee, with ~100×
+    headroom at accuracy=10000). The oracle reproduces the group keys
+    and counts and emits the expected TRUE booleans — an out-of-bound
+    sketch flips a boolean and fails the driver hash."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
+
+    def within(q: float) -> F.Column:
+        approx = F.percentile_approx("o_totalprice", F.lit(q), F.lit(10000))
+        lo = F.percentile("o_totalprice", F.lit(max(q - 0.01, 0.0)))
+        hi = F.percentile("o_totalprice", F.lit(min(q + 0.01, 1.0)))
+        return (approx >= lo) & (approx <= hi)
+
     return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
-            "median_approx"
-        ),
-        F.percentile_approx("o_totalprice", F.lit(0.9), F.lit(10000)).alias(
-            "p90_approx"
-        ),
+        F.count(F.lit(1)).alias("n_orders"),
+        within(0.5).alias("median_within"),
+        within(0.9).alias("p90_within"),
     )
 
 
@@ -398,7 +428,17 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_hll_merge",
-    oracle=None,  # sketch binary differs per engine; accuracy tested vs exact
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL' AS o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS within_tol
+    FROM orders
+    """,
     priority="P2",
     tags=("agg", "sketch", "scale-path"),
 )
@@ -408,25 +448,51 @@ def q_agg_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`hll_union_agg`) into the overall estimate — the 100 TB pattern
     where per-partition/per-day sketches are persisted once and any
     rollup is a cheap merge, never a re-scan. Emits each priority's
-    estimate plus an ALL row from the merged sketch.
+    row plus an ALL row from the merged sketch.
+
+    Self-validating hash-matchable form: each row carries the exact
+    distinct count (oracle-reproducible) and `within_tol` = sketch
+    estimate within 5 % of exact (lgConfigK=12 → ~1.6 % σ). The merged
+    ALL row is checked against the exact global distinct, so a broken
+    union surfaces as a flipped boolean.
 
     Scale: sketches are ~KB regardless of input size, so the merge stage
     moves 5 sketches instead of re-shuffling every customer key; this is
     what replaces count(DISTINCT) when the exact answer isn't contractual
     (q_agg_approx_distinct is the one-level approx_count_distinct form).
+    The exact side here is the self-check harness, not the scale path.
     """
     prep(spark)
     o = load(spark, sf_dir, "orders")
     sketches = o.groupBy("o_orderpriority").agg(
-        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+    )
+    tol = lambda est, exact: (  # noqa: E731
+        F.abs(est - exact) <= 0.05 * exact
     )
     per_grp = sketches.select(
         "o_orderpriority",
-        F.expr("hll_sketch_estimate(sk)").alias("est_custkeys"),
+        "exact_custkeys",
+        tol(
+            F.expr("hll_sketch_estimate(sk)"), F.col("exact_custkeys")
+        ).alias("within_tol"),
     )
-    merged = sketches.agg(
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_custkeys")
-    ).select(F.lit("ALL").alias("o_orderpriority"), "est_custkeys")
+    merged = (
+        sketches.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(F.countDistinct("o_custkey").alias("exact_custkeys"))
+            )
+        )
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "exact_custkeys",
+            tol(F.col("est"), F.col("exact_custkeys")).alias("within_tol"),
+        )
+    )
     return per_grp.unionByName(merged)
 
 
@@ -577,7 +643,16 @@ def q_agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_stat_freq_items",
-    oracle=None,  # sketch (false positives allowed); own test pins the guarantee
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_heavy,
+           TRUE                     AS guarantee_holds
+    FROM (
+      SELECT o_orderpriority
+      FROM orders
+      GROUP BY o_orderpriority
+      HAVING COUNT(*) > 0.05 * (SELECT COUNT(*) FROM orders)
+    )
+    """,
     priority="P2",
     tags=("agg", "sketch", "heavy-hitters"),
 )
@@ -585,17 +660,39 @@ def q_stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via `df.stat.freqItems` (Karp/Misra-Gries style
     single-pass counters): every value of o_orderpriority with frequency
     > 5% is guaranteed present (false positives possible, false negatives
-    not — the test pins the guarantee against exact counts).
+    not).
+
+    Self-validating hash-matchable form: the true heavy hitters are
+    computed exactly (count > 5 % of rows — oracle-reproducible), and
+    `guarantee_holds` asserts the sketch output is a superset of them
+    (`array_except(true_heavy, sketch) = []`). A sketch with a false
+    negative flips the boolean and fails the driver hash.
 
     Scale: fixed O(1/support) state per partition merged once — the
     100 TB "what are the hot keys" primer that decides whether a join
     needs salting (SCALE.md §3), at a vanishing fraction of the exact
-    groupBy's shuffle.
+    groupBy's shuffle. The exact side here is the self-check harness.
     """
     prep(spark)
     o = load(spark, sf_dir, "orders")
-    return o.stat.freqItems(["o_orderpriority"], 0.05).select(
-        F.array_sort("o_orderpriority_freqItems").alias("freq_priorities")
+    sketch = o.stat.freqItems(["o_orderpriority"], 0.05).select(
+        F.col("o_orderpriority_freqItems").alias("sketch_items")
+    )
+    counts = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    total = o.agg(F.count(F.lit(1)).alias("total"))
+    true_heavy = (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("n") > 0.05 * F.col("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n_true_heavy"),
+            F.collect_list("o_orderpriority").alias("heavy_items"),
+        )
+    )
+    return true_heavy.crossJoin(F.broadcast(sketch)).select(
+        "n_true_heavy",
+        (
+            F.size(F.array_except("heavy_items", "sketch_items")) == F.lit(0)
+        ).alias("guarantee_holds"),
     )
 
 

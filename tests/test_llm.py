@@ -216,7 +216,7 @@ def test_hll_merge_close_to_exact(spark):
 
     reg = get_registry()
     got = {
-        r.o_orderpriority: r.est_custkeys
+        r.o_orderpriority: r
         for r in reg["q_agg_hll_merge"].builder(spark, SF_DIR).collect()
     }
     o = load(spark, SF_DIR, "orders")
@@ -228,5 +228,6 @@ def test_hll_merge_close_to_exact(spark):
     }
     exact["ALL"] = o.select("o_custkey").distinct().count()
     assert got.keys() == exact.keys()
-    for k, est in got.items():
-        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+    for k, row in got.items():
+        assert row.exact_custkeys == exact[k], (k, row)
+        assert row.within_tol, (k, row)

@@ -157,17 +157,17 @@ def test_freq_items_guarantee(spark):
 
     out = _q("q_stat_freq_items")(spark, SF_DIR).collect()
     assert len(out) == 1
-    got = set(out[0].freq_priorities)
     o = load(spark, SF_DIR, "orders")
     total = o.count()
     exact = {
         r.o_orderpriority: r.n
         for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    # Guarantee: every value above the support threshold must be present.
-    for val, n in exact.items():
-        if n / total > 0.05:
-            assert val in got, (val, n, total, got)
+    n_heavy = sum(1 for n in exact.values() if n / total > 0.05)
+    # Guarantee (checked inside the query): every value above the support
+    # threshold is present in the sketch output → guarantee_holds TRUE.
+    assert out[0].n_true_heavy == n_heavy, (out[0], n_heavy)
+    assert out[0].guarantee_holds, out[0]
 
 
 def test_scan_metadata_audit(spark):
@@ -175,12 +175,12 @@ def test_scan_metadata_audit(spark):
 
     rows = _q("q_scan_metadata")(spark, SF_DIR).collect()
     total = load(spark, SF_DIR, "lineitem").count()
-    assert sum(r.n_rows for r in rows) == total
-    for r in rows:
-        assert r.file_name.endswith(".parquet")
-        assert r.file_size > 0
-        # row_index spans exactly the file's rows (nothing skipped).
-        assert r.last_row_index - r.first_row_index + 1 == r.n_rows
+    assert len(rows) == 1
+    # Metadata-derived row count must reconcile with the actual scan, and
+    # every file's row_index span must be exactly [0, n_rows).
+    assert rows[0].total_rows == total
+    assert rows[0].n_files >= 1
+    assert rows[0].files_complete
 
 
 def test_vec_quantize_error_bound(spark):
