@@ -277,13 +277,22 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_BUDGET = 64
 
 
+_PACK_SHARD_DOCS = 256  # docs per (lang, shard) packing group — see below
+
+
 def _pack_pdf(pdf):
     """Greedy next-fit packer for one shard (Arrow batch): walk docs in
     doc_id order, open a new bin when the doc would overflow the budget;
     an oversize doc occupies a bin alone (never splits). Module-level so
-    tests drive the EXACT function applyInPandas ships to executors."""
+    tests drive the EXACT function applyInPandas ships to executors.
+
+    Bin ids are globally unique without cross-shard coordination:
+    each (lang, shard) group owns the id range
+    [shard_id·_PACK_SHARD_DOCS, …) — a shard of ≤ N docs opens ≤ N bins
+    (every bin holds ≥ 1 doc), so ranges can never collide."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-    bins, fill, b = [], 0, 0
+    base = int(pdf["shard_id"].iloc[0]) * _PACK_SHARD_DOCS if len(pdf) else 0
+    bins, fill, b = [], 0, base
     for n in pdf["n_toks"]:
         if fill and fill + n > _PACK_BUDGET:
             b, fill = b + 1, 0
@@ -297,23 +306,25 @@ def _pack_pdf(pdf):
     "q_pack_sequences",
     oracle=f"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+             doc_id // {_PACK_SHARD_DOCS} AS shard_id
       FROM documents
     ), ordered AS (
-      SELECT doc_id, lang, n_toks,
-             row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      SELECT doc_id, lang, n_toks, shard_id,
+             row_number() OVER (PARTITION BY lang, shard_id ORDER BY doc_id) AS rn
       FROM toks
     ), packed AS (
-      SELECT doc_id, lang, n_toks, rn, n_toks AS fill, 0 AS bin
+      SELECT doc_id, lang, n_toks, shard_id, rn, n_toks AS fill,
+             shard_id * {_PACK_SHARD_DOCS} AS bin
       FROM ordered WHERE rn = 1
       UNION ALL
-      SELECT o.doc_id, o.lang, o.n_toks, o.rn,
+      SELECT o.doc_id, o.lang, o.n_toks, o.shard_id, o.rn,
              CASE WHEN p.fill + o.n_toks > {_PACK_BUDGET}
                   THEN o.n_toks ELSE p.fill + o.n_toks END,
              CASE WHEN p.fill + o.n_toks > {_PACK_BUDGET}
                   THEN p.bin + 1 ELSE p.bin END
       FROM ordered o JOIN packed p
-        ON o.lang = p.lang AND o.rn = p.rn + 1
+        ON o.lang = p.lang AND o.shard_id = p.shard_id AND o.rn = p.rn + 1
     )
     SELECT lang, bin, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS bin_tokens
     FROM packed
@@ -326,24 +337,36 @@ def _pack_pdf(pdf):
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: greedy next-fit packing of documents (ordered by
-    doc_id within each lang shard) into 64-token training bins — a doc
-    that would overflow the current bin opens the next one. Emits per-bin
-    doc count and token total, the shape a trainer's data loader consumes.
+    doc_id within each (lang, shard) group) into 64-token training bins —
+    a doc that would overflow the current bin opens the next one. Emits
+    per-bin doc count and token total, the shape a trainer's data loader
+    consumes.
 
-    Scale: packing is a sequential scan, but only WITHIN a shard — so it
-    runs as one Arrow-batched applyInPandas per lang (at 100 TB the shard
-    key is (lang, shard_id) with shard boundaries pre-chunked, keeping
-    each group bounded). The oracle is the same greedy recurrence as a
-    recursive CTE. State per group is two integers (fill, bin), never the
+    Scale: packing is a sequential recurrence, so it cannot distribute
+    WITHIN a group — the scale lever is the group key. Groups are
+    pre-chunked (lang, shard_id) with shard_id = doc_id // 256: row-local
+    (no window / global sequence needed to assign it), deterministic
+    (retried tasks re-derive the same shards), and bounded (≤ 256 docs
+    per group, so pandas memory per task is O(shard), never O(corpus)).
+    Parallelism = Σ_lang ⌈docs/256⌉, growing linearly with data instead
+    of capping at #languages. Bin ids stay globally unique via per-shard
+    id ranges (see _pack_pdf) — no cross-shard coordination, no second
+    pass. The oracle runs the SAME sharded recurrence as a recursive CTE
+    partitioned by (lang, shard_id), which also bounds its recursion
+    depth at 256. State per group is two integers (fill, bin), never the
     document list.
     """
     prep(spark)
     d = load(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard_id"),
     )
-    packed = toks.groupBy("lang").applyInPandas(
-        _pack_pdf, "doc_id long, lang string, n_toks int, bin long"
+    packed = toks.groupBy("lang", "shard_id").applyInPandas(
+        _pack_pdf,
+        "doc_id long, lang string, n_toks int, shard_id long, bin long",
     )
     return (
         packed.groupBy("lang", "bin")

@@ -195,16 +195,27 @@ def test_pack_sequences_matches_greedy(spark, counts):
 
     from modforms_db_spark.llm.pipeline import _pack_pdf
 
+    from modforms_db_spark.llm.pipeline import _PACK_SHARD_DOCS
+
     toks = df.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard_id"),
     )
     got = {
         (r.doc_id, r.bin)
-        for r in toks.groupBy("lang")
-        .applyInPandas(_pack_pdf, "doc_id long, lang string, n_toks int, bin long")
+        for r in toks.groupBy("lang", "shard_id")
+        .applyInPandas(
+            _pack_pdf,
+            "doc_id long, lang string, n_toks int, shard_id long, bin long",
+        )
         .collect()
     }
 
+    # ≤30 docs → single shard (shard 0), so the reference greedy walk is
+    # unsharded; shard-boundary behavior is pinned by test_llm.py's
+    # sharding test and the (lang, shard)-partitioned oracle CTE.
     want, fill, b = set(), 0, 0
     for i, n in enumerate(counts):
         if fill and fill + n > _PACK_BUDGET:
