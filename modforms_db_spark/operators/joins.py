@@ -468,12 +468,18 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def word_mask(key_col: str, seed: int, prefix: str):
-        bitpos = F.pmod(F.xxhash64(F.lit(seed), F.col(key_col)), F.lit(m_bits))
+        # One hash per seed: word index AND bit mask both derive from the
+        # SAME bitpos expression — identical seed type, identical hash
+        # function (ADVICE r1: the previous form mixed an IntegerType and
+        # a LongType seed, which xxhash64 hashes differently, so word and
+        # bit silently came from two unrelated hash functions). bitpos is
+        # non-negative (pmod), so div/% are exact word/bit splits.
+        bitpos = f"pmod(xxhash64(CAST({seed} AS BIGINT), {key_col}), {m_bits})"
         return [
-            F.shiftright(bitpos, 6).cast("int").alias(f"{prefix}w"),
-            F.expr(
-                f"shiftleft(1L, cast(pmod(xxhash64({seed}L, {key_col}), {m_bits}) % 64 as int))"
-            ).alias(f"{prefix}m"),
+            F.expr(f"CAST({bitpos} div 64 AS INT)").alias(f"{prefix}w"),
+            F.expr(f"shiftleft(1L, CAST({bitpos} % 64 AS INT))").alias(
+                f"{prefix}m"
+            ),
         ]
 
     bloom = (

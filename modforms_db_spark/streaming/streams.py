@@ -55,8 +55,13 @@ def _raw_events_schema(sf_dir: str) -> tuple[T.StructType, bool]:
     (pyarrow, metadata-only) and declare accordingly."""
     import pyarrow.parquet as pq
 
+    import pyarrow as pa
+
     t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    is_nanos = str(t) == "timestamp[ns]"
+    # Unit-based check: str(t) would miss tz-annotated variants like
+    # "timestamp[ns, tz=UTC]" (ADVICE r1) and mis-declare the stream
+    # schema while nanosAsLong still surfaces the column as bigint.
+    is_nanos = pa.types.is_timestamp(t) and t.unit == "ns"
     ts_field = T.LongType() if is_nanos else T.TimestampNTZType()
     schema = T.StructType(
         [
