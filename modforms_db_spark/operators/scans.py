@@ -144,6 +144,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     priority="P2",
+    headline=True,  # bench-guards the metadata-only file-audit path
     tags=("scan", "metadata", "lineage"),
 )
 def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:

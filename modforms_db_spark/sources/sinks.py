@@ -79,6 +79,7 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_orderpriority
     """,
     priority="P2",
+    headline=True,  # bench-guards the zero-exchange bucketed-join plan
     tags=("sink", "bucketing", "scale-path"),
 )
 def q_sink_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
