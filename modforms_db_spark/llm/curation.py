@@ -1,0 +1,192 @@
+"""Corpus-curation operators beyond SURVEY §2 — the decisions a training
+run makes AFTER cleaning: which split each doc lands in, how much of each
+language/domain to sample, and fixed-size per-group samples.
+
+Cross-engine determinism rule: every "random" decision is a pure function
+of the row key via Knuth multiplicative hashing
+(``(key * 2654435761) mod 2^32``) — exact BIGINT arithmetic in both Spark
+and DuckDB, so the oracle reproduces assignments bit-for-bit (same device
+as ``q_sample`` / ``q_sample_stratified``, operators/scans.py). At 100 TB
+you'd swap in ``xxhash64(salt, key)`` — same shape, one projection, no
+shuffle; the multiplicative form is the engine-parity contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def _hash_bucket(col: str, buckets: int) -> F.Column:
+    return (F.col(col) * F.lit(_KNUTH) % F.lit(_MOD)) % F.lit(buckets)
+
+
+@register(
+    "q_split_assign",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+             (doc_id * 2654435761) % 4294967296 % 100 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 96 THEN 'train'
+                WHEN b < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+    FROM t GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "curation", "split"),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the doc key into 100
+    buckets (96/2/2 split), report per-(split, lang) doc and token counts
+    — the membership audit a training run ships with its data card.
+
+    Scale: the assignment is a pure projection (no shuffle, no state, no
+    global sort); any executor can re-derive any doc's split, so the
+    split survives reshards, retries, and incremental ingest — the
+    property that makes hash-splits the standard over random ones.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    b = _hash_bucket("doc_id", 100)
+    return (
+        d.select(
+            F.when(b < 96, "train")
+            .when(b < 98, "val")
+            .otherwise("test")
+            .alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_toks"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "q_domain_mix",
+    oracle="""
+    WITH w(lang, wgt) AS (
+      VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2), ('es', 0.1), ('zh', 0.1)
+    ), tok AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_avail
+      FROM documents GROUP BY lang
+    ), tot AS (
+      SELECT CAST(FLOOR(0.5 * SUM(tokens_avail)) AS BIGINT) AS budget FROM tok
+    )
+    SELECT t.lang,
+           t.tokens_avail,
+           CAST(FLOOR(tot.budget * w.wgt) AS BIGINT) AS target_tokens,
+           ROUND(LEAST(1.0, (tot.budget * w.wgt) / t.tokens_avail), 4) AS sample_rate,
+           CAST(FLOOR(ROUND(LEAST(1.0, (tot.budget * w.wgt) / t.tokens_avail), 4)
+                      * t.tokens_avail) AS BIGINT) AS expected_tokens
+    FROM tok t JOIN w ON t.lang = w.lang CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("llm", "curation", "mixture"),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planning: given target weights per lang and a
+    global token budget (here 50 % of the corpus), compute each lang's
+    sampling rate ``min(1, budget·w / tokens)`` and the tokens it will
+    contribute — the arithmetic behind every "data mixture" table in a
+    model card. Upsampling (rate > 1) is clamped; re-normalizing the
+    residual onto under-capped langs is a second pass of the same query.
+
+    Scale: one partial-agg token count per lang (map-side collapsed),
+    one broadcast of the 5-row weight dim, one broadcast of the 1-row
+    budget agg — nothing here grows with corpus size except the linear
+    token count. expected_tokens is derived from the ROUNDED rate on
+    both engines so the hash can't drift on fp representation.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [("en", 0.4), ("de", 0.2), ("fr", 0.2), ("es", 0.1), ("zh", 0.1)],
+        "lang string, wgt double",
+    )
+    tok = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n_toks"))
+        .groupBy("lang")
+        .agg(F.sum("n_toks").cast("bigint").alias("tokens_avail"))
+    )
+    budget = tok.agg(
+        F.floor(0.5 * F.sum("tokens_avail")).cast("bigint").alias("budget")
+    )
+    rate4 = F.round(
+        F.least(
+            F.lit(1.0), F.col("budget") * F.col("wgt") / F.col("tokens_avail")
+        ),
+        4,
+    )
+    return (
+        tok.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "tokens_avail",
+            F.floor(F.col("budget") * F.col("wgt")).cast("bigint").alias(
+                "target_tokens"
+            ),
+            rate4.alias("sample_rate"),
+            F.floor(rate4 * F.col("tokens_avail")).cast("bigint").alias(
+                "expected_tokens"
+            ),
+        )
+    )
+
+
+@register(
+    "q_sample_group_topk",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 4294967296 AS pri
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, pri,
+             row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+      FROM p
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= 10
+    """,
+    priority="P2",
+    tags=("llm", "curation", "sampling"),
+)
+def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (exactly k=10 docs per lang):
+    rank docs by a deterministic hash priority and keep the k smallest —
+    distributed reservoir sampling as a rank query, with the reservoir's
+    randomness replaced by the key hash so every engine (and every rerun)
+    draws the same sample.
+
+    Scale: same shape as q_win_topk_pergroup — the window shuffles once
+    on lang; with k ≪ group size the rank is the textbook use of a
+    per-partition partial top-k (Spark's WindowGroupLimit pushes the
+    k=10 limit below the shuffle, so only candidate rows move).
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    pri = (F.col("doc_id") * F.lit(_KNUTH) % F.lit(_MOD)).alias("pri")
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    return (
+        d.select("doc_id", "lang", pri)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
+    )

@@ -49,6 +49,7 @@ _OPERATOR_MODULES = [
     "modforms_db_spark.llm.text_stats",
     "modforms_db_spark.llm.multimodal",
     "modforms_db_spark.llm.pipeline",
+    "modforms_db_spark.llm.curation",
 ]
 
 _loaded = False
