@@ -818,6 +818,84 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels
 
 
+_SUBSTR_W = 30  # window length (tokens) for exact passage dedup
+
+
+@register(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), idx AS (
+      SELECT doc_id, lang, toks,
+             unnest(generate_series(1, len(toks) - {_SUBSTR_W} + 1)) AS i
+      FROM t WHERE len(toks) >= {_SUBSTR_W}
+    ), dw AS (
+      SELECT DISTINCT doc_id, lang,
+             array_to_string(toks[i:i+{_SUBSTR_W - 1}], ' ') AS win
+      FROM idx
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared
+    FROM dw a JOIN dw b
+      ON a.win = b.win AND a.lang = b.lang AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "substring"),
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (repeated-passage) dedup: doc pairs sharing at
+    least one identical run of 30 consecutive tokens, with the count of
+    distinct shared windows — the Lee et al. ("Deduplicating Training
+    Data Makes Language Models Better") exact-substring criterion that
+    catches quote/boilerplate reuse token-set methods miss entirely.
+
+    Spark shape: per-doc sliding windows built as one projection
+    (`transform(sequence(...), i -> concat_ws(slice(toks, i, W)))` —
+    no join, no window function), deduped per doc BEFORE the explode,
+    then one shuffle keyed on the window to find cross-doc collisions.
+    Linear in corpus tokens, same cost class as the token explode.
+
+    Scale: the contract form shuffles window STRINGS so the DuckDB
+    oracle can reproduce keys exactly; at 100 TB you shuffle
+    ``xxhash64(win)`` (8 bytes, rolling-hashable) instead, and the
+    same df-cap discipline as the Jaccard family applies to boilerplate
+    windows (a license header shared by every doc is a hot key — cap
+    window document-frequency before the self-join).
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    wins = (
+        d.where(F.size(toks) >= _SUBSTR_W)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - _SUBSTR_W + 1),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i, _SUBSTR_W)
+                        ),
+                    )
+                )
+            ).alias("win"),
+        )
+    )
+    a, b = wins.alias("a"), wins.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
 @register(
     "q_dedup_apply",
     oracle="""

@@ -540,3 +540,100 @@ def q_sim_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("q_id", "nb_id", "cos4", "rn")
     )
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+
+
+def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, emb, cluster, dist2): nearest centroid per vector.
+    Centroids (≤ k rows) are broadcast; distance is an element-order
+    zip_with/aggregate fold (same determinism discipline as _dot), and
+    ties break on the lower cluster id via min_by on (dist2, cluster)."""
+    dist2 = F.aggregate(
+        F.zip_with("emb", "c_emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "emb", "cluster", dist2.alias("dist2")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("dist2", "cluster")).alias("b"),
+        F.first("emb").alias("emb"),
+    )
+    return best.select(
+        "vec_id", "emb", F.col("b.cluster").alias("cluster"),
+        F.col("b.dist2").alias("dist2"),
+    )
+
+
+def kmeans_fit(vecs: DataFrame, k: int, iters: int) -> DataFrame:
+    """Lloyd's k-means, deterministic: init = embeddings of the k lowest
+    vec_ids, fixed iteration count, fp-stable folds. Returns the final
+    assignment (vec_id, cluster, dist2).
+
+    Scale shape per iteration: one broadcast crossJoin (k rows — never a
+    shuffle of the vector side) + one assignment agg on vec_id + one
+    centroid recompute via posexplode to (cluster, dim) partial-agg
+    means — linear in vectors×dims, k·dims rows of state, and the
+    centroid table re-broadcasts each round. `localCheckpoint` truncates
+    the per-round lineage (same device as q_dedup_components)."""
+    init = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
+            F.col("emb").alias("c_emb"),
+        )
+    ).localCheckpoint()
+    centroids = init
+    assigned = None
+    for _ in range(iters):
+        assigned = kmeans_assign(vecs, centroids)
+        centroids = (
+            assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cluster",
+                F.transform("pm", lambda s: s.getField("m")).alias("c_emb"),
+            )
+        ).localCheckpoint()
+    return assigned.select("vec_id", "cluster", "dist2")
+
+
+@register(
+    "q_cluster_kmeans",
+    oracle=None,  # iterative fp argmin chains are not engine-portable;
+    # determinism, partition-totality and inertia descent are test-pinned
+    priority="P2",
+    tags=("llm", "clustering", "scale-path"),
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding table (k=8, 3 Lloyd
+    iterations, deterministic lowest-vec_id init) — the corpus-curation
+    primitive behind topic balancing, IVF cell training
+    (q_sim_ivf_topk's coarse quantizer), and semantic-dedup blocking.
+    Emits per-cluster size and rounded inertia share.
+
+    Rows-only for the driver: a cross-engine oracle would have to
+    reproduce 3 chained float argmin rounds bit-for-bit, which is
+    exactly the kind of fp-tie coupling the parity rules forbid;
+    instead tests pin determinism across reruns, that assignments
+    partition the input, and that inertia is non-increasing in the
+    iteration count."""
+    prep(spark)
+    vecs = _emb(spark, sf_dir).select("vec_id", "emb")
+    assigned = kmeans_fit(vecs, _KMEANS_K, _KMEANS_ITERS)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("dist2"), 4).alias("inertia4"),
+        )
+        .orderBy("cluster")
+    )

@@ -302,3 +302,26 @@ def test_components_star_converges_in_olog_rounds(spark):
     got = {(r.doc_id, r.component) for r in star.collect()}
     want = {(r.doc_id, r.component) for r in prop.collect()}
     assert got == want
+
+
+def test_kmeans_deterministic_total_and_descending(spark):
+    """q_cluster_kmeans is rows-only, so pin the properties the missing
+    oracle would have checked: reruns are identical, the assignment
+    partitions the input (sizes sum to the table count), and total
+    inertia is non-increasing in the iteration count (Lloyd guarantee)."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.llm.similarity import _emb, kmeans_fit
+
+    reg = get_registry()
+    r1 = sorted(map(tuple, reg["q_cluster_kmeans"].builder(spark, SF_DIR).collect()))
+    r2 = sorted(map(tuple, reg["q_cluster_kmeans"].builder(spark, SF_DIR).collect()))
+    assert r1 == r2
+    vecs = _emb(spark, SF_DIR).select("vec_id", "emb")
+    total = vecs.count()
+    assert sum(r[1] for r in r1) == total
+    inertia = {}
+    for iters in (1, 3):
+        a = kmeans_fit(vecs, 8, iters)
+        inertia[iters] = a.agg(F.sum("dist2").alias("s")).collect()[0].s
+    assert inertia[3] <= inertia[1] + 1e-9, inertia
