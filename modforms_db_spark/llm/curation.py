@@ -190,3 +190,50 @@ def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("lang", "doc_id", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT)                         AS n_classes,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                                                            AS classes_under_k,
+           CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+                                                            AS rows_at_risk,
+           CAST(MIN(grp_n) AS BIGINT)                       AS min_class_size
+    FROM g
+    """,
+    priority="P2",
+    tags=("llm", "curation", "governance"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (nation × market
+    segment, k=5): how many equivalence classes exist, how many are
+    below k, and how many rows sit in them — the re-identification-risk
+    report a dataset release (or a PII-scrubbed training corpus) ships
+    alongside `q_pii_redact`'s content pass.
+
+    Scale: one partial-agg groupBy on the quasi-identifier tuple, then
+    a second trivial agg over class counts — the class table is bounded
+    by the quasi-identifier domain, not the row count, so the audit is
+    a single linear pass at any corpus size.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_n")
+    )
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).alias(
+            "classes_under_k"
+        ),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        F.min("grp_n").alias("min_class_size"),
+    )

@@ -950,3 +950,64 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped"),
         )
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h,
+             doc_id >= 250 AS incoming
+      FROM documents
+    ), existing AS (
+      SELECT DISTINCT lang, h FROM c WHERE NOT incoming
+    )
+    SELECT n.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN e.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_already_present
+    FROM (SELECT * FROM c WHERE incoming) n
+    LEFT JOIN existing e ON n.lang = e.lang AND n.h = e.h
+    GROUP BY n.lang
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: treat the upper half of the corpus
+    (doc_id ≥ 250) as an incoming batch and dedup it against the
+    already-ingested lower half by canonical token-set hash — the
+    reference's idempotent re-ingest semantics [R] (re-adding known
+    content is a no-op) expressed as a batch-vs-corpus anti-join audit,
+    reporting new vs already-present docs per lang.
+
+    Scale: the "existing" side projects to (lang, 32-byte hash) only —
+    at 100 TB that is the persisted dedup index you join every incoming
+    batch against (shuffle keyed on the hash, payload never moves);
+    a broadcast works whenever the batch, not the corpus, is small.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    c = d.select(
+        "doc_id", "lang", canon.alias("h"), (F.col("doc_id") >= 250).alias("incoming")
+    )
+    existing = c.where(~F.col("incoming")).select("lang", "h").distinct()
+    incoming = c.where(F.col("incoming")).alias("n")
+    e = existing.alias("e")
+    joined = incoming.join(
+        e,
+        (F.col("n.lang") == F.col("e.lang")) & (F.col("n.h") == F.col("e.h")),
+        "left",
+    )
+    return joined.groupBy(F.col("n.lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("e.h").isNull(), 1).otherwise(0)).alias("n_new"),
+        F.sum(F.when(F.col("e.h").isNull(), 0).otherwise(1)).alias(
+            "n_already_present"
+        ),
+    )
