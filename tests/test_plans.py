@@ -272,3 +272,54 @@ def test_bloom_prefilter_probes_broadcast_bitmap(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     # The exact membership check stays a real (semi) join after the probes.
     assert "LeftSemi" in plan, plan
+
+
+def test_split_assign_is_projection_plus_one_shuffle(spark):
+    """The split assignment must be a pure projection (hash of the key,
+    no membership table, no join); the only Exchange is the final
+    (split, lang) aggregation's partial→final shuffle."""
+    plan = _plan(spark, "q_split_assign")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_domain_mix_broadcasts_weights_and_budget(spark):
+    """Mixture planning joins a 5-row weight dim and a 1-row budget agg
+    onto the per-lang token counts — both must broadcast; nothing beyond
+    the linear token count may shuffle."""
+    plan = _plan(spark, "q_domain_mix")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row budget crossJoin
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assign_broadcasts_centroids(spark):
+    """Each Lloyd iteration must broadcast the k-row centroid table —
+    the vector side never shuffles for assignment."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.llm.similarity import _emb, kmeans_assign
+
+    vecs = _emb(spark, SF_DIR).select("vec_id", "emb")
+    cents = vecs.orderBy("vec_id").limit(8).select(
+        F.lit(1).alias("cluster"), F.col("emb").alias("c_emb")
+    )
+    plan = (
+        kmeans_assign(vecs, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_substring_dedup_dedupes_windows_before_shuffle(spark):
+    """Per-doc window dedup must happen inside the projection
+    (array_distinct BEFORE the explode), so the keyed shuffle carries
+    each (doc, window) once — never the raw sliding-window stream."""
+    plan = _plan(spark, "q_dedup_substring")
+    assert "array_distinct" in plan, plan
+    # The pair aggregation collapses map-side before its shuffle.
+    assert "partial" in plan.lower(), plan
