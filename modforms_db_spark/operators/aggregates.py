@@ -894,3 +894,37 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         )
     )
+
+
+@register(
+    "q_agg_regression",
+    oracle=f"""
+    SELECT l_returnflag,
+           {R4('regr_slope(l_extendedprice, l_quantity)')}     AS slope,
+           {R4('regr_intercept(l_extendedprice, l_quantity)')} AS intercept,
+           {R4('regr_r2(l_extendedprice, l_quantity)')}        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("agg", "stats", "regression"),
+)
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R² of price on
+    quantity per return flag) — the in-engine OLS family both engines
+    implement as single-pass moment accumulators, i.e. the trend-line
+    primitive that needs no ML library and no second scan.
+
+    Scale: regr_* are algebraic aggregates (sums of x, y, xy, x², y²)
+    → partial+final like any sum; one shuffle of 5 moment tuples per
+    group, constant state per task."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        r4(F.regr_intercept("l_extendedprice", "l_quantity")).alias(
+            "intercept"
+        ),
+        r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )

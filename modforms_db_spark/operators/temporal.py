@@ -487,3 +487,116 @@ def q_events_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           {R4('SUM(value * (t_next - t)) / SUM(t_next - t)')} AS twa
+    FROM seq WHERE t_next IS NOT NULL AND t_next > t
+    GROUP BY user_id
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (last-observation-carried-forward:
+    each value weighted by the µs it was current, Σ vᵢ·Δtᵢ / Σ Δtᵢ) —
+    the TimescaleDB-style `time_weight` rollup that makes irregularly
+    sampled series comparable, where a plain AVG over-weights chatty
+    periods.
+
+    Scale: one shuffle on user_id for the lead() window, then a
+    partial+final agg on the same key — AQE reuses the partitioning, so
+    the whole query is a single exchange. Weights are integer µs
+    (epoch arithmetic exact on both engines); only the final ratio is
+    rounded."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → µs via the session-UTC cast (prep() pins the zone; same
+    # idiom as q_win_lag_lead).
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    ).where(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+    dt = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        r4(F.sum(F.col("value") * dt) / F.sum(dt)).alias("twa"),
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, value, ts, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), rec AS (
+      SELECT user_id, rn, value, value AS ewma FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.value, 0.3 * s.value + 0.7 * r.ewma
+      FROM seq s JOIN rec r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           ROUND(MAX(CASE WHEN rn = mx THEN ewma END), 4) AS ewma_last
+    FROM (SELECT *, MAX(rn) OVER (PARTITION BY user_id) AS mx FROM rec)
+    GROUP BY user_id
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "recurrence"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user (α=0.3, seeded at
+    the first observation), emitting each user's event count and final
+    EWMA — the smoothing recurrence behind rate limiting, anomaly
+    baselines, and streaming health metrics.
+
+    Spark shape: the recurrence folds JVM-side — sort each user's
+    (ts, event_id, value) structs into an array, then one `aggregate`
+    lambda walks it (identical fp operation order to the oracle's
+    recursive CTE, so values match bit-for-bit before the final
+    rounding). One shuffle on user_id; no Python.
+
+    Scale: per-user state during the fold is the collected event array —
+    fine while per-user history is bounded (it is here: ≤ a few hundred
+    events); for unbounded histories the same recurrence runs as
+    `applyInPandas` over (user, time-shard) with carried seed values,
+    the q_pack_sequences sharding pattern, or incrementally under
+    `applyInPandasWithState` in the streaming twin."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    folded = (
+        e.groupBy("user_id")
+        .agg(arr.alias("evs"))
+        .select(
+            "user_id",
+            F.size("evs").cast("bigint").alias("n_events"),
+            F.aggregate(
+                "evs",
+                F.lit(None).cast("double"),
+                lambda acc, s: F.when(acc.isNull(), s.getField("value")).otherwise(
+                    F.lit(0.3) * s.getField("value") + F.lit(0.7) * acc
+                ),
+            ).alias("ewma"),
+        )
+    )
+    return folded.select(
+        "user_id", "n_events", F.round("ewma", 4).alias("ewma_last")
+    )
