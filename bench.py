@@ -47,8 +47,14 @@ def main() -> None:
     reg = get_registry()
     headline = [name for name, qd in sorted(reg.items()) if qd.headline]
 
-    # Warmup: prime JVM codegen + parquet footers, untimed.
-    reg["q_agg_flagship"].builder(spark, sf_dir).toPandas()
+    # Warmup: one untimed pass over every headline query primes JVM JIT,
+    # whole-stage codegen compilation (seconds for the wide lambda
+    # expressions in the dedup family), and parquet footer caches — the
+    # timed runs then measure steady-state engine throughput, which is
+    # what this bench claims (module docstring), not first-run
+    # compilation noise.
+    for name in headline:
+        reg[name].builder(spark, sf_dir).toPandas()
 
     # Results come back over the Arrow path (toPandas) — columnar exchange,
     # the way a real consumer of a 200k-row result would read it; collect()
