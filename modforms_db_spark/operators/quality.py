@@ -1,0 +1,107 @@
+"""Data-quality expectation operators — the dbt-test / Great-Expectations
+battery as engine queries: each check is an aggregate over the table, the
+suite is one union'd report, and a violation count of zero is the
+contract. The reference's `check_records` consistency sweeps [R] are this
+shape: scan the store once, emit one row per invariant.
+
+Scale: every check is a partial+final aggregate (or a broadcast/semi
+join for referential integrity); the suite output is bounded by the
+number of CHECKS, not rows, so the report is free to collect anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+
+@register(
+    "q_dq_expectations",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST((SELECT COUNT(*) FROM
+                  (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+                   HAVING COUNT(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey IS NOT NULL
+                   AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_name IS NULL)
+                AS BIGINT)
+    """,
+    priority="P2",
+    tags=("quality", "expectations", "audit"),
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over the warehouse: primary-key uniqueness,
+    referential integrity, domain ranges, and not-null contracts, one
+    row per check with its violation count — the pre-publish gate every
+    curated dataset runs (`check_records` [R] generalized).
+
+    Spark shape: PK check = self-groupBy; FK check = broadcast ANTI join
+    against the (small-projected) dimension key set; range/null checks =
+    conditional counts fused into single scans. Each table is scanned
+    once per check family, and the output is one row per check.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    pk_dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_pk_unique").alias("check_name"), "n_violations")
+    )
+    fk_orphans = (
+        o.where(F.col("o_custkey").isNotNull())
+        .join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_custkey_fk").alias("check_name"), "n_violations")
+    )
+    # Range + positivity checks on single scans (conditional counts).
+    disc_range = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("n_violations")
+    ).select(
+        F.lit("lineitem_discount_range").alias("check_name"), "n_violations"
+    )
+    price_pos = o.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_violations")
+    ).select(
+        F.lit("orders_totalprice_positive").alias("check_name"), "n_violations"
+    )
+    name_nn = c.agg(
+        F.sum(F.col("c_name").isNull().cast("long")).alias("n_violations")
+    ).select(
+        F.lit("customer_name_not_null").alias("check_name"), "n_violations"
+    )
+    return (
+        pk_dups.unionByName(fk_orphans)
+        .unionByName(disc_range)
+        .unionByName(price_pos)
+        .unionByName(name_nn)
+    )

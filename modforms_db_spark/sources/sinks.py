@@ -439,3 +439,55 @@ def compacted_file_counts() -> tuple[int, int]:
     frag = glob.glob(os.path.join(_SCRATCH, "events_fragmented", "*", "*.parquet"))
     comp = glob.glob(os.path.join(_SCRATCH, "events_compacted", "*", "*.parquet"))
     return len(frag), len(comp)
+
+
+@register(
+    "q_sink_sorted_pruning",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("sink", "layout", "pruning", "scale-path"),
+)
+def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-clustered layout: rewrite lineitem range-partitioned AND
+    sorted by l_shipdate, then answer a shipdate-range query from the
+    clustered copy. Because each output file (and each row group inside
+    it) covers a disjoint, narrow shipdate span, the parquet min/max
+    statistics let the filtered scan skip most of the data — the
+    Z-order/cluster-key discipline every 100 TB time-filtered table
+    needs, where the same predicate on an unsorted layout reads every
+    file (every row group straddles the full date range).
+
+    The oracle runs the same filter+agg on the SOURCE table, proving
+    the clustered rewrite is lossless; the unit test inspects the
+    written parquet footers and asserts the per-file shipdate ranges
+    are disjoint (the property pruning relies on).
+    """
+    prep(spark)
+    path = _scratch("lineitem_sorted_shipdate")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_shipdate", "l_returnflag", "l_extendedprice", "l_discount"
+        )
+        .repartitionByRange(4, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("l_shipdate")
+        >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -273,3 +273,32 @@ def test_audio_windows_shape_and_determinism(spark):
         assert len(rows) == expect, (doc_id, n, len(rows), expect)
         for r in rows:
             assert 0.0 <= r.rms <= 1.0
+
+
+def test_sorted_sink_files_cover_disjoint_ranges(spark):
+    """q_sink_sorted_pruning's layout contract: after the range-partition
+    + sort rewrite, each written file's (min, max) l_shipdate span must
+    be disjoint from every other file's — the property parquet min/max
+    pruning needs. Verified from the actual footers via pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from modforms_db_spark.sources.sinks import _scratch
+
+    _q("q_sink_sorted_pruning")(spark, SF_DIR).collect()  # materialize write
+    files = sorted(glob.glob(_scratch("lineitem_sorted_shipdate") + "/*.parquet"))
+    assert len(files) >= 2, files
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # l_shipdate is first column
+            assert col.path_in_schema == "l_shipdate"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)
