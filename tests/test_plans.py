@@ -323,3 +323,14 @@ def test_substring_dedup_dedupes_windows_before_shuffle(spark):
     assert "array_distinct" in plan, plan
     # The pair aggregation collapses map-side before its shuffle.
     assert "partial" in plan.lower(), plan
+
+
+def test_tpch_queries_broadcast_dimension_sides(spark):
+    """The multi-join analogues must broadcast every dimension side —
+    the fact chain is the only thing allowed to shuffle."""
+    for name, min_bcast in (("q_tpch_q3", 1), ("q_tpch_q5", 2), ("q_tpch_q10", 1)):
+        plan = _plan(spark, name)
+        assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan)
+    # Q3/Q10 are top-k: the global sort must be TakeOrdered, not a full sort.
+    for name in ("q_tpch_q3", "q_tpch_q10"):
+        assert "TakeOrderedAndProject" in _plan(spark, name), name
