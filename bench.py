@@ -104,6 +104,11 @@ def main() -> None:
         print(f"duckdb comparison skipped: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
+    # Queries whose Spark timing includes a real write path (table/file
+    # rewrite) while the oracle only re-runs the equivalent read query —
+    # their Spark-vs-DuckDB ratio compares a write+read against a read
+    # and is not an engine-speed signal.
+    write_path = sorted(n for n in headline if "sink" in n)
     print(
         json.dumps(
             {
@@ -113,6 +118,7 @@ def main() -> None:
                 "queries": timings,
                 "duckdb_oracle": duck,
                 "duckdb_total": round(sum(duck.values()), 4),
+                "write_path_queries": write_path,
                 "sf": sf,
             }
         )

@@ -123,13 +123,21 @@ def _driver_verified_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True or (
-                row.get("err") is None and row.get("rows_match") is not False
-            ):
+            if isinstance(row, dict) and _is_verified_row(row):
                 verified.add(name)
     return verified
+
+
+def _is_verified_row(row: dict) -> bool:
+    """Hard driver signal: a hash match, or an error-free rows-only run.
+    Errors of any kind (including the retired ``no_oracle``) and hash
+    mismatches do NOT count — those queries re-enter the front of the
+    verification window next round."""
+    if row.get("hash_match") is True:
+        return True
+    if row.get("hash_match") is False:
+        return False
+    return row.get("err") is None and row.get("rows_match") is not False
 
 
 def _ordered_names() -> list[str]:

@@ -142,3 +142,49 @@ def test_approx_percentile_within_rank_tolerance(spark):
     assert sum(r.n_orders for r in rows) == orders.count()
     for r in rows:
         assert r.median_within and r.p90_within, r
+
+
+def test_driver_verified_row_classification():
+    """The registry's window rotation depends on classifying driver
+    CORRECTNESS rows correctly: hash matches and clean rows-only runs
+    are verified; errors and hash mismatches must re-enter the window."""
+    from modforms_db_spark.registry import _driver_verified_names, _is_verified_row
+
+    ok_hash = {"rows_match": True, "schema_match": True, "hash_match": True,
+               "spark_rows": 5, "oracle_rows": 5, "err": None}
+    rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 5, "oracle_rows": None, "err": None}
+    no_oracle = {"rows_match": None, "schema_match": None, "hash_match": None,
+                 "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    mismatch = {"rows_match": True, "schema_match": True, "hash_match": False,
+                "spark_rows": 5, "oracle_rows": 5, "err": None}
+    crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "AnalysisException"}
+    assert _is_verified_row(ok_hash)
+    assert _is_verified_row(rows_only)
+    assert not _is_verified_row(no_oracle)
+    assert not _is_verified_row(mismatch)
+    assert not _is_verified_row(crashed)
+    # Integration: every r1-green name must be in the verified set, and
+    # the five reformulated no_oracle names must NOT be.
+    seen = _driver_verified_names()
+    assert "q_agg_flagship" in seen and "q_join_broadcast" in seen
+    for name in ("q_scan_metadata", "q_agg_approx_distinct",
+                 "q_agg_approx_percentile", "q_agg_hll_merge",
+                 "q_stat_freq_items"):
+        assert name not in seen, name
+
+
+def test_driver_window_orders_unverified_first():
+    """queries() must lead with names lacking a green CORRECTNESS row so
+    the driver's 50-query sample always covers fresh operators."""
+    from modforms_db_spark.registry import _driver_verified_names, get_queries
+
+    seen = _driver_verified_names()
+    names = list(get_queries())
+    first_seen_verified = next(
+        (i for i, n in enumerate(names) if n in seen), len(names)
+    )
+    # No unverified name may appear after the first verified one.
+    assert all(n in seen for n in names[first_seen_verified:])
+    assert first_seen_verified >= 50  # window is fully unverified
