@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -104,4 +105,59 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(disc_range)
         .unionByName(price_pos)
         .unionByName(name_nn)
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN e.value < b.lo OR e.value > b.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           {R4('AVG(LEAST(GREATEST(e.value, b.lo), b.hi))')} AS mean_winsorized,
+           {R4('AVG(e.value)')} AS mean_raw
+    FROM events e JOIN b ON e.event_type = b.event_type
+    GROUP BY e.event_type
+    """,
+    priority="P2",
+    tags=("quality", "robust-stats"),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: clip values to the group's
+    [p5, p95] before averaging — the robust-statistics cleaning step
+    that stops a handful of wild outliers (sensor glitches, log bombs)
+    from dragging quality metrics, reported next to the raw mean and
+    the clip count.
+
+    Scale: group percentiles are ONE exact-percentile agg over the
+    bounded event-type key (5 rows), broadcast back onto the fact scan —
+    the fact table is read once for the bounds and once for the clipped
+    agg, both linear; no window function, so no per-row sort."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast(
+                    "long"
+                )
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.round(F.avg("value"), 4).alias("mean_raw"),
+        )
     )
