@@ -237,3 +237,118 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("grp_n").alias("min_class_size"),
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ), dup AS (
+      SELECT CAST(SUM(n - 1) AS BIGINT) AS n_dup_docs
+      FROM (SELECT COUNT(*) AS n FROM t GROUP BY lang, h)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t)            AS n_docs,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM t) AS n_langs,
+           (SELECT CAST(SUM(n_toks) AS BIGINT) FROM t)          AS total_tokens,
+           (SELECT CAST(MIN(n_toks) AS BIGINT) FROM t)          AS min_doc_tokens,
+           (SELECT CAST(MAX(n_toks) AS BIGINT) FROM t)          AS max_doc_tokens,
+           (SELECT ROUND(AVG(n_toks), 4) FROM t)                AS mean_doc_tokens,
+           (SELECT n_dup_docs FROM dup)                         AS n_dup_docs
+    """,
+    priority="P2",
+    tags=("llm", "curation", "reporting"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card summary row: corpus size, language count, token
+    totals and document-length spread, plus the canonical-duplicate count
+    (docs beyond the first of each (lang, token-set) group) — the
+    one-line provenance header every released training set carries.
+
+    Scale: one linear pass computes the length stats (partial+final);
+    the dup count reuses the canonical-hash groupBy (32-byte keys).
+    Output is a single row regardless of corpus size.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    t = d.select(
+        "lang", F.size(F.split("text", " ")).alias("n_toks"), canon.alias("h")
+    )
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.min("n_toks").cast("bigint").alias("min_doc_tokens"),
+        F.max("n_toks").cast("bigint").alias("max_doc_tokens"),
+        F.round(F.avg("n_toks"), 4).alias("mean_doc_tokens"),
+    )
+    dup = (
+        t.groupBy("lang", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") - 1).cast("bigint").alias("n_dup_docs"))
+    )
+    return stats.crossJoin(F.broadcast(dup))
+
+
+@register(
+    "q_bpe_merge_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pairs AS (
+      SELECT lang, substring(tok, i, 2) AS pair
+      FROM (SELECT lang, tok, unnest(generate_series(1, length(tok) - 1)) AS i
+            FROM tok WHERE length(tok) >= 2)
+    ), counted AS (
+      SELECT lang, pair, COUNT(*) AS n,
+             row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, pair) AS rk
+      FROM pairs GROUP BY lang, pair
+    )
+    SELECT lang, pair, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+    FROM counted WHERE rk <= 10
+    """,
+    priority="P2",
+    tags=("llm", "curation", "tokenizer"),
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training round: the top-10 most frequent adjacent
+    character pairs within tokens, per language — the merge-candidate
+    statistic byte-pair-encoding tokenizer training recomputes every
+    round (and a real unicode exercise: the zh corpus counts CJK pairs,
+    both engines indexing by character, not byte).
+
+    Scale: pair generation is a per-row projection
+    (`transform(sequence(...), i -> substr(tok, i, 2))`) exploded into
+    a (lang, pair)-keyed partial+final count — the pair domain is tiny
+    (alphabet²), so the map-side combine collapses the corpus-sized
+    stream to per-task pair tables before the shuffle; the top-10 is a
+    WindowGroupLimit over the already-aggregated counts.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok")).where(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substring(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "pair")
+    return (
+        pairs.groupBy("lang", "pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("lang", "pair", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
