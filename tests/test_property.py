@@ -401,3 +401,61 @@ def test_winnow_guarantee_randomized(spark, docs, tmp_path_factory):
                 continue
             if runs6(a) & runs6(b):
                 assert fps[i] & fps[j], (a, b)
+
+
+graph_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(edges=graph_edges)
+# Boundary pins: self-loop only; a chain; two disjoint pairs.
+@example(edges=[(3, 3)])
+@example(edges=[(0, 1), (1, 2), (2, 3), (3, 4)])
+@example(edges=[(0, 1), (5, 6)])
+def test_star_components_match_union_find(spark, edges):
+    """Alternating large-star/small-star must label every non-isolated
+    node with its component's min id — checked against a plain
+    union-find over the same random edge set. Self-loops are dropped
+    (no component without a real edge), matching the query contract."""
+    from modforms_db_spark.llm.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "d1 long, d2 long"
+    )
+    labels, rounds = connected_components(df)
+    got = {(r.doc_id, r.component) for r in labels.collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        for v in (a, b):
+            parent.setdefault(v, v)
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    want = set()
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    for v in parent:
+        want.add((v, comp_min[find(v)]))
+    assert got == want, (sorted(got), sorted(want))
+    assert rounds <= 7  # O(log n) on <=21 nodes
