@@ -64,6 +64,8 @@ def main() -> None:
     # wide lambda expressions) and single-node VM noise; the min is the
     # steady-state number a long-running deployment sees, which is what
     # this bench claims to measure (see module docstring).
+    import gc
+
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
@@ -72,6 +74,11 @@ def main() -> None:
             reg[name].builder(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
+        # Release Python-side references to per-run localCheckpoint RDDs
+        # so the JVM ContextCleaner can drop their blocks — otherwise
+        # dead checkpoint blocks pile up across the run and the growing
+        # GC pressure shows up as noise in later queries' timings.
+        gc.collect()
 
     # DuckDB comparison column: run each headline query's oracle SQL on
     # the same parquet (same machine, same data) so every BENCH_r{N}.json
@@ -109,6 +116,11 @@ def main() -> None:
     # their Spark-vs-DuckDB ratio compares a write+read against a read
     # and is not an engine-speed signal.
     write_path = sorted(n for n in headline if "sink" in n)
+    # Queries whose oracle deliberately runs a SIMPLER plan than the
+    # Spark side demonstrates (the salted join's oracle is the unsalted
+    # join; the salt explode is the 100 TB hot-key mitigation being
+    # exercised, not overhead the oracle shares).
+    demo_overhead = ["q_join_skew_salted"]
     print(
         json.dumps(
             {
@@ -119,6 +131,7 @@ def main() -> None:
                 "duckdb_oracle": duck,
                 "duckdb_total": round(sum(duck.values()), 4),
                 "write_path_queries": write_path,
+                "demo_overhead_queries": demo_overhead,
                 "sf": sf,
             }
         )

@@ -823,6 +823,7 @@ _SUBSTR_W = 30  # window length (tokens) for exact passage dedup
 
 @register(
     "q_dedup_substring",
+    headline=True,
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents

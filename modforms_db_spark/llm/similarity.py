@@ -608,6 +608,7 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int) -> DataFrame:
 
 @register(
     "q_cluster_kmeans",
+    headline=True,
     oracle=None,  # iterative fp argmin chains are not engine-portable;
     # determinism, partition-totality and inertia descent are test-pinned
     priority="P2",
