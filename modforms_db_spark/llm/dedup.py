@@ -1012,3 +1012,101 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_already_present"
         ),
     )
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=_JACCARD_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "jaccard", "prefix-filter", "scale-path"),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise Jaccard >= 0.8 via prefix filtering (the
+    PPJoin/AllPairs family) -- same oracle and identical results as
+    q_dedup_jaccard, different algorithm: under a single global token
+    order (rarest-first by per-lang document frequency), two sets with
+    jac >= t MUST share a token within each one's first
+    n - ceil(t*n) + 1 tokens. Only those prefix tokens are exploded
+    into the candidate join; full token sets are consulted only to
+    verify candidates.
+
+    Why it exists: the naive form joins on EVERY token occurrence --
+    fanout per token ~ df^2, dominated by the most common tokens. The
+    prefix join touches ~ (1-t) of each doc's tokens, and because the
+    order is rarest-first those are exactly the LOW-df tokens, so the
+    quadratic per-token blowup lands on the tokens least able to blow
+    up. This is the standard exact scale path when LSH's probabilistic
+    recall isn't acceptable (legal/dedup-contract settings).
+
+    Shape: one df count (partial+final), per-doc sort by (df, tok) as
+    an array fold (no window), prefix explode, (lang, tok)-keyed
+    candidate join, verify via array_intersect on the two full sets.
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    t = 0.8
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    # Per-doc token array sorted rarest-first under the global (df, tok)
+    # order; struct sort gives the consistent total order the prefix
+    # guarantee requires.
+    docs = (
+        toks.join(dfreq, ["lang", "tok"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.transform("st", lambda s: s.getField("tok")).alias("stoks"),
+            F.size("st").alias("n"),
+        )
+        .withColumn(
+            "prefix",
+            F.slice(
+                "stoks",
+                1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            ),
+        )
+        .localCheckpoint()  # reused by the candidate join (x2) + verify (x2)
+    )
+    pa_, pb = (
+        docs.select("doc_id", "lang", F.explode("prefix").alias("tok")).alias("a"),
+        docs.select("doc_id", "lang", F.explode("prefix").alias("tok")).alias("b"),
+    )
+    cand = (
+        pa_.join(
+            pb,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    g1 = docs.select(
+        F.col("doc_id").alias("d1"), F.col("stoks").alias("t1"), F.col("n").alias("n1")
+    )
+    g2 = docs.select(
+        F.col("doc_id").alias("d2"), F.col("stoks").alias("t2"), F.col("n").alias("n2")
+    )
+    jac = F.round(
+        F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 4
+    )
+    return (
+        cand.join(g1, "d1")
+        .join(g2, "d2")
+        .where(F.least("n1", "n2") >= t * F.greatest("n1", "n2"))
+        .select(
+            "d1", "d2", "n1", "n2",
+            F.size(F.array_intersect("t1", "t2")).alias("i"),
+        )
+        .select("d1", "d2", jac.alias("jac"))
+        .where(F.col("jac") >= t)
+    )
