@@ -240,3 +240,49 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {R2('AVG(c_acctbal)')} AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           {R2('SUM(c.c_acctbal)')} AS total_bal
+    FROM customer c CROSS JOIN avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+    priority="P1",
+    tags=("tpch", "anti-join", "subquery"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity (TPC-H Q22 shape): customers with an
+    above-average balance and NO orders, grouped by nation — the
+    "well-funded but inactive" completeness report, composing a scalar
+    aggregate threshold with an existence anti-join.
+
+    Spark shape: the threshold is a broadcast 1-row aggregate (rounded
+    to 2 dp on both engines so an ulp of summation-order noise cannot
+    flip a boundary row), the NOT EXISTS is a left_anti join against
+    the projected order keys; at 100 TB the anti join shuffles on
+    custkey once and the threshold costs one linear pass."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
