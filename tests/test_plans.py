@@ -328,9 +328,16 @@ def test_substring_dedup_dedupes_windows_before_shuffle(spark):
 def test_tpch_queries_broadcast_dimension_sides(spark):
     """The multi-join analogues must broadcast every dimension side —
     the fact chain is the only thing allowed to shuffle."""
-    for name, min_bcast in (("q_tpch_q3", 1), ("q_tpch_q5", 2), ("q_tpch_q10", 1)):
+    for name, min_bcast in (
+        ("q_tpch_q3", 1),
+        ("q_tpch_q5", 2),
+        ("q_tpch_q10", 1),
+        ("q_tpch_q18", 1),
+    ):
         plan = _plan(spark, name)
         assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan)
-    # Q3/Q10 are top-k: the global sort must be TakeOrdered, not a full sort.
-    for name in ("q_tpch_q3", "q_tpch_q10"):
+    # Q3/Q10/Q18 are top-k: the global sort must be TakeOrdered, not full.
+    for name in ("q_tpch_q3", "q_tpch_q10", "q_tpch_q18"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
+    # Q22's NOT EXISTS must plan as a real anti join.
+    assert "LeftAnti" in _plan(spark, "q_tpch_q22")
