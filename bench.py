@@ -121,6 +121,34 @@ def main() -> None:
     # join; the salt explode is the 100 TB hot-key mitigation being
     # exercised, not overhead the oracle shares).
     demo_overhead = ["q_join_skew_salted"]
+    # Engine-ratio subset: queries where BOTH engines ran equivalent work
+    # (oracle exists, no write path, no deliberate demo overhead). The two
+    # *_comparable totals below are computed over this IDENTICAL set, so
+    # their ratio is the apples-to-apples engine signal; the raw
+    # headline/duckdb totals cover different query sets by construction.
+    comparable = [
+        n
+        for n in headline
+        if n in duck and n not in write_path and n not in demo_overhead
+    ]
+    # Non-headline watch table: the quadratic oracle-checkable contract
+    # rows (their scale twins are the headline/bench paths). Timed once —
+    # tracked round-over-round without polluting the envelope metric.
+    quadratic = [
+        "q_dedup_jaccard",
+        "q_dedup_ngram",
+        "q_dedup_embedding",
+        "q_sim_threshold",
+        "q_knn_classify",
+    ]
+    quad_timings: dict[str, float] = {}
+    for name in quadratic:
+        if name not in reg or name in headline:
+            continue
+        t0 = time.perf_counter()
+        reg[name].builder(spark, sf_dir).toPandas()
+        quad_timings[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()
     print(
         json.dumps(
             {
@@ -130,8 +158,16 @@ def main() -> None:
                 "queries": timings,
                 "duckdb_oracle": duck,
                 "duckdb_total": round(sum(duck.values()), 4),
+                "spark_comparable_total": round(
+                    sum(timings[n] for n in comparable), 4
+                ),
+                "duckdb_comparable_total": round(
+                    sum(duck[n] for n in comparable), 4
+                ),
+                "comparable_queries": comparable,
                 "write_path_queries": write_path,
                 "demo_overhead_queries": demo_overhead,
+                "quadratic_watch": quad_timings,
                 "sf": sf,
             }
         )

@@ -1014,42 +1014,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_dedup_jaccard_prefix",
-    oracle=_JACCARD_ORACLE,
-    priority="P2",
-    tags=("llm", "dedup", "jaccard", "prefix-filter", "scale-path"),
-)
-def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT pairwise Jaccard >= 0.8 via prefix filtering (the
-    PPJoin/AllPairs family) -- same oracle and identical results as
-    q_dedup_jaccard, different algorithm: under a single global token
-    order (rarest-first by per-lang document frequency), two sets with
-    jac >= t MUST share a token within each one's first
-    n - ceil(t*n) + 1 tokens. Only those prefix tokens are exploded
-    into the candidate join; full token sets are consulted only to
-    verify candidates.
+def prefix_filtered_jaccard(toks: DataFrame, t: float) -> DataFrame:
+    """EXACT pairwise Jaccard ≥ ``t`` via prefix filtering (the
+    PPJoin/AllPairs family) over a distinct ``(doc_id, lang, tok)`` long
+    table — results are IDENTICAL to the all-pairs token self-join, only
+    the candidate-generation algorithm differs: under a single global
+    token order (rarest-first by per-lang document frequency), two sets
+    with jac ≥ t MUST share a token within each one's first
+    n − ceil(t·n) + 1 tokens. Only those prefix tokens are exploded into
+    the candidate join; full token sets are consulted only to verify
+    candidates.
 
-    Why it exists: the naive form joins on EVERY token occurrence --
-    fanout per token ~ df^2, dominated by the most common tokens. The
-    prefix join touches ~ (1-t) of each doc's tokens, and because the
+    Why it exists: the naive form joins on EVERY token occurrence —
+    fanout per token ~ df², dominated by the most common tokens. The
+    prefix join touches ~ (1−t) of each doc's tokens, and because the
     order is rarest-first those are exactly the LOW-df tokens, so the
     quadratic per-token blowup lands on the tokens least able to blow
     up. This is the standard exact scale path when LSH's probabilistic
-    recall isn't acceptable (legal/dedup-contract settings).
+    recall isn't acceptable (legal/dedup-contract settings). The same
+    guarantee holds for ANY set element type — callers pass word tokens
+    (`q_dedup_jaccard_prefix`) or bigram shingles (`q_dedup_ngram_prefix`).
 
     Shape: one df count (partial+final), per-doc sort by (df, tok) as
     an array fold (no window), prefix explode, (lang, tok)-keyed
     candidate join, verify via array_intersect on the two full sets.
+    Returns (d1, d2, jac) with jac rounded to 4 dp and ≥ t.
     """
-    prep(spark)
-    d = spread(load(spark, sf_dir, "documents"))
-    t = 0.8
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
-    )
     dfreq = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
     # Per-doc token array sorted rarest-first under the global (df, tok)
     # order; struct sort gives the consistent total order the prefix
@@ -1110,3 +1100,53 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2", jac.alias("jac"))
         .where(F.col("jac") >= t)
     )
+
+
+@register(
+    "q_dedup_jaccard_prefix",
+    oracle=_JACCARD_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "jaccard", "prefix-filter", "scale-path"),
+)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.8 via prefix filtering — same oracle
+    and identical results as `q_dedup_jaccard`, candidate generation via
+    :func:`prefix_filtered_jaccard` (PPJoin-style rarest-first prefixes;
+    see that docstring for the guarantee and the 100 TB rationale)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return prefix_filtered_jaccard(toks, 0.8)
+
+
+@register(
+    "q_dedup_ngram_prefix",
+    oracle=_NGRAM_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "ngram", "prefix-filter", "scale-path"),
+)
+def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram (2-shingle) Jaccard ≥ 0.8 via prefix filtering —
+    the scale twin of `q_dedup_ngram` (same oracle, identical results).
+    Closes the gap the token-set prefix variant can't cover: bigram
+    shingles are order-sensitive, so this is the exact scale path for
+    SEQUENTIAL near-dup contracts. Shingle document frequencies are even
+    more skew-friendly than tokens (bigrams are rarer), so the
+    rarest-first prefix join prunes harder here: the candidate set is
+    strictly ⊆ the all-pairs gram join's (property-tested)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    bg = d.select("doc_id", "lang", F.explode(grams).alias("tok"))
+    return prefix_filtered_jaccard(bg, 0.8)

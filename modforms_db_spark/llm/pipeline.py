@@ -286,10 +286,12 @@ def _pack_pdf(pdf):
     an oversize doc occupies a bin alone (never splits). Module-level so
     tests drive the EXACT function applyInPandas ships to executors.
 
-    Bin ids are globally unique without cross-shard coordination:
-    each (lang, shard) group owns the id range
-    [shard_id·_PACK_SHARD_DOCS, …) — a shard of ≤ N docs opens ≤ N bins
-    (every bin holds ≥ 1 doc), so ranges can never collide."""
+    Bin ids are unique WITHIN a lang without cross-shard coordination:
+    each shard owns the id range [shard_id·_PACK_SHARD_DOCS, …) — a shard
+    of ≤ N docs opens ≤ N bins (every bin holds ≥ 1 doc), so two shards of
+    the same lang can never collide. Shard_id = doc_id // _PACK_SHARD_DOCS
+    is shared ACROSS langs, so a bin is identified by (lang, bin) — which
+    is how every consumer (and the output grouping) keys it."""
     pdf = pdf.sort_values("doc_id").reset_index(drop=True)
     base = int(pdf["shard_id"].iloc[0]) * _PACK_SHARD_DOCS if len(pdf) else 0
     bins, fill, b = [], 0, base

@@ -180,16 +180,24 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN majority-label classification for every vector (self excluded;
     ties → smallest label). Composition of exact kNN + vote window."""
     prep(spark)
-    e = _emb(spark, sf_dir)
-    a = e.select(F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb"))
+    # Per-row norms hoisted out of the pair loop (see q_sim_cosine_topk):
+    # the 64-element fold runs once per ROW, not twice per N² pair.
+    # FP-identical — same expression over the same data.
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    a = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
     b = e.select(
         F.col("vec_id").alias("nb_id"),
         F.col("emb").alias("nb_emb"),
         F.col("label").alias("nb_label"),
+        F.col("nrm").alias("nb_nrm"),
     )
     pairs = a.join(b, F.col("q_id") != F.col("nb_id"))
     cos4 = F.round(
-        _dot("q_emb", "nb_emb") / (_norm("q_emb") * _norm("nb_emb")), 4
+        _dot("q_emb", "nb_emb") / (F.col("q_nrm") * F.col("nb_nrm")), 4
     ).alias("cos4")
     scored = pairs.select("q_id", "nb_id", "nb_label", cos4)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
@@ -201,6 +209,30 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vr") == 1)
         .select("q_id", F.col("nb_label").alias("pred_label"))
     )
+
+
+def ivf_rank_cells(
+    e: DataFrame, n_cent: int = 16, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """IVF coarse-quantizer stage shared by the ANN scale paths
+    (`q_sim_ivf_topk`, `q_knn_classify_ann`): every vector scored against
+    the ``n_cent`` deterministic seed centroids (the vectors with
+    vec_id < n_cent) by rounded cosine, ranked per vector (centroid-id
+    tiebreak). ``e`` must carry (vec_id, emb, nrm); returns
+    ``(vec_id, emb, nrm, *carry, cid, cs, rn)`` — rn = 1 is the cell
+    assignment, rn ≤ nprobe the probe set. One broadcast crossJoin
+    (centroids are tiny) + a linear scan; never shuffles the vectors."""
+    c = e.where(F.col("vec_id") < n_cent).select(
+        F.col("vec_id").alias("cid"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cs = F.round(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm")), 4)
+    cc = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "emb", "nrm", *carry, "cid", cs.alias("cs")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    return cc.withColumn("rn", F.row_number().over(wa))
 
 
 _IVF_COS = "round(list_cosine_similarity(e.emb, c.cemb), 4)"
@@ -258,17 +290,7 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a sample. Recall vs exact kNN is measured in tests/test_llm.py."""
     prep(spark)
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
-    c = e.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cid"),
-        F.col("emb").alias("cemb"),
-        F.col("nrm").alias("cnrm"),
-    )
-    cs = F.round(_dot("emb", "cemb") / (F.col("nrm") * F.col("cnrm")), 4)
-    cc = e.crossJoin(F.broadcast(c)).select(
-        "vec_id", "emb", "nrm", "cid", cs.alias("cs")
-    )
-    wa = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    ranked = cc.withColumn("rn", F.row_number().over(wa))
+    ranked = ivf_rank_cells(e)
     asg = ranked.where(F.col("rn") == 1).select("vec_id", "emb", "nrm", "cid")
     probe = (
         ranked.where((F.col("vec_id") < 20) & (F.col("rn") <= 4))
@@ -292,23 +314,16 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_sim_ann_lsh",
-    oracle=None,  # approximate; recall vs exact measured in tests
-    priority="P3",
-    tags=("llm", "similarity", "lsh", "scale-path"),
-)
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH — the 100 TB similarity path.
+def lsh_band_long(e: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """Random-hyperplane LSH banding — the shared candidate-generation
+    stage of the ANN scale paths (`q_sim_ann_lsh`, `q_sim_threshold_ann`).
 
     16 deterministic pseudo-random hyperplanes (coefficients derived from
     xxhash64(plane, dim), JVM-side, no RNG state) → 16-bit signature per
-    vector → candidates share a signature bucket (multi-probe: 4 bands of
-    4 bits) → exact cosine re-rank inside buckets, top-5 per query.
-    Linear signature pass + bucket-local joins replace the all-pairs
-    crossJoin; recall vs q_sim_cosine_topk is measured in tests."""
-    prep(spark)
-    e = _emb(spark, sf_dir)
+    vector → 4 bands of 4 bits → long form, one row per (vector, band):
+    ``(vec_id, emb, *carry, band, bucket)``. Two vectors are join
+    candidates iff they share a (band, bucket) — a linear, shuffle-free
+    signature pass; the bucket join replaces the all-pairs crossJoin."""
 
     # hyperplane h, dim d coefficient in [-0.5, 0.5): deterministic hash.
     def plane_coeff(h: int, d: Column) -> Column:
@@ -335,6 +350,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = e.select(
         "vec_id",
         "emb",
+        *carry,
         *[b.alias(f"bit{h}") for h, b in enumerate(sig_bits)],
     )
     # 4 bands of 4 bits each → band bucket ids
@@ -347,14 +363,34 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{bd}")
         for bd in range(4)
     ]
-    bucketed = sigs.select("vec_id", "emb", *band_cols)
-    long = bucketed.select(
+    bucketed = sigs.select("vec_id", "emb", *carry, *band_cols)
+    return bucketed.select(
         "vec_id",
         "emb",
+        *carry,
         F.posexplode(F.array(*[F.col(f"band{bd}") for bd in range(4)])).alias(
             "band", "bucket"
         ),
     )
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=None,  # approximate; recall vs exact measured in tests
+    priority="P3",
+    tags=("llm", "similarity", "lsh", "scale-path"),
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH — the 100 TB similarity path.
+
+    Shared banding stage (:func:`lsh_band_long`): 16-bit hyperplane
+    signatures, multi-probe over 4 bands of 4 bits → candidates share a
+    signature bucket → exact cosine re-rank inside buckets, top-5 per
+    query. Linear signature pass + bucket-local joins replace the
+    all-pairs crossJoin; recall vs q_sim_cosine_topk is measured in
+    tests."""
+    prep(spark)
+    long = lsh_band_long(_emb(spark, sf_dir))
     q = long.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
@@ -376,6 +412,120 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("q_id", "nb_id", "cos4", "rn")
+    )
+
+
+@register(
+    "q_sim_threshold_ann",
+    oracle=None,  # LSH prefilter is probabilistic; subset-of-exact +
+    # recall floor vs q_sim_threshold are pinned in tests
+    priority="P3",
+    tags=("llm", "similarity", "lsh", "threshold", "scale-path"),
+)
+def q_sim_threshold_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered same-label cosine-threshold pairs — the scale twin
+    of `q_sim_threshold` (same output columns and semantics; candidates
+    from shared signature buckets instead of the all-pairs self-join).
+
+    Composition: :func:`lsh_band_long` signatures (linear, shuffle-free)
+    → self-join on (band, bucket, label) with v1 < v2 → distinct pairs →
+    EXACT cosine verify ≥ τ. Every emitted pair carries its true rounded
+    cosine, so output ⊆ the exact query's output by construction; what
+    LSH can lose is recall (a true pair landing in no shared bucket),
+    measured and floor-pinned in tests. At 100 TB the bucket join
+    replaces the per-label quadratic fanout with per-bucket fanout —
+    bucket sizes are ~n/2^4 per band with 4 probes, and the signature
+    stage never shuffles the vector side."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    long = lsh_band_long(e, carry=("label", "nrm"))
+    a = long.select(
+        F.col("vec_id").alias("v1"),
+        F.col("emb").alias("e1"),
+        F.col("nrm").alias("n1"),
+        "label",
+        "band",
+        "bucket",
+    )
+    b = long.select(
+        F.col("vec_id").alias("v2"),
+        F.col("emb").alias("e2"),
+        F.col("nrm").alias("n2"),
+        F.col("label").alias("label2"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where((F.col("v1") < F.col("v2")) & (F.col("label") == F.col("label2")))
+        .select("v1", "v2", "label", "e1", "e2", "n1", "n2")
+        .distinct()
+    )
+    cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4).alias(
+        "cos4"
+    )
+    return (
+        cand.select("v1", "v2", "label", cos4)
+        .where(F.col("cos4") >= 0.2)
+    )
+
+
+@register(
+    "q_knn_classify_ann",
+    oracle=None,  # IVF probing is lossy vs exact kNN; agreement with
+    # q_knn_classify and partition-totality are pinned in tests
+    priority="P3",
+    tags=("llm", "similarity", "ivf", "knn", "scale-path"),
+)
+def q_knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-prefiltered 5-NN majority-label classification — the scale
+    twin of `q_knn_classify` (same output shape: one (q_id, pred_label)
+    row per vector, self excluded, ties → smallest label).
+
+    Composition: :func:`ivf_rank_cells` assigns every vector to its
+    nearest of 16 seed centroids (rn = 1) and probes each QUERY's 8
+    nearest cells (rn ≤ 8); candidates are the vectors assigned to a
+    probed cell; exact cosine re-ranks the candidates, top-5 vote.
+    Replaces the N² pair join with |cells probed|/|cells| of it (8/16
+    here), the same pruning `q_sim_ivf_topk` demonstrates for top-k —
+    at 100 TB the cell table is partitioned by cid so probing prunes
+    partitions. nprobe = 8 (not top-k's 4) because a VOTE amplifies
+    neighbor misses: the driver embeddings are uniform random — IVF's
+    worst case, cells are barely informative — and measured neighbor
+    recall at sf0.01 is 0.48 (nprobe 4) vs 0.74 (nprobe 8), prediction
+    agreement 0.38 vs 0.64. Real clustered embeddings recover far more
+    per probe; the floors pinned in tests are this worst case.
+    Prediction agreement vs the exact form is measured and floor-pinned
+    in tests."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    ranked = ivf_rank_cells(e, carry=("label",))
+    asg = ranked.where(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("emb").alias("nb_emb"),
+        F.col("nrm").alias("nb_nrm"),
+        F.col("label").alias("nb_label"),
+        "cid",
+    )
+    probe = ranked.where(F.col("rn") <= 8).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "cid",
+    )
+    cand = probe.join(asg, "cid").where(F.col("q_id") != F.col("nb_id"))
+    cos4 = F.round(
+        _dot("q_emb", "nb_emb") / (F.col("q_nrm") * F.col("nb_nrm")), 4
+    ).alias("cos4")
+    scored = cand.select("q_id", "nb_id", "nb_label", cos4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    knn = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    votes = knn.groupBy("q_id", "nb_label").agg(F.count(F.lit(1)).alias("votes"))
+    vw = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("nb_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(vw))
+        .where(F.col("vr") == 1)
+        .select("q_id", F.col("nb_label").alias("pred_label"))
     )
 
 

@@ -138,9 +138,8 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_scan_metadata",
     oracle="""
-    SELECT CAST(1 AS BIGINT) AS n_files,
-           COUNT(*)          AS total_rows,
-           TRUE              AS files_complete
+    SELECT COUNT(*) AS total_rows,
+           TRUE     AS files_complete
     FROM lineitem
     """,
     priority="P2",
@@ -157,12 +156,27 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     row counts derived purely from `_metadata` must reconcile with the
     table — `total_rows` (sum of per-file counts) equals the oracle's
     COUNT(*), and `files_complete` asserts every file's row_index span
-    is exactly [0, n_rows) (no partially-read file). Test data is one
-    parquet file per table (TESTDATA.md), hence n_files = 1.
+    is exactly [0, n_rows) (no partially-read file). The contract row
+    deliberately emits only LAYOUT-INDEPENDENT facts (a multi-file
+    sf_dir must still hash-match); the file-count audit itself lives in
+    the unit test (:func:`scan_metadata_per_file` vs the file listing).
     """
     prep(spark)
+    return scan_metadata_per_file(spark, sf_dir).agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.bool_and(
+            (F.col("first_idx") == F.lit(0))
+            & (F.col("last_idx") == F.col("n_rows") - F.lit(1))
+        ).alias("files_complete"),
+    )
+
+
+def scan_metadata_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file `_metadata` audit (file_path, n_rows, row_index span) —
+    the full-granularity lineage view `q_scan_metadata` summarizes;
+    unit-tested against the physical file listing."""
     df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    per_file = (
+    return (
         df.select(
             F.col("_metadata.file_path").alias("file_path"),
             F.col("_metadata.row_index").alias("row_index"),
@@ -173,14 +187,6 @@ def q_scan_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("row_index").alias("first_idx"),
             F.max("row_index").alias("last_idx"),
         )
-    )
-    return per_file.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("n_rows").alias("total_rows"),
-        F.bool_and(
-            (F.col("first_idx") == F.lit(0))
-            & (F.col("last_idx") == F.col("n_rows") - F.lit(1))
-        ).alias("files_complete"),
     )
 
 

@@ -144,11 +144,12 @@ def test_approx_percentile_within_rank_tolerance(spark):
         assert r.median_within and r.p90_within, r
 
 
-def test_driver_verified_row_classification():
+def test_driver_row_signal_classification():
     """The registry's window rotation depends on classifying driver
-    CORRECTNESS rows correctly: hash matches and clean rows-only runs
-    are verified; errors and hash mismatches must re-enter the window."""
-    from modforms_db_spark.registry import _driver_verified_names, _is_verified_row
+    CORRECTNESS rows correctly: hash matches are the strong signal,
+    clean rows-only runs the weak one; errors and hash mismatches carry
+    no signal and must re-enter the front of the window."""
+    from modforms_db_spark.registry import _SIG_HASH, _SIG_ROWS, _row_signal
 
     ok_hash = {"rows_match": True, "schema_match": True, "hash_match": True,
                "spark_rows": 5, "oracle_rows": 5, "err": None}
@@ -160,31 +161,55 @@ def test_driver_verified_row_classification():
                 "spark_rows": 5, "oracle_rows": 5, "err": None}
     crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": "AnalysisException"}
-    assert _is_verified_row(ok_hash)
-    assert _is_verified_row(rows_only)
-    assert not _is_verified_row(no_oracle)
-    assert not _is_verified_row(mismatch)
-    assert not _is_verified_row(crashed)
-    # Integration: every r1-green name must be in the verified set, and
-    # the five reformulated no_oracle names must NOT be.
-    seen = _driver_verified_names()
-    assert "q_agg_flagship" in seen and "q_join_broadcast" in seen
-    for name in ("q_scan_metadata", "q_agg_approx_distinct",
-                 "q_agg_approx_percentile", "q_agg_hll_merge",
-                 "q_stat_freq_items"):
-        assert name not in seen, name
+    assert _row_signal(ok_hash) == _SIG_HASH
+    assert _row_signal(rows_only) == _SIG_ROWS
+    assert _row_signal(no_oracle) is None
+    assert _row_signal(mismatch) is None
+    assert _row_signal(crashed) is None
 
 
-def test_driver_window_orders_unverified_first():
-    """queries() must lead with names lacking a green CORRECTNESS row so
-    the driver's 50-query sample always covers fresh operators."""
-    from modforms_db_spark.registry import _driver_verified_names, get_queries
+def test_driver_signals_latest_round_wins(tmp_path):
+    """Signals come from synthetic CORRECTNESS fixtures in a tmpdir (NOT
+    the live repo artifacts — this test must stay green as real rounds
+    accumulate). The LATEST round's row decides each name's tier: a
+    later error demotes an old hash match back to tier 0, a later hash
+    match promotes an old no_oracle error."""
+    import json as _json
 
-    seen = _driver_verified_names()
-    names = list(get_queries())
-    first_seen_verified = next(
-        (i for i, n in enumerate(names) if n in seen), len(names)
-    )
-    # No unverified name may appear after the first verified one.
-    assert all(n in seen for n in names[first_seen_verified:])
-    assert first_seen_verified >= 50  # window is fully unverified
+    from modforms_db_spark.registry import _SIG_HASH, _SIG_ROWS, _driver_signals
+
+    hash_row = {"hash_match": True, "err": None}
+    rows_row = {"hash_match": None, "rows_match": None, "err": None}
+    err_row = {"hash_match": None, "rows_match": None, "err": "no_oracle"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(_json.dumps({
+        "q_stays_green": hash_row,
+        "q_regressed": hash_row,
+        "q_promoted": err_row,
+        "q_rows_only": rows_row,
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(_json.dumps({
+        "q_regressed": err_row,
+        "q_promoted": hash_row,
+    }))
+    sig = _driver_signals(root=str(tmp_path))
+    assert sig["q_stays_green"] == (_SIG_HASH, 1)
+    assert sig["q_promoted"] == (_SIG_HASH, 2)
+    assert sig["q_rows_only"] == (_SIG_ROWS, 1)
+    assert "q_regressed" not in sig  # latest row errored → back to tier 0
+    assert "q_never_sampled" not in sig
+
+
+def test_driver_window_rotation_order():
+    """queries() must order names (signal strength asc, round asc): fresh
+    / failed names lead, then error-free rows-only runs, then hash-verified
+    names oldest-round-first — so the driver's ~50-query sample always
+    covers the least-verified operators and old verifications rotate back
+    in for regression re-checks."""
+    from modforms_db_spark.registry import _driver_signals, get_queries
+
+    signals = _driver_signals()
+    keys = [signals.get(n, (0, 0)) for n in get_queries()]
+    assert keys == sorted(keys)
+    # Tier 0 (never sampled / failed) must lead while any remains.
+    n_tier0 = sum(1 for k in keys if k[0] == 0)
+    assert all(k[0] == 0 for k in keys[:n_tier0])

@@ -396,3 +396,102 @@ def test_prefix_filter_shrinks_candidates_but_not_results(spark):
         .count()
     )
     assert prefix_cands < naive_cands, (prefix_cands, naive_cands)
+
+
+def test_ngram_prefix_equals_allpairs(spark):
+    """q_dedup_ngram_prefix (PPJoin over bigram shingles) must return
+    EXACTLY the all-pairs q_dedup_ngram result — the scale twin closing
+    the order-sensitive gap the token-set prefix variant can't cover —
+    while generating strictly fewer candidate pairs than the naive
+    every-gram join."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    exact = {
+        (r.d1, r.d2, r.jac)
+        for r in reg["q_dedup_ngram"].builder(spark, SF_DIR).collect()
+    }
+    pref = {
+        (r.d1, r.d2, r.jac)
+        for r in reg["q_dedup_ngram_prefix"].builder(spark, SF_DIR).collect()
+    }
+    assert pref == exact
+
+    # Candidate-shrink property: prefix explode emits strictly fewer
+    # (doc, gram) join rows than the full distinct-gram explode.
+    d = load(spark, SF_DIR, "documents")
+    toks = F.split("text", " ")
+    grams = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    )
+    full_rows = d.select(F.explode(grams)).count()
+    t = 0.8
+    prefix_rows = (
+        d.select("doc_id", F.size(grams).alias("n"))
+        .select(
+            F.sum(
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("long")
+            ).alias("s")
+        )
+        .collect()[0]
+        .s
+    )
+    assert prefix_rows < full_rows, (prefix_rows, full_rows)
+
+
+def test_threshold_ann_subset_and_recall(spark):
+    """q_sim_threshold_ann emits only TRUE pairs (exact-verified cosine →
+    output ⊆ q_sim_threshold by construction, asserted) and must recover
+    a floor fraction of them. The driver embeddings are uniform random —
+    LSH's worst case (pairs barely over τ=0.2 have low per-band collision
+    probability); measured recall ≈ 0.6 at sf0.01, floor pinned at 0.4."""
+    reg = get_registry()
+    exact = {
+        (r.v1, r.v2, r.label, r.cos4)
+        for r in reg["q_sim_threshold"].builder(spark, SF_DIR).collect()
+    }
+    ann = {
+        (r.v1, r.v2, r.label, r.cos4)
+        for r in reg["q_sim_threshold_ann"].builder(spark, SF_DIR).collect()
+    }
+    assert ann <= exact
+    assert exact, "exact threshold query returned nothing — test is vacuous"
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.4, recall
+
+
+def test_knn_classify_ann_totality_and_agreement(spark):
+    """q_knn_classify_ann must classify EVERY vector exactly once (IVF
+    probing narrows candidates, never drops queries), be deterministic
+    across reruns, and agree with the exact classifier on a floor
+    fraction of predictions. Uniform-random embeddings are IVF's worst
+    case and a 5-vote majority amplifies neighbor misses (docstring
+    numbers); measured agreement ≈ 0.64 at sf0.01 with nprobe=8, floor
+    pinned at 0.45."""
+    from modforms_db_spark.llm.similarity import _emb
+
+    reg = get_registry()
+    r1 = {
+        r.q_id: r.pred_label
+        for r in reg["q_knn_classify_ann"].builder(spark, SF_DIR).collect()
+    }
+    r2 = {
+        r.q_id: r.pred_label
+        for r in reg["q_knn_classify_ann"].builder(spark, SF_DIR).collect()
+    }
+    assert r1 == r2
+    n_vecs = _emb(spark, SF_DIR).count()
+    assert len(r1) == n_vecs
+    exact = {
+        r.q_id: r.pred_label
+        for r in reg["q_knn_classify"].builder(spark, SF_DIR).collect()
+    }
+    assert set(r1) == set(exact)
+    agreement = sum(1 for q in exact if r1[q] == exact[q]) / len(exact)
+    assert agreement >= 0.45, agreement

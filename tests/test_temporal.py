@@ -171,7 +171,11 @@ def test_freq_items_guarantee(spark):
 
 
 def test_scan_metadata_audit(spark):
+    import glob
+    import os
+
     from modforms_db_spark.io import load
+    from modforms_db_spark.operators.scans import scan_metadata_per_file
 
     rows = _q("q_scan_metadata")(spark, SF_DIR).collect()
     total = load(spark, SF_DIR, "lineitem").count()
@@ -179,8 +183,20 @@ def test_scan_metadata_audit(spark):
     # Metadata-derived row count must reconcile with the actual scan, and
     # every file's row_index span must be exactly [0, n_rows).
     assert rows[0].total_rows == total
-    assert rows[0].n_files >= 1
     assert rows[0].files_complete
+    # The file-count audit (kept OUT of the contract row so the oracle is
+    # layout-independent): per-file audit rows ≡ the physical data files.
+    audited = {
+        os.path.basename(r.file_path)
+        for r in scan_metadata_per_file(spark, SF_DIR).collect()
+    }
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(SF_DIR, "lineitem.parquet", "*"))
+        + glob.glob(os.path.join(SF_DIR, "lineitem.parquet"))
+        if p.endswith(".parquet") and os.path.isfile(p)
+    }
+    assert audited == on_disk
 
 
 def test_vec_quantize_error_bound(spark):
