@@ -132,8 +132,12 @@ def main() -> None:
         if n in duck and n not in write_path and n not in demo_overhead
     ]
     # Non-headline watch table: the quadratic oracle-checkable contract
-    # rows (their scale twins are the headline/bench paths). Timed once —
-    # tracked round-over-round without polluting the envelope metric.
+    # rows (their scale twins are the headline/bench paths). Timed once,
+    # at sf0.01 — their cost is structurally quadratic (measured at
+    # sf0.1: 14-27 s each, ~72 s total, pure contract-row behavior, no
+    # regression signal worth that budget), so the watch runs at driver
+    # scale where a plan regression still shows — tracked
+    # round-over-round without polluting the envelope metric.
     quadratic = [
         "q_dedup_jaccard",
         "q_dedup_ngram",
@@ -141,12 +145,15 @@ def main() -> None:
         "q_sim_threshold",
         "q_knn_classify",
     ]
+    quad_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01")
+    if not os.path.isdir(quad_dir):
+        quad_dir = sf_dir
     quad_timings: dict[str, float] = {}
     for name in quadratic:
         if name not in reg or name in headline:
             continue
         t0 = time.perf_counter()
-        reg[name].builder(spark, sf_dir).toPandas()
+        reg[name].builder(spark, quad_dir).toPandas()
         quad_timings[name] = round(time.perf_counter() - t0, 4)
         gc.collect()
     print(
@@ -168,6 +175,7 @@ def main() -> None:
                 "write_path_queries": write_path,
                 "demo_overhead_queries": demo_overhead,
                 "quadratic_watch": quad_timings,
+                "quadratic_watch_sf_dir": quad_dir,
                 "sf": sf,
             }
         )

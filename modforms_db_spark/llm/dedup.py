@@ -324,6 +324,61 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_embedding_ann",
+    oracle=None,  # LSH prefilter is probabilistic; subset-of-exact +
+    # recall floor vs q_dedup_embedding are pinned in tests
+    priority="P3",
+    tags=("llm", "dedup", "embedding", "lsh", "scale-path"),
+)
+def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered embedding near-dup — the scale twin of
+    `q_dedup_embedding` (same output columns; candidates from shared
+    hyperplane-signature buckets instead of the all-pairs self-join,
+    then EXACT cosine verify ≥ 0.45 ⇒ output ⊆ exact by construction).
+    Same composition as `q_sim_threshold_ann` minus the label blocking:
+    this is THE semantic-dedup shape at 100 TB — a linear signature
+    pass, bucket-local candidate joins, exact verification only on
+    candidates. Recall vs the exact form is measured and floor-pinned
+    in tests (uniform-random embeddings are LSH's worst case; real
+    near-dup embeddings sit far above the 0.45 tail and collide in
+    nearly every band)."""
+    prep(spark)
+    from modforms_db_spark.llm.similarity import (
+        _dot,
+        _emb,
+        _norm,
+        lsh_band_long,
+    )
+
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    long = lsh_band_long(e, carry=("nrm",))
+    a = long.select(
+        F.col("vec_id").alias("v1"),
+        F.col("emb").alias("e1"),
+        F.col("nrm").alias("n1"),
+        "band",
+        "bucket",
+    )
+    b = long.select(
+        F.col("vec_id").alias("v2"),
+        F.col("emb").alias("e2"),
+        F.col("nrm").alias("n2"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", "e1", "e2", "n1", "n2")
+        .distinct()
+    )
+    cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4).alias(
+        "cos4"
+    )
+    return cand.select("v1", "v2", cos4).where(F.col("cos4") >= 0.45)
+
+
 def _perm_hash(i: int):
     """Single-arg lambda factory for F.transform: permutation-i token hash.
     MUST be one-arg — a two-parameter lambda makes transform pass the

@@ -8,12 +8,10 @@ tests/test_plans.py — PushedFilters + ReadSchema must show both fired).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, load_raw
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -175,7 +173,7 @@ def scan_metadata_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file `_metadata` audit (file_path, n_rows, row_index span) —
     the full-granularity lineage view `q_scan_metadata` summarizes;
     unit-tested against the physical file listing."""
-    df = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    df = load_raw(spark, sf_dir, "lineitem")
     return (
         df.select(
             F.col("_metadata.file_path").alias("file_path"),

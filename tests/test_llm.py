@@ -466,6 +466,27 @@ def test_threshold_ann_subset_and_recall(spark):
     assert recall >= 0.4, recall
 
 
+def test_embedding_ann_subset_and_recall(spark):
+    """q_dedup_embedding_ann emits only TRUE near-dup pairs (exact-verified
+    cosine ⇒ output ⊆ q_dedup_embedding, asserted) and must recover a
+    floor fraction. Deterministic: fixed hyperplanes + fixed data ⇒ fixed
+    recall (measured 0.571 at sf0.001, 0.857 at sf0.01 — pairs at the
+    0.45 tail of uniform-random vectors are LSH's worst case)."""
+    reg = get_registry()
+    exact = {
+        (r.v1, r.v2, r.cos4)
+        for r in reg["q_dedup_embedding"].builder(spark, SF_DIR).collect()
+    }
+    ann = {
+        (r.v1, r.v2, r.cos4)
+        for r in reg["q_dedup_embedding_ann"].builder(spark, SF_DIR).collect()
+    }
+    assert ann <= exact
+    assert exact, "exact embedding-dedup query returned nothing — vacuous"
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.5, recall
+
+
 def test_knn_classify_ann_totality_and_agreement(spark):
     """q_knn_classify_ann must classify EVERY vector exactly once (IVF
     probing narrows candidates, never drops queries), be deterministic

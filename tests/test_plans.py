@@ -341,3 +341,36 @@ def test_tpch_queries_broadcast_dimension_sides(spark):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
     # Q22's NOT EXISTS must plan as a real anti join.
     assert "LeftAnti" in _plan(spark, "q_tpch_q22")
+
+
+def test_knn_classify_norms_hoisted_above_pair_join(spark):
+    """The per-row norm folds must be computed BEFORE the N² pair join
+    (once per row), never inside the post-join cosine projection (twice
+    per pair) — the optimization q_sim_cosine_topk documents, applied
+    consistently. The cosine expression may fold the DOT product (that
+    is per-pair by nature) but must reference the hoisted norm columns,
+    not recompute sqrt(aggregate(...))."""
+    plan = _plan(spark, "q_knn_classify")
+    assert "sqrt(aggregate(" in plan.lower()  # hoisted per-row norm exists
+    cos_lines = [
+        l for l in plan.splitlines() if "round(" in l and "aggregate(" in l
+    ]
+    assert cos_lines, plan
+    for l in cos_lines:
+        assert "sqrt(aggregate(" not in l.lower(), l
+
+
+def test_ann_twins_never_cartesian(spark):
+    """The scale twins exist to REPLACE all-pairs plans: none of them may
+    plan a CartesianProduct. The IVF classify twin's only nested-loop is
+    the broadcast against the 16-row centroid table."""
+    for name in (
+        "q_dedup_ngram_prefix",
+        "q_sim_threshold_ann",
+        "q_knn_classify_ann",
+        "q_dedup_embedding_ann",
+    ):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(spark, "q_knn_classify_ann")
+    assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
