@@ -212,9 +212,12 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "l_linenumber", "o_orderdate", "l_shipdate")
 
 
-@register(
-    "q_join_asof",
-    oracle="""
+# Shared by the window-emulation and native merge_asof forms: the two
+# formulations must agree (and do at every SF — verified: no user has a
+# signup and a purchase at the identical timestamp, so the emulation's
+# event_id tiebreak within equal ts never diverges from merge_asof's
+# ts-only matching).
+_ASOF_ORACLE = """
     WITH tagged AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN event_type = 'signup' THEN ts END AS signup_ts
@@ -230,7 +233,12 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id, ts AS purchase_ts, last_signup_ts
     FROM w WHERE event_type = 'purchase'
-    """,
+"""
+
+
+@register(
+    "q_join_asof",
+    oracle=_ASOF_ORACLE,
     priority="P2",
     tags=("join", "asof"),
 )
@@ -263,6 +271,49 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("purchase_ts"),
             "last_signup_ts",
         )
+    )
+
+
+@register(
+    "q_join_asof_native",
+    oracle=_ASOF_ORACLE,
+    priority="P2",
+    tags=("join", "asof", "native"),
+)
+def q_join_asof_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native as-of join API form: the SAME semantics as `q_join_asof`
+    (latest prior-or-equal signup per purchase, same oracle) expressed
+    through pandas-on-Spark ``merge_asof`` — the usability gap VERDICT
+    r2 noted vs engines with first-class ASOF. The window emulation
+    stays the contract's canonical form (one shuffle + one window pass,
+    plan fully visible); this row proves the drop-in API exists and
+    hash-matches it. Tie caveat: ``merge_asof`` matches on ts only,
+    while the emulation breaks equal-ts ties by event_id — identical
+    here because no user has a signup and purchase at the same ts
+    (verified at every SF; see _ASOF_ORACLE comment)."""
+    prep(spark)
+    import pyspark.pandas as pps
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = e.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("ts").alias("last_signup_ts")
+    )
+    merged = pps.merge_asof(
+        purchases.pandas_api(),
+        signups.pandas_api(),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    return merged.to_spark().select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_signup_ts",
     )
 
 

@@ -459,3 +459,42 @@ def test_star_components_match_union_find(spark, edges):
         want.add((v, comp_min[find(v)]))
     assert got == want, (sorted(got), sorted(want))
     assert rounds <= 7  # O(log n) on <=21 nodes
+
+
+prefix_docs = st.lists(
+    st.lists(st.sampled_from(TOKENS), min_size=1, max_size=6),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs=prefix_docs)
+@example(docs=[["a"], ["a"]])                      # identical singletons
+@example(docs=[["a", "b", "c", "d", "e"], ["a", "b", "c", "d", "f"]])
+def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs):
+    """prefix_filtered_jaccard(t=0.8) over random token bags ≡ brute-force
+    set-Jaccard thresholding — the PPJoin prefix guarantee (rarest-first
+    order, (1-t)-prefix candidate join) must NEVER lose a qualifying pair,
+    for any input, not just the driver corpus."""
+    from modforms_db_spark.llm.dedup import prefix_filtered_jaccard
+
+    rows = [(i, "en", toks) for i, toks in enumerate(docs)]
+    toks = spark.createDataFrame(
+        rows, "doc_id long, lang string, toks array<string>"
+    ).select("doc_id", "lang", F.explode(F.array_distinct("toks")).alias("tok"))
+
+    got = {
+        (r.d1, r.d2): r.jac
+        for r in prefix_filtered_jaccard(toks, 0.8).collect()
+    }
+
+    sets = {i: set(t) for i, (_, _, t) in enumerate(rows)}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j and sets[i] & sets[j]:
+                jac = round(len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 4)
+                if jac >= 0.8:
+                    want[(i, j)] = jac
+    assert got == want
