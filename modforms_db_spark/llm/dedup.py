@@ -454,7 +454,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list("doc_id")).alias("members"),
             F.first("toks").alias("toks"),
         )
-    ).localCheckpoint()  # reused 4×: sigs, verify (×2 sides), expand
+    ).localCheckpoint(eager=False)  # reused 4×: sigs, verify (×2 sides),
+    # expand — lazy: materializes inside the first consuming action
+    # instead of a dedicated up-front job; later uses read the blocks
 
     # -- Stop-token df cap (SCALE.md §6) -------------------------------
     # Tokens in > _LSH_MAX_DF_FRAC of a lang's distinct sets are dropped
@@ -664,7 +666,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize fingerprints once: both sides of the self-join reuse
     # them instead of re-running the 64-bit fold per side (at scale the
     # fingerprint table is a persisted artifact for the same reason).
-    fp = _simhash_fp(spark, sf_dir).localCheckpoint()
+    fp = _simhash_fp(spark, sf_dir).localCheckpoint(eager=False)
     chunks = fp.select(
         "doc_id",
         "simhash",
@@ -1119,7 +1121,7 @@ def prefix_filtered_jaccard(toks: DataFrame, t: float) -> DataFrame:
                 (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
             ),
         )
-        .localCheckpoint()  # reused by the candidate join (x2) + verify (x2)
+        .localCheckpoint(eager=False)  # reused by candidate join (x2) + verify (x2)
     )
     pa_, pb = (
         docs.select("doc_id", "lang", F.explode("prefix").alias("tok")).alias("a"),
