@@ -318,3 +318,49 @@ def test_sorted_sink_files_cover_disjoint_ranges(spark):
     spans.sort()
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, (spans,)
+
+
+def test_scan_metadata_layout_independent(spark, tmp_path):
+    """The contract row must hash-match on ANY physical layout (the
+    oracle checks only total_rows + files_complete): rebuild lineitem as
+    a MULTI-file directory and assert the same results plus a >1-file
+    per-file audit. Regression guard for the layout-coupled n_files
+    oracle the round-2 advisor flagged."""
+    import os
+
+    from modforms_db_spark.io import load
+    from modforms_db_spark.operators.scans import (
+        q_scan_metadata,
+        scan_metadata_per_file,
+    )
+
+    src = load(spark, SF_DIR, "lineitem")
+    total = src.count()
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(multi_dir)
+    src.repartition(4).write.parquet(
+        os.path.join(multi_dir, "lineitem.parquet")
+    )
+    rows = q_scan_metadata(spark, multi_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].total_rows == total
+    assert rows[0].files_complete
+    assert scan_metadata_per_file(spark, multi_dir).count() > 1
+
+
+def test_catalog_cache_keys_by_sf_dir(spark, tmp_path):
+    """io.load's resolved-reader cache must key on the data directory —
+    two sf_dirs in one session return their OWN data, and the cache
+    never leaks rows across them."""
+    import os
+
+    from modforms_db_spark.io import load
+
+    other = str(tmp_path / "other")
+    os.makedirs(other)
+    load(spark, SF_DIR, "region").limit(2).write.parquet(
+        os.path.join(other, "region.parquet")
+    )
+    full = load(spark, SF_DIR, "region").count()
+    assert load(spark, other, "region").count() == 2
+    assert load(spark, SF_DIR, "region").count() == full
