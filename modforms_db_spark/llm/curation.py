@@ -352,3 +352,58 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("lang", "pair", "n", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks,
+             LEAST(95, GREATEST(5, len(string_split(text, ' ')))) AS w_pct
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < w_pct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN (doc_id * 2654435761) % 100 < w_pct
+                         THEN n_toks ELSE 0 END) AS BIGINT) AS toks_kept,
+           CAST(SUM(w_pct) AS BIGINT) AS w_total
+    FROM w GROUP BY lang
+    """,
+    priority="P2",
+    tags=("llm", "curation", "sample", "weighted"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOCUMENT weighted Bernoulli sampling: each doc is kept with
+    probability proportional to its own weight (here a length-derived
+    quality proxy, clamped to [5%, 95%]) — the importance-sampling step
+    of a training mix, generalizing `q_sample_stratified`'s per-stratum
+    rates to content-derived per-row rates. Same determinism discipline
+    as the whole sampling family: the keep decision is a pure integer
+    function of (doc_id, weight) — multiplicative hash mod 100 against
+    the weight percentage — so the sample is reproducible on any
+    engine, partitioning, or cluster shape, and fully oracle-checkable
+    (no floats anywhere in the decision). At 100 TB the predicate is
+    scan-side codegen arithmetic: zero shuffles before the report agg.
+    Emits the per-lang audit (docs, kept, kept tokens, total weight)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    w_pct = F.least(F.lit(95), F.greatest(F.lit(5), n_toks))
+    keep = (
+        (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % 100 < w_pct
+    ).cast("int")
+    return (
+        d.select("doc_id", "lang", n_toks.alias("n_toks"), w_pct.alias("w_pct"),
+                 keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_toks")).cast("bigint").alias(
+                "toks_kept"
+            ),
+            F.sum("w_pct").cast("bigint").alias("w_total"),
+        )
+    )

@@ -1011,6 +1011,52 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_fuzzy_apply",
+    oracle=None,  # LSH-derived groups; invariants + canonical-dominance
+    # pinned in tests
+    priority="P2",
+    tags=("llm", "dedup", "apply", "lsh", "scale-path"),
+)
+def q_dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUZZY dedup decision applied end-to-end — the full production
+    pipeline in one composed plan: MinHash-LSH near-dup pairs
+    (`q_dedup_minhash_lsh`, jac ≥ 0.8) → connected components
+    (large-star/small-star) → keep the min-doc_id member per component,
+    drop the rest; per-lang kept/dropped/token audit. This is the fuzzy
+    counterpart of `q_dedup_apply` (which keys on EXACT canonical sets):
+    near-dup is not transitive, so pairs alone cannot dedup — components
+    make the decision well-defined, and the component label (its min
+    doc_id) IS the keeper, so election is a projection, not another agg.
+
+    Rows-only: the pair set is LSH-derived. Tests pin the invariants —
+    kept + dropped = corpus, determinism across reruns, and dominance
+    over the exact apply (identical token sets are jac-1.0 pairs, so
+    fuzzy components refine canonical groups: n_kept ≤ the exact form's
+    per lang)."""
+    prep(spark)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    labels, _ = connected_components(pairs)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    tagged = (
+        d.join(labels, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .withColumn(
+            "kept", (F.col("doc_id") == F.col("component")).cast("int")
+        )
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("kept")).cast("bigint").alias("n_dropped"),
+        F.sum(F.col("kept") * F.col("n_toks")).cast("bigint").alias(
+            "toks_kept"
+        ),
+    )
+
+
+@register(
     "q_dedup_incremental",
     oracle="""
     WITH c AS (

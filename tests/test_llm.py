@@ -516,3 +516,52 @@ def test_knn_classify_ann_totality_and_agreement(spark):
     assert set(r1) == set(exact)
     agreement = sum(1 for q in exact if r1[q] == exact[q]) / len(exact)
     assert agreement >= 0.45, agreement
+
+
+def test_sample_weighted_rates_track_weights(spark):
+    """Weighted Bernoulli sampling must keep ~w_pct% of docs: per-lang
+    kept count is exactly the deterministic predicate's count (recomputed
+    here independently), and the keep fraction rises with the weight."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    out = {r.lang: r for r in reg["q_sample_weighted"].builder(spark, SF_DIR).collect()}
+    d = load(spark, SF_DIR, "documents")
+    n_toks = F.size(F.split("text", " "))
+    w_pct = F.least(F.lit(95), F.greatest(F.lit(5), n_toks))
+    keep = (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % 100 < w_pct
+    want = {
+        r.lang: (r.n, r.k)
+        for r in d.select("lang", "doc_id", keep.cast("int").alias("kept"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("kept").alias("k"))
+        .collect()
+    }
+    for lang, (n, k) in want.items():
+        assert out[lang].n_docs == n and out[lang].n_kept == k, lang
+        assert 0 <= out[lang].n_kept <= out[lang].n_docs
+
+
+def test_fuzzy_apply_invariants_and_dominates_exact(spark):
+    """q_dedup_fuzzy_apply: kept + dropped must partition the corpus,
+    reruns are identical, and per lang it keeps AT MOST what the exact
+    canonical apply keeps (identical token sets are jac-1.0 LSH pairs,
+    so fuzzy components refine canonical groups)."""
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    r1 = {r.lang: r for r in reg["q_dedup_fuzzy_apply"].builder(spark, SF_DIR).collect()}
+    r2 = {r.lang: r for r in reg["q_dedup_fuzzy_apply"].builder(spark, SF_DIR).collect()}
+    assert {k: tuple(v) for k, v in r1.items()} == {k: tuple(v) for k, v in r2.items()}
+    d = load(spark, SF_DIR, "documents")
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, row in r1.items():
+        assert row.n_docs == per_lang[lang], lang
+        assert row.n_kept + row.n_dropped == row.n_docs, lang
+    exact = {r.lang: r for r in reg["q_dedup_apply"].builder(spark, SF_DIR).collect()}
+    for lang in r1:
+        assert r1[lang].n_kept <= exact[lang].n_kept, (
+            lang, r1[lang].n_kept, exact[lang].n_kept,
+        )
