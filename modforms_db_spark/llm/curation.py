@@ -407,3 +407,54 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w_pct").cast("bigint").alias("w_total"),
         )
     )
+
+
+@register(
+    "q_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), b AS (
+      SELECT lang, n_toks,
+             LEAST(CAST(n_toks // 16 AS BIGINT), 7) AS bucket
+      FROM t
+    )
+    SELECT lang, bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS toks,
+           CAST(MAX(n_toks) AS BIGINT) AS max_len,
+           CAST(MAX(n_toks) * COUNT(*) - SUM(n_toks) AS BIGINT) AS pad_waste
+    FROM b GROUP BY lang, bucket
+    """,
+    priority="P2",
+    tags=("llm", "curation", "batching"),
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit — the dynamic-batching design input
+    a trainer data loader needs: docs grouped into fixed-width token-length
+    buckets (width 16, top bucket open), with per-(lang, bucket) doc and
+    token counts plus PAD WASTE — the tokens a batch padded to the
+    bucket's max length would burn (max_len·n − Σlen). Bucketing by
+    length is what makes padding waste small; this op quantifies exactly
+    how small, per bucket, so budget decisions (bucket width, max length
+    cutoffs) are data-driven rather than guessed. Pure scan-side integer
+    arithmetic + one partial+final agg — no shuffle before the group
+    keys, bounded output (langs × 8 buckets)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    n_toks = F.size(F.split("text", " "))
+    bucket = F.least((F.col("n_toks") / 16).cast("bigint"), F.lit(7).cast("bigint"))
+    return (
+        d.select("lang", n_toks.alias("n_toks"))
+        .select("lang", "n_toks", bucket.alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("toks"),
+            F.max("n_toks").cast("bigint").alias("max_len"),
+            (F.max("n_toks") * F.count(F.lit(1)) - F.sum("n_toks"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+    )
