@@ -287,7 +287,11 @@ def q_join_asof_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 noted vs engines with first-class ASOF. The window emulation
     stays the contract's canonical form (one shuffle + one window pass,
     plan fully visible); this row proves the drop-in API exists and
-    hash-matches it. Tie caveat: ``merge_asof`` matches on ts only,
+    hash-matches it. SCALE WARNING (measured): pandas-on-Spark compiles
+    merge_asof to a BroadcastNestedLoopJoin — quadratic in the by-group
+    sizes (seconds at sf0.01, minutes at sf0.1) — so the NATIVE form is
+    API sugar for small frames only; `q_join_asof` (linear window pass)
+    is the 100 TB path. Tie caveat: ``merge_asof`` matches on ts only,
     while the emulation breaks equal-ts ties by event_id — identical
     here because no user has a signup and purchase at the same ts
     (verified at every SF; see _ASOF_ORACLE comment)."""
