@@ -159,7 +159,12 @@ def _driver_signals(root: str | None = None) -> dict[str, tuple[int, int]]:
             continue
         for name, row in rows.items():
             if isinstance(row, dict):
-                latest[name] = (rnd, _row_signal(row))
+                # Highest ROUND NUMBER wins (not file iteration order —
+                # lexicographic sort misorders mixed-padding names like
+                # r3 vs r10).
+                prev = latest.get(name)
+                if prev is None or rnd >= prev[0]:
+                    latest[name] = (rnd, _row_signal(row))
     return {
         name: (sig, rnd) for name, (rnd, sig) in latest.items() if sig is not None
     }
