@@ -351,8 +351,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (retried tasks re-derive the same shards), and bounded (≤ 256 docs
     per group, so pandas memory per task is O(shard), never O(corpus)).
     Parallelism = Σ_lang ⌈docs/256⌉, growing linearly with data instead
-    of capping at #languages. Bin ids stay globally unique via per-shard
-    id ranges (see _pack_pdf) — no cross-shard coordination, no second
+    of capping at #languages. Bin ids stay unique within a lang via
+    per-shard id ranges (see _pack_pdf; consumers key bins by
+    (lang, bin)) — no cross-shard coordination, no second
     pass. The oracle runs the SAME sharded recurrence as a recursive CTE
     partitioned by (lang, shard_id), which also bounds its recursion
     depth at 256. State per group is two integers (fill, bin), never the

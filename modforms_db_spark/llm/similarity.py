@@ -390,21 +390,28 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs crossJoin; recall vs q_sim_cosine_topk is measured in
     tests."""
     prep(spark)
-    long = lsh_band_long(_emb(spark, sf_dir))
+    # Per-row norms hoisted out of the pair loop (see q_sim_cosine_topk)
+    # and carried through the banding explode.
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    long = lsh_band_long(e, carry=("nrm",))
     q = long.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         "band",
         "bucket",
     )
     cand = (
         long.join(q, ["band", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_emb", F.col("vec_id").alias("nb_id"), "emb")
+        .select(
+            "q_id", "q_emb", "q_nrm",
+            F.col("vec_id").alias("nb_id"), "emb", "nrm",
+        )
         .distinct()
     )
     cos4 = F.round(
-        _dot("q_emb", "emb") / (_norm("q_emb") * _norm("emb")), 4
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
     ).alias("cos4")
     scored = cand.select("q_id", "nb_id", cos4)
     w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
