@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.oracle_dialect import R2, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -285,4 +285,394 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {R2(f'SUM({_REVENUE})')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_20')
+        OR (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_19'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    priority="P1",
+    tags=("tpch", "join"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7): bilateral trade revenue between one
+    nation PAIR, by supplier nation × customer nation × ship year.
+
+    Scale shape: both nation dims are filtered to the two pair members
+    BEFORE their joins (each side then broadcasts), so the disjunctive
+    pair predicate only has to exclude the two same-nation combinations
+    after the join — the fact side is never joined against unfiltered
+    dimensions. lineitem shuffles once (on l_orderkey, for orders);
+    supplier-nation and customer-nation ride broadcasts."""
+    prep(spark)
+    pair = ("NATION_19", "NATION_20")
+    n = load(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+
+
+# Ratio-of-sums parity rule (Q8/Q14): r2-round BOTH sums before the
+# division on both engines, then r4-round the ratio — summation-order
+# ulps can move a raw double sum but not its 2-dp rounding, so the
+# share/percentage is bit-stable across engines and partitionings.
+_Q8_NUM = R2("SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)")
+_Q8_SHARE = R4(f"{_Q8_NUM} / {R2('SUM(volume)')}")
+_Q14_NUM = R2(f"SUM(CASE WHEN p.p_type = 'PROMO' THEN {_REVENUE} ELSE 0 END)")
+_Q14_PCT = R4(f"{_Q14_NUM} * 100.0 / {R2(f'SUM({_REVENUE})')}")
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    WITH vol AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             {_REVENUE} AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           {_Q8_SHARE} AS mkt_share,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM vol GROUP BY o_year
+    """,
+    priority="P1",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8): one supplier nation's share of
+    promo-part revenue sold into one region's customers, by order year.
+
+    The shape Q5/Q7 don't cover: a conditional-aggregate RATIO (share =
+    tagged volume / total volume in one grouped pass — no second join or
+    self-union). Both sums are r2-rounded before the division on both
+    engines so summation-order ulps cannot move the 4-dp share.
+
+    Scale: part is filtered to the promo type before its join (broadcast
+    prune of the fact scan); region→nation→customer collapses to the
+    customer join; supplier-nation broadcasts. One wide-fact shuffle on
+    l_orderkey, one grouped agg keyed by year (tiny)."""
+    prep(spark)
+    p = load(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    n2 = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                n2.join(r, n2.n_regionkey == r.r_regionkey).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _rev().alias("volume"),
+            "supp_nation",
+        )
+    )
+    tagged = F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.round(F.sum(tagged), 2) / F.round(F.sum("volume"), 2), 4
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS l_year,
+           {_Q14_PCT} AS promo_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l_year
+    """,
+    priority="P1",
+    tags=("tpch", "join", "conditional-agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14): percentage of revenue from
+    promo-type parts, per ship year. Unlike Q8 the CASE tag comes from
+    the JOINED dimension (part must join before the agg — no prefilter
+    possible because the denominator needs every line). part broadcasts;
+    the only shuffle is the final tiny year agg. Both sums r2-rounded
+    before the ratio (same parity rationale as Q8)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.round(F.sum(promo), 2) * 100.0 / F.round(F.sum(_rev()), 2), 4
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * AVG(l_quantity) AS thr
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {R2('SUM(l.l_extendedprice) / 7.0')} AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa     ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#16' AND p.p_type = 'MEDIUM'
+      AND l.l_quantity < pa.thr
+    """,
+    priority="P1",
+    tags=("tpch", "join", "correlated-agg"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17): lines whose quantity is
+    below 20% of their part's average quantity, for one brand/type —
+    the correlated-scalar-subquery shape, decorrelated into a per-key
+    aggregate joined back to the fact.
+
+    Threshold determinism: l_quantity is integer-valued, so SUM/AVG are
+    exact (associative under fp) and 0.2·avg is the same double on both
+    engines regardless of partitioning.
+
+    Scale: the brand/type filter broadcasts part and SEMI-prunes the
+    per-part aggregate (only qualifying parts' averages are computed —
+    at 100 TB the unfiltered per-partkey agg would itself be a major
+    shuffle); the threshold side is then tiny and broadcasts back onto
+    the filtered fact scan."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#16") & (F.col("p_type") == "MEDIUM")
+    ).select("p_partkey")
+    # Per-part averages only for the ~|part|/B/T qualifying parts: the
+    # oracle's unfiltered `pa` CTE is semantically identical because the
+    # join to `p` discards every other key before use.
+    pa = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((0.2 * F.avg("l_quantity")).alias("thr"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(pa), "l_partkey")
+        .where(F.col("l_quantity") < F.col("thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT {R2(f'SUM({_REVENUE})')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#16' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    priority="P1",
+    tags=("tpch", "join", "disjunctive-pushdown"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19): disjunction of brand/size/quantity
+    AND-clusters spanning both join sides.
+
+    Catalyst cannot split a mixed-side OR below the join, so the
+    per-side IMPLIED filters are stated explicitly — part shrinks to the
+    three brand/size clusters (broadcast), lineitem scans only the
+    quantity envelope [1, 30] (pushed to parquet row-group stats) — and
+    the exact OR runs as the post-join residual. Same plan a TPC-H-tuned
+    engine produces; at 100 TB the quantity envelope alone skips ~40% of
+    fact row groups."""
+    prep(spark)
+    p = load(spark, sf_dir, "part").where(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        )
+        | ((F.col("p_brand") == "Brand#16") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 15))
+    ).select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(1, 30)
+    )
+    cl = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#16")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cl)
+        .agg(
+            F.round(F.sum(_rev()), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), per AS (
+      SELECT l_orderkey, l_suppkey, bool_or(late) AS supp_late
+      FROM l GROUP BY l_orderkey, l_suppkey
+    ), ord AS (
+      SELECT l_orderkey,
+             count(*) AS n_supps,
+             sum(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per JOIN ord USING (l_orderkey)
+    JOIN supplier s ON per.l_suppkey = s.s_suppkey
+    WHERE per.supp_late AND ord.n_supps > 1 AND ord.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    priority="P1",
+    tags=("tpch", "join", "existence"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, lateness ≡
+    shipped >90 days after the order date — this schema has no
+    commit/receipt dates): the supplier was LATE on a multi-supplier
+    order where every OTHER supplier was on time.
+
+    Q21's textbook form is EXISTS + NOT EXISTS self-joins on lineitem;
+    here both existence tests collapse into per-order counts (n_supps,
+    n_late) computed from ONE pass — the decorrelated aggregate form.
+    Both aggs and the per⋈ord join share the l_orderkey partitioning, so
+    the fact side shuffles once; supplier broadcasts; top-20 is a
+    TakeOrdered, never a global sort."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    per = late.groupBy("l_orderkey", "l_suppkey").agg(
+        F.bool_or("late").alias("supp_late")
+    )
+    ord_stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.join(ord_stats, "l_orderkey")
+        .where(F.col("supp_late") & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), per.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )

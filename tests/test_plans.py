@@ -333,14 +333,29 @@ def test_tpch_queries_broadcast_dimension_sides(spark):
         ("q_tpch_q5", 2),
         ("q_tpch_q10", 1),
         ("q_tpch_q18", 1),
+        ("q_tpch_q7", 2),
+        ("q_tpch_q8", 3),
+        ("q_tpch_q14", 1),
+        ("q_tpch_q17", 2),
+        ("q_tpch_q19", 1),
+        ("q_tpch_q21", 1),
     ):
         plan = _plan(spark, name)
         assert plan.count("BroadcastHashJoin") >= min_bcast, (name, plan)
-    # Q3/Q10/Q18 are top-k: the global sort must be TakeOrdered, not full.
-    for name in ("q_tpch_q3", "q_tpch_q10", "q_tpch_q18"):
+    # Q3/Q10/Q18/Q21 are top-k: the global sort must be TakeOrdered, not full.
+    for name in ("q_tpch_q3", "q_tpch_q10", "q_tpch_q18", "q_tpch_q21"):
         assert "TakeOrderedAndProject" in _plan(spark, name), name
     # Q22's NOT EXISTS must plan as a real anti join.
     assert "LeftAnti" in _plan(spark, "q_tpch_q22")
+    # Q19's per-side implied filters must reach the scans: the lineitem
+    # quantity envelope and the part brand set show up as PushedFilters.
+    q19 = _plan(spark, "q_tpch_q19")
+    assert "GreaterThanOrEqual(l_quantity,1" in q19, q19
+    assert "EqualTo(p_brand,Brand#12)" in q19, q19
+    # Q17's per-part average must aggregate only semi-pruned keys (the
+    # brand/type filter runs below the agg, not after it).
+    q17 = _plan(spark, "q_tpch_q17")
+    assert "LeftSemi" in q17, q17
 
 
 def test_knn_classify_norms_hoisted_above_pair_join(spark):
