@@ -458,3 +458,89 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pad_waste"),
         )
     )
+
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S = 8 tokens)
+
+
+@register(
+    "q_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), spans AS (
+      SELECT doc_id, lang, t, n,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           gs AS chunk_id,
+           gs * {_CHUNK_S} + 1 AS chunk_start,
+           CAST(len(list_slice(t, gs * {_CHUNK_S} + 1,
+                               LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n))) AS BIGINT)
+             AS chunk_len,
+           array_to_string(
+             list_slice(t, gs * {_CHUNK_S} + 1,
+                        LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n)), ' ')
+             AS chunk_text
+    FROM spans, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
+    """,
+    priority="P2",
+    tags=("llm", "rag", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / retrieval-index prep):
+    fixed 32-token chunks at stride 24 (8-token overlap), last chunk
+    ragged, short docs emit exactly one chunk. Chunk count per doc is the
+    standard cover formula ceil((n-W)/S)+1, so every token lands in ≥1
+    chunk and chunk ids are dense from 0.
+
+    Scale: pure row-local projection — sequence() builds the chunk-id
+    range, explode fans out, slice() + array_join materialize each
+    chunk; no shuffle anywhere, output grows by the constant factor
+    ~n/S per doc (~1.33× tokens at W=32/S=24). At 100 TB this is the
+    map-only pass you run right before writing a chunk-keyed index;
+    downstream embedding/indexing partitions on (doc_id, chunk_id)
+    without data movement here.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    n_chunks = F.when(F.col("n") <= _CHUNK_W, F.lit(1).cast("bigint")).otherwise(
+        F.ceil((F.col("n") - _CHUNK_W) / float(_CHUNK_S)).cast("bigint") + 1
+    )
+    spans = toks.withColumn("n_chunks", n_chunks)
+    start = F.col("chunk_id") * _CHUNK_S + 1
+    length = F.least(
+        F.lit(_CHUNK_W).cast("bigint"), F.col("n") - F.col("chunk_id") * _CHUNK_S
+    )
+    chunk = F.slice("t", start, length)
+    return (
+        spans.select(
+            "doc_id",
+            "lang",
+            "t",
+            "n",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "chunk_id",
+            start.alias("chunk_start"),
+            F.size(chunk).cast("bigint").alias("chunk_len"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R2, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -160,4 +160,80 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clipped), 4).alias("mean_winsorized"),
             F.round(F.avg("value"), 4).alias("mean_raw"),
         )
+    )
+
+
+@register(
+    "q_stat_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+             (ts >= TIMESTAMP '2024-01-16 00:00:00') AS win_b,
+             value
+      FROM events
+    ), stats AS (
+      SELECT event_type,
+             SUM(CASE WHEN NOT win_b THEN 1 ELSE 0 END)       AS n_a,
+             SUM(CASE WHEN win_b THEN 1 ELSE 0 END)           AS n_b,
+             {R2("AVG(CASE WHEN NOT win_b THEN value END)")} AS mean_a,
+             {R2("AVG(CASE WHEN win_b THEN value END)")} AS mean_b
+      FROM tagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           mean_a, mean_b,
+           {R4("n_b / (n_a * 1.0)")} AS vol_ratio,
+           (ABS(mean_b - mean_a) > 0.05 * ABS(mean_a)) AS mean_drift,
+           (n_b > 1.5 * n_a OR n_a > 1.5 * n_b)        AS volume_drift
+    FROM stats
+    """,
+    priority="P2",
+    tags=("quality", "drift", "monitoring"),
+)
+def q_stat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two time windows (data-quality
+    monitoring for a continuously-ingested feed): per event_type, row
+    volume and mean value in window A (before the cutoff) vs window B
+    (after), with drift flags — |Δmean| > 5% of the baseline mean, and
+    volume shift beyond 1.5×.
+
+    Parity note: both means are r2-rounded BEFORE the drift comparison
+    on both engines, so the flag is a deterministic function of
+    engine-identical doubles — summation order can never flip it.
+
+    Scale: single grouped pass over the fact scan (conditional aggs per
+    window — no self-join of the two windows), output bounded at
+    #event_types. At 100 TB windows would come from partition pruning on
+    a date-partitioned table; the agg shape is unchanged."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    win_b = F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    g = (
+        e.select("event_type", win_b.alias("win_b"), "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(~F.col("win_b"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("win_b"), 1).otherwise(0)).alias("n_b"),
+            F.round(F.avg(F.when(~F.col("win_b"), F.col("value"))), 2).alias(
+                "mean_a"
+            ),
+            F.round(F.avg(F.when(F.col("win_b"), F.col("value"))), 2).alias(
+                "mean_b"
+            ),
+        )
+    )
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        F.round(F.col("n_b") / F.col("n_a"), 4).alias("vol_ratio"),
+        (
+            F.abs(F.col("mean_b") - F.col("mean_a"))
+            > 0.05 * F.abs(F.col("mean_a"))
+        ).alias("mean_drift"),
+        (
+            (F.col("n_b") > 1.5 * F.col("n_a"))
+            | (F.col("n_a") > 1.5 * F.col("n_b"))
+        ).alias("volume_drift"),
     )

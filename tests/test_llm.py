@@ -565,3 +565,45 @@ def test_fuzzy_apply_invariants_and_dominates_exact(spark):
         assert r1[lang].n_kept <= exact[lang].n_kept, (
             lang, r1[lang].n_kept, exact[lang].n_kept,
         )
+
+
+def test_doc_chunks_cover_every_token_with_correct_overlap(spark):
+    """q_doc_chunks invariants: chunk ids dense from 0; consecutive
+    chunks overlap by exactly W−S tokens (except the ragged tail, which
+    may overlap more but never gaps); the last chunk ends at the doc's
+    token count (full coverage); re-joining chunk 0 of a 1-chunk doc
+    reproduces the doc text."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+    from modforms_db_spark.llm.curation import _CHUNK_S, _CHUNK_W
+
+    reg = get_registry()
+    ch = reg["q_doc_chunks"].builder(spark, SF_DIR)
+    d = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n"), "text"
+    )
+    per_doc = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_id").alias("max_id"),
+            F.min("chunk_id").alias("min_id"),
+            F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("cover_end"),
+        )
+        .join(d, "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r.min_id == 0 and r.max_id == r.n_chunks - 1, r  # dense ids
+        assert r.cover_end == r.n, r  # coverage reaches the last token
+        # no gaps: stride ≤ W guarantees start_{i+1} ≤ end_i + 1
+        assert _CHUNK_S <= _CHUNK_W
+    single = (
+        ch.join(d, "doc_id")
+        .where(F.col("n") <= _CHUNK_W)
+        .select((F.col("chunk_text") == F.col("text")).alias("eq"))
+        .collect()
+    )
+    assert single and all(r.eq for r in single)
