@@ -1,0 +1,156 @@
+"""Iterative graph analytics over relational-derived edge lists —
+PageRank on the customer→supplier purchase graph (who funds whom). The
+third iterative-algorithm family next to Lloyd k-means
+(`llm/similarity.kmeans_fit`) and large-star/small-star connected
+components (`llm/dedup`): per-round keyed shuffle instead of broadcast
+state, because rank state is O(|V|) and lives distributed.
+
+Determinism discipline (same rule as the repo's other fp reductions):
+every per-node contribution sum and the dangling-mass total are rounded
+to 10 dp at each iteration on BOTH engines, so partition-order ulps
+(~1e-16) can never accumulate across rounds or flip a comparison; the
+oracle unrolls the fixed iteration count as chained CTEs (aggregation is
+not allowed in a standard recursive CTE member).
+
+Scale: edges build with ONE shuffle on (src, dst); out-weights reuse the
+src partitioning; each round is edges⋈ranks on src (co-partitioned after
+the first round) + a groupBy dst — the canonical Pregel-style rank
+exchange. Rank state is never collected to the driver; N and the
+dangling mass ride 1-row broadcast aggregates. localCheckpoint
+truncates per-round lineage exactly as kmeans_fit does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R
+from modforms_db_spark.registry import register
+from modforms_db_spark.session import prep
+
+_D = 0.85  # damping
+_ITERS = 3
+
+
+def _oracle_iteration(prev: str, k: int) -> str:
+    """One unrolled PageRank round as two chained CTEs (dangling mass,
+    then the rank update) reading the previous round's rank CTE."""
+    return f"""
+    dang{k} AS (
+      SELECT {R(f"COALESCE(SUM(r.rank), 0)", 10)} AS mass
+      FROM {prev} r LEFT JOIN outw o ON r.node = o.src
+      WHERE o.src IS NULL
+    ),
+    rank{k} AS (
+      SELECT n.node,
+             {R(
+                 f"(1 - {_D}) / nn.n + {_D} * COALESCE(c.contrib, 0) "
+                 f"+ {_D} * d.mass / nn.n",
+                 10,
+             )} AS rank
+      FROM nodes n
+      CROSS JOIN nn CROSS JOIN dang{k} d
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               {R(f"SUM(r.rank * e.w / o.ws)", 10)} AS contrib
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN outw o ON e.src = o.src
+        GROUP BY e.dst
+      ) c ON n.node = c.node
+    )"""
+
+
+_PAGERANK_ORACLE = (
+    f"""
+    WITH edges AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM edges
+      UNION
+      SELECT DISTINCT dst AS node FROM edges
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(w) AS ws FROM edges GROUP BY src),
+    rank0 AS (
+      SELECT node, {R('1.0 / nn.n', 10)} AS rank FROM nodes CROSS JOIN nn
+    ),"""
+    + ",".join(_oracle_iteration(f"rank{k - 1}" if k > 1 else "rank0", k) for k in range(1, _ITERS + 1))
+    + f"""
+    SELECT node, rank FROM rank{_ITERS}
+    """
+)
+
+
+@register(
+    "q_pagerank",
+    oracle=_PAGERANK_ORACLE,
+    priority="P2",
+    tags=("graph", "iterative", "pagerank"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 rounds, uniform init, dangling mass
+    redistributed uniformly — suppliers have no out-edges, so Σrank
+    stays exactly 1 up to rounding; test-pinned) over the directed
+    customer→supplier graph weighted by purchase-line counts.
+
+    Per round: ranks join edges on src → per-dst contribution agg →
+    blend with teleport + dangling terms. All sums r10-rounded per
+    round on both engines (module docstring)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    ).localCheckpoint(eager=False)  # reused every round (join + degree + nodes)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ws"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(nn))
+        .select("node", F.round(F.lit(1.0) / F.col("n"), 10).alias("rank"))
+    ).localCheckpoint(eager=False)
+    frac = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("ws")).alias("f")
+    )
+    for _ in range(_ITERS):
+        dang = (
+            ranks.join(outw, ranks.node == outw.src, "left_anti")
+            .agg(F.round(F.coalesce(F.sum("rank"), F.lit(0.0)), 10).alias("mass"))
+        )
+        contribs = (
+            frac.join(ranks, frac.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("rank") * F.col("f")), 10).alias("contrib"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    (1 - _D) / F.col("n")
+                    + _D * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + _D * F.col("mass") / F.col("n"),
+                    10,
+                ).alias("rank"),
+            )
+        ).localCheckpoint(eager=False)
+    return ranks

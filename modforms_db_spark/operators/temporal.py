@@ -600,3 +600,74 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "user_id", "n_events", F.round("ewma", 4).alias("ewma_last")
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_prev
+      FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, t,
+             CASE WHEN t_prev IS NULL OR t - t_prev > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      FROM seq
+    ), ids AS (
+      SELECT user_id, ts, t,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           MAX(t) - MIN(t) AS duration_us
+    FROM ids GROUP BY user_id, session_id
+    """,
+    priority="P2",
+    tags=("temporal", "sessionization"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (gap rule: >30 min of silence starts a
+    new session): assign dense per-user session ids, then report each
+    session's event count, bounds, and exact µs duration. The ROW-level
+    twin of `q_win_session`'s session_window aggregate — this is the
+    form you join back onto events to tag every row with its session.
+
+    Determinism: ordering is (ts, event_id) — event_id is a unique
+    tiebreak, so lag/cumsum see one canonical sequence on any engine or
+    partitioning; durations are integer µs (exact).
+
+    Scale: one shuffle on user_id; the lag window, the running-sum
+    window, and the (user_id, session_id) agg all share that
+    partitioning (session_id is a refinement of user_id), so AQE plans
+    a single exchange end-to-end."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select("user_id", "event_id", "ts", t.alias("t")).withColumn(
+        "t_prev", F.lag("t").over(w)
+    )
+    flagged = seq.withColumn(
+        "new_sess",
+        F.when(
+            F.col("t_prev").isNull()
+            | (F.col("t") - F.col("t_prev") > 30 * 60 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    ids = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return ids.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        (F.max("t") - F.min("t")).alias("duration_us"),
+    )

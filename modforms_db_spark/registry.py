@@ -37,6 +37,7 @@ _OPERATOR_MODULES = [
     "modforms_db_spark.operators.setops",
     "modforms_db_spark.operators.temporal",
     "modforms_db_spark.operators.quality",
+    "modforms_db_spark.operators.graph",
     "modforms_db_spark.operators.tpch",
     "modforms_db_spark.sources.sinks",
     "modforms_db_spark.sources.python_ds",

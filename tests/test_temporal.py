@@ -364,3 +364,54 @@ def test_catalog_cache_keys_by_sf_dir(spark, tmp_path):
     full = load(spark, SF_DIR, "region").count()
     assert load(spark, other, "region").count() == 2
     assert load(spark, SF_DIR, "region").count() == full
+
+
+def test_sessionize_agrees_with_session_window_twin(spark):
+    """q_sessionize (row-level ids) and q_win_session (session_window
+    agg) implement the same 30-min-gap rule, so per-user session COUNTS
+    must agree, and total events across sessions must equal the table."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    rows = reg["q_sessionize"].builder(spark, SF_DIR)
+    by_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in rows.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .collect()
+    }
+    e = load(spark, SF_DIR, "events")
+    totals = {r.user_id: r.n for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {u: v[1] for u, v in by_user.items()} == totals
+    tw = {
+        r.user_id: r.n
+        for r in reg["q_win_session"].builder(spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {u: v[0] for u, v in by_user.items()} == tw
+
+
+def test_pagerank_mass_conserved_and_suppliers_outrank_uniform(spark):
+    """Σrank ≡ 1 (teleport + dangling redistribution conserve mass, up
+    to the per-round 1e-10 rounding × |V|); every node keeps a positive
+    rank ≥ the teleport floor (1−d)/N; and suppliers (pure sinks fed by
+    every customer) collectively hold more than their uniform share."""
+    from pyspark.sql import functions as F
+
+    reg = get_registry()
+    df = reg["q_pagerank"].builder(spark, SF_DIR)
+    rows = df.collect()
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - 1.0) < n * 1e-9
+    assert all(r.rank >= (1 - 0.85) / n - 1e-9 for r in rows)
+    supp = sum(r.rank for r in rows if r.node.startswith("s"))
+    n_supp = sum(1 for r in rows if r.node.startswith("s"))
+    assert supp > n_supp / n  # sinks accumulate mass
