@@ -544,3 +544,67 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "q_shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_toks,
+             n_chars,
+             (doc_id * 2654435761) % {_N_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT)     AS n_toks,
+           CAST(SUM(n_chars) AS BIGINT)    AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MIN(doc_id) AS BIGINT)     AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT)     AS max_doc
+    FROM t GROUP BY shard
+    """,
+    priority="P2",
+    tags=("llm", "curation", "sharding"),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: assign every document to one of 16
+    output shards by a pure multiplicative hash of doc_id (same
+    engine-portable integer-hash discipline as `q_sample_weighted` —
+    reproducible on any engine/partitioning, no floats), and report per
+    shard the doc/token/char totals plus lang spread and doc-id range —
+    what a distributed writer needs to plan balanced training shards
+    and what a reader needs to resume/verify them.
+
+    Scale: shard assignment is scan-side codegen arithmetic (zero
+    shuffles before the agg); the report is one partial+final agg with
+    output bounded at the shard count. In production the same
+    expression feeds `.repartition(N_SHARDS, shard)` so the manifest
+    and the physical layout derive from one definition."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    shard = (
+        (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % _N_SHARDS
+    ).alias("shard")
+    return (
+        d.select(
+            shard,
+            "lang",
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_toks"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )

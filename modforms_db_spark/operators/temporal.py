@@ -671,3 +671,58 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("t_end"),
         (F.max("t") - F.min("t")).alias("duration_us"),
     )
+
+
+@register(
+    "q_ohlc_resample",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, value, ts, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn_open,
+             row_number() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC
+             ) AS rn_close
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, h,
+           {R4('MAX(CASE WHEN rn_open = 1 THEN value END)')} AS open,
+           {R4('MAX(value)')} AS high,
+           {R4('MIN(value)')} AS low,
+           {R4('MAX(CASE WHEN rn_close = 1 THEN value END)')} AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM seq GROUP BY user_id, h
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "resample"),
+)
+def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar resampling (the financial downsample every timeseries
+    store ships): per (user, hour) the first/max/min/last value plus
+    tick count. First/last are (ts, event_id)-ordered — the unique
+    event_id tiebreak makes open/close deterministic under concurrent
+    equal-timestamp ticks on any engine.
+
+    Spark shape: min_by/max_by over a packed (ts, event_id) struct —
+    one partial+final agg, NO window pass (the oracle's row_number
+    formulation is the portable SQL equivalent; struct-ordered min_by
+    is the cheaper single-pass Spark form). One shuffle on the grouped
+    key; output is bounded at users × hours."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    h = F.date_trunc("hour", "ts").alias("h")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.select("user_id", h, "value", key.alias("k"))
+        .groupBy("user_id", "h")
+        .agg(
+            F.round(F.min_by("value", F.col("k")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("k")), 4).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
