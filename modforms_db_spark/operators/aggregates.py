@@ -928,3 +928,52 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_r2("l_extendedprice", "l_quantity")).alias("r2"),
         F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "q_quantile_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, value, event_id,
+             ntile(4) OVER (
+               PARTITION BY event_type ORDER BY value, event_id
+             ) AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R4('MIN(value)')} AS lo,
+           {R4('MAX(value)')} AS hi
+    FROM t GROUP BY event_type, bin
+    """,
+    priority="P2",
+    tags=("agg", "histogram", "quantile"),
+)
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartile bins) per event_type: ntile(4)
+    assigns equal-population bins, then each bin reports its count and
+    [lo, hi] value span — the complement of `q_agg_histogram`'s
+    equi-WIDTH bins, and the binning an optimizer's column statistics
+    use. The (value, event_id) tiebreak makes bin assignment
+    deterministic under duplicate values on any engine.
+
+    Scale: one shuffle on event_type for the ntile window, then the
+    (event_type, bin) agg refines the same partitioning — a single
+    exchange. Caveat honestly stated: a global ntile over ONE giant
+    group serializes that group through one task; at 100 TB you'd use
+    approx percentile cutpoints (`q_agg_approx_percentile`) and a
+    scan-side bucket assignment instead — this row is the exact,
+    oracle-checkable form over bounded group counts."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", "event_id")
+        .withColumn("bin", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )

@@ -571,3 +571,70 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(revenue), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             first_value(purchase_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id, ts AS signup_ts, next_purchase_ts,
+           CASE WHEN next_purchase_ts IS NOT NULL
+                THEN epoch_us(next_purchase_ts) - epoch_us(ts) END AS lead_us
+    FROM w WHERE event_type = 'signup'
+    """,
+    priority="P2",
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (direction twin of `q_join_asof`): for each
+    signup, the user's EARLIEST following-or-equal purchase plus the
+    exact µs conversion lead time — "time to convert", the canonical
+    forward-looking as-of. Same window-emulation shape, mirrored: a
+    first_value-ignore-nulls over CURRENT ROW → UNBOUNDED FOLLOWING.
+
+    Scale: identical to the backward form — one shuffle on user_id, one
+    window pass, no self-join blowup; forward direction costs nothing
+    extra because the frame mirror is frame metadata, not a second
+    sort."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.withColumn(
+        "purchase_ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        tagged.withColumn(
+            "next_purchase_ts", F.first("purchase_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("signup_ts"),
+            "next_purchase_ts",
+            F.when(
+                F.col("next_purchase_ts").isNotNull(),
+                t_us("next_purchase_ts") - t_us("ts"),
+            ).alias("lead_us"),
+        )
+    )

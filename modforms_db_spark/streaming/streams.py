@@ -522,3 +522,56 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_join",
         spark,
     )
+
+
+@register(
+    "q_stream_static_join",
+    oracle="""
+    WITH dim(event_type, category) AS (
+      VALUES ('click', 'engagement'), ('view', 'engagement'),
+             ('purchase', 'conversion'), ('signup', 'conversion'),
+             ('error', 'ops')
+    )
+    SELECT e.event_id, e.user_id, d.category, e.ts
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+    priority="P3",
+    tags=("streaming", "join", "enrichment"),
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join: the event stream joined to a
+    static dimension (event_type → category) — the third join shape
+    next to the batch joins and the watermarked stream-stream join.
+    No watermark and no state store: Spark re-broadcasts the static
+    side into every micro-batch, so this is the one streaming join
+    that's stateless and append-safe by construction.
+
+    Unlike the stateful streaming rows (rows-only), enrichment is a
+    deterministic row mapping, so this query carries a full SQL oracle
+    — every emitted row hash-checks against the batch join.
+
+    Scale: the static side is dimension-sized (broadcast); stream-side
+    throughput is bounded by the scan, not the join. A slowly-changing
+    dimension swaps in via foreachBatch re-read or a Delta-style
+    versioned table; the plan shape is unchanged."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "conversion"),
+            ("signup", "conversion"),
+            ("error", "ops"),
+        ],
+        "event_type string, category string",
+    )
+    joined = events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "user_id", "category", "ts"
+    )
+    with _stream_shuffle(spark):
+        return _run_to_table(
+            joined.writeStream.format("memory").outputMode("append"),
+            "stream_static_join",
+            spark,
+        )
