@@ -608,3 +608,59 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+             len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    )
+    SELECT a.doc_id, a.lang, a.n_chars, CAST(a.n_toks AS BIGINT) AS n_toks
+    FROM t a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM t b
+      WHERE b.n_chars <= a.n_chars AND b.n_toks >= a.n_toks
+        AND (b.n_chars < a.n_chars OR b.n_toks > a.n_toks)
+    )
+    """,
+    priority="P2",
+    tags=("llm", "curation", "skyline"),
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): documents not strictly dominated
+    on (minimize n_chars, maximize n_toks) — the densest-per-byte
+    frontier a curation pass keeps when trading storage against token
+    yield. A doc is dominated if another has ≤ chars AND ≥ tokens with
+    at least one strict; equal points are mutually non-dominating and
+    all kept.
+
+    Spark shape — LINEAR, not the oracle's quadratic NOT EXISTS: a doc
+    is on the frontier iff it achieves its char-count's best token
+    count AND that best strictly exceeds every smaller char-count's
+    best. So: per-n_chars max (partial+final agg) → running strict max
+    over the DISTINCT n_chars curve (a window over |distinct values|
+    rows, bounded, NOT over docs) → broadcast the frontier pairs back
+    onto the scan. The classic sort-scan skyline, shuffled once.
+
+    At 100 TB the only care is that the distinct-value curve stays
+    driver-small (it's bounded by the value domain, here ≤ ~2k char
+    counts); a continuous domain would be pre-bucketed first."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    per_x = d.groupBy("n_chars").agg(F.max("n_toks").alias("best"))
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_x.withColumn("prev_best", F.max("best").over(w))
+        .where(F.col("prev_best").isNull() | (F.col("best") > F.col("prev_best")))
+        .select("n_chars", F.col("best").alias("n_toks"))
+    )
+    return d.join(F.broadcast(frontier), ["n_chars", "n_toks"]).select(
+        "doc_id", "lang", "n_chars", "n_toks"
+    )

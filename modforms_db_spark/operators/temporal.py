@@ -726,3 +726,62 @@ def q_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
+
+
+@register(
+    "q_ivm_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             {R4('SUM(value)')} AS total
+      FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00'
+      GROUP BY user_id
+    ), delta AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             {R4('SUM(value)')} AS total
+      FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00'
+      GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n,
+           {R4('COALESCE(b.total, 0) + COALESCE(d.total, 0)')} AS total
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    """,
+    priority="P2",
+    tags=("temporal", "incremental", "ivm"),
+)
+def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, batch form: a materialized per-user
+    aggregate (rows before the cutoff) merged with a late-arriving delta
+    batch via full-outer coalesce — the SAME merge arithmetic
+    `q_stream_upsert`'s foreachBatch store applies per micro-batch, here
+    as one oracle-checkable plan. The IVM contract (merged ≈ recomputed
+    from scratch, exactly for counts, to fp rounding for sums) is pinned
+    in tests/test_temporal.py.
+
+    Scale: this is THE pattern that makes a 100 TB rollup affordable —
+    the base aggregate is stored state (here recomputed for the oracle's
+    benefit; in production a table read), the delta aggregates only the
+    new partition, and the merge joins state-sized sides on the group
+    key. Count/sum/min/max merge this way; avg/stddev via (sum, count,
+    M2) moments; percentiles/distinct need sketches (`q_agg_hll_merge`)."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24 00:00:00").cast("timestamp_ntz")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        )
+
+    b = agg(e.where(F.col("ts") < cutoff)).alias("b")
+    d = agg(e.where(F.col("ts") >= cutoff)).alias("d")
+    return b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer").select(
+        F.coalesce(F.col("b.user_id"), F.col("d.user_id")).alias("user_id"),
+        (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+        F.round(
+            F.coalesce(F.col("b.total"), F.lit(0.0))
+            + F.coalesce(F.col("d.total"), F.lit(0.0)),
+            4,
+        ).alias("total"),
+    )

@@ -415,3 +415,31 @@ def test_pagerank_mass_conserved_and_suppliers_outrank_uniform(spark):
     supp = sum(r.rank for r in rows if r.node.startswith("s"))
     n_supp = sum(1 for r in rows if r.node.startswith("s"))
     assert supp > n_supp / n  # sinks accumulate mass
+
+
+def test_ivm_merge_equals_full_recompute(spark):
+    """The IVM contract: base+delta merge must equal the from-scratch
+    aggregate — exactly for counts, to fp-rounding tolerance for sums
+    (the merge adds two r4-rounded partials, the recompute rounds one
+    full sum; they may differ in the 4th decimal by at most 1 ulp of
+    the rounding grid)."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    reg = get_registry()
+    merged = {
+        r.user_id: (r.n, r.total)
+        for r in reg["q_ivm_merge"].builder(spark, SF_DIR).collect()
+    }
+    full = {
+        r.user_id: (r.n, r.total)
+        for r in load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .collect()
+    }
+    assert set(merged) == set(full)
+    for u in merged:
+        assert merged[u][0] == full[u][0], u
+        assert abs(merged[u][1] - full[u][1]) <= 2e-4, (u, merged[u], full[u])
