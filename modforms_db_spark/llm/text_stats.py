@@ -604,3 +604,52 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    )
+    SELECT lang, tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           list_sort(list(doc_id)) AS postings
+    FROM toks
+    GROUP BY lang, tok
+    HAVING COUNT(*) >= 3
+    """,
+    priority="P2",
+    tags=("llm", "text", "index", "retrieval"),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the retrieval-side artifact `q_doc_chunks`
+    feeds): per (lang, token) the document frequency and the SORTED
+    posting list of doc_ids, restricted to tokens appearing in ≥ 3 docs
+    (singleton/pair postings are the long tail a first-stage retriever
+    prunes). Postings are sorted so the array value — and therefore the
+    cross-engine hash — is deterministic.
+
+    Scale: distinct-tokens projection is per-row (array_distinct before
+    the explode, so each (doc, tok) ships once), then ONE shuffle on
+    (lang, tok) builds df + postings together. The df ≥ 3 HAVING runs
+    post-agg where it must (df isn't known scan-side). At 100 TB the
+    only extra care is posting-list skew for stop-ish tokens — the same
+    df-cap discipline as MinHash-LSH (SCALE.md §6) applies before
+    collect_list, and postings page to fixed-size blocks."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    return (
+        toks.groupBy("lang", "tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where(F.col("df") >= 3)
+    )

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -785,3 +785,79 @@ def q_ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("total"),
     )
+
+
+@register(
+    "q_attribution_multitouch",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ), v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ), pairs AS (
+      SELECT p.user_id, p.purchase_id, p.p_ts, v.view_id, v.v_ts
+      FROM p JOIN v ON p.user_id = v.user_id
+       AND v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - INTERVAL 1 DAY
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY purchase_id ORDER BY v_ts, view_id) AS rn,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS cnt
+      FROM pairs
+    )
+    SELECT user_id, purchase_id, view_id,
+           CASE WHEN cnt = 1 THEN 1.0
+                WHEN cnt = 2 THEN 0.5
+                WHEN rn = 1 OR rn = cnt THEN 0.4
+                ELSE {R(f'0.2 / (cnt - 2)', 6)}
+           END AS credit
+    FROM ranked
+    """,
+    priority="P2",
+    tags=("temporal", "events", "attribution"),
+)
+def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every view in
+    the 24 h before a purchase gets credit — 40 % first touch, 40 %
+    last, the middle 20 % split evenly (degenerate cases: one view →
+    1.0, two → 0.5 each). Credits are a pure function of the ranked
+    pair set with (v_ts, view_id) tiebreaks, so fully oracle-checkable.
+
+    Scale: the purchase×view pairing is an interval join — at 100 TB it
+    runs as the bin-bucketed form `q_join_range_binned` demonstrates
+    (equality on (user, day-bin) before the range residual) instead of
+    an unbounded theta join; the ranking windows then partition by
+    purchase_id, whose groups are small (views-per-day per user)."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    pairs = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("v_ts", "view_id")
+    wc = Window.partitionBy("purchase_id")
+    ranked = pairs.select(
+        "user_id",
+        "purchase_id",
+        "view_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    credit = (
+        F.when(F.col("cnt") == 1, F.lit(1.0))
+        .when(F.col("cnt") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("cnt")), F.lit(0.4))
+        .otherwise(F.round(F.lit(0.2) / (F.col("cnt") - 2), 6))
+    )
+    return ranked.select("user_id", "purchase_id", "view_id", credit.alias("credit"))
