@@ -154,3 +154,60 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).localCheckpoint(eager=False)
     return ranks
+
+
+@register(
+    "q_degree_dist",
+    oracle="""
+    WITH edges AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), degs AS (
+      SELECT src AS node, 'out' AS direction, COUNT(*) AS degree
+      FROM edges GROUP BY src
+      UNION ALL
+      SELECT dst AS node, 'in' AS direction, COUNT(*) AS degree
+      FROM edges GROUP BY dst
+    )
+    SELECT direction, CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM degs GROUP BY direction, degree
+    """,
+    priority="P2",
+    tags=("graph", "degree"),
+)
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the purchase graph (same edge derivation
+    as `q_pagerank`): per direction, how many nodes have each
+    in-/out-degree — the skew diagnostic you run BEFORE an iterative
+    graph algorithm to know whether its per-key shuffles need salting
+    (a power-law in-degree tail is exactly the hot-key case SCALE.md §3
+    mitigates).
+
+    Scale: distinct-edge build shuffles once on (src, dst); each degree
+    count reuses a side of that key; the histogram agg is bounded by
+    the distinct-degree count. Nothing is ever collected per-node."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    out_d = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("out").alias("direction"), "degree")
+    in_d = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    ).select(F.lit("in").alias("direction"), "degree")
+    return (
+        out_d.unionAll(in_d)
+        .groupBy("direction", "degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )

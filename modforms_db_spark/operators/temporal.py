@@ -861,3 +861,95 @@ def q_attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(0.2) / (F.col("cnt") - 2), 6))
     )
     return ranked.select("user_id", "purchase_id", "view_id", credit.alias("credit"))
+
+
+@register(
+    "q_anomaly_rolling_z",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(ROUND(value * 10000) AS BIGINT) AS vi
+      FROM events WHERE value IS NOT NULL
+    ), w AS (
+      SELECT event_id, user_id, ts, value,
+             SUM(vi)      OVER trail AS s1,
+             SUM(vi * vi) OVER trail AS s2,
+             COUNT(*)     OVER trail AS n_win
+      FROM q
+      WINDOW trail AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 29 PRECEDING AND 1 PRECEDING
+      )
+    ), stats AS (
+      SELECT event_id, user_id, ts, value, n_win,
+             {R4('CAST(s1 AS DOUBLE) / (n_win * 10000.0)')} AS mu,
+             {R4('SQRT(GREATEST((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_win) / (n_win - 1) / 100000000.0, 0))')} AS sigma
+      FROM w
+    )
+    SELECT event_id, user_id, ts, value, mu, sigma,
+           (ABS(value - mu) > 3 * sigma) AS is_anomaly
+    FROM stats WHERE n_win >= 10 AND sigma > 0
+    """,
+    priority="P2",
+    tags=("temporal", "anomaly", "rolling"),
+)
+def q_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    TRAILING 30 events of the same user (frame excludes the current
+    row — the score must not contaminate its own baseline), flagged at
+    |z| > 3, emitted once the baseline has ≥ 10 points. The ROLLING
+    complement of `q_anomaly_mad`'s global-robust scoring.
+
+    Determinism: windowed fp sums are NOT order-stable across engines
+    (a segment-tree combine vs a linear scan differ by ulps — observed
+    as a 4th-dp boundary flip at sf0.01). So the frame aggregates are
+    INTEGER moments: values quantize to 1e-4 grid integers (exact in
+    doubles: |vi| ≤ 5.6e6, Σvi² ≤ 1e15 < 2^53), the frame sums are
+    exact in ANY order, and μ/σ are pure per-row functions of (s1, s2,
+    n) — bit-identical on every engine and partitioning; the final
+    4-dp rounding of those identical doubles still goes through the
+    R4 dialect emulation (quotients are not grid-exact).
+
+    Scale: one shuffle on user_id; the trailing frame is ROWS-bounded
+    (constant per-row window state), the flag is a projection — a
+    single exchange end-to-end."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    vi = F.round(F.col("value") * 10000).cast("bigint")
+    trail = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-29, -1)
+    )
+    q = e.select("event_id", "user_id", "ts", "value", vi.alias("vi"))
+    w = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("vi").over(trail).alias("s1"),
+        F.sum(F.col("vi") * F.col("vi")).over(trail).alias("s2"),
+        F.count(F.lit(1)).over(trail).alias("n_win"),
+    )
+    s1d = F.col("s1").cast("double")
+    mu = F.round(s1d / (F.col("n_win") * 10000.0), 4)
+    var = F.greatest(
+        (F.col("s2").cast("double") - s1d * s1d / F.col("n_win"))
+        / (F.col("n_win") - 1)
+        / 1e8,
+        F.lit(0.0),
+    )
+    sigma = F.round(F.sqrt(var), 4)
+    stats = w.select(
+        "event_id", "user_id", "ts", "value", "n_win",
+        mu.alias("mu"), sigma.alias("sigma"),
+    )
+    return (
+        stats.where((F.col("n_win") >= 10) & (F.col("sigma") > 0))
+        .select(
+            "event_id", "user_id", "ts", "value", "mu", "sigma",
+            (F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
