@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -303,4 +304,95 @@ def q_mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return d.mapInPandas(
         run, "doc_id bigint, win_idx int, win_start int, rms double"
+    )
+
+
+_WAV_N = 800  # samples per synthetic clip (0.1 s at 8 kHz)
+_WAV_SR = 8000
+
+
+@register(
+    "q_mm_wav_decode",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, gs AS i,
+             ((doc_id * 31 + gs * 17) % 20001) - 10000 AS v
+      FROM documents, UNNEST(generate_series(0, {_WAV_N - 1})) t(gs)
+    )
+    SELECT doc_id,
+           CAST({44 + 2 * _WAV_N} AS BIGINT) AS blob_bytes,
+           CAST({_WAV_SR} AS BIGINT) AS sample_rate,
+           CAST({_WAV_N} AS BIGINT) AS n_frames,
+           {R4(f'SQRT(SUM(CAST(v AS DOUBLE) * v) / {_WAV_N})')} AS rms
+    FROM s GROUP BY doc_id
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "audio", "real-decode"),
+)
+def q_mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container round-trip — the one multimodal decode this
+    environment can do for real (stdlib `wave`, no external libs):
+    synthesize a deterministic PCM16 mono clip per document, WRITE it as
+    an actual RIFF/WAVE blob, then PARSE that blob back (44-byte header,
+    frame count, sample rate, little-endian frames via numpy) and emit
+    waveform stats. Unlike the image/resize STUBS, a broken encoder OR
+    decoder here fails the hash: the oracle recomputes the stats from
+    the sample formula directly, so the Spark answer is only right if
+    the WAV bytes round-tripped exactly.
+
+    Samples are pure integers (((doc_id·31 + i·17) mod 20001) − 10000),
+    so Σv² is exact and the RMS is engine-identical before its one r4
+    rounding.
+
+    Scale: mapInPandas, Arrow binary batches, ~1.6 KB of blob per doc
+    synthesized and parsed inside the task — the exact shape of a real
+    decode job where blobs come OFF the parquet scan instead; per-task
+    memory is O(batch), and the stats agg is per-row (no shuffle)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import numpy as np
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "blob_bytes": [], "sample_rate": [],
+                   "n_frames": [], "rms": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                samples = [
+                    ((doc_id * 31 + i * 17) % 20001) - 10000
+                    for i in range(_WAV_N)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(_WAV_SR)
+                    w.writeframes(struct.pack(f"<{_WAV_N}h", *samples))
+                blob = buf.getvalue()
+                # -- real decode: parse the RIFF container back --------
+                with wave.open(io.BytesIO(blob), "rb") as r:
+                    assert r.getnchannels() == 1 and r.getsampwidth() == 2
+                    sr, nf = r.getframerate(), r.getnframes()
+                    data = np.frombuffer(
+                        r.readframes(nf), dtype="<i2"
+                    ).astype("int64")
+                out["doc_id"].append(doc_id)
+                out["blob_bytes"].append(len(blob))
+                out["sample_rate"].append(sr)
+                out["n_frames"].append(nf)
+                out["rms"].append(
+                    round(math.sqrt(float((data * data).sum()) / nf), 4)
+                )
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_decode,
+        "doc_id bigint, blob_bytes bigint, sample_rate bigint, "
+        "n_frames bigint, rms double",
     )
