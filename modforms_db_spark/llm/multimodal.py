@@ -2,10 +2,16 @@
 
 Design: image/audio/video are opaque BINARY columns with typed metadata;
 the driver data has no real media, so the binary payload is derived
-deterministically from text (utf-8 encode) and the decode step is a
-clearly-marked STUB (deterministic fake; a real deployment swaps
+deterministically from text (utf-8 encode) and the generic decode step is
+a clearly-marked STUB (deterministic fake; a real deployment swaps
 `_decode_image_batch` for a PIL/ffmpeg call — the Spark-side plumbing
 (schema, Arrow batching, partitioning) is identical and is what's tested).
+
+Two decode paths ARE real, using only stdlib container parsing:
+`q_mm_wav_decode` (RIFF/WAVE PCM16 via `wave`) and `q_mm_bmp_decode`
+(24-bit BMP via `struct`/numpy) — both write genuine media files and
+parse them back, hash-checked against oracles that recompute the stats
+from the sample/pixel formulas independently of the byte round-trip.
 
 Reference tie-in [R]: GridFS's metadata+blob split; `check_records`-style
 store-consistency scans.
@@ -395,4 +401,100 @@ def q_mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, blob_bytes bigint, sample_rate bigint, "
         "n_frames bigint, rms double",
+    )
+
+
+_BMP_W, _BMP_H = 16, 8  # 24-bit rows are 48 bytes — 4-byte aligned, no pad
+
+
+@register(
+    "q_mm_bmp_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, x.gs AS x, y.gs AS y,
+             (doc_id + 3 * x.gs + 7 * y.gs) % 256     AS r,
+             (doc_id * 5 + 11 * x.gs + y.gs) % 256    AS g,
+             (doc_id * 9 + x.gs + 13 * y.gs) % 256    AS b
+      FROM documents,
+           UNNEST(generate_series(0, {_BMP_W - 1})) x(gs),
+           UNNEST(generate_series(0, {_BMP_H - 1})) y(gs)
+    )
+    SELECT doc_id,
+           CAST({54 + 3 * _BMP_W * _BMP_H} AS BIGINT) AS blob_bytes,
+           CAST({_BMP_W} AS BIGINT) AS width,
+           CAST({_BMP_H} AS BIGINT) AS height,
+           {R4(f'SUM(CAST(r AS DOUBLE)) / {_BMP_W * _BMP_H}')} AS mean_r,
+           {R4(f'SUM(CAST(g AS DOUBLE)) / {_BMP_W * _BMP_H}')} AS mean_g,
+           {R4(f'SUM(CAST(b AS DOUBLE)) / {_BMP_W * _BMP_H}')} AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "image", "real-decode"),
+)
+def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-container round-trip (pure struct/numpy — the image
+    twin of `q_mm_wav_decode`): synthesize a deterministic 16×8 24-bit
+    pixel grid per document, write an actual BMP file (BITMAPFILEHEADER
+    + BITMAPINFOHEADER + bottom-up BGR rows), then parse the blob back
+    — magic check, dimensions READ FROM THE HEADER, pixel array
+    reshaped and row-flipped — and emit per-channel means. The oracle
+    recomputes the means from the pixel formula directly, so a mangled
+    header, wrong row order, or channel swap fails the hash.
+
+    Scale: identical posture to q_mm_wav_decode — mapInPandas over
+    Arrow binary batches, ~0.4 KB blob per row synthesized and parsed
+    in-task, per-row output, no shuffle."""
+    import struct
+
+    import numpy as np
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    W, H = _BMP_W, _BMP_H
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "blob_bytes": [], "width": [], "height": [],
+                   "mean_r": [], "mean_g": [], "mean_b": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                xs = np.arange(W)[None, :]
+                ys = np.arange(H)[:, None]
+                r = (doc_id + 3 * xs + 7 * ys) % 256
+                g = (doc_id * 5 + 11 * xs + ys) % 256
+                b = (doc_id * 9 + xs + 13 * ys) % 256
+                img = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (H, W, 3)
+                # -- encode: real BMP (BGR byte order, bottom-up rows) --
+                px = img[::-1, :, ::-1].tobytes()
+                size = 54 + len(px)
+                header = struct.pack(
+                    "<2sIHHI", b"BM", size, 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(px), 2835, 2835, 0, 0
+                )
+                blob = header + px
+                # -- decode: parse the container back ------------------
+                assert blob[:2] == b"BM"
+                off = struct.unpack_from("<I", blob, 10)[0]
+                w_hdr, h_hdr = struct.unpack_from("<ii", blob, 18)
+                bpp = struct.unpack_from("<H", blob, 28)[0]
+                assert bpp == 24
+                arr = (
+                    np.frombuffer(blob, dtype=np.uint8, offset=off)
+                    .reshape(h_hdr, w_hdr, 3)[::-1, :, ::-1]
+                    .astype(np.int64)
+                )
+                out["doc_id"].append(doc_id)
+                out["blob_bytes"].append(len(blob))
+                out["width"].append(w_hdr)
+                out["height"].append(h_hdr)
+                out["mean_r"].append(round(float(arr[:, :, 0].sum()) / (w_hdr * h_hdr), 4))
+                out["mean_g"].append(round(float(arr[:, :, 1].sum()) / (w_hdr * h_hdr), 4))
+                out["mean_b"].append(round(float(arr[:, :, 2].sum()) / (w_hdr * h_hdr), 4))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_decode,
+        "doc_id bigint, blob_bytes bigint, width bigint, height bigint, "
+        "mean_r double, mean_g double, mean_b double",
     )
