@@ -7,11 +7,13 @@ a clearly-marked STUB (deterministic fake; a real deployment swaps
 `_decode_image_batch` for a PIL/ffmpeg call — the Spark-side plumbing
 (schema, Arrow batching, partitioning) is identical and is what's tested).
 
-Two decode paths ARE real, using only stdlib container parsing:
-`q_mm_wav_decode` (RIFF/WAVE PCM16 via `wave`) and `q_mm_bmp_decode`
-(24-bit BMP via `struct`/numpy) — both write genuine media files and
-parse them back, hash-checked against oracles that recompute the stats
-from the sample/pixel formulas independently of the byte round-trip.
+Three decode paths ARE real, using only stdlib container parsing —
+one per modality: `q_mm_wav_decode` (audio, RIFF/WAVE PCM16 via `wave`),
+`q_mm_bmp_decode` (image, 24-bit BMP via `struct`/numpy), and
+`q_mm_y4m_frames` (video, YUV4MPEG2 frame sampling) — each writes a
+genuine media file and parses it back, hash-checked against oracles that
+recompute the stats from the sample/pixel formulas independently of the
+byte round-trip.
 
 Reference tie-in [R]: GridFS's metadata+blob split; `check_records`-style
 store-consistency scans.
@@ -497,4 +499,100 @@ def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_decode,
         "doc_id bigint, blob_bytes bigint, width bigint, height bigint, "
         "mean_r double, mean_g double, mean_b double",
+    )
+
+
+_Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_STRIDE = 8, 4, 12, 4  # sample every 4th
+
+
+@register(
+    "q_mm_y4m_frames",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, f.gs AS frame, x.gs AS x, y.gs AS y,
+             (doc_id + 2 * f.gs + 5 * x.gs + 3 * y.gs) % 256 AS luma
+      FROM documents,
+           UNNEST(generate_series(0, {_Y4M_FRAMES - 1})) f(gs),
+           UNNEST(generate_series(0, {_Y4M_W - 1})) x(gs),
+           UNNEST(generate_series(0, {_Y4M_H - 1})) y(gs)
+      WHERE f.gs % {_Y4M_STRIDE} = 0
+    )
+    SELECT doc_id, CAST(frame AS BIGINT) AS frame,
+           CAST({_Y4M_W} AS BIGINT) AS width,
+           CAST({_Y4M_H} AS BIGINT) AS height,
+           {R4(f'SUM(CAST(luma AS DOUBLE)) / {_Y4M_W * _Y4M_H}')} AS mean_luma
+    FROM px GROUP BY doc_id, frame
+    """,
+    priority="P2",
+    tags=("llm", "multimodal", "video", "real-decode"),
+)
+def q_mm_y4m_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container round-trip — the video member of the
+    stdlib-decode trio (`q_mm_wav_decode` audio, `q_mm_bmp_decode`
+    image): synthesize a deterministic 12-frame 8×4 mono clip per
+    document, write a genuine YUV4MPEG2 (.y4m) stream (ASCII signature
+    + parameter header, FRAME markers, raw 4:0:0 luma planes), parse it
+    back — dimensions read from the header line, frames located via the
+    FRAME delimiters — then FRAME-SAMPLE every 4th frame and emit its
+    mean luma. The real form of `q_mm_frame_sample`'s stubbed stride
+    sampling; the oracle recomputes sampled-frame means from the pixel
+    formula, so a header typo, frame misalignment, or off-by-one in
+    the stride fails the hash.
+
+    Scale: mapInPandas over Arrow binary batches; a real job reads the
+    blob column off the scan, and frame sampling is exactly this —
+    parse header, seek k·stride offsets, never materialize unsampled
+    frames (here the clip is synthesized in-task, but the decode path
+    indexes directly to sampled frames the same way)."""
+    import numpy as np
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    W, H, NF, STRIDE = _Y4M_W, _Y4M_H, _Y4M_FRAMES, _Y4M_STRIDE
+
+    def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame": [], "width": [], "height": [],
+                   "mean_luma": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                xs = np.arange(W)[None, :]
+                ys = np.arange(H)[:, None]
+                frames = [
+                    ((doc_id + 2 * f + 5 * xs + 3 * ys) % 256).astype(np.uint8)
+                    for f in range(NF)
+                ]
+                blob = (f"YUV4MPEG2 W{W} H{H} F25:1 Ip A1:1 Cmono\n").encode()
+                for fr in frames:
+                    blob += b"FRAME\n" + fr.tobytes()
+                # -- decode: parse the stream back ---------------------
+                nl = blob.index(b"\n")
+                header = blob[:nl].decode().split(" ")
+                assert header[0] == "YUV4MPEG2"
+                w_hdr = int(next(p[1:] for p in header if p.startswith("W")))
+                h_hdr = int(next(p[1:] for p in header if p.startswith("H")))
+                frame_bytes = w_hdr * h_hdr  # 4:0:0 — luma plane only
+                pos, idx = nl + 1, 0
+                while pos < len(blob):
+                    assert blob[pos:pos + 6] == b"FRAME\n"
+                    pos += 6
+                    if idx % STRIDE == 0:  # frame-sample: decode every k-th
+                        plane = np.frombuffer(
+                            blob, dtype=np.uint8, offset=pos, count=frame_bytes
+                        ).astype(np.int64)
+                        out["doc_id"].append(doc_id)
+                        out["frame"].append(idx)
+                        out["width"].append(w_hdr)
+                        out["height"].append(h_hdr)
+                        out["mean_luma"].append(
+                            round(float(plane.sum()) / frame_bytes, 4)
+                        )
+                    pos += frame_bytes
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        synth_decode,
+        "doc_id bigint, frame bigint, width bigint, height bigint, "
+        "mean_luma double",
     )
