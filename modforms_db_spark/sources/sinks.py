@@ -491,3 +491,70 @@ def q_sink_sorted_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+def zvalue(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Morton/Z-order interleave of the low `bits` bits of two
+    non-negative integer columns — a JVM-side codegen expression (no
+    UDF): z = Σᵢ bitᵢ(a)·4ⁱ + bitᵢ(b)·2·4ⁱ."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z + (
+            F.shiftleft(F.shiftright(a.cast("bigint"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("bigint"), i) % 2, 2 * i + 1)
+        ).cast("bigint")
+    return z
+
+
+@register(
+    "q_sink_zorder",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R2('SUM(l_extendedprice * (1 - l_discount))')} AS revenue
+    FROM lineitem
+    WHERE l_partkey BETWEEN 20 AND 120
+      AND l_suppkey BETWEEN 2 AND 8
+    GROUP BY l_returnflag
+    """,
+    priority="P2",
+    tags=("sink", "layout", "zorder", "pruning", "scale-path"),
+)
+def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout — the 2-D generalization of
+    `q_sink_sorted_pruning`'s 1-D sort clustering: rewrite lineitem
+    range-partitioned and sorted by the Morton interleave of
+    (l_partkey, l_suppkey), then answer a 2-D box query from the
+    clustered copy. Because Z-order keeps both dimensions locally
+    correlated, each output file's (partkey, suppkey) bounding box is
+    small on BOTH axes, so parquet min/max stats prune files for
+    either-or-both predicates — a single-column sort would prune only
+    its own column. The z-value is a pure codegen bit-interleave
+    expression (no UDF); the oracle runs the same box filter on the
+    SOURCE table, proving the rewrite lossless; the unit test reads
+    the written footers and asserts the per-file bounding boxes
+    actually shrink vs the unclustered layout."""
+    prep(spark)
+    path = _scratch("lineitem_zorder")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    z = zvalue(F.col("l_partkey"), F.col("l_suppkey"))
+    (
+        li.withColumn("zv", z)
+        .repartitionByRange(8, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("l_partkey").between(20, 120)
+        & F.col("l_suppkey").between(2, 8)
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -389,3 +389,53 @@ def test_ann_twins_never_cartesian(spark):
         assert "CartesianProduct" not in plan, name
     plan = _plan(spark, "q_knn_classify_ann")
     assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+
+
+def test_zorder_layout_shrinks_per_file_bounding_boxes(spark):
+    """q_sink_zorder's pruning claim, proven from the written footers:
+    under Z-order clustering each output file's (l_partkey, l_suppkey)
+    bounding-box AREA is a small fraction of the full key domain, so a
+    2-D box predicate can skip most files on min/max stats alone — while
+    an unclustered write gives every file a near-full-domain box. We
+    assert the mean z-ordered box area is < 30% of domain area AND that
+    the demo query's box intersects a strict minority of files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from modforms_db_spark.registry import get_registry
+
+    reg = get_registry()
+    reg["q_sink_zorder"].builder(spark, "/root/testdata/sf0.01").collect()
+    from modforms_db_spark.sources.sinks import _SCRATCH
+
+    files = _glob.glob(_SCRATCH + "/lineitem_zorder/part-*.parquet")
+    assert len(files) >= 4, files
+    boxes = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        stats = {}
+        for j in range(md.row_group(0).num_columns):
+            c = md.row_group(0).column(j)
+            if c.path_in_schema in ("l_partkey", "l_suppkey"):
+                lo, hi = c.statistics.min, c.statistics.max
+                for i in range(1, md.num_row_groups):
+                    ci = md.row_group(i).column(j)
+                    lo, hi = min(lo, ci.statistics.min), max(hi, ci.statistics.max)
+                stats[c.path_in_schema] = (lo, hi)
+        boxes.append(stats)
+    P, S = 2000.0, 100.0  # sf0.01 key domains
+    areas = [
+        (b["l_partkey"][1] - b["l_partkey"][0])
+        * (b["l_suppkey"][1] - b["l_suppkey"][0])
+        / (P * S)
+        for b in boxes
+    ]
+    assert sum(areas) / len(areas) < 0.30, areas
+    hits = sum(
+        1
+        for b in boxes
+        if b["l_partkey"][0] <= 120 and b["l_partkey"][1] >= 20
+        and b["l_suppkey"][0] <= 8 and b["l_suppkey"][1] >= 2
+    )
+    assert hits < len(boxes) / 2, (hits, len(boxes))
