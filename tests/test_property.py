@@ -498,3 +498,85 @@ def test_prefix_filtered_jaccard_matches_bruteforce(spark, docs):
                 if jac >= 0.8:
                     want[(i, j)] = jac
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_skyline_linear_form_equals_bruteforce(spark, pts):
+    """q_skyline's linear formulation (per-x max → running strict max →
+    join-back) must equal the quadratic dominance definition on random
+    point sets, duplicates included."""
+    from pyspark.sql import Window
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    per_x = df.groupBy("x").agg(F.max("y").alias("best"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = (
+        per_x.withColumn("prev", F.max("best").over(w))
+        .where(F.col("prev").isNull() | (F.col("best") > F.col("prev")))
+        .select("x", F.col("best").alias("y"))
+    )
+    got = {
+        r.id for r in df.join(frontier, ["x", "y"]).select("id").collect()
+    }
+    want = {
+        i
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (x2 <= x and y2 >= y and (x2 < x or y2 > y))
+            for (x2, y2) in pts
+        )
+    }
+    assert got == want
+
+
+def test_attribution_credits_sum_to_one_per_purchase(spark):
+    """Position-based attribution must hand out ~1.0 total credit per
+    purchase (exact for 1/2-view paths; within n·1e-6 of 1.0 when the
+    middle split is rounded to 6 dp) and every credit is positive."""
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    rows = (
+        get_registry()["q_attribution_multitouch"]
+        .builder(spark, SF_DIR)
+        .collect()
+    )
+    assert rows
+    per: dict[int, list[float]] = {}
+    for r in rows:
+        per.setdefault(r.purchase_id, []).append(r.credit)
+        assert r.credit > 0
+    for pid, credits in per.items():
+        assert abs(sum(credits) - 1.0) <= len(credits) * 1e-6, (pid, credits)
+
+
+def test_asof_forward_leads_are_nonnegative_and_consistent(spark):
+    """Forward as-of: every matched purchase is at-or-after its signup
+    (lead_us ≥ 0), rows without a following purchase carry NULLs, and
+    each user emits exactly one row per signup event."""
+    from modforms_db_spark.io import load
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    rows = get_registry()["q_join_asof_forward"].builder(spark, SF_DIR).collect()
+    n_signups = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "signup")
+        .count()
+    )
+    assert len(rows) == n_signups
+    for r in rows:
+        if r.next_purchase_ts is None:
+            assert r.lead_us is None
+        else:
+            assert r.lead_us >= 0
