@@ -676,3 +676,176 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    priority="P1",
+    tags=("tpch", "semi-join"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape, lateness ≡ shipped >90
+    days after the order date — this schema has no commit/receipt
+    dates): orders in one quarter with AT LEAST ONE late line, counted
+    by priority. The EXISTS is a left_semi join — dedup-by-construction
+    (an order with five late lines counts once), which is why semi is
+    the right plan and an inner join + distinct would be the wrong one.
+
+    Scale: the quarter filter prunes orders first; the semi join
+    shuffles both sides on orderkey once; the priority agg output is
+    bounded at the priority domain."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+    SELECT {R2('SUM(l_extendedprice * l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    priority="P1",
+    tags=("tpch", "scan-agg"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue change (TPC-H Q6): the canonical
+    scan-dominated query — three conjunctive range predicates, no join,
+    one global agg. Exists to pin the pure-pushdown plan: every
+    predicate must reach the parquet scan (row-group pruning on
+    shipdate under the sorted layouts), and the agg is a two-level
+    partial+final over a 2-column projection."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    priority="P1",
+    tags=("tpch", "outer-join", "distribution"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13): how many
+    customers placed 0, 1, 2, … orders. The LEFT join is load-bearing —
+    zero-order customers must survive to land in the c_count = 0
+    bucket, which an inner join silently drops (COUNT(o_orderkey)
+    counts non-null keys only).
+
+    Scale: one orderkey-side shuffle for the join + same-key count,
+    then a tiny redistribution agg bounded by the max order count.
+    Q13 is also the classic SKEW query (every customer with the mode
+    count lands in one group) — the second agg's key domain is small
+    enough that AQE coalescing handles it."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             {R2(f'SUM({_REVENUE})')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    priority="P1",
+    tags=("tpch", "view", "scalar-subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): the revenue "view" (per-supplier
+    quarterly revenue) consumed twice — once for the global MAX, once
+    to select the supplier(s) achieving it. The revenue agg is
+    checkpointed so both consumers read ONE materialization instead of
+    re-aggregating lineitem twice; the max rides back as a 1-row
+    broadcast. Ties all surface (equality, not top-1-with-tiebreak) —
+    same semantics as the spec's view form.
+
+    Revenue is r2-rounded INSIDE the view on both engines, so the
+    max-equality comparison is over engine-identical doubles."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue0 = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    ).localCheckpoint(eager=False)  # read by both the max and the join
+    mx = revenue0.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue0.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
