@@ -92,3 +92,116 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_days"),
         F.sum(F.col("is_weekend").cast("bigint")).alias("weekend_days"),
     )
+
+
+if _HAVE_PYDS:
+    try:  # streaming side of the API (Spark 4)
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        _HAVE_PYDS_STREAM = True
+    except ImportError:  # pragma: no cover
+        _HAVE_PYDS_STREAM = False
+else:  # pragma: no cover
+    _HAVE_PYDS_STREAM = False
+
+
+_TICKS_TOTAL = 500
+_TICKS_PER_BATCH = 100
+
+
+if _HAVE_PYDS_STREAM:
+
+    class _TickStreamReader(SimpleDataSourceStreamReader):
+        """Deterministic tick feed: offsets are row positions; each
+        micro-batch serves the next ≤100 ticks until 500, then reports
+        no new data (offset stops advancing → availableNow drains and
+        terminates). Exactly-once: readBetweenOffsets re-serves any
+        [start, end) range identically for replay."""
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        @staticmethod
+        def _rows(lo: int, hi: int):
+            return [(t, t % 5, (t * 7) % 101) for t in range(lo, hi)]
+
+        def read(self, start: dict):
+            lo = start["pos"]
+            hi = min(lo + _TICKS_PER_BATCH, _TICKS_TOTAL)
+            return iter(self._rows(lo, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return iter(self._rows(start["pos"], end["pos"]))
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class TickStreamDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mfdb_ticks"
+
+        def schema(self) -> str:
+            return "tick bigint, grp bigint, val bigint"
+
+        def simpleStreamReader(self, schema):
+            return _TickStreamReader()
+
+
+@register(
+    "q_source_python_stream",
+    oracle=f"""
+    WITH t AS (
+      SELECT gs AS tick, gs % 5 AS grp, (gs * 7) % 101 AS val
+      FROM UNNEST(generate_series(0, {_TICKS_TOTAL - 1})) u(gs)
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(val) AS BIGINT) AS total_val,
+           CAST(MAX(tick) AS BIGINT) AS last_tick
+    FROM t GROUP BY grp
+    """,
+    priority="P3",
+    tags=("source", "python-datasource", "streaming"),
+)
+def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python DataSource (Spark 4 `SimpleDataSourceStreamReader`)
+    — the streaming sibling of `q_source_python_ds`: a custom offset-based
+    tick feed served in ≤100-row micro-batches, drained with availableNow
+    into a memory sink, then aggregated per group. Proves the full
+    custom-streaming-connector contract: initialOffset → read(start) →
+    offset advance → replay-safe readBetweenOffsets — with integer-only
+    payloads so the drained result carries a full SQL oracle.
+
+    Scale: a real connector replaces the generator with queue/page reads;
+    offsets are the source's cursor, state is one dict on the driver, and
+    per-batch rows flow through the same Arrow path as the batch API."""
+    if not _HAVE_PYDS_STREAM:  # pragma: no cover
+        raise NotImplementedError("Python streaming DataSource requires Spark 4+")
+    prep(spark)
+    spark.dataSource.register(TickStreamDataSource)
+    ticks = spark.readStream.format("mfdb_ticks").load()
+    from modforms_db_spark.streaming.streams import _stream_shuffle
+
+    # availableNow only drains the reader's FIRST prefetched batch for
+    # simple stream readers (measured: 100 of 500 rows), so this query
+    # runs the default micro-batch trigger and drains explicitly:
+    # processAllAvailable() blocks until the offset stops advancing —
+    # all 5 micro-batches — then the query stops.
+    with _stream_shuffle(spark):
+        q = (
+            ticks.writeStream.format("memory")
+            .outputMode("append")
+            .queryName("python_stream_ticks")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sink = spark.table("python_stream_ticks")
+    return sink.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.sum("val").alias("total_val"),
+        F.max("tick").alias("last_tick"),
+    )
