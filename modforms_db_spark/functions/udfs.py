@@ -395,3 +395,74 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2("total_spend").alias("total_spend"),
         r4("spend_ratio").alias("spend_ratio"),
     )
+
+
+@register(
+    "q_udtf_analyze",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)              AS n_title,
+           CAST(SUM(length(tok)) AS BIGINT)      AS chars_title,
+           CAST(SUM(CASE WHEN length(tok) > 4 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_title
+    FROM t GROUP BY doc_id
+    """,
+    priority="P3",
+    tags=("udf", "udtf", "polymorphic"),
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze`): the output schema is
+    computed at plan time from the call's LITERAL argument — here a
+    field-name suffix, so `stats('title', text)` emits columns
+    (n_title, chars_title, n_long_title) while another call site could
+    emit *_body. The static `analyze` hook is the UDTF feature the plain
+    `q_udtf` row doesn't cover: schema-on-call, resolved by Catalyst
+    before execution, with the same LATERAL fan-out plumbing.
+
+    Scale: identical to any UDTF — partition-wise Python execution, no
+    shuffle; the analyze call runs ONCE on the driver at planning."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class TokenStats:
+        @staticmethod
+        def analyze(suffix: AnalyzeArgument, text: AnalyzeArgument) -> AnalyzeResult:
+            sfx = suffix.value  # literal at plan time
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"n_{sfx}", LongType()),
+                        StructField(f"chars_{sfx}", LongType()),
+                        StructField(f"n_long_{sfx}", LongType()),
+                    ]
+                )
+            )
+
+        def eval(self, suffix: str, text: str):
+            toks = (text or "").split(" ")
+            yield (
+                len(toks),
+                sum(len(t) for t in toks),
+                sum(1 for t in toks if len(t) > 4),
+            )
+
+    spark.udtf.register("mfdb_token_stats", TokenStats)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("mfdb_udtf_docs2")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.n_title, t.chars_title, t.n_long_title
+        FROM mfdb_udtf_docs2 d, LATERAL mfdb_token_stats('title', d.text) t
+        WHERE d.doc_id < 30
+        """
+    )
