@@ -664,3 +664,81 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(frontier), ["n_chars", "n_toks"]).select(
         "doc_id", "lang", "n_chars", "n_toks"
     )
+
+
+_ALLOC_BUDGET = 1_000_000  # tokens to allocate across langs
+
+
+@register(
+    "q_alloc_largest_remainder",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w
+      FROM documents GROUP BY lang
+    ), tot AS (SELECT SUM(w) AS tw FROM tok),
+    quota AS (
+      SELECT lang, w,
+             CAST(FLOOR({_ALLOC_BUDGET} * w / tot.tw) AS BIGINT) AS floor_alloc,
+             {_ALLOC_BUDGET} * w % tot.tw AS remainder
+      FROM tok CROSS JOIN tot
+    ), short AS (
+      SELECT {_ALLOC_BUDGET} - SUM(floor_alloc) AS k FROM quota
+    ), ranked AS (
+      SELECT lang, w, floor_alloc,
+             row_number() OVER (ORDER BY remainder DESC, lang) AS rk
+      FROM quota
+    )
+    SELECT lang, w AS weight_tokens, floor_alloc,
+           floor_alloc + CASE WHEN rk <= short.k THEN 1 ELSE 0 END AS alloc
+    FROM ranked CROSS JOIN short
+    """,
+    priority="P2",
+    tags=("llm", "curation", "allocation"),
+)
+def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional budget allocation with LARGEST-REMAINDER rounding
+    (Hamilton's method): split a 1M-token training budget across langs
+    in proportion to available tokens so the allocations are integers
+    that sum EXACTLY to the budget — floor every quota, then hand the
+    shortfall's worth of +1s to the largest fractional remainders
+    (lang tiebreak). The integer arithmetic (`B·w % total`) keeps the
+    remainder ranking exact on both engines — no floats anywhere.
+    `q_domain_mix` plans RATES; this emits the exact integer split a
+    shard writer consumes (Σalloc ≡ budget is test-pinned).
+
+    Scale: one linear token count per lang, then everything operates on
+    the #langs-sized quota table (1-row broadcast total/shortfall, a
+    bounded window). Nothing grows with the corpus but the first agg."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("w"))
+    )
+    tot = tok.agg(F.sum("w").alias("tw"))
+    quota = tok.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "w",
+        F.floor(F.lit(_ALLOC_BUDGET) * F.col("w") / F.col("tw"))
+        .cast("bigint")
+        .alias("floor_alloc"),
+        (F.lit(_ALLOC_BUDGET) * F.col("w") % F.col("tw")).alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_alloc")).alias("k")
+    )
+    w_rk = Window.orderBy(F.desc("remainder"), "lang")
+    return (
+        quota.withColumn("rk", F.row_number().over(w_rk))
+        .crossJoin(F.broadcast(short))
+        .select(
+            "lang",
+            F.col("w").alias("weight_tokens"),
+            "floor_alloc",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            ).alias("alloc"),
+        )
+    )

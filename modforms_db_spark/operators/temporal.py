@@ -953,3 +953,92 @@ def q_anomaly_rolling_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e, event_id
+      FROM events
+    ), ord AS (
+      SELECT user_id, s, e, event_id,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max_e
+      FROM iv
+    ), flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ord
+    ), ids AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           MIN(s) AS island_start, MAX(e) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           epoch_us(MAX(e)) - epoch_us(MIN(s)) AS span_us
+    FROM ids GROUP BY user_id, island
+    """,
+    priority="P2",
+    tags=("temporal", "intervals", "gaps-islands"),
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval MERGE: each event opens a 10-minute
+    activity interval; overlapping/touching intervals per user coalesce
+    into islands, reported with bounds, member count, and exact µs span
+    — the islands complement of `q_sessionize`'s gap rule (sessionize
+    cuts on silence between POINTS; this coalesces RANGES, the
+    TimescaleDB/PostGIS `range_agg` shape used for downtime/coverage
+    reports).
+
+    The classic linear formulation: a running MAX of interval-end over
+    the (start, event_id)-ordered frame EXCLUDING the current row — a
+    new island starts exactly when the current start exceeds every
+    previous end. Tie-broken by unique event_id ⇒ engine-deterministic.
+
+    Scale: one shuffle on user_id; the running-max window, the island
+    cumsum, and the (user, island) agg all refine that partitioning —
+    single exchange, same pattern as q_sessionize."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ids = flagged.withColumn(
+        "island", F.sum("new_island").over(w_cum).cast("bigint")
+    )
+    t_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return ids.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.unix_micros(F.max("e").cast("timestamp"))
+         - F.unix_micros(F.min("s").cast("timestamp"))).alias("span_us"),
+    )

@@ -558,3 +558,87 @@ def q_sink_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "q_source_csv_corrupt",
+    oracle=f"""
+    SELECT
+      CAST(SUM(CASE WHEN o_orderkey % 97 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_good,
+      CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_corrupt,
+      {R2("SUM(CASE WHEN o_orderkey % 97 != 0 THEN o_totalprice ELSE 0 END)")}
+        AS good_total
+    FROM orders
+    """,
+    priority="P2",
+    tags=("source", "csv", "corrupt-records", "quality"),
+)
+def q_source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling — the ingest reality every pipeline
+    hits: a CSV feed where some rows are garbage (here every orderkey
+    divisible by 97 emits an unparseable line), read back in PERMISSIVE
+    mode with `columnNameOfCorruptRecord`, so bad rows survive AS DATA
+    (nulls + the raw line in `_bad`) instead of killing the job
+    (FAILFAST) or silently vanishing (DROPMALFORMED). The report counts
+    good vs corrupt and sums a value column over the good rows only;
+    the oracle recomputes all three from the clean source table, so a
+    parser that drops, double-counts, or misclassifies rows fails the
+    hash.
+
+    Gotcha baked into the design (hit live): the CSV parser only
+    attempts conversion for REFERENCED columns, so corruption in a
+    pruned-away column is invisible — the malformed token therefore
+    sits in the `total` field this query actually reads. A short row
+    (fewer tokens) is NOT corrupt to CSV either; it just nulls the
+    tail.
+
+    Scale: corruption handling is row-local — the permissive parse
+    costs nothing extra on clean rows, and quarantined rows flow to a
+    dead-letter sink via `WHERE _bad IS NOT NULL` on the same scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    lines = o.select(
+        F.when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.lit("notanumber"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.col("o_totalprice").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    path = _scratch("orders_corrupt_csv")
+    lines.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema(
+            "okey bigint, custkey bigint, total double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return parsed.agg(
+        F.sum(F.when(F.col("_bad").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("total")).otherwise(0.0)), 2
+        ).alias("good_total"),
+    )
