@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -1253,3 +1254,66 @@ def q_dedup_ngram_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bg = d.select("doc_id", "lang", F.explode(grams).alias("tok"))
     return prefix_filtered_jaccard(bg, 0.8)
+
+
+_CONTAINMENT_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS d_sub, b.doc_id AS d_super, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.lang = b.lang AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d_sub, d_super, {R4('CAST(i AS DOUBLE) / s.n')} AS containment
+    FROM inter JOIN sz s ON d_sub = s.doc_id
+    WHERE {R4('CAST(i AS DOUBLE) / s.n')} >= 0.9
+"""
+
+
+@register(
+    "q_dedup_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    priority="P2",
+    tags=("llm", "dedup", "containment"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup: directional pairs where ≥ 90% of
+    d_sub's distinct tokens appear in d_super (same lang) — catches the
+    quote/excerpt/boilerplate-superset relation that symmetric Jaccard
+    misses (a 50-token doc fully quoted inside a 5 000-token doc has
+    Jaccard ≈ 0.01 but containment 1.0). Threshold applied to the
+    ROUNDED value so the boundary can't flip between engines.
+
+    Scale: this is the oracle-checkable all-pairs baseline, same
+    contract as `q_dedup_jaccard`; at 100 TB you run the identical
+    prefix-filter index as `q_dedup_jaccard_prefix` — containment's
+    prefix bound is even stronger (only ⌈(1-t)·|A|⌉+1 rarest tokens of
+    the SMALLER side need indexing) — or MinHash with the containment
+    estimator |A∩B|/|A| = J·(|A|+|B|)/((1+J)·|A|)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = _distinct_tokens(d)
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    b = tok.select(
+        F.col("doc_id").alias("d_super"), "lang", F.col("tok").alias("tok2")
+    )
+    inter = (
+        tok.join(
+            b,
+            (F.col("tok") == F.col("tok2"))
+            & (tok["lang"] == b["lang"])
+            & (F.col("doc_id") != F.col("d_super")),
+        )
+        .groupBy(F.col("doc_id").alias("d_sub"), "d_super")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cont = r4(F.col("i").cast("double") / F.col("n"))
+    return (
+        inter.join(sz, inter["d_sub"] == sz["doc_id"])
+        .select("d_sub", "d_super", cont.alias("containment"))
+        .where(F.col("containment") >= 0.9)
+    )

@@ -653,3 +653,132 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("df") >= 3)
     )
+
+
+_PMI_ORACLE = f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM tok),
+    nt AS (SELECT term, COUNT(*) AS n_t FROM tok GROUP BY term),
+    ns AS (SELECT source, COUNT(*) AS n_s FROM tok GROUP BY source),
+    nts AS (SELECT term, source, COUNT(*) AS n_ts FROM tok GROUP BY term, source),
+    scored AS (
+      SELECT nts.source, nts.term, nts.n_ts,
+             {R4('LN((CAST(n_ts AS DOUBLE) * nn.n) / (CAST(n_t AS DOUBLE) * n_s))')} AS pmi
+      FROM nts JOIN nt USING (term) JOIN ns USING (source) CROSS JOIN nn
+      WHERE nts.n_ts >= 5
+    )
+    SELECT source, term, n_ts, pmi, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY source ORDER BY pmi DESC, term
+      ) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+"""
+
+
+@register(
+    "q_term_pmi",
+    oracle=_PMI_ORACLE,
+    priority="P2",
+    tags=("llm", "text", "pmi"),
+)
+def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 source-distinctive terms by pointwise mutual information
+    PMI(term, source) = ln(p(t,s)/(p(t)·p(s))) over distinct doc-term
+    incidences (min support 5) — the domain-signature profiler used to
+    spot corpus contamination and source drift. Ranking on the ROUNDED
+    PMI with term tiebreak keeps top-3 engine-exact.
+
+    Scale: all four count legs are partial-agg shuffles off ONE shared
+    tokenization; the per-term and per-source marginals join back on
+    their own keys; N rides a 1-row broadcast cross join. No pair
+    explosion anywhere — cost is O(distinct (term,source))."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
+    )
+    nn = tok.agg(F.count(F.lit(1)).alias("n"))
+    nt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
+    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    nts = tok.groupBy("term", "source").agg(F.count(F.lit(1)).alias("n_ts"))
+    scored = (
+        nts.where(F.col("n_ts") >= 5)
+        .join(nt, "term")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "term",
+            "n_ts",
+            r4(
+                F.log(
+                    (F.col("n_ts").cast("double") * F.col("n"))
+                    / (F.col("n_t").cast("double") * F.col("n_s"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("pmi"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("source", "term", "n_ts", "pmi", "rk")
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok
+    ), tots AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS nt, COUNT(*) AS vocab FROM tf GROUP BY source
+    )
+    SELECT tf.source, tots.vocab, tots.nt AS n_tokens,
+           {R4('LN(CAST(tots.nt AS DOUBLE)) - SUM(n * LN(CAST(n AS DOUBLE))) / tots.nt')} AS entropy
+    FROM tf JOIN tots USING (source)
+    GROUP BY tf.source, tots.vocab, tots.nt
+    """,
+    priority="P2",
+    tags=("llm", "text", "entropy"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon token entropy per source, H = ln N − (Σ n·ln n)/N over
+    the source's token-frequency table — the lexical-diversity /
+    degenerate-text screen (spam and template farms sit far below
+    natural text). The ln-N-minus-integer-moment form keeps every
+    aggregate input an exact-integer-derived double, the same
+    order-exactness trick as the rolling-z integer moments.
+
+    Scale: tokenize → (source, tok) partial-agg shuffle →
+    source-grain combine; entropy runs on the frequency table, never
+    the corpus. Vocabulary per source bounds state; no pairs, no
+    windows."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tots = tf.groupBy("source").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("vocab")
+    )
+    nd = F.col("nt").cast("double")
+    return (
+        tf.join(F.broadcast(tots), "source")
+        .groupBy("source", "vocab", F.col("nt").alias("n_tokens"))
+        .agg(
+            r4(
+                F.log(nd)
+                - F.sum(F.col("n") * F.log(F.col("n").cast("double"))) / nd
+            ).alias("entropy")
+        )
+    )

@@ -977,3 +977,110 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+_CORR_MATRIX_ORACLE = (
+    "WITH m AS (SELECT "
+    + ", ".join(
+        f"{R4(f'corr({a}, {b})')} AS c_{i}_{j}"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS x, '{b}' AS y, c_{i}_{j} AS corr_xy FROM m"
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    )
+)
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle=_CORR_MATRIX_ORACLE,
+    priority="P2",
+    tags=("agg", "stats", "corr"),
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the four lineitem
+    measures, upper triangle as long-form (x, y, corr_xy) rows — the
+    feature-screening pass run before any modeling on tabular facts.
+
+    Scale: all six correlations compute in ONE aggregate pass (each is
+    a fused sum/sum-sq/cross-moment — Catalyst shares the scan and the
+    partial-agg shuffle reduces to a single 1-row combine); the
+    long-form explode happens on the 1-row result via stack, not on
+    data. O(cols²) accumulators, O(1) rows moved."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for j, b in enumerate(_CORR_COLS)
+        if i < j
+    ]
+    m = li.agg(
+        *[r4(F.corr(a, b)).alias(f"c_{a}_{b}") for a, b in pairs]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', c_{a}_{b}" for a, b in pairs)
+    return m.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (x, y, corr_xy)")
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name, s.s_suppkey,
+             {R2('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS r
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name, s.s_suppkey
+    ), tot AS (
+      SELECT n_name, {R2('SUM(r)')} AS t, COUNT(*) AS n_supp FROM rev GROUP BY n_name
+    )
+    SELECT rev.n_name, n_supp,
+           {R4('SUM((rev.r / tot.t) * (rev.r / tot.t))')} AS hhi
+    FROM rev JOIN tot USING (n_name)
+    GROUP BY rev.n_name, n_supp
+    """,
+    priority="P2",
+    tags=("agg", "concentration", "hhi"),
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation: Σ share² over each nation's suppliers — the market-
+    concentration / data-source-dominance audit (1/n_supp = perfectly
+    even, 1.0 = single-supplier capture). Per-supplier revenue is
+    r2-rounded BEFORE the share ratio on both engines so the share
+    inputs are bit-identical.
+
+    Scale: two partial-agg shuffles (supplier-grain, then nation-grain)
+    + a broadcast-sized nation-totals join back — the fact table is
+    touched once; shares and squares run on the supplier-grain
+    aggregate, ~|suppliers| rows."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("r"))
+    )
+    tot = rev.groupBy("n_name").agg(
+        r2(F.sum("r")).alias("t"), F.count(F.lit(1)).alias("n_supp")
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name", "n_supp")
+        .agg(r4(F.sum(share * share)).alias("hhi"))
+    )

@@ -211,3 +211,128 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("direction", "degree")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
     )
+
+
+_COSUPPLY_EDGES_SQL = """
+    os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+    )"""
+
+
+@register(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    nodes AS (SELECT u AS s FROM edges UNION SELECT v FROM edges),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           t AS n_triangles
+    FROM tri
+    """,
+    priority="P2",
+    tags=("graph", "triangle"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the undirected co-supply graph (suppliers
+    adjacent iff they ship lines of the same order), via the oriented
+    wedge-close join: every edge stored once as u<v, wedges (u<v<w)
+    from edges⋈edges, closed by a third edge lookup. Exact — each
+    triangle is counted exactly once by its sorted orientation.
+
+    Scale: the id-orientation here is the textbook compact form; on a
+    power-law 100 TB graph you orient by (degree, id) instead — every
+    wedge then pivots on its LOWEST-degree vertex, bounding work by
+    O(m^1.5) (arboricity bound) instead of Σdeg² on hubs. Both wedge
+    build and close are plain equi-joins — Catalyst shuffles on the
+    pivot key; no per-node adjacency materialization."""
+    prep(spark)
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    b = os_.withColumnRenamed("s", "s2")
+    edges = (
+        os_.join(b, "ok")
+        .where(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused 3× (wedge legs + close probe)
+    )
+    nodes = edges.select(F.col("u").alias("s")).union(edges.select("v")).distinct()
+    e1 = edges
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = e1.join(e2, "v").select("u", "w")
+    tri = wedges.join(
+        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "inner"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri)
+    )
+
+
+@register(
+    "q_khop_reach",
+    oracle=f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ),
+    hop2 AS (
+      SELECT a.u, b.v FROM sym a JOIN sym b ON a.v = b.u AND a.u <> b.v
+      UNION
+      SELECT u, v FROM sym
+    )
+    SELECT u AS node, COUNT(*) AS reach2
+    FROM hop2 GROUP BY u
+    """,
+    priority="P2",
+    tags=("graph", "bfs", "reachability"),
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 2-hop reachability cardinality (|{w : dist(v,w) ≤ 2,
+    w ≠ v}|) on the symmetrized co-supply graph — the neighborhood-size
+    profile behind friend-of-friend features and graph sampling plans.
+
+    Scale: the frontier expansion is one equi-join on the hop pivot +
+    a UNION-distinct with the 1-hop set — per BFS round that is the
+    standard distributed frontier shape (shuffle on pivot, distinct
+    collapses multipaths EACH round so the frontier never carries
+    duplicate paths, which is what makes k rounds O(k·m) not O(deg^k));
+    deeper k just iterates the same two ops."""
+    prep(spark)
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    b = os_.withColumnRenamed("s", "s2")
+    half = (
+        os_.join(b, "ok")
+        .where(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+    sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=False)  # both hop legs read it
+    two = (
+        sym.join(sym.select(F.col("u").alias("v"), F.col("v").alias("w")), "v")
+        .where(F.col("u") != F.col("w"))
+        .select("u", F.col("w").alias("v"))
+    )
+    return (
+        two.union(sym)
+        .distinct()
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("reach2"))
+    )

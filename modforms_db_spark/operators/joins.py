@@ -638,3 +638,41 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lead_us"),
         )
     )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio_k, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS prio_k,
+             COUNT(DISTINCT o_custkey) AS n_custs
+      FROM orders GROUP BY 1
+    )
+    SELECT l.prio_k, l.n_orders, r.n_custs
+    FROM l JOIN r ON l.prio_k IS NOT DISTINCT FROM r.prio_k
+    """,
+    priority="P2",
+    tags=("join", "nullsafe"),
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two per-key
+    aggregates over orders whose join key is NULLified for one priority
+    class, joined so the NULL group MATCHES (a plain `=` join silently
+    drops it — the classic lossage this operator exists to avoid).
+
+    Scale: `eqNullSafe` stays a hash-join key (NULL hashes to a single
+    ordinary bucket), so the plan is the same shuffled hash/SMJ as `=`;
+    the one caveat at 100 TB is that ALL nulls land in one partition —
+    if the null class is a heavy hitter, pre-split it like any other
+    skewed key (q_join_skew_salted)."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("prio_k")
+    left = o.groupBy(k).agg(F.count(F.lit(1)).alias("n_orders"))
+    right = o.groupBy(k).agg(F.count_distinct("o_custkey").alias("n_custs"))
+    return left.join(
+        right, left["prio_k"].eqNullSafe(right["prio_k"])
+    ).select(left["prio_k"], "n_orders", "n_custs")

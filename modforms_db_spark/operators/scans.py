@@ -226,3 +226,44 @@ def q_scan_observed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver/test collects the result.
     q_scan_observed.last_observation = obs  # type: ignore[attr-defined]
     return out
+
+
+@register(
+    "q_source_range",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS residue,
+           COUNT(*) AS n,
+           CAST(SUM(i) AS BIGINT) AS sum_i,
+           CAST(SUM(i * i) AS BIGINT) AS sum_sq,
+           MIN(i) AS min_i,
+           MAX(i) AS max_i
+    FROM (SELECT CAST(range AS BIGINT) AS i FROM range(250000))
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("source", "generated", "range"),
+)
+def q_source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated-sequence source: `spark.range(250k)` (no input files at
+    all) aggregated by residue class mod 7 with exact BIGINT moments —
+    the spine/backfill generator every calendar-gapfill and synthetic-
+    benchmark path starts from.
+
+    Scale: `Range` is a leaf that SPLITS ACROSS EXECUTORS (each task
+    materializes its own [start,end) slice — no driver materialization,
+    no file listing), so a 10^12-row spine is as cheap to parallelize
+    as a parquet scan; the residue agg is one partial-agg shuffle of 7
+    groups. All-integer arithmetic → engine-exact parity."""
+    prep(spark)
+    i = F.col("id")
+    return (
+        spark.range(250_000)
+        .groupBy((i % 7).alias("residue"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(i).alias("sum_i"),
+            F.sum(i * i).alias("sum_sq"),
+            F.min(i).alias("min_i"),
+            F.max(i).alias("max_i"),
+        )
+    )

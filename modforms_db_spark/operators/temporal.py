@@ -1042,3 +1042,113 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.max("e").cast("timestamp"))
          - F.unix_micros(F.min("s").cast("timestamp"))).alias("span_us"),
     )
+
+
+@register(
+    "q_markov_transitions",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           {R(f'CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type)', 4)} AS p
+    FROM pairs
+    """,
+    priority="P2",
+    tags=("events", "markov", "window"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: per-user
+    lag pairs (prev_type → next_type) with counts and row-normalized
+    transition probabilities — the behavioral-model summary behind
+    next-action prediction and funnel-anomaly baselines. (ts, event_id)
+    tiebreak makes the sequence engine-exact.
+
+    Scale: one shuffle on user_id for the lag, then a partial-agg
+    shuffle of ≤|types|² groups; the normalizing window runs on the
+    tiny aggregated matrix, not the fact table. Transition counts are
+    exact integers; only the final ratio is rounded."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        r4(F.col("n").cast("double") / F.sum("n").over(wn)).alias("p"),
+    )
+
+
+@register(
+    "q_event_regex_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, s AS seq, length(s) AS seq_len,
+           regexp_matches(s, 'v[ce]*p') AS hit,
+           regexp_extract(s, 'v[ce]*p', 0) AS first_match
+    FROM seq
+    WHERE regexp_matches(s, 'v[ce]*p')
+    """,
+    priority="P2",
+    tags=("events", "pattern", "regex"),
+)
+def q_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite sequence-pattern detection: each user's
+    event history is encoded as an initials string in exact (ts,
+    event_id) order, then matched against the regex `v[ce]*p` — "a view
+    that converts to purchase with only clicks/errors between" — and
+    the first matching span extracted. The string-encoding trick turns
+    arbitrary regex-over-events into one window-free aggregate + a
+    per-row regex: the standard way to get sequence patterns on an
+    engine without a native MATCH_RECOGNIZE operator.
+
+    Scale: one shuffle on user_id (sort happens inside the per-group
+    collect, not globally); per-user state is the encoded string —
+    bytes-per-event, bounded by history length, the same envelope as
+    any sessionization. Regex runs JVM-side per row (codegen), no UDF.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    seq = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c"))
+                )
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(F.transform("evs", lambda s: s["c"]), "").alias("seq"),
+        )
+    )
+    return (
+        seq.where(F.col("seq").rlike("v[ce]*p"))
+        .select(
+            "user_id",
+            "seq",
+            F.length("seq").alias("seq_len"),
+            F.lit(True).alias("hit"),
+            F.regexp_extract("seq", "v[ce]*p", 0).alias("first_match"),
+        )
+    )

@@ -380,3 +380,48 @@ def q_win_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w).cast("bigint").alias("n_within_10k"),
     )
+
+
+@register(
+    "q_win_moving_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {R4('''median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+           )''')} AS med4
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    priority="P2",
+    tags=("window", "median", "rolling"),
+)
+def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of purchase value over the trailing 4-row
+    frame per user — the robust-smoothing twin of `q_ewma` (median
+    shrugs off the spikes EWMA chases). Spark has no median-over-frame
+    builtin, so the frame is materialized with collect_list OVER the
+    window and the median read from the sorted array — exact, and
+    cheap because the frame is O(4), not the whole partition.
+
+    Scale: one shuffle on user_id; per-row state is the 4-element
+    frame array (constant), so memory does not grow with history. For
+    wide frames (say 10k rows) you'd swap the sort for a two-heap /
+    order-statistic sketch inside applyInPandas — noted, not needed at
+    frame=4."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    frame = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(frame)
+    lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(frame, ((n + 2) / 2).cast("int"))
+    return e.select(
+        "event_id",
+        "user_id",
+        r4((lo + hi) / 2).alias("med4"),
+    )

@@ -642,3 +642,58 @@ def q_source_csv_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("_bad").isNull(), F.col("total")).otherwise(0.0)), 2
         ).alias("good_total"),
     )
+
+
+@register(
+    "q_sink_partition_overwrite",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           MAX(event_id) AS max_eid
+    FROM events
+    WHERE event_type <> 'error' OR event_id % 2 = 0
+    GROUP BY event_type
+    """,
+    priority="P2",
+    tags=("sink", "partition", "overwrite"),
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite: full partitioned write of events,
+    then a second `overwrite` write containing ONLY re-derived 'error'
+    rows (even event_id) under `partitionOverwriteMode=dynamic` — the
+    engine must replace just the touched partition and leave the other
+    four directories intact. The read-back aggregate proves both halves:
+    'error' shows the filtered counts, everything else the originals.
+
+    Scale: dynamic overwrite is THE idempotent-backfill primitive for a
+    date-partitioned 100 TB table — re-running one day's pipeline
+    replaces one directory atomically-per-partition instead of
+    truncating the table (static mode) or hand-deleting paths. Cost is
+    the rewritten partition only.
+    """
+    prep(spark)
+    path = _scratch("events_dyn_overwrite")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    conf = spark.conf
+    old = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            e.where((F.col("event_type") == "error") & (F.col("event_id") % 2 == 0))
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
