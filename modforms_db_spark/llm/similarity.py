@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -797,4 +797,127 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("dist2"), 4).alias("inertia4"),
         )
         .orderBy("cluster")
+    )
+
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle (same chained-CTE discipline as
+    q_pagerank's: aggregation is not allowed in a recursive CTE member)."""
+    q = R("x * 1000", 0)
+    head = f"""
+    WITH qv AS (
+      SELECT vec_id, i, CAST({q} AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+      )
+    ),
+    tri AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+      FROM qv a JOIN qv b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    gramf AS (
+      SELECT i, j, g FROM tri
+      UNION ALL
+      SELECT j, i, g FROM tri WHERE i < j
+    ),
+    v0 AS (SELECT DISTINCT i, 0.125 AS val FROM gramf)"""
+    its = []
+    for k in range(1, _PCA_ITERS + 1):
+        its.append(f""",
+    w{k} AS (
+      SELECT g.i, {R(f'SUM(g.g * v.val)', 10)} AS w
+      FROM gramf g JOIN v{k - 1} v ON g.j = v.i
+      GROUP BY g.i
+    ),
+    n{k} AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w{k}),
+    v{k} AS (
+      SELECT i, {R('w / (SELECT nrm FROM n' + str(k) + ')', 10)} AS val FROM w{k}
+    )""")
+    tail = f"""
+    SELECT i AS dim, val AS loading,
+           CAST({R(f'(SELECT nrm FROM n{_PCA_ITERS})', 0)} AS BIGINT) AS lam
+    FROM v{_PCA_ITERS}
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    priority="P2",
+    tags=("llm", "vector", "pca", "iterative"),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding cloud
+    by 3 power-iteration rounds on the 64×64 Gram matrix — distributed
+    PCA the way it actually scales: the DATA-sized pass is one Gram
+    accumulation; the ITERATION runs on the fixed dim² matrix and never
+    touches rows again. Embeddings are quantized to integers (×1000,
+    Spark-round parity) so the Gram is ORDER-EXACT bigint arithmetic —
+    the same cross-engine-fp dodge as the rolling-z integer moments;
+    per-round normalized vectors are r10-rounded (PageRank discipline).
+
+    Scale: the Gram explode is flatten(transform×transform) over the
+    upper triangle — dim(dim+1)/2 structs per row, map-side combined
+    into ≤2 080 groups before the one shuffle; at wider dims you swap
+    in a numpy partial-Gram per partition (mapInPandas, same 2 080-row
+    combine) — noted, not needed at 64. Matvec rounds are joins on a
+    2 080-row DF with a 1-row broadcast norm; eigvec state never lives
+    on the driver."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    qarr = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint")
+    )
+    tri_pairs = F.flatten(
+        F.transform(
+            "q",
+            lambda x, i: F.filter(
+                F.transform(
+                    "q",
+                    lambda y, j: F.struct(
+                        (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("p")
+                    ),
+                ),
+                lambda s: s["j"] >= s["i"],
+            ),
+        )
+    )
+    tri = (
+        e.select(qarr.alias("q"))
+        .select(F.explode(tri_pairs).alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
+        .agg(F.sum("s.p").alias("g"))
+    )
+    gramf = tri.union(
+        tri.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    ).localCheckpoint(eager=False)  # reused every matvec round
+    v = gramf.select("i").distinct().select("i", F.lit(0.125).alias("val"))
+    w = None
+    for _ in range(_PCA_ITERS):
+        w = (
+            gramf.join(
+                F.broadcast(v.select(F.col("i").alias("j"), "val")), "j"
+            )
+            .groupBy("i")
+            .agg(F.round(F.sum(F.col("g") * F.col("val")), 10).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            "i", F.round(F.col("w") / F.col("nrm"), 10).alias("val")
+        )
+        last_nrm = nrm
+    return v.crossJoin(F.broadcast(last_nrm)).select(
+        F.col("i").alias("dim"),
+        F.col("val").alias("loading"),
+        F.round("nrm", 0).cast("bigint").alias("lam"),
     )

@@ -782,3 +782,113 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy")
         )
     )
+
+
+_CMS_W = 256  # buckets per hash row
+_CMS_ROWS = ((1, 0), (977, 13), (3191, 29), (7817, 101))  # (a_j, b_j)
+
+_CMS_TOKF_SQL = f"""(
+      (1315423911 * length(tok)
+       + 961 * ascii(substring(tok, 1, 1))
+       + 31 * ascii(substring(tok, greatest(1, (length(tok) + 1) // 2), 1))
+       + ascii(substring(tok, length(tok), 1))) % {_FP_MOD}
+    )"""
+
+_CMS_ORACLE = f"""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS n, {_CMS_TOKF_SQL} AS f
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY tok
+    ), cms AS (
+      SELECT j, ((a * f + b) % {_FP_MOD}) % {_CMS_W} AS bucket,
+             CAST(SUM(n) AS BIGINT) AS cnt
+      FROM tf CROSS JOIN (VALUES
+        {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_ROWS))}
+      ) h(j, a, b)
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT tok, n, f FROM (
+        SELECT *, row_number() OVER (ORDER BY n DESC, tok) AS rk FROM tf
+      ) WHERE rk <= 10
+    )
+    SELECT t.tok, t.n AS true_n, MIN(c.cnt) AS est_n,
+           MIN(c.cnt) - t.n AS overcount
+    FROM top t
+    JOIN (VALUES
+      {", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_ROWS))}
+    ) h(j, a, b) ON TRUE
+    JOIN cms c ON c.j = h.j AND c.bucket = ((h.a * t.f + h.b) % {_FP_MOD}) % {_CMS_W}
+    GROUP BY t.tok, t.n
+"""
+
+
+@register(
+    "q_count_min",
+    oracle=_CMS_ORACLE,
+    priority="P2",
+    tags=("llm", "sketch", "count-min"),
+)
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 rows × 256 buckets, fixed universal-hash
+    constants) over the token stream, audited against truth: the top-10
+    exact heavy hitters joined with their CMS estimates and overcount
+    (≥ 0 by the CMS one-sided guarantee — the oracle re-derives the
+    sketch, so a hash-row bug, a min over the wrong axis, or an
+    undercount all fail the hash). Integer token hash shared with
+    `q_fingerprint`'s char-arithmetic family ⇒ fully SQL-expressible.
+
+    Scale: the sketch is built from the TOKEN-GRAIN aggregate (vocab
+    rows), not the raw stream — the 4× row explode costs O(4·vocab),
+    then collapses to a FIXED 1024-cell table regardless of corpus
+    size; that constant-size property (mergeable across shards by cell
+    sum) is the whole point of CMS at 100 TB. Heavy-hitter probe is a
+    broadcast join against the 1024 cells."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    L = F.length("tok")
+    fexpr = (
+        (
+            F.lit(1315423911).cast("bigint") * L
+            + 961 * F.ascii(F.substring(F.col("tok"), 1, 1))
+            + 31
+            * F.ascii(
+                F.expr("substring(tok, greatest(1, (length(tok) + 1) div 2), 1)")
+            )
+            + F.ascii(F.expr("substring(tok, length(tok), 1)"))
+        )
+        % _FP_MOD
+    ).cast("bigint")
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).withColumn("f", fexpr)
+    rows = spark.createDataFrame(
+        [(j, a, b) for j, (a, b) in enumerate(_CMS_ROWS)], "j INT, a INT, b INT"
+    )
+    cms = (
+        tf.crossJoin(F.broadcast(rows))
+        .groupBy(
+            "j",
+            ((F.col("a") * F.col("f") + F.col("b")) % _FP_MOD % _CMS_W).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.sum("n").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("n"), "tok")
+    top = tf.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    probe = top.crossJoin(F.broadcast(rows)).withColumn(
+        "bucket", (F.col("a") * F.col("f") + F.col("b")) % _FP_MOD % _CMS_W
+    )
+    return (
+        probe.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("tok", F.col("n").alias("true_n"))
+        .agg(F.min("cnt").alias("est_n"))
+        .select(
+            "tok",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+    )

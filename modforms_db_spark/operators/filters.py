@@ -273,3 +273,60 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "O", "since": "1997-01-01 00:00:00"},
     )
+
+
+@register(
+    "q_subquery_any_all",
+    oracle="""
+    WITH lo AS (
+      SELECT COUNT(*) AS n_low, MAX(o_totalprice) AS max_low
+      FROM orders WHERE o_orderpriority = '5-LOW'
+    ), ur AS (
+      SELECT COUNT(*) AS n_urg, MIN(o_totalprice) AS min_urg
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           (lo.n_low = 0 OR o.o_totalprice > lo.max_low) AS gt_all_low,
+           (ur.n_urg > 0 AND o.o_totalprice < ur.min_urg) AS lt_any_urgent
+    FROM orders o CROSS JOIN lo CROSS JOIN ur
+    WHERE o.o_orderpriority = '2-HIGH'
+      AND ((lo.n_low = 0 OR o.o_totalprice > lo.max_low)
+           OR (ur.n_urg > 0 AND o.o_totalprice < ur.min_urg))
+    """,
+    priority="P2",
+    tags=("subquery", "quantified", "any-all"),
+)
+def q_subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons — `> ALL (sub)` and `< ANY (sub)` — for an
+    engine without native ALL/ANY subqueries: the subquery collapses to
+    its extremum + count, broadcast as one row, with the empty-set laws
+    made explicit (ALL over ∅ ≡ TRUE via `n=0 OR …`; ANY over ∅ ≡ FALSE
+    via `n>0 AND …`). NULL-free columns here keep the three-valued-logic
+    caveat out of scope (documented: with NULLs in the subquery, ALL
+    needs the max over non-NULLs plus a null-count guard).
+
+    Scale: the rewrite IS the scale plan — a naive quantified subquery
+    is a per-row recheck; the extremum form is one 1-row broadcast
+    cross join, zero shuffles on the probe side beyond the scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    lo = o.where(F.col("o_orderpriority") == "5-LOW").agg(
+        F.count(F.lit(1)).alias("n_low"), F.max("o_totalprice").alias("max_low")
+    )
+    ur = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
+        F.count(F.lit(1)).alias("n_urg"), F.min("o_totalprice").alias("min_urg")
+    )
+    gt_all = (F.col("n_low") == 0) | (F.col("o_totalprice") > F.col("max_low"))
+    lt_any = (F.col("n_urg") > 0) & (F.col("o_totalprice") < F.col("min_urg"))
+    return (
+        o.where(F.col("o_orderpriority") == "2-HIGH")
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(ur))
+        .where(gt_all | lt_any)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            gt_all.alias("gt_all_low"),
+            lt_any.alias("lt_any_urgent"),
+        )
+    )

@@ -1152,3 +1152,106 @@ def q_event_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("seq", "v[ce]*p", 0).alias("first_match"),
         )
     )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=f"""
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+    ), known AS (
+      SELECT h, event_type, {R(f'AVG(value)', 10)} AS v
+      FROM e GROUP BY h, event_type
+    ), bounds AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e
+    ), spine AS (
+      SELECT t.h, ty.event_type
+      FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM e) ty
+    ), j AS (
+      SELECT s.h, s.event_type, k.v,
+             last_value(k.v IGNORE NULLS) OVER w_prev  AS pv,
+             last_value(CASE WHEN k.v IS NOT NULL THEN s.h END IGNORE NULLS) OVER w_prev AS ph,
+             first_value(k.v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN k.v IS NOT NULL THEN s.h END IGNORE NULLS) OVER w_next AS nh
+      FROM spine s LEFT JOIN known k USING (h, event_type)
+      WINDOW
+        w_prev AS (PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT h, event_type,
+           CASE
+             WHEN v IS NOT NULL THEN {R4('v')}
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               {R4('''pv + (nv - pv) * (CAST(epoch_us(h) - epoch_us(ph) AS DOUBLE)
+                              / CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))''')}
+           END AS v_filled,
+           (v IS NULL) AS interpolated
+    FROM j
+    """,
+    priority="P2",
+    tags=("temporal", "gapfill", "interpolate"),
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense hourly spine per event_type —
+    the value-continuity twin of `q_gapfill_rollup`'s zero-fill: missing
+    hours get pv + (nv−pv)·Δt-fraction from the nearest known neighbors
+    (exact µs epoch integers drive the fraction), edges outside the
+    known range stay NULL. Known hourly means are r10-rounded BEFORE
+    interpolation so both engines interpolate bit-identical inputs.
+
+    Scale: identical envelope to gapfill — the fact table contributes
+    one partial-agg shuffle; spine × types is post-agg tiny; the two
+    IGNORE-NULLS windows run on the spine, not the facts. The window
+    carries O(1) state per row (last/first known), so spine length can
+    grow unbounded (streaming backfill) without memory growth."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
+    )
+    known = e.groupBy("h", "event_type").agg(
+        F.round(F.avg("value"), 10).alias("v")
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .crossJoin(F.broadcast(e.select("event_type").distinct()))
+    )
+    j = spine.join(F.broadcast(known), ["h", "event_type"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    kh = F.when(F.col("v").isNotNull(), F.col("h"))
+    j = j.select(
+        "h",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(kh, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(kh, ignorenulls=True).over(wn).alias("nh"),
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    frac = (us("h") - us("ph")).cast("double") / (us("nh") - us("ph")).cast("double")
+    return j.select(
+        "h",
+        "event_type",
+        F.when(F.col("v").isNotNull(), r4(F.col("v")))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            r4(F.col("pv") + (F.col("nv") - F.col("pv")) * frac),
+        )
+        .alias("v_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
