@@ -575,3 +575,67 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stream_static_join",
             spark,
         )
+
+
+@register(
+    "q_stream_outer_join",
+    oracle=None,  # streaming; batch-twin equivalence in tests/test_streaming.py
+    priority="P3",
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, attributed to a
+    purchase by the same user within 30 minutes when one exists, else
+    NULL-extended — the "did this impression convert?" feed. Unlike the
+    inner form (`q_stream_join`), the NULL rows can only be emitted
+    when the purchase-side WATERMARK has passed the view's match
+    horizon (only then is "no purchase arrived" final) — the state
+    store holds the view until eviction proves the negative, which is
+    why outer stream-stream joins REQUIRE both watermarks + a time
+    bound, not merely benefit from them.
+
+    Scale: state per key = watermark horizon × per-user rate, same as
+    the inner join; the extra cost of OUTER is only that view rows
+    always live to their full horizon before eviction (inner can drop
+    on match). Semantics caveat the batch twin models exactly: a view
+    whose 30-min horizon is NOT closed by the final global watermark
+    (min over both inputs of max-event-time − 1 h) keeps waiting in
+    state — its negative is unprovable, so it is (correctly) never
+    emitted; matched pairs are emitted regardless."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        v["user_id"],
+        "view_id",
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+    )
+    return _run_to_table(
+        joined.writeStream.format("memory").outputMode("append"),
+        "stream_outer_join",
+        spark,
+    )

@@ -125,3 +125,58 @@ def test_stream_join_equals_batch_twin(spark):
     batch = canon(_run(spark, "q_join_stream_twin").toPandas())
     assert len(batch) > 0
     assert stream.equals(batch)
+
+
+def test_stream_outer_join_equals_batch_left_join(spark):
+    """LEFT OUTER stream-stream join: matched pairs ≡ the batch inner
+    join, plus one NULL-extended row per never-converted view WHOSE
+    30-min horizon the final global watermark closed — a view still
+    inside the horizon keeps waiting in state and its negative is
+    (correctly) never emitted. The twin reproduces that watermark
+    filter exactly."""
+    import pandas as pd
+
+    from modforms_db_spark.io import load
+    from tests.conftest import SF_DIR
+
+    stream = canon(_run(spark, "q_stream_outer_join").toPandas())
+
+    e = load(spark, SF_DIR, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    # Final global watermark = min over the two inputs of (max event
+    # time − 1 h delay); negatives are provable only once it passes
+    # v_ts + 30 min.
+    wm = min(
+        v.agg(F.max("v_ts")).collect()[0][0],
+        p.agg(F.max("p_ts")).collect()[0][0],
+    ) - pd.Timedelta(hours=1)
+    joined = v.join(
+        p,
+        (v["user_id"] == p["p_user_id"])
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    batch = canon(
+        joined.where(
+            F.col("purchase_id").isNotNull()
+            | (F.col("v_ts") + F.expr("INTERVAL 30 MINUTES") < F.lit(wm))
+        )
+        .select(
+            v["user_id"],
+            "view_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("delay_s"),
+        )
+        .toPandas()
+    )
+    assert len(batch) > 0
+    assert (batch["purchase_id"].isna()).any()  # negatives present
+    assert stream.equals(batch)
