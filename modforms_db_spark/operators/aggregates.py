@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -1083,4 +1083,160 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(tot), "n_name")
         .groupBy("n_name", "n_supp")
         .agg(r4(F.sum(share * share)).alias("hhi"))
+    )
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+    SELECT event_type AS key, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS key, COUNT(DISTINCT user_id) AS n_distinct FROM events
+    """,
+    priority="P2",
+    tags=("agg", "bitmap", "distinct"),
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via word-chunked bitmaps (the
+    Druid/ClickHouse bitmap-rollup trick): users land in (word = id/64,
+    bit = id%64) cells, `bit_or` folds each group's cell, popcount sums
+    give per-type distincts — and the ALL row is computed FROM THE
+    BITMAPS (bit_or across types per word), never by re-scanning facts.
+    That merge step is what HLL gives only approximately: bitmap unions
+    stay exact under any regrouping.
+
+    Scale: the fact pass is one partial-agg shuffle keyed (type, word);
+    bitmap size is |id-domain|/8 bytes spread across words — dense ids
+    make this the exact-distinct structure of choice; sparse/huge
+    domains graduate to roaring-style containers (same algebra) or HLL
+    (`q_agg_hll_merge`) when approximation is acceptable. The oracle
+    recomputes both levels with plain COUNT(DISTINCT), so a popcount
+    or merge bug fails the hash."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    cell = e.select(
+        "event_type",
+        (F.col("user_id") / 64).cast("bigint").alias("word"),
+        # shiftleft's numBits must be a Column-free int in the Python API;
+        # the SQL form accepts a per-row shift amount.
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    bm = cell.groupBy("event_type", "word").agg(F.bit_or("bit").alias("w"))
+    per_type = bm.groupBy(F.col("event_type").alias("key")).agg(
+        F.sum(F.bit_count("w")).alias("n_distinct")
+    )
+    overall = (
+        bm.groupBy("word")
+        .agg(F.bit_or("w").alias("w"))
+        .agg(F.sum(F.bit_count("w")).alias("n_distinct"))
+        .select(F.lit("ALL").alias("key"), "n_distinct")
+    )
+    return per_type.unionByName(overall)
+
+
+@register(
+    "q_period_over_period",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {R2('SUM(o_totalprice)')} AS revenue, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           {R4('''100.0 * (revenue - lag(revenue, 1)  OVER (ORDER BY month))
+                 / lag(revenue, 1)  OVER (ORDER BY month)''')} AS mom_pct,
+           {R4('''100.0 * (revenue - lag(revenue, 12) OVER (ORDER BY month))
+                 / lag(revenue, 12) OVER (ORDER BY month)''')} AS yoy_pct
+    FROM monthly
+    """,
+    priority="P2",
+    tags=("agg", "window", "period"),
+)
+def q_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year revenue growth: monthly
+    order revenue (r2-rounded before any ratio, the shared-inputs
+    rule) with lag-1 and lag-12 percent changes; leading months where
+    the lag has no target stay NULL rather than faking a baseline.
+
+    Scale: the fact table collapses in one partial-agg shuffle to a
+    months-sized table; both lags run on that tiny series. The
+    unpartitioned ORDER BY month window is a non-issue — it sorts
+    ~tens of rows, not facts."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        r2(F.sum("o_totalprice")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    pct = lambda k: r4(  # noqa: E731
+        100.0 * (F.col("revenue") - F.lag("revenue", k).over(w))
+        / F.lag("revenue", k).over(w)
+    )
+    return monthly.select(
+        "month", "revenue", "n_orders",
+        pct(1).alias("mom_pct"), pct(12).alias("yoy_pct"),
+    )
+
+
+@register(
+    "q_ab_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             {R(f'AVG(value)', 10)} AS mean,
+             {R(f'VAR_SAMP(value)', 10)} AS var
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    )
+    SELECT a.n AS n_a, {R4('a.mean')} AS mean_a,
+           b.n AS n_b, {R4('b.mean')} AS mean_b,
+           {R4('''(a.mean - b.mean)
+                 / SQRT(a.var / a.n + b.var / b.n)''')} AS welch_t
+    FROM (SELECT * FROM g WHERE event_type = 'click') a
+    CROSS JOIN (SELECT * FROM g WHERE event_type = 'purchase') b
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest"),
+)
+def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t statistic between the click and purchase
+    value populations — the A/B-readout primitive (unequal variances,
+    no pooling). Group moments are r10-rounded before the t formula so
+    both engines feed identical inputs into the one fp-sensitive
+    expression; the statistic itself is r4.
+
+    Scale: two 1-row group aggregates (single partial-agg pass over
+    the filtered scan) crossed broadcast-style — the entire test costs
+    one scan regardless of group sizes, and generalizes to many-arm
+    experiments as a groupBy + pairwise self-join of the tiny moment
+    table."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 10).alias("mean"),
+        F.round(F.var_samp("value"), 10).alias("var"),
+    )
+    a = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = g.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "n_a", r4(F.col("mean_a")).alias("mean_a"),
+            "n_b", r4(F.col("mean_b")).alias("mean_b"),
+            r4(t).alias("welch_t"),
+        )
     )

@@ -1255,3 +1255,127 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_filled"),
         F.col("v").isNull().alias("interpolated"),
     )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events GROUP BY user_id
+    ), daily_new AS (
+      SELECT d0 AS day, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+    FROM daily_new
+    """,
+    priority="P2",
+    tags=("temporal", "distinct", "cumulative"),
+)
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day via the FIRST-SEEN transform:
+    each user contributes once, on their first active day, and the
+    running total of daily-new counts IS the cumulative distinct — the
+    standard rewrite that turns "COUNT(DISTINCT) over an expanding
+    window" (quadratic state: re-deduplicating history per day) into
+    one user-grain aggregate plus a running sum over a days-sized
+    table.
+
+    Scale: one shuffle on user_id (min day per user), one tiny day
+    aggregate, and the running-sum window runs over ~hundreds of day
+    rows — fact data is touched exactly once regardless of the window
+    length."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day")
+    )
+    daily_new = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+_GAP_B = 256
+
+
+@register(
+    "q_id_gap_audit",
+    oracle=f"""
+    WITH acc AS (
+      SELECT event_id FROM events WHERE event_type <> 'error'
+    ), bounds AS (
+      SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM acc
+    ), spine AS (
+      SELECT unnest(generate_series(lo // {_GAP_B}, hi // {_GAP_B})) AS bucket,
+             lo, hi
+      FROM bounds
+    ), per_bucket AS (
+      SELECT event_id // {_GAP_B} AS bucket, COUNT(*) AS n_present FROM acc GROUP BY 1
+    )
+    SELECT s.bucket,
+           GREATEST(s.bucket * {_GAP_B}, s.lo) AS bucket_lo,
+           LEAST(s.bucket * {_GAP_B} + {_GAP_B - 1}, s.hi) AS bucket_hi,
+           COALESCE(p.n_present, 0) AS n_present,
+           LEAST(s.bucket * {_GAP_B} + {_GAP_B - 1}, s.hi)
+             - GREATEST(s.bucket * {_GAP_B}, s.lo) + 1
+             - COALESCE(p.n_present, 0) AS n_missing
+    FROM spine s LEFT JOIN per_bucket p USING (bucket)
+    WHERE LEAST(s.bucket * {_GAP_B} + {_GAP_B - 1}, s.hi)
+          - GREATEST(s.bucket * {_GAP_B}, s.lo) + 1
+          - COALESCE(p.n_present, 0) > 0
+    """,
+    priority="P2",
+    tags=("temporal", "audit", "gaps"),
+)
+def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit of the accepted-events feed (errors
+    dropped): which fixed-width id buckets are missing ids, and how
+    many — the offset-gap / ingest-loss check run against any
+    monotonically-assigned id or offset column. Bucketing is what makes
+    it scale: the naive lag-over-global-id-order gap scan is a
+    single-partition window; here the fact pass is ONE partial-agg
+    shuffle of n/{_GAP_B} groups, the bucket spine derives from a 1-row
+    broadcast min/max (so fully-empty buckets are caught too), and the
+    clip arithmetic makes edge buckets exact.
+
+    Scale: audit table is n/{_GAP_B} rows; no global sort anywhere. At
+    100 TB pick the bucket width so the audit table fits the report
+    consumer — detection granularity, not correctness, is the only
+    trade-off."""
+    prep(spark)
+    acc = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select("event_id")
+    )
+    bounds = acc.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                (F.col("lo") / _GAP_B).cast("bigint"),
+                (F.col("hi") / _GAP_B).cast("bigint"),
+            )
+        ).alias("bucket"),
+        "lo",
+        "hi",
+    )
+    per_bucket = acc.groupBy(
+        (F.col("event_id") / _GAP_B).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_present"))
+    b_lo = F.greatest(F.col("bucket") * _GAP_B, F.col("lo"))
+    b_hi = F.least(F.col("bucket") * _GAP_B + (_GAP_B - 1), F.col("hi"))
+    miss = b_hi - b_lo + 1 - F.coalesce("n_present", F.lit(0))
+    return (
+        spine.join(per_bucket, "bucket", "left")
+        .select(
+            "bucket",
+            b_lo.alias("bucket_lo"),
+            b_hi.alias("bucket_hi"),
+            F.coalesce("n_present", F.lit(0)).alias("n_present"),
+            miss.alias("n_missing"),
+        )
+        .where(F.col("n_missing") > 0)
+    )
