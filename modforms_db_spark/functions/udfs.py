@@ -466,3 +466,69 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 30
         """
     )
+
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_tokens,
+           CAST(SUM(length(tok)) AS BIGINT) AS n_chars,
+           MAX(length(tok)) AS max_tok_len
+    FROM toks GROUP BY lang
+    """,
+    priority="P3",
+    tags=("udtf", "table-arg", "python"),
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming a TABLE ARGUMENT with PARTITION BY (Spark
+    4): the UDTF receives WHOLE partitions of documents row-by-row,
+    accumulates per-language token stats in `eval`, and emits one
+    summary row from `terminate` — the "process a partition in Python
+    with state" API that sits between a scalar UDF (row-at-a-time, no
+    state) and applyInPandas (whole group as one DataFrame). ORDER BY
+    in the table arg makes per-partition iteration order deterministic.
+
+    Scale: PARTITION BY lang shuffles once; each UDTF instance sees one
+    language's rows streamed (constant memory — the accumulated state
+    is 3 counters, never the rows), unlike applyInPandas which
+    materializes the group. For token-level stats the pure-SQL explode
+    (`q_text_stats`) is the faster plan — this row exists for the API
+    surface where per-row Python logic genuinely needs partition
+    state."""
+    prep(spark)
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_tokens bigint, n_chars bigint, max_tok_len int")
+    class LangTokenSummary:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.chars = 0
+            self.longest = 0
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            for t in (row["text"] or "").split(" "):
+                self.n += 1
+                self.chars += len(t)
+                if len(t) > self.longest:
+                    self.longest = len(t)
+
+        def terminate(self):
+            if self.lang is not None:
+                yield (self.lang, self.n, self.chars, self.longest)
+
+    spark.udtf.register("mfdb_lang_summary", LangTokenSummary)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("mfdb_udtf_docs3")
+    return spark.sql(
+        """
+        SELECT s.lang, s.n_tokens, s.n_chars, s.max_tok_len
+        FROM mfdb_lang_summary(
+          TABLE(SELECT lang, text FROM mfdb_udtf_docs3)
+          PARTITION BY lang ORDER BY lang
+        ) s
+        """
+    )

@@ -1240,3 +1240,55 @@ def q_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(t).alias("welch_t"),
         )
     )
+
+
+_SALT_N = 8
+
+
+@register(
+    "q_agg_skew_salted",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n,
+           {R2('SUM(value)')} AS total,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    priority="P2",
+    tags=("agg", "skew", "salt", "scale"),
+)
+def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (the agg-side twin of
+    `q_join_skew_salted`): phase 1 aggregates (key, salt) so a
+    heavy-hitter key's rows spread over {_SALT_N} reducers, phase 2
+    re-aggregates the per-salt partials — legal because count/sum are
+    commutative monoids. COUNT(DISTINCT user_id) deliberately does NOT
+    ride the same trick (distinct is not salt-mergeable without
+    carrying the value set); it re-aggregates from phase-1
+    `collect_set` unions here, with the honest note that at true scale
+    you'd use the bitmap (`q_bitmap_distinct`) or HLL
+    (`q_agg_hll_merge`) instead of set union.
+
+    Scale: Spark's own partial aggregation already handles MODERATE
+    skew (map-side combine); explicit salting matters when a single
+    key's POST-combine partials still swamp one reducer — i.e. very
+    high cardinality inputs per key, exactly what the distinct-set leg
+    simulates. The oracle pins result-equality with the unsalted
+    plan."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    salted = e.withColumn("salt", (F.col("event_id") % _SALT_N).cast("int"))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pt"),
+        F.collect_set("user_id").alias("pu"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            r2(F.sum("pt")).alias("total"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).cast(
+                "bigint"
+            ).alias("n_users"),
+        )
+    )

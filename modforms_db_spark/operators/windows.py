@@ -425,3 +425,59 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         r4((lo + hi) / 2).alias("med4"),
     )
+
+
+@register(
+    "q_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - INTERVAL 1 DAY * row_number() OVER (
+               PARTITION BY user_id ORDER BY d
+             ) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, COUNT(*) AS len, MIN(d) AS streak_start
+      FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY len DESC, streak_start
+      ) AS rk
+      FROM streaks
+    ) WHERE rk = 1
+    """,
+    priority="P2",
+    tags=("window", "streak", "islands"),
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (ties broken to
+    the earliest streak) via the date-minus-row_number anchor: runs of
+    consecutive days share one anchor, so streaks fall out of a plain
+    groupBy — the gaps-and-islands identity specialized to calendar
+    days, and the engagement metric every retention dashboard wants.
+
+    Scale: one distinct projection to (user, day) grain, then every
+    step shares the user_id partitioning (row_number window, anchor
+    groupBy, argmax window) — a single exchange end-to-end; state per
+    user is its day count, never raw events."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    wrn = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor",
+        F.col("d") - F.expr("INTERVAL 1 DAY") * F.row_number().over(wrn),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wmax = Window.partitionBy("user_id").orderBy(F.desc("len"), "streak_start")
+    return (
+        streaks.withColumn("rk", F.row_number().over(wmax))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
+    )

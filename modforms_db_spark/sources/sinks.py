@@ -16,6 +16,7 @@ here filters one partition value to exercise that pruning path.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -696,4 +697,51 @@ def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
             F.max("event_id").alias("max_eid"),
         )
+    )
+
+
+@register(
+    "q_source_binary_files",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents WHERE doc_id < 20
+    """,
+    priority="P2",
+    tags=("source", "binary"),
+)
+def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source round-trip: 20 documents written as raw
+    one-file-per-record blobs, read back with the built-in binaryFile
+    format (path, modificationTime, length, content), doc id recovered
+    from the path, content integrity proven by sha256 against an oracle
+    that hashes the SOURCE text — the ingest shape for every
+    bytes-on-object-store corpus (images, PDFs, audio) before a decode
+    UDF ever runs.
+
+    Scale: binaryFile parallelizes by FILE listing (each file one row;
+    big files are not split), so millions of small blobs want either
+    `pathGlobFilter`-scoped directories or consolidation into an
+    indexed container format upstream; here the format surface itself
+    is the point. Hash + length computed JVM-side off the content
+    column."""
+    prep(spark)
+    path = _scratch("binary_blobs")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", "text")
+        .collect()
+    )  # 20 rows — test-fixture write, not a data-path collect
+    for row in docs:
+        with open(os.path.join(path, f"{row.doc_id}.bin"), "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    back = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
     )
