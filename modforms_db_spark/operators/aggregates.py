@@ -1122,7 +1122,12 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the SQL form accepts a per-row shift amount.
         F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
     )
-    bm = cell.groupBy("event_type", "word").agg(F.bit_or("bit").alias("w"))
+    bm = (
+        cell.groupBy("event_type", "word")
+        .agg(F.bit_or("bit").alias("w"))
+        .localCheckpoint(eager=False)  # both rollup levels read the bitmaps;
+        # without this the ALL row would re-scan events (defeating the merge)
+    )
     per_type = bm.groupBy(F.col("event_type").alias("key")).agg(
         F.sum(F.bit_count("w")).alias("n_distinct")
     )

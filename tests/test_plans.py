@@ -439,3 +439,54 @@ def test_zorder_layout_shrinks_per_file_bounding_boxes(spark):
         and b["l_suppkey"][0] <= 8 and b["l_suppkey"][1] >= 2
     )
     assert hits < len(boxes) / 2, (hits, len(boxes))
+
+
+def test_bitmap_distinct_single_fact_pass(spark):
+    """The bitmap rollup must touch the fact scan once: the ALL row is
+    merged from the per-type bitmaps, not recomputed from events."""
+    plan = _plan(spark, "q_bitmap_distinct")
+    # the (type, word) bitmap table is checkpoint-reused, so the fact scan
+    # appears at most once in the final plan (0 = both levels read the
+    # checkpointed bitmaps; 2 would mean the ALL row re-scans events)
+    assert plan.count("FileScan parquet") <= 1
+    assert "bit_or" in plan
+
+
+def test_term_pmi_broadcasts_marginals(spark):
+    """The 1-row corpus total rides a broadcast; no SortMergeJoin should
+    appear for the N cross join."""
+    plan = _plan(spark, "q_term_pmi")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """All three triangle legs are equi-joins — a CartesianProduct in the
+    plan would mean the wedge-close degenerated to all-pairs."""
+    plan = _plan(spark, "q_triangle_count")
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_gram_single_shuffle_then_tiny(spark):
+    """The Gram build is the only data-sized exchange; matvec rounds run
+    on the 2 080-row matrix (broadcast vector joins, no extra fact scans)."""
+    plan = _plan(spark, "q_pca_power")
+    # the Gram matrix is checkpoint-reused across all matvec rounds: the
+    # final plan contains NO embeddings FileScan — the one data-sized pass
+    # lives inside the checkpoint, iterations run on the 2 080-row matrix
+    assert plan.count("FileScan parquet") == 0
+
+
+def test_interpolate_windows_on_spine_not_facts(spark):
+    """The IGNORE-NULLS windows must partition by event_type over the
+    spine; the events scan contributes only the hourly partial agg."""
+    plan = _plan(spark, "q_interpolate_linear")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    # the known-values side reaches the spine join as a broadcast
+    assert "BroadcastExchange" in plan
+
+
+def test_cumulative_distinct_no_expanding_dedup(spark):
+    """First-seen rewrite: exactly one aggregate over events (user grain)
+    — an expanding-window COUNT(DISTINCT) would show a second fact agg."""
+    plan = _plan(spark, "q_cumulative_distinct")
+    assert plan.count("FileScan parquet") == 1
