@@ -745,3 +745,118 @@ def q_source_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("sha"),
     )
+
+
+@register(
+    "q_nested_roundtrip",
+    oracle=f"""
+    SELECT l.l_returnflag, COUNT(*) AS n_lines,
+           {R2('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    priority="P2",
+    tags=("sink", "nested", "struct"),
+)
+def q_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-schema round-trip: orders denormalized into one record per
+    order carrying an ARRAY<STRUCT> of its lines (sorted by linenumber
+    for determinism), written as genuinely nested parquet, read back,
+    and SHREDDED (explode + dot-path projection) into the same flat
+    aggregate the oracle computes from the normalized tables — proving
+    the nest/unnest cycle is lossless. This is the document-style
+    storage layout (one parent + embedded children) round-tripped
+    through columnar nested encoding.
+
+    Scale: the nest is one groupBy on the join key; nested parquet
+    stores struct fields as separate column chunks, so the read-back
+    projection of two line fields still prunes columns (ReadSchema
+    shows the struct subpaths). Array-per-order memory is bounded by
+    order width, not table size."""
+    prep(spark)
+    path = _scratch("orders_nested")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    nested = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("l_linenumber", "l_extendedprice", "l_discount", "l_returnflag")
+                )
+            ).alias("lines")
+        )
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    line = F.explode("lines").alias("line")
+    return (
+        back.select(line)
+        .select(
+            F.col("line.l_returnflag").alias("l_returnflag"),
+            (F.col("line.l_extendedprice") * (1 - F.col("line.l_discount"))).alias("rev"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_schema_evolution",
+    oracle=f"""
+    WITH unioned AS (
+      SELECT p_partkey, p_name, CAST(NULL AS DOUBLE) AS p_retailprice, 'v1' AS batch
+      FROM part WHERE p_partkey % 2 = 0
+      UNION ALL
+      SELECT p_partkey, p_name, p_retailprice, 'v2' AS batch
+      FROM part WHERE p_partkey % 2 = 1
+    )
+    SELECT batch, COUNT(*) AS n,
+           COUNT(p_retailprice) AS n_priced,
+           {R2('COALESCE(SUM(p_retailprice), 0)')} AS total_price
+    FROM unioned GROUP BY batch
+    """,
+    priority="P2",
+    tags=("source", "schema-evolution"),
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a v1 batch written WITHOUT the price
+    column and a v2 batch WITH it live in one dataset; reading with
+    `mergeSchema=true` reconciles the footers into the superset schema,
+    v1 rows surfacing NULL prices — the append-only column-add pattern
+    every long-lived 100 TB table hits. The batch tag column makes the
+    NULL provenance auditable, and the oracle reproduces the exact
+    union semantics.
+
+    Scale: schema merge is a FOOTER operation (per-file metadata union)
+    — it never rewrites data; the cost caveat is that mergeSchema reads
+    every file's footer at planning, so production tables pin the
+    merged schema in a catalog instead of re-deriving it per query
+    (which is also why the default is off)."""
+    prep(spark)
+    path = _scratch("part_evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    p = load(spark, sf_dir, "part")
+    v1 = p.where(F.col("p_partkey") % 2 == 0).select(
+        "p_partkey", "p_name", F.lit("v1").alias("batch")
+    )
+    v2 = p.where(F.col("p_partkey") % 2 == 1).select(
+        "p_partkey", "p_name", "p_retailprice", F.lit("v2").alias("batch")
+    )
+    v1.write.parquet(os.path.join(path, "batch=v1x"))  # plain subdirs, not
+    v2.write.parquet(os.path.join(path, "batch=v2x"))  # partition columns
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    return back.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("p_retailprice").alias("n_priced"),
+        F.round(F.coalesce(F.sum("p_retailprice"), F.lit(0.0)), 2).alias("total_price"),
+    )
