@@ -676,3 +676,54 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return left.join(
         right, left["prio_k"].eqNullSafe(right["prio_k"])
     ).select(left["prio_k"], "n_orders", "n_custs")
+
+
+@register(
+    "q_copurchase_pairs",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_orders
+      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY a.p, b.p
+    )
+    SELECT p1, p2, n_orders, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rk
+      FROM pairs
+    ) WHERE rk <= 20
+    """,
+    priority="P2",
+    tags=("join", "market-basket", "copurchase"),
+)
+def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs by number of
+    orders containing both (a.p < b.p orientation counts each pair
+    once) — the association-rule support table every
+    frequently-bought-together feature starts from.
+
+    Scale: the self-join is keyed on the ORDER, so work is Σ_orders
+    w(w−1)/2 with w = distinct parts per order — bounded by basket
+    width, never |parts|²; the pair aggregate is a partial-agg shuffle
+    and the top-20 is a TakeOrdered, no global sort. Pathological
+    mega-baskets (w in the thousands) get capped or minhashed upstream
+    — the width bound is the thing to monitor at 100 TB."""
+    prep(spark)
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = op.select(F.col("ok"), F.col("p").alias("p2"))
+    pairs = (
+        op.join(b, "ok")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), "p1", "p2")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+        .select("p1", "p2", "n_orders", "rk")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -236,4 +237,48 @@ def q_stat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_b") > 1.5 * F.col("n_a"))
             | (F.col("n_a") > 1.5 * F.col("n_b"))
         ).alias("volume_drift"),
+    )
+
+
+@register(
+    "q_outlier_iqr",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority,
+             {R4('quantile_cont(o_totalprice, 0.25)')} AS q1,
+             {R4('quantile_cont(o_totalprice, 0.75)')} AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           {R2('q.q3 + 1.5 * (q.q3 - q.q1)')} AS hi_fence
+    FROM orders o JOIN q USING (o_orderpriority)
+    WHERE o.o_totalprice > {R2('q.q3 + 1.5 * (q.q3 - q.q1)')}
+    """,
+    priority="P2",
+    tags=("quality", "outlier", "iqr"),
+)
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier detection per priority class (value >
+    Q3 + 1.5·IQR) — the third robust-outlier family next to MAD
+    (`q_anomaly_mad`) and winsorization (`q_winsorize`): fence from
+    rank statistics, so heavy tails can't drag the threshold. Fences
+    r4/r2-rounded before the comparison so the boundary can't flip
+    between engines.
+
+    Scale: exact quantiles per group need the per-group sort once; at
+    100 TB swap `percentile` for the GK sketch
+    (`q_agg_approx_percentile`'s path) — the fence join itself is a
+    broadcast of #groups rows against the scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        r4(F.percentile("o_totalprice", F.lit(0.25))).alias("q1"),
+        r4(F.percentile("o_totalprice", F.lit(0.75))).alias("q3"),
+    )
+    fence = r2(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .withColumn("hi_fence", fence)
+        .where(F.col("o_totalprice") > F.col("hi_fence"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "hi_fence")
     )

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -480,4 +480,119 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaks.withColumn("rk", F.row_number().over(wmax))
         .where(F.col("rk") == 1)
         .select("user_id", F.col("len").alias("longest_streak"), "streak_start")
+    )
+
+
+@register(
+    "q_max_drawdown",
+    oracle=f"""
+    WITH series AS (
+      SELECT user_id, ts, event_id,
+             {R(f'''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 10)} AS cum
+      FROM events WHERE event_type = 'purchase'
+    ), dd AS (
+      SELECT user_id,
+             {R(f'''MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 10)} - cum AS drawdown
+      FROM series
+    )
+    SELECT user_id, {R4('MAX(drawdown)')} AS max_drawdown
+    FROM dd GROUP BY user_id
+    HAVING {R4('MAX(drawdown)')} > 0
+    """,
+    priority="P2",
+    tags=("window", "drawdown", "running"),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the cumulative purchase-value
+    series: running-peak minus current cumulative, maximized — the
+    risk/health metric for any monotone-hoped series (revenue, balance,
+    model-metric over checkpoints). Running sums r10-rounded on both
+    engines so the two stacked windows see identical inputs; (ts,
+    event_id) tiebreak fixes the accumulation order.
+
+    Scale: both windows and the final agg share ONE user_id exchange
+    (Catalyst collapses same-partitioning windows); per-row state is
+    two doubles. The HAVING keeps flat (never-declining) users out of
+    the report."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.round(F.sum("value").over(w), 10)
+    series = e.select("user_id", "ts", "event_id", cum.alias("cum"))
+    dd = series.select(
+        "user_id",
+        (F.round(F.max("cum").over(w), 10) - F.col("cum")).alias("drawdown"),
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg(r4(F.max("drawdown")).alias("max_drawdown"))
+        .where(F.col("max_drawdown") > 0)
+    )
+
+
+@register(
+    "q_weighted_median",
+    oracle=f"""
+    WITH w AS (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             CAST(1 + o_orderkey % 5 AS BIGINT) AS wt
+      FROM orders
+    ), cum AS (
+      SELECT o_orderpriority, o_totalprice, wt,
+             SUM(wt) OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY o_orderpriority) AS tw
+      FROM w
+    )
+    SELECT o_orderpriority, {R2('MIN(o_totalprice)')} AS weighted_median
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("window", "percentile", "weighted"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per priority class (lower weighted median:
+    first value whose cumulative weight reaches half the total) with a
+    deterministic integer weight derived from the key — the
+    importance-weighted center that plain `percentile` can't express;
+    all-integer weights make the crossing test engine-exact.
+
+    Scale: the cumulative-weight window, the total-weight window, and
+    the final min-agg all share the group partitioning — one exchange;
+    the crossing filter discards rows before the tiny final agg. At
+    extreme group widths the same recurrence runs on a pre-aggregated
+    (value, Σweight) grain first, shrinking the sort."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        (1 + F.col("o_orderkey") % 5).cast("bigint").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    cum = w.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("o_orderpriority")
+        .agg(r2(F.min("o_totalprice")).alias("weighted_median"))
     )
