@@ -876,8 +876,9 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n").alias("cnt"))
     )
-    w = Window.orderBy(F.desc("n"), "tok")
-    top = tf.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+    # TakeOrdered top-10 (orderBy+limit), not a single-partition window
+    # over the whole vocab table.
+    top = tf.orderBy(F.desc("n"), "tok").limit(10)
     probe = top.crossJoin(F.broadcast(rows)).withColumn(
         "bucket", (F.col("a") * F.col("f") + F.col("b")) % _FP_MOD % _CMS_W
     )

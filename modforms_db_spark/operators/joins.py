@@ -721,9 +721,11 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p").alias("p1"), "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+    # orderBy+limit compiles to TakeOrdered (per-partition top-20 +
+    # driver merge); the rank column is then a window over 20 rows, not
+    # a single-partition sort of all pairs.
+    top = pairs.orderBy(F.desc("n_orders"), "p1", "p2").limit(20)
     w = Window.orderBy(F.desc("n_orders"), "p1", "p2")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 20)
-        .select("p1", "p2", "n_orders", "rk")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "p1", "p2", "n_orders", "rk"
     )

@@ -490,3 +490,10 @@ def test_cumulative_distinct_no_expanding_dedup(spark):
     — an expanding-window COUNT(DISTINCT) would show a second fact agg."""
     plan = _plan(spark, "q_cumulative_distinct")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_copurchase_topk_is_take_ordered(spark):
+    """Global top-20 must compile to TakeOrdered (per-partition top-k +
+    merge), not a single-partition global-window sort of all pairs."""
+    plan = _plan(spark, "q_copurchase_pairs")
+    assert "TakeOrderedAndProject" in plan
