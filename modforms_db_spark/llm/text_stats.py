@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -892,4 +892,111 @@ def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_n",
             (F.col("est_n") - F.col("true_n")).alias("overcount"),
         )
+    )
+
+
+_RRF_K = 60
+_RRF_TOPN = 50
+
+
+_RRF_ORACLE = f"""
+    WITH q AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS df,
+               row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+        FROM (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ) GROUP BY tok
+      ) WHERE rk <= 3
+    ), overlap AS (
+      SELECT d.doc_id, COUNT(DISTINCT t.tok) AS hits
+      FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+      JOIN q ON t.tok = q.tok
+      JOIN documents d ON d.doc_id = t.doc_id
+      GROUP BY d.doc_id
+    ), ra AS (
+      SELECT doc_id, row_number() OVER (ORDER BY hits DESC, doc_id) AS r
+      FROM overlap QUALIFY r <= {_RRF_TOPN}
+    ), rb AS (
+      SELECT doc_id, row_number() OVER (ORDER BY ABS(n_chars - 500), doc_id) AS r
+      FROM documents QUALIFY r <= {_RRF_TOPN}
+    ), fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             {R(f'COALESCE(1.0 / ({_RRF_K} + ra.r), 0) + COALESCE(1.0 / ({_RRF_K} + rb.r), 0)', 6)} AS rrf,
+             ra.r IS NOT NULL AS in_a,
+             rb.r IS NOT NULL AS in_b
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rrf, in_a, in_b, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused
+    ) WHERE rk <= 10
+"""
+
+
+@register(
+    "q_rank_fusion",
+    oracle=_RRF_ORACLE,
+    priority="P2",
+    tags=("llm", "retrieval", "rrf"),
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two retrieval rankings — the
+    standard hybrid-search combiner (lexical ∪ semantic): ranking A is
+    query-token overlap (query = the corpus's own top-3 df tokens, so
+    the row is self-contained), ranking B a length-target proximity
+    signal; each contributes 1/(k+rank) over its TOP-{_RRF_TOPN} list
+    only, docs outside a list contribute 0 from it — the real RRF
+    contract (fuse top-k lists, never full-corpus ranks).
+
+    Scale: each leg ends in a TakeOrdered top-{_RRF_TOPN}; the fusion
+    join and final top-10 run on ≤2·{_RRF_TOPN} rows. The corpus-sized
+    work is the overlap aggregate (one explode + broadcast of 3 query
+    tokens); ranks are never materialized beyond the lists."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    q = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(3)
+        .select("tok")
+    )
+    overlap = (
+        tok.join(F.broadcast(q), "tok")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("hits"))
+    )
+    top_a = overlap.orderBy(F.desc("hits"), "doc_id").limit(_RRF_TOPN)
+    top_b = d.select("doc_id", F.abs(F.col("n_chars") - 500).alias("dist")).orderBy(
+        "dist", "doc_id"
+    ).limit(_RRF_TOPN)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("hits"), "doc_id")).alias("r_a"),
+    )
+    rb = top_b.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy("dist", "doc_id")).alias("r_b"),
+    )
+    fused = (
+        ra.join(rb, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            F.col("r_a").isNotNull().alias("in_a"),
+            F.col("r_b").isNotNull().alias("in_b"),
+        )
+    )
+    top = fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id"))
     )

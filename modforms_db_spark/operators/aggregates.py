@@ -1297,3 +1297,54 @@ def q_agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_users"),
         )
     )
+
+
+@register(
+    "q_grouped_ols",
+    oracle=f"""
+    WITH m AS (
+      SELECT lang,
+             COUNT(*) AS n,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sx,
+             CAST(SUM(n_chars) AS BIGINT) AS sy,
+             CAST(SUM(len(string_split(text, ' ')) * n_chars) AS BIGINT) AS sxy,
+             CAST(SUM(len(string_split(text, ' ')) * len(string_split(text, ' '))) AS BIGINT) AS sxx
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n,
+           {R4('(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)')} AS slope,
+           {R4('(sy - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx) / n')} AS intercept
+    FROM m
+    """,
+    priority="P2",
+    tags=("agg", "regression", "grouped"),
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (chars ~ tokens per language) from EXACT
+    integer moments: n, Σx, Σy, Σxy, Σx² are all bigint (token counts ×
+    char counts), so the closed-form slope/intercept divide identical
+    integers on both engines — the grouped-regression primitive
+    (`q_agg_regression` is the global form via corr/covar builtins;
+    this is the moment form that generalizes to any group count).
+
+    Scale: one partial-agg shuffle of #langs groups; the five moments
+    are monoid sums (mergeable across shards), the fit itself runs on
+    the group-sized table. This is exactly how distributed linear
+    regression by group should decompose — no per-group sorts, no
+    collect."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    x = F.size(F.split("text", " ")).cast("bigint")
+    y = F.col("n_chars")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return m.select("lang", "n", r4(slope).alias("slope"), r4(intercept).alias("intercept"))

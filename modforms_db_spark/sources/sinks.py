@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.oracle_dialect import R, R2
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -859,4 +859,100 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count("p_retailprice").alias("n_priced"),
         F.round(F.coalesce(F.sum("p_retailprice"), F.lit(0.0)), 2).alias("total_price"),
+    )
+
+
+@register(
+    "q_table_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+    ), v2 AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 97 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 101 = 0
+    ), h1 AS (
+      SELECT c_custkey, sha256(c_name || '|' ||
+        CAST(CAST({R("c_acctbal * 100", 0)} AS BIGINT) AS VARCHAR) || '|' || c_mktsegment) AS h
+      FROM v1
+    ), h2 AS (
+      SELECT c_custkey, sha256(c_name || '|' ||
+        CAST(CAST({R("c_acctbal * 100", 0)} AS BIGINT) AS VARCHAR) || '|' || c_mktsegment) AS h
+      FROM v2
+    )
+    SELECT COALESCE(h1.c_custkey, h2.c_custkey) AS c_custkey,
+           CASE WHEN h1.c_custkey IS NULL THEN 'added'
+                WHEN h2.c_custkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS diff
+    FROM h1 FULL OUTER JOIN h2 ON h1.c_custkey = h2.c_custkey
+    WHERE h1.c_custkey IS NULL OR h2.c_custkey IS NULL OR h1.h <> h2.h
+    """,
+    priority="P2",
+    tags=("sink", "diff", "audit"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot data-diff (the reconciliation tool behind every
+    migration sign-off): v2 is a deterministic mutation of customer
+    (every 97th key deleted, every 7th balance bumped, every 101st key
+    re-inserted under a new id), and the diff classifieseach key as
+    added / removed / changed by comparing ROW HASHES over a full-outer
+    key join — payload width doesn't multiply the compare cost, one
+    hash per side does. Balances enter the hash as exact integer cents
+    (Spark-round parity) so fp formatting can't fake a diff.
+
+    Scale: one full-outer join on the key (both sides shuffle once);
+    the hash collapses arbitrarily wide payloads to 32 bytes BEFORE the
+    join, so network cost is keys + hashes, not rows. Unchanged rows
+    are filtered post-join — at 100 TB you'd pre-partition both
+    snapshots identically (bucketing) and diff partition-locally."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    v1 = c.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    v2 = (
+        c.where(F.col("c_custkey") % 97 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 101 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                "c_name",
+                "c_acctbal",
+                "c_mktsegment",
+            )
+        )
+    )
+
+    def rowhash(df):
+        cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint").cast("string")
+        return df.select(
+            "c_custkey",
+            F.sha2(
+                F.concat_ws("|", F.col("c_name"), cents, F.col("c_mktsegment")), 256
+            ).alias("h"),
+        )
+
+    h1 = rowhash(v1).withColumnRenamed("c_custkey", "k1").withColumnRenamed("h", "h_1")
+    h2 = rowhash(v2).withColumnRenamed("c_custkey", "k2").withColumnRenamed("h", "h_2")
+    j = h1.join(h2, h1.k1 == h2.k2, "full_outer")
+    return (
+        j.where(
+            F.col("k1").isNull() | F.col("k2").isNull() | (F.col("h_1") != F.col("h_2"))
+        )
+        .select(
+            F.coalesce("k1", "k2").alias("c_custkey"),
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k2").isNull(), "removed")
+            .otherwise("changed")
+            .alias("diff"),
+        )
     )
