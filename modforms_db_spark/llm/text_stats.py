@@ -10,6 +10,8 @@ map-side before any shuffle).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at decoration
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -999,4 +1001,47 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("rrf"), "doc_id"))
+    )
+
+
+@register(
+    "q_compression_ratio",
+    oracle=None,  # zlib is not expressible in the oracle engine; laws
+    # (determinism, repetition ⇒ smaller ratio) are unit-tested instead
+    priority="P3",
+    tags=("llm", "quality", "compression"),
+)
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / raw
+    bytes, level 6) — the classic cheap quality/degeneracy signal:
+    template farms and repeated boilerplate compress far below natural
+    text, random noise sits near 1. Computed in an Arrow-batched
+    pandas UDF (deflate is pure CPU over local bytes — exactly the
+    work that belongs in a vectorized Python stage when the engine has
+    no native codec expression).
+
+    Scale: map-only — no shuffle, no state; ratio rides the scan and
+    the downstream filter (`ratio < τ` → drop) pushes into the same
+    stage. Deterministic: zlib output is fixed for (bytes, level), so
+    the column is stable across partitionings and retries."""
+    prep(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_text"),
+        zratio(F.col("text")).alias("ratio"),
     )

@@ -956,3 +956,57 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("diff"),
         )
     )
+
+
+@register(
+    "q_source_json_corrupt",
+    oracle=f"""
+    SELECT COUNT(*) FILTER (WHERE o_orderkey % 89 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE o_orderkey % 89 = 0)  AS n_corrupt,
+           {R2('SUM(o_totalprice) FILTER (WHERE o_orderkey % 89 <> 0)')} AS good_total
+    FROM orders
+    """,
+    priority="P2",
+    tags=("source", "json", "corrupt"),
+)
+def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON ingest — the JSON-lines twin of
+    `q_source_csv_corrupt`: every 89th order emits a truncated
+    non-JSON line; the PERMISSIVE reader quarantines those rows into
+    `_bad` (raw line preserved, typed fields NULL) instead of failing
+    the job. JSON differs from CSV in WHICH corruption is detectable —
+    a syntactically broken document corrupts the whole ROW regardless
+    of column pruning (unlike CSV's referenced-columns-only rule), but
+    a wrong-TYPE field only nulls that field. The truncated-line shape
+    here exercises the whole-row path.
+
+    Scale: same row-local contract — clean rows pay nothing, corrupt
+    rows flow to a dead-letter sink off the same scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    good = F.concat(
+        F.lit('{"okey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "total": '),
+        F.col("o_totalprice").cast("string"),
+        F.lit("}"),
+    )
+    bad = F.concat(F.lit('{"okey": '), F.col("o_orderkey").cast("string"), F.lit(", {{"))
+    lines = o.select(
+        F.when(F.col("o_orderkey") % 89 == 0, bad).otherwise(good).alias("value")
+    )
+    path = _scratch("orders_corrupt_json")
+    lines.write.mode("overwrite").text(path)
+    parsed = (
+        spark.read.schema("okey bigint, total double, _bad string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    return parsed.agg(
+        F.count(F.when(F.col("_bad").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_bad").isNotNull(), 1)).alias("n_corrupt"),
+        F.round(
+            F.sum(F.when(F.col("_bad").isNull(), F.col("total"))), 2
+        ).alias("good_total"),
+    )

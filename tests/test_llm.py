@@ -607,3 +607,28 @@ def test_doc_chunks_cover_every_token_with_correct_overlap(spark):
         .collect()
     )
     assert single and all(r.eq for r in single)
+
+
+def test_compression_ratio_laws(spark):
+    """zlib-ratio laws: deterministic across two runs, bounded in (0, 1.5],
+    and a highly repetitive text scores strictly below a high-entropy one."""
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    build = get_registry()["q_compression_ratio"].builder
+    a = {r.doc_id: r.ratio for r in build(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.ratio for r in build(spark, SF_DIR).collect()}
+    assert a == b  # deterministic across runs/partitionings
+    assert all(0 < v <= 1.5 for v in a.values())
+
+    import zlib
+
+    rep = "spam ham " * 200
+    import random
+
+    rng = random.Random(7)
+    noisy = "".join(chr(rng.randint(33, 126)) for _ in range(1600))
+    r_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
+    r_noisy = len(zlib.compress(noisy.encode(), 6)) / len(noisy.encode())
+    assert r_rep < 0.1 < r_noisy
