@@ -921,3 +921,44 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("val").alias("loading"),
         F.round("nrm", 0).cast("bigint").alias("lam"),
     )
+
+
+@register(
+    "q_vector_profile",
+    oracle=f"""
+    WITH flat AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    SELECT dim, COUNT(*) AS n,
+           {R("AVG(x)", 6)} AS mean_x,
+           {R("MIN(x)", 6)} AS min_x,
+           {R("MAX(x)", 6)} AS max_x
+    FROM flat GROUP BY dim
+    """,
+    priority="P2",
+    tags=("llm", "vector", "profile"),
+)
+def q_vector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (n, mean, min,
+    max over each of the 64 coordinates) — the drift/health check run
+    before trusting any similarity index: a collapsed dimension, a
+    scale blowout, or an all-zeros coordinate shows up here first.
+
+    Scale: posexplode → partial agg of exactly `dim` groups — the
+    explode is map-side combined, so the shuffle carries dims ×
+    partitions rows regardless of corpus size. Mean r6-rounded (sum
+    order ulps); min/max are exact comparisons on the same doubles in
+    both engines."""
+    prep(spark)
+    e = load(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("pos", "xf")).select(
+        (F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x")
+    )
+    return flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean_x"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )

@@ -282,3 +282,99 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > F.col("hi_fence"))
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "hi_fence")
     )
+
+
+@register(
+    "q_impute_mean",
+    oracle=f"""
+    WITH holes AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ), seg AS (
+      SELECT c_mktsegment, {R4('AVG(bal)')} AS seg_mean FROM holes GROUP BY c_mktsegment
+    )
+    SELECT h.c_custkey, h.c_mktsegment,
+           COALESCE({R2('h.bal')}, {R2('s.seg_mean')}) AS bal_filled,
+           h.bal IS NULL AS imputed
+    FROM holes h JOIN seg s USING (c_mktsegment)
+    """,
+    priority="P2",
+    tags=("quality", "impute"),
+)
+def q_impute_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation: balances NULLed deterministically (every
+    11th key plays the missing-data role), refilled with their market
+    segment's mean over the OBSERVED values, provenance flagged — the
+    feature-engineering fill that keeps downstream aggregates unbiased
+    per group rather than pulling holes toward the global mean.
+
+    Scale: one partial agg for the per-group means (ignoring NULLs, as
+    AVG does), broadcast back over the scan — no second fact pass, no
+    window. Means r4-rounded before the fill so the filled column is
+    engine-identical."""
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    holes = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, None)
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+    )
+    seg = holes.groupBy("c_mktsegment").agg(r4(F.avg("bal")).alias("seg_mean"))
+    return (
+        holes.join(F.broadcast(seg), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(r2(F.col("bal")), r2(F.col("seg_mean"))).alias("bal_filled"),
+            F.col("bal").isNull().alias("imputed"),
+        )
+    )
+
+
+@register(
+    "q_feature_scale",
+    oracle=f"""
+    WITH stats AS (
+      SELECT {R2('MIN(o_totalprice)')} AS lo, {R2('MAX(o_totalprice)')} AS hi
+      FROM orders
+    )
+    SELECT o_orderkey,
+           {R4('(o_totalprice - lo) / (hi - lo)')} AS price_01,
+           (o_totalprice = lo OR o_totalprice = hi) AS is_extreme
+    FROM orders CROSS JOIN stats
+    """,
+    priority="P2",
+    tags=("quality", "scaling", "feature"),
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling to [0,1] with extreme-row flags — the
+    normalization every distance-based consumer (kNN, clustering,
+    quantized embeddings) expects; bounds r2-rounded before the ratio
+    so both engines scale by identical constants.
+
+    Scale: the bounds are a 1-row aggregate broadcast-crossed into the
+    scan — one fact pass, map-only after the broadcast. (Standard
+    caveat encoded here by the flag: min-max is outlier-sensitive;
+    robust variants swap the bounds for the IQR fences of
+    `q_outlier_iqr` without changing the plan.)"""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    stats = o.agg(
+        r2(F.min("o_totalprice")).alias("lo"), r2(F.max("o_totalprice")).alias("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            r4((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo"))).alias(
+                "price_01"
+            ),
+            (
+                (F.col("o_totalprice") == F.col("lo"))
+                | (F.col("o_totalprice") == F.col("hi"))
+            ).alias("is_extreme"),
+        )
+    )

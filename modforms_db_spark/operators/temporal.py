@@ -1379,3 +1379,69 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_missing") > 0)
     )
+
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e, event_id FROM events
+    ), pts AS (
+      SELECT s AS t, 1 AS delta, event_id, 0 AS kind FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta, event_id, 1 AS kind FROM iv
+    ), run AS (
+      SELECT date_trunc('day', t) AS day,
+             SUM(delta) OVER (ORDER BY t, kind, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS load
+      FROM pts
+    )
+    SELECT day, CAST(MAX(load) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY day
+    """,
+    priority="P2",
+    tags=("temporal", "interval", "concurrency"),
+)
+def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the +1/−1 endpoint sweep: every
+    event opens a 10-minute activity interval; starts and ends become
+    deltas, the running sum over the globally ordered endpoint stream
+    is the instantaneous load, and its daily max is the capacity
+    metric. Ends sort AFTER starts at the same instant (kind tiebreak)
+    so back-to-back intervals count as overlapping — the inclusive
+    convention, pinned identically in both engines along with the
+    event_id tiebreak.
+
+    Scale: the honest caveat — the sweep needs a GLOBAL endpoint
+    order, so this form is a single-partition window (fine to ~10⁷
+    endpoints). The distributed form range-partitions time, sweeps
+    each slice, and prefix-sums the per-slice net deltas to seed each
+    slice's opening load — two tiny extra aggregates, same output;
+    sliced variant deliberately not shipped because the contract row
+    pins cross-engine totality first."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        "event_id",
+    )
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id", F.lit(0).alias("kind")
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+            F.lit(1).alias("kind"),
+        )
+    )
+    w = Window.orderBy("t", "kind", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.select(
+        F.date_trunc("day", "t").alias("day"), F.sum("delta").over(w).alias("load")
+    )
+    return run.groupBy("day").agg(
+        F.max("load").cast("bigint").alias("peak_concurrency")
+    )
