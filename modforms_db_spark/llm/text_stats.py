@@ -1045,3 +1045,58 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_text"),
         zratio(F.col("text")).alias("ratio"),
     )
+
+
+@register(
+    "q_unicode_normalize",
+    oracle="""
+    WITH decomposed AS (
+      SELECT doc_id,
+             replace(text, 'e', 'e' || chr(769)) AS txt
+      FROM documents WHERE doc_id < 40
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS len_decomposed,
+           CAST(length(nfc_normalize(txt)) AS BIGINT) AS len_nfc,
+           sha256(nfc_normalize(txt)) AS nfc_sha
+    FROM decomposed
+    """,
+    priority="P2",
+    tags=("llm", "text", "unicode"),
+)
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization — the dedup prerequisite for any
+    multi-source corpus: visually identical strings with different
+    codepoint sequences ('é' vs 'e'+COMBINING ACUTE) hash differently
+    until normalized, so exact-dedup silently misses cross-source
+    duplicates. A decomposed variant is synthesized deterministically
+    (every 'e' gains U+0301), normalized back with NFC, and the
+    post-NFC sha256 is hash-matched against DuckDB's independent
+    `nfc_normalize` — two unrelated Unicode implementations (Python
+    `unicodedata` / utf8proc) agreeing on composition is the check.
+
+    Scale: map-only — normalization is a per-row pandas-UDF pass
+    (Spark exposes no NFC builtin; the Arrow batch path keeps it
+    vectorized-ish), hashing stays JVM-side. In a production dedup this
+    runs once in the canonicalization stage before `q_dedup_exact`'s
+    hash — linear, no shuffle."""
+    prep(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(texts: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return texts.map(lambda t: unicodedata.normalize("NFC", t or ""))
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    decomposed = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301")).alias("txt"),
+    )
+    return decomposed.select(
+        "doc_id",
+        F.length("txt").cast("bigint").alias("len_decomposed"),
+        F.length(nfc(F.col("txt"))).cast("bigint").alias("len_nfc"),
+        F.sha2(nfc(F.col("txt")), 256).alias("nfc_sha"),
+    )

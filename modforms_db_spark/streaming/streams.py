@@ -639,3 +639,69 @@ def q_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_outer_join",
         spark,
     )
+
+
+@register(
+    "q_stream_checkpoint_resume",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT event_id) AS n_ids
+    FROM events GROUP BY event_type
+    """,
+    priority="P3",
+    tags=("streaming", "checkpoint", "exactly-once"),
+)
+def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed RESTART with exactly-once output: half the events
+    are streamed to a parquet file sink (checkpoint + commit log),
+    the query STOPS, the second half lands in the source directory,
+    and a NEW query started from the SAME checkpoint processes only
+    the unseen file — the read-back aggregate (with a distinct-id
+    column, so any duplicate or dropped row flips the hash) must equal
+    the batch truth over ALL events. This is the recovery contract
+    that makes streaming pipelines restartable: offsets live in the
+    checkpoint, output visibility in the sink's commit log, and a
+    crash between them replays into idempotent file commits.
+
+    Scale: the checkpoint holds offsets + file-source listing state,
+    not data; restart cost is reading that log. The exactly-once
+    property is the file sink's transactional commit protocol — the
+    same mechanism at any scale."""
+    prep(spark)
+    src = os.path.join(_SCRATCH, "ckpt_src")
+    out = os.path.join(_SCRATCH, "ckpt_out")
+    ck = os.path.join(_SCRATCH, "ckpt_state")
+    for d in (src, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src)
+
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "user_id")
+    e.where(F.col("event_id") % 2 == 0).write.parquet(os.path.join(src, "half_a"))
+
+    schema = "event_id bigint, event_type string, user_id bigint"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        with _stream_shuffle(spark):
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    run_once()  # processes half_a, commits offsets + output
+    e.where(F.col("event_id") % 2 == 1).write.parquet(os.path.join(src, "half_b"))
+    run_once()  # resumes from the checkpoint: only half_b is read
+
+    back = spark.read.schema(schema).parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("event_id").alias("n_ids"),
+    )
