@@ -1348,3 +1348,98 @@ def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (nd * F.col("sxy") - sxd * F.col("sy")) / (nd * F.col("sxx") - sxd * F.col("sx"))
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     return m.select("lang", "n", r4(slope).alias("slope"), r4(intercept).alias("intercept"))
+
+
+@register(
+    "q_geometric_mean",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           {R4('EXP(AVG(LN(o_totalprice)))')} AS geo_mean,
+           {R4('AVG(o_totalprice)')} AS arith_mean
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("agg", "stats", "geometric"),
+)
+def q_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per priority class via the log-space identity
+    exp(mean(ln x)) — the right average for multiplicative quantities
+    (growth rates, price relatives) where the arithmetic mean
+    overstates; reported beside it so the gap is visible. The log-sum
+    form is also the OVERFLOW-safe formulation: a direct product of
+    10⁹ values under/overflows doubles immediately, Σln never does.
+
+    Scale: a plain partial+final aggregate — ln is applied map-side,
+    one shuffle of (sum, count) partials per group; positivity filter
+    pushed to the scan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.exp(F.avg(F.log("o_totalprice")))).alias("geo_mean"),
+        r4(F.avg("o_totalprice")).alias("arith_mean"),
+    )
+
+
+@register(
+    "q_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey, {R2('SUM(l_extendedprice * (1 - l_discount))')} AS r
+      FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r,
+             SUM(r) OVER () AS tot
+      FROM rev
+    ), classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN {R4('(cum_r - r) / tot')} < 0.8 THEN 'A'
+                  WHEN {R4('(cum_r - r) / tot')} < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked
+    )
+    SELECT abc, COUNT(*) AS n_parts, {R2('SUM(r)')} AS revenue
+    FROM classed GROUP BY abc
+    """,
+    priority="P2",
+    tags=("agg", "pareto", "abc"),
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of parts by revenue: class A = the
+    head items up to 80% of cumulative revenue, B to 95%, C the tail —
+    the inventory-prioritization staple. Class boundaries use the
+    cumulative share STRICTLY BEFORE each item (`cum−r`), so the item
+    that crosses a threshold still belongs to the class it completes;
+    rounded shares + (r desc, key) ordering pin the boundary
+    cross-engine.
+
+    Scale: the fact table collapses to part grain in one partial-agg
+    shuffle; the honest caveat is the cumulative window needs the
+    part-grain table globally ordered — fine to ~10⁸ parts as one
+    sort; beyond that the standard trick is a two-pass quantile cut
+    (find the revenue value at the 80th cumulative percentile from a
+    GK sketch, then classify by comparison — no global sort), which
+    preserves classes up to boundary ties."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("r")
+    )
+    wc = Window.orderBy(F.desc("r"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    share_before = r4((F.sum("r").over(wc) - F.col("r")) / F.sum("r").over(wt))
+    classed = rev.select(
+        "r",
+        F.when(share_before < 0.8, "A")
+        .when(share_before < 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"), r2(F.sum("r")).alias("revenue")
+    )

@@ -729,3 +729,59 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rk", F.row_number().over(w)).select(
         "p1", "p2", "n_orders", "rk"
     )
+
+
+@register(
+    "q_fuzzy_name_join",
+    oracle="""
+    WITH a AS (
+      SELECT s_suppkey, lower(s_name) AS nm, length(s_name) AS ln FROM supplier
+    ), b AS (
+      SELECT c_custkey, lower(c_name) AS nm, length(c_name) AS ln FROM customer
+    )
+    SELECT a.s_suppkey, b.c_custkey,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+    FROM a JOIN b
+      ON ABS(a.ln - b.ln) <= 2
+     AND substring(a.nm, 1, 4) = substring(b.nm, 1, 4)
+     AND levenshtein(a.nm, b.nm) <= 2
+    """,
+    priority="P2",
+    tags=("join", "fuzzy", "blocking"),
+)
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join (edit distance ≤ 2 between supplier
+    and customer names) with BLOCKING: candidates must share a 4-char
+    lowercase prefix and have lengths within 2 before Levenshtein runs
+    — the record-linkage discipline that turns an O(|A|·|B|) distance
+    matrix into equi-join buckets plus a cheap residual. Both blocking
+    predicates are JOIN KEYS Catalyst hashes on; only the distance is
+    a residual filter.
+
+    Scale: cost = Σ_blocks |a_block|·|b_block| — governed by the
+    blocking key's selectivity, the knob you tune (longer prefix,
+    phonetic key, or q-gram LSH) as data grows. Levenshtein's ≤2 bound
+    also admits the banded O(n·k) DP rather than full O(n²) per pair
+    (Spark's builtin takes the threshold argument for exactly this)."""
+    prep(spark)
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.lower("s_name").alias("nm_a"),
+        F.length("s_name").alias("ln_a"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lower("c_name").alias("nm_b"),
+        F.length("c_name").alias("ln_b"),
+    )
+    joined = s.join(
+        c,
+        (F.substring("nm_a", 1, 4) == F.substring("nm_b", 1, 4))
+        & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
+        & (F.levenshtein("nm_a", "nm_b") <= 2),
+    )
+    return joined.select(
+        "s_suppkey",
+        "c_custkey",
+        F.levenshtein("nm_a", "nm_b").cast("bigint").alias("dist"),
+    )
