@@ -504,21 +504,25 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="lang string, n_tokens bigint, n_chars bigint, max_tok_len int")
     class LangTokenSummary:
         def __init__(self):
+            self.seen = False  # distinguishes "no rows" from a NULL lang
             self.lang = None
             self.n = 0
             self.chars = 0
             self.longest = 0
 
         def eval(self, row):
+            self.seen = True
             self.lang = row["lang"]
-            for t in (row["text"] or "").split(" "):
+            if row["text"] is None:
+                return  # NULL text has zero tokens (≡ unnest of NULL)
+            for t in row["text"].split(" "):
                 self.n += 1
                 self.chars += len(t)
                 if len(t) > self.longest:
                     self.longest = len(t)
 
         def terminate(self):
-            if self.lang is not None:
+            if self.seen:
                 yield (self.lang, self.n, self.chars, self.longest)
 
     spark.udtf.register("mfdb_lang_summary", LangTokenSummary)

@@ -1117,10 +1117,15 @@ def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select("event_type", "user_id")
     cell = e.select(
         "event_type",
-        (F.col("user_id") / 64).cast("bigint").alias("word"),
+        # shiftright = exact arithmetic floor-div by 64 (double-division
+        # truncation and Spark's sign-following % would alias negative ids
+        # onto positive cells); pmod keeps the bit index in [0, 64).
+        F.shiftright(F.col("user_id"), 6).alias("word"),
         # shiftleft's numBits must be a Column-free int in the Python API;
         # the SQL form accepts a per-row shift amount.
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))").alias("bit"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
+        ).alias("bit"),
     )
     bm = (
         cell.groupBy("event_type", "word")

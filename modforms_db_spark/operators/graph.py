@@ -221,6 +221,37 @@ _COSUPPLY_EDGES_SQL = """
     )"""
 
 
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct co-supply edges: suppliers adjacent iff
+    they ship lines of the same order — the Spark twin of
+    ``_COSUPPLY_EDGES_SQL``, shared by both graph operators so the edge
+    definition can't drift between them."""
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    b = os_.withColumnRenamed("s", "s2")
+    return (
+        os_.join(b, "ok")
+        .where(F.col("s") < F.col("s2"))
+        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_close(edges: DataFrame) -> DataFrame:
+    """Wedge-close triangle count over an oriented (u < v) edge DF —
+    1-row DataFrame with n_triangles. Factored out so the Hypothesis
+    property test drives the SAME join pipeline the operator ships."""
+    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    wedges = edges.join(e2, "v").select("u", "w")
+    return wedges.join(
+        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "inner"
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+
 @register(
     "q_triangle_count",
     oracle=f"""
@@ -254,26 +285,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     build and close are plain equi-joins — Catalyst shuffles on the
     pivot key; no per-node adjacency materialization."""
     prep(spark)
-    os_ = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    b = os_.withColumnRenamed("s", "s2")
-    edges = (
-        os_.join(b, "ok")
-        .where(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)  # reused 3× (wedge legs + close probe)
-    )
+    edges = cosupply_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # reused 3× (wedge legs + close probe)
     nodes = edges.select(F.col("u").alias("s")).union(edges.select("v")).distinct()
-    e1 = edges
-    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = e1.join(e2, "v").select("u", "w")
-    tri = wedges.join(
-        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "inner"
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = triangle_close(edges)
     return (
         nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
         .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
@@ -311,18 +327,7 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate paths, which is what makes k rounds O(k·m) not O(deg^k));
     deeper k just iterates the same two ops."""
     prep(spark)
-    os_ = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    b = os_.withColumnRenamed("s", "s2")
-    half = (
-        os_.join(b, "ok")
-        .where(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
-        .distinct()
-    )
+    half = cosupply_edges(spark, sf_dir)
     sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=False)  # both hop legs read it
     two = (

@@ -774,14 +774,18 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_name").alias("nm_b"),
         F.length("c_name").alias("ln_b"),
     )
+    # Join ONLY on the hashable blocking keys; compute the distance once
+    # in the projection (bounded 3-arg form: banded O(n·k) DP, returns -1
+    # past the threshold) and filter on it — Catalyst does not CSE between
+    # a join residual and a post-join projection, so putting levenshtein
+    # in both would run the DP twice per candidate pair.
     joined = s.join(
         c,
         (F.substring("nm_a", 1, 4) == F.substring("nm_b", 1, 4))
-        & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2)
-        & (F.levenshtein("nm_a", "nm_b") <= 2),
+        & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2),
+    ).withColumn(
+        "dist", F.levenshtein("nm_a", "nm_b", 2).cast("bigint")
     )
-    return joined.select(
-        "s_suppkey",
-        "c_custkey",
-        F.levenshtein("nm_a", "nm_b").cast("bigint").alias("dist"),
+    return joined.where((F.col("dist") >= 0) & (F.col("dist") <= 2)).select(
+        "s_suppkey", "c_custkey", "dist"
     )

@@ -1351,19 +1351,19 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") != "error")
         .select("event_id")
     )
+    # shiftright(id, 8) = exact floor division by 256 on the full bigint
+    # domain (double-division truncation would both mis-bucket negative ids
+    # and lose exactness past 2^53), matching the oracle's `//`.
     bounds = acc.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
     spine = bounds.select(
         F.explode(
-            F.sequence(
-                (F.col("lo") / _GAP_B).cast("bigint"),
-                (F.col("hi") / _GAP_B).cast("bigint"),
-            )
+            F.sequence(F.shiftright(F.col("lo"), 8), F.shiftright(F.col("hi"), 8))
         ).alias("bucket"),
         "lo",
         "hi",
     )
     per_bucket = acc.groupBy(
-        (F.col("event_id") / _GAP_B).cast("bigint").alias("bucket")
+        F.shiftright(F.col("event_id"), 8).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_present"))
     b_lo = F.greatest(F.col("bucket") * _GAP_B, F.col("lo"))
     b_hi = F.least(F.col("bucket") * _GAP_B + (_GAP_B - 1), F.col("hi"))

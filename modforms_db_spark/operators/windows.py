@@ -420,10 +420,12 @@ def q_win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(frame)
     lo = F.element_at(frame, ((n + 1) / 2).cast("int"))
     hi = F.element_at(frame, ((n + 2) / 2).cast("int"))
+    # collect_list drops NULLs, so an all-NULL frame is empty (n=0) and
+    # element_at(_, 0) would throw — guard to NULL, matching median().
     return e.select(
         "event_id",
         "user_id",
-        r4((lo + hi) / 2).alias("med4"),
+        F.when(n > 0, r4((lo + hi) / 2)).alias("med4"),
     )
 
 

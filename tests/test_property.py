@@ -604,13 +604,10 @@ def test_triangle_count_matches_bruteforce(spark, edges):
     )
     if not es:
         return
+    from modforms_db_spark.operators.graph import triangle_close
+
     df = spark.createDataFrame(sorted(es), "u INT, v INT")
-    e2 = df.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = df.join(e2, "v").select("u", "w")
-    got = (
-        wedges.join(df.select("u", F.col("v").alias("w")), ["u", "w"])
-        .count()
-    )
+    got = triangle_close(df).collect()[0].n_triangles
     assert got == expected
 
 
