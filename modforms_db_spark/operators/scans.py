@@ -267,3 +267,43 @@ def q_source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(i).alias("max_i"),
         )
     )
+
+
+@register(
+    "q_partition_skew_report",
+    oracle=None,  # partition ids come from Spark's Murmur3 hash — not
+    # reproducible in the oracle engine; laws (totality, bounds,
+    # determinism) are pinned by the unit test instead
+    priority="P3",
+    tags=("scan", "skew", "introspection"),
+)
+def q_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostic: repartition the fact table 16 ways on
+    the join key and report per-partition row counts plus each
+    partition's share of the total — the check you run BEFORE a big
+    keyed shuffle to see whether AQE skew-split or salting
+    (`q_join_skew_salted`) will be needed. `spark_partition_id` is the
+    engine's own placement, so this measures the REAL hash layout, not
+    a model of it.
+
+    Scale: the report is one partial-agg over partition ids (≤16
+    groups); determinism holds because hash partitioning is a pure
+    function of (key bytes, partition count) — pinned by the unit
+    test across two runs."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    parts = (
+        li.repartition(16, "l_orderkey")
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = parts.agg(F.sum("n_rows").alias("total"))
+    return (
+        parts.crossJoin(F.broadcast(tot))
+        .select(
+            "pid",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 4).alias("share"),
+        )
+    )

@@ -1445,3 +1445,55 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy("day").agg(
         F.max("load").cast("bigint").alias("peak_concurrency")
     )
+
+
+@register(
+    "q_sliding_distinct",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), expanded AS (
+      SELECT user_id, d + INTERVAL 1 DAY * off AS wday
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off)
+    ), bounds AS (
+      SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud
+    )
+    SELECT wday, COUNT(DISTINCT user_id) AS wau
+    FROM expanded, bounds
+    WHERE wday >= d0 AND wday <= d1
+    GROUP BY wday
+    """,
+    priority="P2",
+    tags=("temporal", "distinct", "sliding"),
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (the WAU curve) via
+    the bounded-fanout rewrite: each (user, active-day) pair is
+    projected into the ≤7 window-days it contributes to, then one
+    distinct-count per window-day — COUNT(DISTINCT) OVER a sliding
+    RANGE frame doesn't exist as a window function (distinct state
+    isn't subtractable), and recomputing a 7-day dedup per day scans
+    history 7×; this form touches each user-day exactly W times with W
+    a constant. Window-days outside the observed range are clipped so
+    no partial windows fake low counts.
+
+    Scale: user-day grain is the first distinct (one shuffle); the 7×
+    explode is map-side; the per-day distinct is Spark's standard
+    two-phase expand. For large W swap the explode for the bitmap merge
+    (`q_bitmap_distinct` per day, OR over the trailing W bitmaps)."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + F.expr("INTERVAL 6 DAYS"), F.expr("INTERVAL 1 DAY"))
+        ).alias("wday"),
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .groupBy("wday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )

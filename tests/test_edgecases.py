@@ -242,3 +242,23 @@ def test_survey_inventory_matches_registry():
         sorted(survey_names - reg_names),
         sorted(reg_names - survey_names),
     )
+
+
+def test_partition_skew_report_laws(spark):
+    """Skew report laws: shares sum to ~1, partition ids within [0, 16),
+    row counts sum to the table's row count, and the layout is
+    deterministic across two runs (hash partitioning is a pure function
+    of key bytes and partition count)."""
+    from modforms_db_spark.io import load
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    build = get_registry()["q_partition_skew_report"].builder
+    rows = {r.pid: (r.n_rows, r.share) for r in build(spark, SF_DIR).collect()}
+    again = {r.pid: (r.n_rows, r.share) for r in build(spark, SF_DIR).collect()}
+    assert rows == again
+    assert all(0 <= pid < 16 for pid in rows)
+    total = load(spark, SF_DIR, "lineitem").count()
+    assert sum(n for n, _ in rows.values()) == total
+    assert abs(sum(s for _, s in rows.values()) - 1.0) < 0.01
