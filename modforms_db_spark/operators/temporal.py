@@ -164,17 +164,23 @@ def q_gapfill_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
-    agg = e.groupBy("h", "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        r4(F.sum("value")).alias("sum_value"),
+    # ONE fact pass: bounds and types derive from the checkpointed hourly
+    # aggregate (every event hour/type appears there), not from re-scans.
+    agg = (
+        e.groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.sum("value")).alias("sum_value"),
+        )
+        .localCheckpoint(eager=False)
     )
-    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    bounds = agg.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine_h = bounds.select(
         F.explode(
             F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
         ).alias("h")
     )
-    types = e.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     return (
         spine_h.crossJoin(F.broadcast(types))
         .join(F.broadcast(agg), ["h", "event_type"], "left")
@@ -1211,15 +1217,21 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("h"), "event_type", "value"
     )
-    known = e.groupBy("h", "event_type").agg(
-        F.round(F.avg("value"), 10).alias("v")
+    # ONE fact pass: bounds and the type list both derive from the
+    # checkpointed hourly aggregate (every event's hour/type appears
+    # there by construction) — without this the fact table is scanned
+    # three times (known + bounds + types).
+    known = (
+        e.groupBy("h", "event_type")
+        .agg(F.round(F.avg("value"), 10).alias("v"))
+        .localCheckpoint(eager=False)
     )
-    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    bounds = known.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     spine = (
         bounds.select(
             F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
         )
-        .crossJoin(F.broadcast(e.select("event_type").distinct()))
+        .crossJoin(F.broadcast(known.select("event_type").distinct()))
     )
     j = spine.join(F.broadcast(known), ["h", "event_type"], "left")
     wp = (
@@ -1354,7 +1366,19 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shiftright(id, 8) = exact floor division by 256 on the full bigint
     # domain (double-division truncation would both mis-bucket negative ids
     # and lose exactness past 2^53), matching the oracle's `//`.
-    bounds = acc.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi"))
+    # ONE fact pass: per-bucket min/max ride the same aggregate, so the
+    # global bounds come from the (checkpointed) bucket table, not a
+    # second scan of events.
+    per_bucket = (
+        acc.groupBy(F.shiftright(F.col("event_id"), 8).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_present"),
+            F.min("event_id").alias("b_min"),
+            F.max("event_id").alias("b_max"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = per_bucket.agg(F.min("b_min").alias("lo"), F.max("b_max").alias("hi"))
     spine = bounds.select(
         F.explode(
             F.sequence(F.shiftright(F.col("lo"), 8), F.shiftright(F.col("hi"), 8))
@@ -1362,9 +1386,7 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo",
         "hi",
     )
-    per_bucket = acc.groupBy(
-        F.shiftright(F.col("event_id"), 8).alias("bucket")
-    ).agg(F.count(F.lit(1)).alias("n_present"))
+    per_bucket = per_bucket.select("bucket", "n_present")
     b_lo = F.greatest(F.col("bucket") * _GAP_B, F.col("lo"))
     b_hi = F.least(F.col("bucket") * _GAP_B + (_GAP_B - 1), F.col("hi"))
     miss = b_hi - b_lo + 1 - F.coalesce("n_present", F.lit(0))
@@ -1483,7 +1505,13 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`q_bitmap_distinct` per day, OR over the trailing W bitmaps)."""
     prep(spark)
     e = load(spark, sf_dir, "events")
-    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    # checkpoint the user-day grain: bounds AND the explode both read it,
+    # so without this the fact table would be scanned twice
+    ud = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
     expanded = ud.select(
         "user_id",

@@ -497,3 +497,18 @@ def test_copurchase_topk_is_take_ordered(spark):
     merge), not a single-partition global-window sort of all pairs."""
     plan = _plan(spark, "q_copurchase_pairs")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_spine_gapfill_family_single_fact_pass(spark):
+    """Spine-joined fills and audits must not re-scan the fact table for
+    their bounds/type lists: those derive from the checkpointed
+    aggregate, so the final plan shows at most one FileScan (0 = the
+    single pass lives inside the lazy checkpoint)."""
+    for name in (
+        "q_sliding_distinct",
+        "q_interpolate_linear",
+        "q_gapfill_rollup",
+        "q_id_gap_audit",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("FileScan parquet") <= 1, name
