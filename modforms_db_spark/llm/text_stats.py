@@ -703,10 +703,18 @@ def q_term_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("term")
     )
-    nn = tok.agg(F.count(F.lit(1)).alias("n"))
-    nt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_t"))
-    ns = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
-    nts = tok.groupBy("term", "source").agg(F.count(F.lit(1)).alias("n_ts"))
+    # ONE tokenization pass: the (term, source) joint counts are the
+    # finest grain, so all three marginals (per-term, per-source, grand
+    # total) derive from the checkpointed nts by summation — without
+    # this each marginal re-runs the corpus explode (4 fact scans).
+    nts = (
+        tok.groupBy("term", "source")
+        .agg(F.count(F.lit(1)).alias("n_ts"))
+        .localCheckpoint(eager=False)
+    )
+    nn = nts.agg(F.sum("n_ts").alias("n"))
+    nt = nts.groupBy("term").agg(F.sum("n_ts").alias("n_t"))
+    ns = nts.groupBy("source").agg(F.sum("n_ts").alias("n_s"))
     scored = (
         nts.where(F.col("n_ts") >= 5)
         .join(nt, "term")
@@ -769,6 +777,7 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # totals AND the entropy agg read it
     )
     tots = tf.groupBy("source").agg(
         F.sum("n").alias("nt"), F.count(F.lit(1)).alias("vocab")

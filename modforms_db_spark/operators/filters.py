@@ -310,18 +310,21 @@ def q_subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, zero shuffles on the probe side beyond the scan."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
-    lo = o.where(F.col("o_orderpriority") == "5-LOW").agg(
-        F.count(F.lit(1)).alias("n_low"), F.max("o_totalprice").alias("max_low")
-    )
-    ur = o.where(F.col("o_orderpriority") == "1-URGENT").agg(
-        F.count(F.lit(1)).alias("n_urg"), F.min("o_totalprice").alias("min_urg")
+    # BOTH subquery extrema in one conditional-aggregation pass (a scan
+    # per quantified subquery would re-read orders once each).
+    low = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
+    urg = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    ext = o.agg(
+        F.count(low).alias("n_low"),
+        F.max(low).alias("max_low"),
+        F.count(urg).alias("n_urg"),
+        F.min(urg).alias("min_urg"),
     )
     gt_all = (F.col("n_low") == 0) | (F.col("o_totalprice") > F.col("max_low"))
     lt_any = (F.col("n_urg") > 0) & (F.col("o_totalprice") < F.col("min_urg"))
     return (
         o.where(F.col("o_orderpriority") == "2-HIGH")
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(ur))
+        .crossJoin(F.broadcast(ext))
         .where(gt_all | lt_any)
         .select(
             "o_orderkey",

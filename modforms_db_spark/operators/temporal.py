@@ -366,12 +366,16 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("bucket"), "event_type"
         )
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        # the "persist the hourly partials" the docstring promises —
+        # without it the 3-way emit union re-scans the facts per grain
+        .localCheckpoint(eager=False)
     )
     daily = (
         hourly.groupBy(
             F.date_trunc("day", "bucket").alias("bucket"), "event_type"
         )
         .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .localCheckpoint(eager=False)  # read by monthly AND its own emit
     )
     monthly = (
         daily.groupBy(
