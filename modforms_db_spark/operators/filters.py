@@ -333,3 +333,45 @@ def q_subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             lt_any.alias("lt_any_urgent"),
         )
     )
+
+
+@register(
+    "q_sql_dynamic",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    priority="P3",
+    tags=("sql", "dynamic", "execute-immediate"),
+)
+def q_sql_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL surface (Spark 4): EXECUTE IMMEDIATE runs a
+    query held in a string with a named parameter marker, and
+    IDENTIFIER() binds the table and group-by column from strings
+    WITHOUT string interpolation — the safe-dynamic-SQL pair that
+    replaces f-string query assembly (and its injection/typo class)
+    in metadata-driven pipelines where table and column names arrive
+    as data.
+
+    Scale: resolution happens at plan time; the executed plan is
+    byte-identical to the static form (same pushdown, same agg), so
+    there is no runtime cost to the indirection."""
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_dyn_orders")
+    tbl, grp = "mfdb_dyn_orders", "o_orderpriority"
+    spark.sql("DECLARE OR REPLACE VARIABLE mfdb_status STRING")
+    spark.sql("SET VARIABLE mfdb_status = 'F'")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT IDENTIFIER(:g) AS o_orderpriority, COUNT(*) AS n,
+                  MAX(o_totalprice) AS max_price
+           FROM IDENTIFIER(:t)
+           WHERE o_orderstatus = :s
+           GROUP BY IDENTIFIER(:g)'
+          USING :tbl AS t, :grp AS g, mfdb_status AS s
+        """,
+        args={"tbl": tbl, "grp": grp},
+    )
