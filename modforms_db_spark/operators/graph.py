@@ -341,3 +341,99 @@ def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("u").alias("node"))
         .agg(F.count(F.lit(1)).alias("reach2"))
     )
+
+
+_SP_ROUNDS = 3
+
+
+def _sp_oracle() -> str:
+    """Unrolled min-plus Bellman-Ford rounds (chained CTEs, same
+    discipline as the PageRank/PCA oracles)."""
+    head = f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    w AS (
+      SELECT a.s AS u, b.s AS v, CAST(1000 - COUNT(*) AS BIGINT) AS cost
+      FROM (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem) b
+        ON a.ok = b.ok AND a.s <> b.s
+      GROUP BY a.s, b.s
+    ),
+    src AS (SELECT MIN(u) AS s0 FROM edges),
+    d0 AS (
+      SELECT u AS node, CAST(0 AS BIGINT) AS dist
+      FROM (SELECT DISTINCT u FROM w), src WHERE u = s0
+    )"""
+    its = []
+    for k in range(1, _SP_ROUNDS + 1):
+        its.append(f""",
+    d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT w.v AS node, d.dist + w.cost AS dist
+        FROM d{k - 1} d JOIN w ON w.u = d.node
+      ) GROUP BY node
+    )""")
+    return (
+        head
+        + "".join(its)
+        + f"""
+    SELECT node, dist FROM d{_SP_ROUNDS}
+    """
+    )
+
+
+@register(
+    "q_shortest_path",
+    oracle=_sp_oracle(),
+    priority="P2",
+    tags=("graph", "shortest-path", "iterative"),
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by {_SP_ROUNDS} min-plus
+    Bellman-Ford rounds on the co-supply graph (edge cost 1000 −
+    co-order count, so stronger ties are shorter; source = smallest
+    supplier node): each round relaxes every edge once —
+    dist' = min(dist, min over in-edges of dist(u) + cost) — the
+    third iterative-graph family next to PageRank (sum-product) and
+    frontier BFS (reachability). ALL-INTEGER costs ⇒ engine-exact,
+    no rounding discipline needed. Nodes not reached within
+    {_SP_ROUNDS} hops are absent (correct partial-BF semantics).
+
+    Scale: one relaxation round = edges ⋈ frontier on the source key +
+    a min-combine per node — the same keyed-shuffle shape as every
+    Pregel-style step; distance state stays distributed,
+    localCheckpoint truncates per-round lineage. Full convergence runs
+    diameter rounds or switches to delta-stepping; the fixed-round
+    form here is the oracle-checkable contract."""
+    prep(spark)
+    os_ = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    b = os_.select(F.col("ok"), F.col("s").alias("s2"))
+    w = (
+        os_.join(b, "ok")
+        .where(F.col("s") != F.col("s2"))
+        .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .agg((F.lit(1000) - F.count(F.lit(1))).cast("bigint").alias("cost"))
+        .localCheckpoint(eager=False)  # reused every relaxation round
+    )
+    src = w.agg(F.min("u").alias("s0"))
+    d = (
+        w.select("u").distinct()
+        .join(F.broadcast(src), F.col("u") == F.col("s0"))
+        .select(F.col("u").alias("node"), F.lit(0).cast("bigint").alias("dist"))
+    )
+    for _ in range(_SP_ROUNDS):
+        relaxed = d.join(w, d.node == w.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("cost")).alias("dist")
+        )
+        d = (
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return d
