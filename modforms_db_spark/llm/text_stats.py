@@ -1109,3 +1109,200 @@ def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc(F.col("txt"))).cast("bigint").alias("len_nfc"),
         F.sha2(nfc(F.col("txt")), 256).alias("nfc_sha"),
     )
+
+
+_NB_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT lang, tok, COUNT(*) AS n FROM tok GROUP BY lang, tok
+    ), totals AS (
+      SELECT lang, CAST(SUM(n) AS BIGINT) AS nt FROM tf GROUP BY lang
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v FROM tf
+    ), priors AS (
+      SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM tok GROUP BY lang
+    ), nd_all AS (
+      SELECT CAST(SUM(nd) AS BIGINT) AS total FROM priors
+    ), scores AS (
+      SELECT t.doc_id, m.lang AS model_lang,
+             {R(
+                 '''LN(CAST(p.nd AS DOUBLE) / a.total)
+                  + SUM(LN((COALESCE(tf.n, 0) + 1.0) / (m.nt + v.v)))''',
+                 6,
+             )} AS loglik
+      FROM tok t
+      CROSS JOIN totals m
+      JOIN priors p ON p.lang = m.lang
+      CROSS JOIN nd_all a
+      CROSS JOIN vocab v
+      LEFT JOIN tf ON tf.lang = m.lang AND tf.tok = t.tok
+      GROUP BY t.doc_id, m.lang, p.nd, a.total, m.nt, v.v
+    )
+    SELECT doc_id, model_lang AS pred_lang, loglik FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY loglik DESC, model_lang
+      ) AS rn
+      FROM scores
+    ) WHERE rn = 1
+"""
+
+
+@register(
+    "q_naive_bayes",
+    oracle=_NB_ORACLE,
+    priority="P2",
+    tags=("llm", "text", "classify", "bayes"),
+)
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and applied
+    in one relational plan: per-lang token likelihoods with Laplace
+    smoothing (+1 / (n_lang + |V|)), doc-level log-likelihood as a SUM
+    over token positions, argmax with (score, lang) tiebreak — the
+    classical supervised-text baseline (`q_lang_id` is the heuristic
+    profile version; this is the probabilistic one). The per-doc log
+    sums are r6-rounded so the argmax compares identical doubles
+    cross-engine.
+
+    Scale: the model IS two aggregates (per-(lang, tok) counts + per-
+    lang totals), both partial-agg shuffles; scoring joins each token
+    occurrence against the |langs|-wide model — at 100 TB the model
+    table broadcasts (vocab × langs counts) and scoring is map-side.
+    The token⋈model join here is the LEFT JOIN giving smoothed zeros
+    for unseen (lang, tok) pairs — the part naive implementations get
+    wrong by dropping them."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = (
+        tok.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # model reused by totals, vocab, scoring
+    )
+    totals = tf.groupBy("lang").agg(F.sum("n").alias("nt"))
+    vocab = tf.agg(F.count_distinct("tok").alias("v"))
+    priors = tok.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
+    nd_all = priors.agg(F.sum("nd").alias("total"))
+    m = totals.withColumnRenamed("lang", "model_lang")
+    tfm = tf.select(
+        F.col("lang").alias("ml2"), F.col("tok").alias("mtok"), "n"
+    )
+    scores = (
+        tok.crossJoin(F.broadcast(m))
+        .join(
+            F.broadcast(tfm),
+            (F.col("model_lang") == F.col("ml2")) & (F.col("tok") == F.col("mtok")),
+            "left",
+        )
+        .drop("ml2")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "model_lang", "nt", "v")
+        .agg(
+            F.sum(
+                F.log((F.coalesce(F.col("n"), F.lit(0)) + 1.0) / (F.col("nt") + F.col("v")))
+            ).alias("tok_ll")
+        )
+        .join(F.broadcast(priors.withColumnRenamed("lang", "model_lang")), "model_lang")
+        .crossJoin(F.broadcast(nd_all))
+        .select(
+            "doc_id",
+            "model_lang",
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("total")) + F.col("tok_ll"), 6
+            ).alias("loglik"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("loglik"), "model_lang")
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("model_lang").alias("pred_lang"), "loglik")
+    )
+
+
+_CONFUSION_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ), tok_freq AS (
+      SELECT lang, tok, COUNT(*) AS df FROM t GROUP BY lang, tok
+    ), top_toks AS (
+      SELECT lang AS model_lang, tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) AS rn
+        FROM tok_freq
+      ) WHERE rn <= 20
+    ), hits AS (
+      SELECT t.doc_id, tt.model_lang, COUNT(*) AS hits
+      FROM t JOIN top_toks tt ON t.tok = tt.tok
+      GROUP BY t.doc_id, tt.model_lang
+    ), preds AS (
+      SELECT doc_id, model_lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, model_lang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    ), joined AS (
+      SELECT d.lang AS true_lang, p.pred_lang
+      FROM documents d JOIN preds p USING (doc_id)
+    ), cells AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n FROM joined GROUP BY 1, 2
+    ), per_class AS (
+      SELECT true_lang AS lang,
+             CAST(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(n) AS BIGINT) AS n_true
+      FROM cells GROUP BY true_lang
+    ), per_pred AS (
+      SELECT pred_lang AS lang, CAST(SUM(n) AS BIGINT) AS n_pred FROM cells GROUP BY pred_lang
+    )
+    SELECT c.lang, c.tp, c.n_true, COALESCE(p.n_pred, 0) AS n_pred,
+           {R4('CAST(c.tp AS DOUBLE) / NULLIF(p.n_pred, 0)')} AS precision,
+           {R4('CAST(c.tp AS DOUBLE) / c.n_true')} AS recall
+    FROM per_class c LEFT JOIN per_pred p USING (lang)
+"""
+
+
+@register(
+    "q_eval_confusion",
+    oracle=_CONFUSION_ORACLE,
+    priority="P2",
+    tags=("llm", "eval", "confusion"),
+)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: per-class precision/recall of the
+    `q_lang_id` token-profile classifier against the true labels —
+    the confusion-matrix rollup every model-quality dashboard needs,
+    here composed ON TOP of another registered operator (the preds
+    feed straight from q_lang_id's plan) so evaluation is an engine
+    query, not a post-hoc script. NULL precision where a class is
+    never predicted (0/0), the honest convention.
+
+    Scale: the eval adds one doc-grain join + two #classes-sized
+    aggregates to whatever the classifier costs — evaluation rides
+    the same plan, amortizing the corpus scan."""
+    prep(spark)
+    preds = q_lang_id(spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("true_lang"))
+    cells = (
+        d.join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # both marginals read the cells
+    )
+    per_class = cells.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.sum(F.when(F.col("true_lang") == F.col("pred_lang"), F.col("n")).otherwise(0)).alias("tp"),
+        F.sum("n").alias("n_true"),
+    )
+    per_pred = cells.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    return (
+        per_class.join(per_pred, "lang", "left")
+        .select(
+            "lang",
+            "tp",
+            "n_true",
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            r4(F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0))).alias("precision"),
+            r4(F.col("tp").cast("double") / F.col("n_true")).alias("recall"),
+        )
+    )
