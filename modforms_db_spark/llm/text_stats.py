@@ -1306,3 +1306,93 @@ def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("tp").cast("double") / F.col("n_true")).alias("recall"),
         )
     )
+
+
+_COLLOC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), bg AS (
+      SELECT tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM t
+    ), pairs AS (
+      SELECT w1, w2, COUNT(*) AS n FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1 AS w, CAST(SUM(n) AS BIGINT) AS nw FROM pairs GROUP BY w1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nn FROM pairs
+    ), scored AS (
+      SELECT p.w1, p.w2, p.n,
+             {R4('LN((CAST(p.n AS DOUBLE) * t.nn) / (CAST(u1.nw AS DOUBLE) * u2.nw))')} AS pmi
+      FROM pairs p
+      JOIN uni u1 ON p.w1 = u1.w
+      JOIN uni u2 ON p.w2 = u2.w
+      CROSS JOIN tot t
+      WHERE p.n >= 5
+    )
+    SELECT w1, w2, n, pmi, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rk FROM scored
+    ) WHERE rk <= 15
+"""
+
+
+@register(
+    "q_collocations",
+    oracle=_COLLOC_ORACLE,
+    priority="P2",
+    tags=("llm", "text", "collocation"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-15 adjacent word pairs by pointwise
+    mutual information over the bigram stream (min support 5, first-word
+    marginals as left-position counts) — the phrase-mining step that
+    feeds tokenizer merge rules and stopphrase lists; `q_term_pmi`
+    associates terms with SOURCES, this associates terms with EACH
+    OTHER. Deterministic: integer counts, one r4-rounded PMI, rank
+    tiebroken on the pair.
+
+    Scale: bigrams come from a posexplode + lead window partitioned by
+    doc (heavy side, map-side combined into pair counts); marginals
+    and the total DERIVE from the checkpointed pair table — one corpus
+    pass total, same discipline as `q_term_pmi`. Top-15 is TakeOrdered."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        t.withColumn("w2", F.lead("tok").over(wd))
+        .where(F.col("w2").isNotNull())
+        .groupBy(F.col("tok").alias("w1"), "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # marginals + total + scoring read it
+    )
+    uni = pairs.groupBy(F.col("w1").alias("w")).agg(F.sum("n").alias("nw"))
+    tot = pairs.agg(F.sum("n").alias("nn"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("nw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("nw2"))
+    scored = (
+        pairs.where(F.col("n") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "n",
+            r4(
+                F.log(
+                    (F.col("n").cast("double") * F.col("nn"))
+                    / (F.col("nw1").cast("double") * F.col("nw2"))
+                )
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(15)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
+    )

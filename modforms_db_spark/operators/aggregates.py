@@ -1448,3 +1448,67 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("abc").agg(
         F.count(F.lit(1)).alias("n_parts"), r2(F.sum("r")).alias("revenue")
     )
+
+
+@register(
+    "q_share_of_parent",
+    oracle=f"""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             {R2('SUM(l.l_extendedprice * (1 - l.l_discount))')} AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ), reg AS (
+      SELECT region, {R2('SUM(revenue)')} AS region_rev FROM nat GROUP BY region
+    ), tot AS (
+      SELECT {R2('SUM(region_rev)')} AS total_rev FROM reg
+    )
+    SELECT nat.region, nat.nation, nat.revenue,
+           {R4('nat.revenue / reg.region_rev')} AS share_of_region,
+           {R4('reg.region_rev / tot.total_rev')} AS region_share_of_total
+    FROM nat JOIN reg USING (region) CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("agg", "hierarchy", "share"),
+)
+def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent decomposition over the region → nation revenue
+    hierarchy: each nation's share of its region AND each region's
+    share of the total, in one result — the drill-down ratio `ROLLUP`
+    doesn't give you (rollup emits subtotals, not normalized shares).
+    Each level's revenue is r2-rounded BEFORE becoming a denominator,
+    the shared-inputs rule.
+
+    Scale: the fact table collapses once to nation grain; region and
+    grand totals cascade from that aggregate (checkpointed — no
+    re-scan), and both ratio joins are against #regions-sized /
+    1-row broadcast sides."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .localCheckpoint(eager=False)  # region + total cascade from it
+    )
+    reg = nat.groupBy("region").agg(r2(F.sum("revenue")).alias("region_rev"))
+    tot = reg.agg(r2(F.sum("region_rev")).alias("total_rev"))
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "revenue",
+            r4(F.col("revenue") / F.col("region_rev")).alias("share_of_region"),
+            r4(F.col("region_rev") / F.col("total_rev")).alias("region_share_of_total"),
+        )
+    )

@@ -1529,3 +1529,79 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wday")
         .agg(F.count_distinct("user_id").alias("wau"))
     )
+
+
+_RC_WIN = 24  # trailing hours in the rolling-correlation frame
+
+
+@register(
+    "q_rolling_corr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             {R("AVG(CASE WHEN event_type = 'click' THEN value END)", 10)} AS x,
+             {R("AVG(CASE WHEN event_type = 'purchase' THEN value END)", 10)} AS y
+      FROM events
+      GROUP BY 1
+    ), filled AS (
+      SELECT h, x, y FROM hourly WHERE x IS NOT NULL AND y IS NOT NULL
+    ), framed AS (
+      SELECT h,
+             COUNT(*) OVER w AS n,
+             {R('SUM(x) OVER w', 10)} AS sx, {R('SUM(y) OVER w', 10)} AS sy,
+             {R('SUM(x * y) OVER w', 10)} AS sxy,
+             {R('SUM(x * x) OVER w', 10)} AS sxx,
+             {R('SUM(y * y) OVER w', 10)} AS syy
+      FROM filled
+      WINDOW w AS (ORDER BY h ROWS BETWEEN {_RC_WIN - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, CAST(n AS BIGINT) AS n,
+           {R4('''(n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))''')} AS roll_corr
+    FROM framed
+    WHERE n >= 12
+      AND (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    """,
+    priority="P2",
+    tags=("temporal", "window", "corr"),
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling {_RC_WIN}-hour correlation between the click and purchase
+    value series (hours carrying both signals), from windowed raw
+    moments — the co-movement monitor for any pair of KPIs. Inputs are
+    r10-rounded hourly means and every windowed moment is r10-rounded
+    before the correlation formula, so both engines evaluate the
+    ratio on identical doubles; degenerate frames (zero variance or
+    < 12 points) are excluded rather than emitting ±NaN.
+
+    Scale: the fact table collapses to hours in one conditional-agg
+    pass; all five moment windows share ONE ordered frame over the
+    hours-sized series (Catalyst computes them in a single Window
+    operator). The unpartitioned window is over hours, not facts —
+    the same caveat-and-scale note as `q_period_over_period`."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.round(F.avg(F.when(F.col("event_type") == "click", F.col("value"))), 10).alias("x"),
+        F.round(F.avg(F.when(F.col("event_type") == "purchase", F.col("value"))), 10).alias("y"),
+    )
+    filled = hourly.where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    w = Window.orderBy("h").rowsBetween(-(_RC_WIN - 1), Window.currentRow)
+    r10 = lambda c: F.round(c, 10)  # noqa: E731
+    framed = filled.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        r10(F.sum("x").over(w)).alias("sx"),
+        r10(F.sum("y").over(w)).alias("sy"),
+        r10(F.sum(F.col("x") * F.col("y")).over(w)).alias("sxy"),
+        r10(F.sum(F.col("x") * F.col("x")).over(w)).alias("sxx"),
+        r10(F.sum(F.col("y") * F.col("y")).over(w)).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    varx = n * F.col("sxx") - sx * sx
+    vary = n * F.col("syy") - sy * sy
+    corr = (n * F.col("sxy") - sx * sy) / (F.sqrt(varx) * F.sqrt(vary))
+    return (
+        framed.where((n >= 12) & (varx > 0) & (vary > 0))
+        .select("h", n.cast("bigint").alias("n"), r4(corr).alias("roll_corr"))
+    )
