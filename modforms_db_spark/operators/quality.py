@@ -378,3 +378,77 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_extreme"),
         )
     )
+
+
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_SQL = " UNION ALL ".join(
+    f"SELECT {d} AS digit, {p!r} AS expected" for d, p in _BENFORD.items()
+)
+
+
+@register(
+    "q_benford_audit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    expected AS ({_BENFORD_SQL})
+    SELECT e.digit,
+           COALESCE(c.n, 0) AS n,
+           {R4('COALESCE(c.n, 0) / (t.total * 1.0)')} AS observed,
+           {R4('e.expected')} AS expected,
+           {R4('''(COALESCE(c.n, 0) / (t.total * 1.0) - e.expected)
+                 * (COALESCE(c.n, 0) / (t.total * 1.0) - e.expected)
+                 / e.expected * t.total''')} AS chi2_term
+    FROM expected e LEFT JOIN counts c USING (digit) CROSS JOIN tot t
+    """,
+    priority="P2",
+    tags=("quality", "benford", "audit"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log10(1+1/d) share per leading digit plus the per-digit
+    χ² contribution — the forensic-accounting / synthetic-data smoke
+    test (fabricated or uniformly-generated amounts flunk it;
+    real-world multiplicative amounts follow it). First digit taken
+    from FLOOR()'s decimal string — explicit floor because the two
+    engines disagree on double→BIGINT casts (truncate vs round-half-
+    even; a live boundary hit at sf0.01); the expected table is generated from one Python
+    constant into both the oracle SQL and the Spark literal — a single
+    source of truth for the law.
+
+    Scale: one conditional scan → 9-group agg; the expected side is a
+    9-row literal. χ² terms are emitted per digit rather than summed
+    so the report shows WHERE the deviation lives."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = F.broadcast(
+        counts.sparkSession.createDataFrame(
+            [(d, p) for d, p in _BENFORD.items()], "digit INT, expected DOUBLE"
+        )
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    obs = F.coalesce(F.col("n"), F.lit(0)) / (F.col("total") * 1.0)
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            r4(obs).alias("observed"),
+            r4(F.col("expected")).alias("expected"),
+            r4(
+                (obs - F.col("expected")) * (obs - F.col("expected"))
+                / F.col("expected") * F.col("total")
+            ).alias("chi2_term"),
+        )
+    )

@@ -1605,3 +1605,156 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         framed.where((n >= 12) & (varx > 0) & (vary > 0))
         .select("h", n.cast("bigint").alias("n"), r4(corr).alias("roll_corr"))
     )
+
+
+_KM_ORACLE = f"""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'signup'
+      GROUP BY user_id
+    ), conv AS (
+      SELECT s0.user_id, s0.t0, MIN(e.ts) AS tc
+      FROM s0 LEFT JOIN events e
+        ON e.user_id = s0.user_id AND e.event_type = 'purchase' AND e.ts >= s0.t0
+      GROUP BY s0.user_id, s0.t0
+    ), horizon AS (
+      SELECT MAX(ts) AS hz FROM events
+    ), obs AS (
+      SELECT user_id,
+             CASE WHEN tc IS NOT NULL THEN date_diff('day', t0, tc)
+                  ELSE date_diff('day', t0, hz) END AS t,
+             (tc IS NOT NULL) AS converted
+      FROM conv CROSS JOIN horizon
+    ), per_day AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST(SUM(leaving) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_at_risk
+      FROM per_day
+    ), factors AS (
+      SELECT t, d, n_at_risk,
+             {R('CAST(n_at_risk - d AS DOUBLE) / n_at_risk', 10)} AS f
+      FROM risk
+    )
+    SELECT t, d, n_at_risk,
+           CASE WHEN MIN(f) OVER cum = 0 THEN 0.0
+                ELSE {R4('EXP(SUM(LN(CASE WHEN f > 0 THEN f ELSE 1 END)) OVER cum)')} END AS survival
+    FROM factors
+    WHERE d > 0
+    WINDOW cum AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "q_survival_km",
+    oracle=_KM_ORACLE,
+    priority="P2",
+    tags=("temporal", "survival", "kaplan-meier"),
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator for signup→purchase
+    conversion: event time = days to first purchase, users who never
+    convert are RIGHT-CENSORED at the observation horizon (the
+    censoring discipline naive time-to-convert averages get wrong —
+    dropping non-converters biases survival down). n-at-risk via a
+    reverse cumulative sum; S(t) = Π(1 − d/n) computed as
+    exp(Σ ln f) over the day-grain curve with r10 factors, the exact-0
+    branch handled explicitly (a day that converts everyone zeroes the
+    curve; ln would NaN).
+
+    Scale: the per-user observation is two keyed aggregates; the curve
+    lives at DAY grain (≤ observation span rows), so the cumulative
+    windows are over a tiny series — the fact table never meets a
+    window. The standard survival-analysis entry point, fully
+    relational."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    s0 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    conv = (
+        s0.join(p, (s0.user_id == p.pu) & (p.pts >= s0.t0), "left")
+        .groupBy("user_id", "t0")
+        .agg(F.min("pts").alias("tc"))
+    )
+    horizon = e.agg(F.max("ts").alias("hz"))
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.when(
+            F.col("tc").isNotNull(), F.datediff(F.col("tc"), F.col("t0"))
+        ).otherwise(F.datediff(F.col("hz"), F.col("t0"))).alias("t"),
+        F.col("tc").isNotNull().alias("converted"),
+    )
+    per_day = obs.groupBy("t").agg(
+        F.sum(F.col("converted").cast("long")).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_day.select(
+        "t", "d", F.sum("leaving").over(w_desc).alias("n_at_risk")
+    )
+    f = F.round((F.col("n_at_risk") - F.col("d")).cast("double") / F.col("n_at_risk"), 10)
+    factors = risk.select("t", "d", "n_at_risk", f.alias("f"))
+    cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # LN argument guarded on BOTH engines: window aggregates evaluate
+    # eagerly regardless of the outer CASE branch, and ln(0) is an error
+    # in the oracle engine (NaN-poison in this one).
+    safe_f = F.when(F.col("f") > 0, F.col("f")).otherwise(F.lit(1.0))
+    surv = F.when(F.min("f").over(cum) == 0, F.lit(0.0)).otherwise(
+        r4(F.exp(F.sum(F.log(safe_f)).over(cum)))
+    )
+    return (
+        factors.withColumn("survival", surv)
+        .where(F.col("d") > 0)
+        .select("t", "d", "n_at_risk", "survival")
+    )
+
+
+@register(
+    "q_seasonality_profile",
+    oracle=f"""
+    WITH cells AS (
+      SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS INT) AS hod, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_cells FROM cells)
+    SELECT dow, hod, CAST(n AS BIGINT) AS n,
+           {R4('n / (t.total * 1.0)')} AS share,
+           {R4('n * n_cells / (t.total * 1.0)')} AS lift
+    FROM cells CROSS JOIN tot t
+    """,
+    priority="P2",
+    tags=("temporal", "seasonality", "profile"),
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × day-of-week activity profile with share and LIFT
+    over the uniform baseline (lift 1 = flat; >1 = hot cell) — the
+    seasonality fingerprint behind traffic forecasting, anomaly
+    baselines, and maintenance-window placement. Day-of-week numbering
+    pinned to the common Sunday=1 convention both engines share.
+
+    Scale: one partial-agg pass into ≤168 cells; the lift normalizer
+    is a 1-row broadcast. The profile is the input you feed the
+    rolling-z anomaly detector to deseasonalize its baseline."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        F.col("n").cast("bigint").alias("n"),
+        r4(F.col("n") / (F.col("total") * 1.0)).alias("share"),
+        r4(F.col("n") * F.col("n_cells") / (F.col("total") * 1.0)).alias("lift"),
+    )
