@@ -431,15 +431,15 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    expected = F.broadcast(
-        counts.sparkSession.createDataFrame(
-            [(d, p) for d, p in _BENFORD.items()], "digit INT, expected DOUBLE"
-        )
+    expected = counts.sparkSession.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit INT, expected DOUBLE"
     )
     tot = counts.agg(F.sum("n").alias("total"))
     obs = F.coalesce(F.col("n"), F.lit(0)) / (F.col("total") * 1.0)
     return (
-        expected.join(counts, "digit", "left")
+        # broadcast the RIGHT side: the preserved (left) side of an outer
+        # join cannot be the broadcast build side
+        expected.join(F.broadcast(counts), "digit", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "digit",
