@@ -1512,3 +1512,86 @@ def q_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("region_rev") / F.col("total_rev")).alias("region_share_of_total"),
         )
     )
+
+
+@register(
+    "q_ab_proportions",
+    oracle=f"""
+    WITH spend AS (
+      SELECT user_id, user_id % 2 = 0 AS arm_a,
+             CAST(ROUND(CAST(CAST((SUM(value)) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DOUBLE) AS tot
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), med AS (
+      SELECT CAST(ROUND(CAST(CAST((quantile_cont(tot, 0.5)) AS VARCHAR) AS DECIMAL(38,18)), 10) AS DOUBLE) AS m FROM spend
+    ), assign AS (
+      SELECT user_id, arm_a,
+             CASE WHEN tot > med.m THEN 1 ELSE 0 END AS converted
+      FROM spend CROSS JOIN med
+    ), arms AS (
+      SELECT CAST(SUM(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm_a THEN converted ELSE 0 END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN NOT arm_a THEN converted ELSE 0 END) AS BIGINT) AS c_b
+      FROM assign
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           {R4('CAST(c_a AS DOUBLE) / n_a')} AS rate_a,
+           {R4('CAST(c_b AS DOUBLE) / n_b')} AS rate_b,
+           CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN NULL
+           ELSE {R4('''(CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+                 / SQRT((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))''')} END AS z_stat
+    FROM arms
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest", "proportions"),
+)
+def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a binary outcome (is the user's total
+    purchase spend above the cohort median — ~50/50 by construction,
+    so the pooled variance can't degenerate on real data), arms by
+    user-id parity — the binary-outcome companion to `q_ab_ttest`'s
+    continuous Welch t: pooled-proportion standard error, exact
+    integer counts, one r4-rounded statistic, and an explicit NULL
+    when ALL or NO users convert (pooled variance 0 — the guard a
+    naive implementation turns into a divide-by-zero, as the first
+    draft of this very operator did with an ever-purchased outcome).
+
+    Scale: one user-grain aggregate (shuffle on user_id), a 1-row
+    median broadcast, then a 1-row conditional combine — the entire
+    test is two aggregates regardless of arm sizes."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    spend = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 10).alias("tot"))
+        .withColumn("arm_a", F.col("user_id") % 2 == 0)
+        .localCheckpoint(eager=False)  # median + assignment both read it
+    )
+    med = spend.agg(F.round(F.percentile("tot", F.lit(0.5)), 10).alias("m"))
+    assign = spend.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        "arm_a",
+        (F.col("tot") > F.col("m")).cast("int").alias("converted"),
+    )
+    arms = assign.agg(
+        F.sum(F.col("arm_a").cast("long")).alias("n_a"),
+        F.sum(F.when(F.col("arm_a"), F.col("converted")).otherwise(0)).alias("c_a"),
+        F.sum((~F.col("arm_a")).cast("long")).alias("n_b"),
+        F.sum(F.when(~F.col("arm_a"), F.col("converted")).otherwise(0)).alias("c_b"),
+    )
+    ra = F.col("c_a").cast("double") / F.col("n_a")
+    rb = F.col("c_b").cast("double") / F.col("n_b")
+    conv = F.col("c_a") + F.col("c_b")
+    pool = conv.cast("double") / (F.col("n_a") + F.col("n_b"))
+    z = (ra - rb) / F.sqrt(pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    z_guarded = F.when(
+        (conv == 0) | (conv == F.col("n_a") + F.col("n_b")), F.lit(None)
+    ).otherwise(r4(z))
+    return arms.select(
+        "n_a", "c_a", "n_b", "c_b",
+        r4(ra).alias("rate_a"), r4(rb).alias("rate_b"),
+        z_guarded.alias("z_stat"),
+    )

@@ -22,11 +22,12 @@ truncates per-round lineage exactly as kmeans_fit does.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R
+from modforms_db_spark.oracle_dialect import R, R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -437,3 +438,77 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return d
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+    WITH {_COSUPPLY_EDGES_SQL},
+    sym AS (
+      SELECT u, v FROM edges UNION SELECT v, u FROM edges
+    ), deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u
+    ), common AS (
+      SELECT a.u AS x, b.u AS y, COUNT(*) AS cn
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+      GROUP BY a.u, b.u
+    ), nonedge AS (
+      SELECT c.x, c.y, c.cn, da.d AS dx, db.d AS dy
+      FROM common c
+      JOIN deg da ON c.x = da.u
+      JOIN deg db ON c.y = db.u
+      LEFT JOIN edges e ON e.u = c.x AND e.v = c.y
+      WHERE e.u IS NULL
+    )
+    SELECT x, y, cn,
+           {R4('CAST(cn AS DOUBLE) / (dx + dy - cn)')} AS jaccard, rk
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY {R4('CAST(cn AS DOUBLE) / (dx + dy - cn)')} DESC, x, y
+      ) AS rk
+      FROM nonedge
+    ) WHERE rk <= 20
+    """,
+    priority="P2",
+    tags=("graph", "link-prediction", "jaccard"),
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-supply graph: top-20 NON-adjacent
+    supplier pairs by neighbor-set Jaccard (|Γx∩Γy| / |Γx∪Γy|) — the
+    classic "who should be connected" score; common neighbors come
+    from a wedge join (pairs sharing a neighbor), the union size from
+    degrees (|Γx|+|Γy|−cn, no second set materialization), and
+    existing edges are anti-joined out. Ranking on the ROUNDED score
+    with pair tiebreak keeps top-20 engine-exact.
+
+    Scale: identical envelope to `q_triangle_count`'s wedges — work is
+    Σ_v deg(v)², bounded by orienting on the low-degree endpoint at
+    power-law scale; degrees and the anti-join are key-partitioned
+    aggregates. Top-20 via TakeOrdered."""
+    prep(spark)
+    half = cosupply_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # sym, degrees, and the anti-join probe all read it
+    sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    b = sym.select(F.col("u").alias("y"), F.col("v").alias("w2"))
+    common = (
+        sym.select(F.col("u").alias("x"), F.col("v").alias("w2"))
+        .join(b, "w2")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))
+    nonedge = (
+        common.join(half.withColumnsRenamed({"u": "x", "v": "y"}), ["x", "y"], "left_anti")
+        .join(da, "x")
+        .join(db, "y")
+    )
+    jac = r4(F.col("cn").cast("double") / (F.col("dx") + F.col("dy") - F.col("cn")))
+    scored = nonedge.select("x", "y", "cn", jac.alias("jaccard"))
+    top = scored.orderBy(F.desc("jaccard"), "x", "y").limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("jaccard"), "x", "y"))
+    )

@@ -1758,3 +1758,65 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("n") / (F.col("total") * 1.0)).alias("share"),
         r4(F.col("n") * F.col("n_cells") / (F.col("total") * 1.0)).alias("lift"),
     )
+
+
+@register(
+    "q_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS n FROM events GROUP BY 1
+    ), base AS (
+      SELECT {R('AVG(n)', 10)} AS mu FROM daily
+    ), cs AS (
+      SELECT day, CAST(n AS BIGINT) AS n,
+             {R('SUM(n - b.mu) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)', 10)} AS cusum
+      FROM daily CROSS JOIN base b
+    ), peak AS (
+      SELECT MAX(ABS(cusum)) AS peak_abs FROM cs
+    )
+    SELECT day, n, {R4('cusum')} AS cusum,
+           (ABS(cusum) = p.peak_abs) AS is_changepoint
+    FROM cs CROSS JOIN peak p
+    """,
+    priority="P2",
+    tags=("temporal", "changepoint", "cusum"),
+)
+def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series:
+    cumulative sum of deviations from the global mean, with the
+    maximum-|CUSUM| day flagged — the standard single-changepoint
+    locator (the peak marks where the level shifted; a flat series
+    random-walks near zero). Counts are exact integers; only the mean
+    and the running sum carry r10 discipline, and the peak flag
+    compares the SAME rounded values on both engines so the argmax
+    cannot disagree.
+
+    Scale: the fact table collapses to days in one pass; the mean is a
+    1-row broadcast and the running window is over the days-sized
+    series. Multi-changepoint extensions (binary segmentation) recurse
+    on the flagged split — each level is this same cheap plan."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # mean + cusum both read it
+    )
+    base = daily.agg(F.round(F.avg("n"), 10).alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cs = (
+        daily.crossJoin(F.broadcast(base))
+        .select(
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.sum(F.col("n") - F.col("mu")).over(w), 10).alias("cusum"),
+        )
+        .localCheckpoint(eager=False)  # peak + output both read it
+    )
+    peak = cs.agg(F.max(F.abs("cusum")).alias("peak_abs"))
+    return cs.crossJoin(F.broadcast(peak)).select(
+        "day",
+        "n",
+        r4(F.col("cusum")).alias("cusum"),
+        (F.abs("cusum") == F.col("peak_abs")).alias("is_changepoint"),
+    )
