@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
+from modforms_db_spark.oracle_dialect import R, R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -741,4 +743,134 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
             ).alias("alloc"),
         )
+    )
+
+
+_RAG_K1 = 1.2
+_RAG_B = 0.75
+
+_RAG_CHUNKS_SQL = f"""
+    toks0 AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), spans0 AS (
+      SELECT doc_id, t, n,
+             CASE WHEN n <= {_CHUNK_W} THEN 1
+                  ELSE CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks0
+    ), chunks AS (
+      SELECT doc_id, gs AS chunk_id,
+             list_slice(t, gs * {_CHUNK_S} + 1,
+                        LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n)) AS ctoks
+      FROM spans0, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
+    )"""
+
+
+@register(
+    "q_rag_retrieval",
+    oracle=f"""
+    WITH {_RAG_CHUNKS_SQL},
+    ctok AS (
+      SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS dl,
+             unnest(ctoks) AS tok
+      FROM chunks
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT (doc_id, chunk_id)) AS BIGINT) AS n_chunks,
+             {R("AVG(dl) FILTER (WHERE pos = 1)", 10)} AS avgdl
+      FROM (
+        SELECT doc_id, chunk_id, dl,
+               row_number() OVER (PARTITION BY doc_id, chunk_id ORDER BY tok) AS pos
+        FROM ctok
+      )
+    ), q AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df,
+               row_number() OVER (ORDER BY COUNT(DISTINCT doc_id) DESC, tok) AS rk
+        FROM ctok GROUP BY tok
+      ) WHERE rk <= 3
+    ), cdf AS (
+      SELECT tok, CAST(COUNT(DISTINCT (doc_id, chunk_id)) AS BIGINT) AS df
+      FROM ctok JOIN q USING (tok) GROUP BY tok
+    ), tfq AS (
+      SELECT c.doc_id, c.chunk_id, c.tok, c.dl, COUNT(*) AS tf
+      FROM ctok c JOIN q USING (tok)
+      GROUP BY c.doc_id, c.chunk_id, c.tok, c.dl
+    ), scored AS (
+      SELECT t.doc_id, t.chunk_id,
+             {R4(f'''SUM(
+               LN((s.n_chunks - d.df + 0.5) / (d.df + 0.5) + 1)
+               * (t.tf * ({_RAG_K1} + 1))
+               / (t.tf + {_RAG_K1} * (1 - {_RAG_B} + {_RAG_B} * t.dl / s.avgdl))
+             )''')} AS bm25
+      FROM tfq t JOIN cdf d USING (tok) CROSS JOIN stats s
+      GROUP BY t.doc_id, t.chunk_id
+    )
+    SELECT doc_id, chunk_id, bm25, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id, chunk_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    priority="P2",
+    tags=("llm", "rag", "retrieval", "bm25"),
+)
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval at CHUNK granularity: documents are
+    sliding-window chunked (COMPOSED on `q_doc_chunks`' plan), a BM25
+    index is computed over the chunk corpus, and the top-5 chunks for
+    the query (the corpus's own top-3 df tokens — self-contained, like
+    `q_rank_fusion`) come back with scores — the retrieval half of a
+    RAG system as ONE engine query, proving chunker and ranker compose
+    without materialization. BM25 saturation + length normalization at
+    chunk grain (dl / avgdl over CHUNKS, not docs) is what makes
+    chunk-level retrieval rank fairly.
+
+    Scale: chunking is the map-only fan-out; df/tf are partial-agg
+    shuffles over the chunk-token grain JOINed against the 3-token
+    broadcast query; stats ride a 1-row broadcast. Top-5 TakeOrdered.
+    All counts integer; one r4 at the score."""
+    prep(spark)
+    chunks = q_doc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_id", F.split("chunk_text", " ").alias("ctoks")
+    )
+    ctok = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").cast("bigint").alias("dl"),
+        F.explode("ctoks").alias("tok"),
+    ).localCheckpoint(eager=False)  # stats, query, df, tf all read it
+    per_chunk = ctok.groupBy("doc_id", "chunk_id").agg(F.first("dl").alias("dl"))
+    stats = per_chunk.agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.round(F.avg("dl"), 10).alias("avgdl")
+    )
+    q = (
+        ctok.groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df_doc"))
+        .orderBy(F.desc("df_doc"), "tok")
+        .limit(3)
+        .select("tok")
+    )
+    qc = ctok.join(F.broadcast(q), "tok")
+    cdf = qc.groupBy("tok").agg(
+        F.count_distinct("doc_id", "chunk_id").alias("df")
+    )
+    tfq = qc.groupBy("doc_id", "chunk_id", "tok", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    idf = F.log(
+        (F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    sat = (F.col("tf") * (_RAG_K1 + 1)) / (
+        F.col("tf") + _RAG_K1 * (1 - _RAG_B + _RAG_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tfq.join(F.broadcast(cdf), "tok")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id", "chunk_id")
+        .agg(r4(F.sum(idf * sat)).alias("bm25"))
+    )
+    top = scored.orderBy(F.desc("bm25"), "doc_id", "chunk_id").limit(5)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id", "chunk_id"))
     )

@@ -452,3 +452,58 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "q_freshness_audit",
+    oracle="""
+    WITH per_table AS (
+      SELECT 'events' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, MAX(ts) AS max_ts FROM events
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT), MAX(o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), MAX(l_shipdate) FROM lineitem
+    ), ref AS (SELECT MAX(max_ts) AS newest FROM per_table)
+    SELECT tbl, n_rows, max_ts,
+           CAST(date_diff('day', max_ts, r.newest) AS BIGINT) AS staleness_days,
+           (date_diff('day', max_ts, r.newest) <= 365) AS fresh_within_year
+    FROM per_table CROSS JOIN ref r
+    """,
+    priority="P2",
+    tags=("quality", "freshness", "audit"),
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table freshness audit: per-table row count + newest
+    timestamp + staleness in days against the NEWEST timestamp across
+    the warehouse (a deterministic reference, unlike wall-clock now())
+    — the "did yesterday's load land everywhere" check every
+    multi-table pipeline runs before publishing. The fresh flag uses a
+    fixed SLA window so the report is a boolean contract, not a
+    dashboard.
+
+    Scale: one metadata-cheap MAX+COUNT aggregate per table (parquet
+    footers could answer MAX alone, but COUNT(*)+MAX in one scan keeps
+    it honest about row-level visibility); the reference is a 3-row
+    combine."""
+    prep(spark)
+    parts = []
+    for tbl, col in (("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        parts.append(
+            load(spark, sf_dir, tbl).agg(
+                F.lit(tbl).alias("tbl"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.max(col).alias("max_ts"),
+            ).select("tbl", "n_rows", "max_ts")
+        )
+    per_table = parts[0].unionByName(parts[1]).unionByName(parts[2]).localCheckpoint(
+        eager=False
+    )  # the newest-timestamp reference re-reads the 3-row table
+    ref = per_table.agg(F.max("max_ts").alias("newest"))
+    stale = F.datediff(F.col("newest"), F.col("max_ts"))
+    return per_table.crossJoin(F.broadcast(ref)).select(
+        "tbl",
+        "n_rows",
+        "max_ts",
+        stale.cast("bigint").alias("staleness_days"),
+        (stale <= 365).alias("fresh_within_year"),
+    )
