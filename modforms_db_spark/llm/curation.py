@@ -874,3 +874,85 @@ def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("bm25"), "doc_id", "chunk_id"))
     )
+
+
+@register(
+    "q_split_temporal",
+    oracle="""
+    WITH cutoff AS (
+      SELECT make_timestamp(epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) * 8 // 10) AS c
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_id, (ts < c.c) AS is_train
+      FROM events CROSS JOIN cutoff c
+    ), sides AS (
+      SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS n_test,
+             COUNT(DISTINCT CASE WHEN is_train THEN user_id END) AS u_train,
+             COUNT(DISTINCT CASE WHEN NOT is_train THEN user_id END) AS u_test
+      FROM tagged
+    ), leak AS (
+      SELECT COUNT(*) AS u_both FROM (
+        SELECT user_id FROM tagged GROUP BY user_id
+        HAVING SUM(CASE WHEN is_train THEN 1 ELSE 0 END) > 0
+           AND SUM(CASE WHEN is_train THEN 0 ELSE 1 END) > 0
+      )
+    )
+    SELECT n_train, n_test, u_train, u_test,
+           CAST(l.u_both AS BIGINT) AS users_in_both,
+           (l.u_both > 0) AS entity_leakage
+    FROM sides CROSS JOIN leak l
+    """,
+    priority="P2",
+    tags=("llm", "split", "leakage"),
+)
+def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL train/test split (80% of the time range) with an
+    ENTITY-LEAKAGE audit: row counts per side plus how many users
+    appear on BOTH sides of the cutoff — the leakage that poisons
+    time-series evaluation even when the row split is clean (the
+    hash split `q_split_assign` partitions entities; a temporal split
+    deliberately doesn't, so the audit must SAY so). Cutoff derived
+    from the data's own span, deterministic.
+
+    Scale: one pass tags rows against a 1-row broadcast cutoff; the
+    leakage check is a user-grain conditional aggregate — same
+    shuffle the per-side user counts already need."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    # exact integer-microsecond cutoff (min + 80% of the span, *8 div 10)
+    # so both engines compare against the identical instant
+    mn = F.unix_micros(F.min("ts").cast("timestamp"))
+    mx = F.unix_micros(F.max("ts").cast("timestamp"))
+    cutoff = e.agg(
+        F.timestamp_micros(mn + ((mx - mn) * 8 / 10).cast("bigint"))
+        .cast("timestamp_ntz")
+        .alias("c")
+    )
+    tagged = (
+        e.select("user_id", "event_id", "ts")
+        .crossJoin(F.broadcast(cutoff))
+        .select("user_id", "event_id", (F.col("ts") < F.col("c")).alias("is_train"))
+        .localCheckpoint(eager=False)  # side counts + leakage both read it
+    )
+    sides = tagged.agg(
+        F.sum(F.col("is_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("is_train")).cast("long")).alias("n_test"),
+        F.count_distinct(F.when(F.col("is_train"), F.col("user_id"))).alias("u_train"),
+        F.count_distinct(F.when(~F.col("is_train"), F.col("user_id"))).alias("u_test"),
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(
+            F.sum(F.col("is_train").cast("long")).alias("tr"),
+            F.sum((~F.col("is_train")).cast("long")).alias("te"),
+        )
+        .where((F.col("tr") > 0) & (F.col("te") > 0))
+        .agg(F.count(F.lit(1)).alias("u_both"))
+    )
+    return sides.crossJoin(F.broadcast(leak)).select(
+        "n_train", "n_test", "u_train", "u_test",
+        F.col("u_both").cast("bigint").alias("users_in_both"),
+        (F.col("u_both") > 0).alias("entity_leakage"),
+    )

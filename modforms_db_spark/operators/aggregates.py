@@ -1595,3 +1595,105 @@ def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(ra).alias("rate_a"), r4(rb).alias("rate_b"),
         z_guarded.alias("z_stat"),
     )
+
+
+@register(
+    "q_feature_cross",
+    oracle="""
+    WITH crossed AS (
+      SELECT o.o_orderpriority || 'x' || c.c_mktsegment AS cross_key,
+             COUNT(*) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM crossed)
+    SELECT CASE WHEN n >= 100 THEN cross_key ELSE 'OTHER' END AS feature,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_raw_keys
+    FROM crossed CROSS JOIN tot
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("agg", "feature", "cross"),
+)
+def q_feature_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical feature crossing with rare-level collapse: the
+    (priority × segment) cross, levels under the support threshold
+    folded into OTHER (with a count of how many raw keys each output
+    level absorbs) — the combinatorial-feature step that controls
+    cardinality blowup BEFORE one-hot/hashing; thresholding on exact
+    counts keeps the vocabulary deterministic.
+
+    Scale: the cross is the fact join's group-by (cardinality ≤
+    |A|×|B|); the collapse is a second tiny aggregate over the crossed
+    table. At extreme crosses (3+ columns) the same plan holds — the
+    threshold is what keeps the output vocabulary bounded."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    crossed = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.concat(F.col("o_orderpriority"), F.lit("x"), F.col("c_mktsegment")).alias(
+                "cross_key"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        crossed.groupBy(
+            F.when(F.col("n") >= 100, F.col("cross_key")).otherwise("OTHER").alias("feature")
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_raw_keys"),
+        )
+    )
+
+
+@register(
+    "q_target_encode_loo",
+    oracle=f"""
+    WITH stats AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(CAST(ROUND(CAST(CAST((o_totalprice * 100) AS VARCHAR) AS DECIMAL(38,18)), 0) AS DOUBLE) AS BIGINT) AS cents,
+             CAST(SUM(CAST(CAST(ROUND(CAST(CAST((o_totalprice * 100) AS VARCHAR) AS DECIMAL(38,18)), 0) AS DOUBLE) AS BIGINT))
+                  OVER (PARTITION BY o_orderpriority) AS BIGINT) AS grp_cents,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS grp_n
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN grp_n > 1
+                THEN {R4('CAST(grp_cents - cents AS DOUBLE) / ((grp_n - 1) * 100)')}
+           END AS te_loo
+    FROM stats
+    """,
+    priority="P2",
+    tags=("agg", "feature", "target-encoding"),
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of order priority against total
+    price: each row's encoded value is its group's mean EXCLUDING
+    itself ((Σ − own)/(n−1)) — the leakage-free form of mean encoding
+    (plain group means leak the row's own target into its feature;
+    singleton groups honestly NULL). Group sums r10-rounded before the
+    subtraction so both engines difference identical doubles.
+
+    Scale: one window over the group key computes sum and count in a
+    single exchange — no self-join, no second pass; the LOO arithmetic
+    is per-row map work on the windowed values."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    # ORDER-EXACT arithmetic: prices become integer cents before the
+    # window sum (r10-rounding group sums was NOT enough — engines sum
+    # in different orders and the residue survived to the r4 output,
+    # caught live by the parity test), one double division at the end.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    w = Window.partitionBy("o_orderpriority")
+    base = o.select("o_orderkey", "o_orderpriority", cents.alias("cents"))
+    grp_cents = F.sum("cents").over(w)
+    grp_n = F.count(F.lit(1)).over(w)
+    te = F.when(
+        grp_n > 1,
+        r4((grp_cents - F.col("cents")).cast("double") / ((grp_n - 1) * 100)),
+    )
+    return base.select("o_orderkey", "o_orderpriority", te.alias("te_loo"))
