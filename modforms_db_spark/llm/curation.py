@@ -956,3 +956,60 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u_both").cast("bigint").alias("users_in_both"),
         (F.col("u_both") > 0).alias("entity_leakage"),
     )
+
+
+_ARES_HASH_MOD = 1_000_000_007
+
+
+@register(
+    "q_sample_weighted_wor",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(1 + n_chars AS DOUBLE) AS wt,
+             CAST((doc_id * 2654435761 + 12345) % {_ARES_HASH_MOD} AS DOUBLE)
+               / {_ARES_HASH_MOD} AS u
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {R('LN(CASE WHEN u > 0 THEN u ELSE 1.0 / ' + str(_ARES_HASH_MOD) + ' END) / wt', 10)} AS k
+      FROM w
+    )
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rk FROM keyed
+    ) WHERE rk <= 20
+    """,
+    priority="P2",
+    tags=("llm", "sampling", "weighted", "wor"),
+)
+def q_sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each doc draws a deterministic pseudo-uniform u from an
+    integer hash of its id and is ranked by ln(u)/w (equivalent to
+    u^(1/w); the log form avoids pow underflow at large weights) —
+    the top-k by that key IS an exact weighted sample without
+    replacement, the distributed-systems answer to "give me k docs
+    favoring long ones, reproducibly" (`q_sample_weighted` is the
+    Bernoulli WITH-replacement-style rate sampler; this one has fixed
+    size and no duplicates by construction). Keys r10-rounded with
+    doc_id tiebreak so the top-20 is engine-exact; u=0 guarded to the
+    smallest representable draw.
+
+    Scale: key assignment is scan-side arithmetic (no shuffle);
+    selection is TakeOrdered top-k — per-partition top-20 + driver
+    merge, never a global sort. The hash-derived u makes the sample a
+    pure function of the data, the same reproducibility argument as
+    `q_sample`."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761).cast("bigint") + 12345) % _ARES_HASH_MOD
+    ).cast("double") / _ARES_HASH_MOD
+    wt = (1 + F.col("n_chars")).cast("double")
+    safe_u = F.when(u > 0, u).otherwise(F.lit(1.0 / _ARES_HASH_MOD))
+    k = F.round(F.log(safe_u) / wt, 10)
+    keyed = d.select("doc_id", "lang", "n_chars", k.alias("k"))
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(20)
+    return top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("k"), "doc_id"))
+    ).select("doc_id", "lang", "n_chars", "rk")

@@ -1697,3 +1697,75 @@ def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4((grp_cents - F.col("cents")).cast("double") / ((grp_n - 1) * 100)),
     )
     return base.select("o_orderkey", "o_orderpriority", te.alias("te_loo"))
+
+
+@register(
+    "q_stats_merge_pairwise",
+    oracle=f"""
+    WITH shard AS (
+      SELECT o_orderkey % 8 AS shard_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(CAST(ROUND(CAST(CAST((o_totalprice * 100) AS VARCHAR) AS DECIMAL(38,18)), 0) AS DOUBLE) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(CAST(CAST(ROUND(CAST(CAST((o_totalprice * 100) AS VARCHAR) AS DECIMAL(38,18)), 0) AS DOUBLE) AS BIGINT) AS DECIMAL(38,0))
+                      * CAST(CAST(ROUND(CAST(CAST((o_totalprice * 100) AS VARCHAR) AS DECIMAL(38,18)), 0) AS DOUBLE) AS BIGINT)) AS DECIMAL(38,0)) AS s2
+      FROM orders GROUP BY 1
+    ), merged AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s1) AS BIGINT) AS s1,
+             CAST(SUM(s2) AS DECIMAL(38,0)) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS n_shards
+      FROM shard
+    )
+    SELECT n, n_shards,
+           {R4('s1 / (n * 100.0)')} AS mean,
+           {R4('''CAST(n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1) * 10000.0)''')} AS var_samp
+    FROM merged
+    """,
+    priority="P2",
+    tags=("agg", "sketch", "mergeable"),
+)
+def q_stats_merge_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moment sketches made EXPLICIT: 8 shards each emit
+    (n, Σx, Σx²) in exact integer cents, the shard sketches merge by
+    plain addition, and mean/variance come out of the merged moments —
+    the algebra that makes distributed statistics possible at all
+    (Spark's partial aggregation does this implicitly; this row shows
+    the sketch as DATA you could persist per partition/day and re-merge
+    under any regrouping, the same property `q_bitmap_distinct` shows
+    for distinct counts). Integer moments ⇒ merge order irrelevant,
+    bit-exact on both engines; the two divisions at emission are the
+    only doubles.
+
+    Scale: per-shard sketches are O(1) rows each; re-merging N sketches
+    is an N-row aggregate — recomputing statistics over a year from
+    daily sketches never touches the facts again."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    # Σx² in DECIMAL(38,0): bigint overflows at driver scale (cents² ~
+    # 2.5e15/row × 10⁶ rows — an overflow this operator hit live), and
+    # the exact decimal numerator n·Σx² − (Σx)² converts to the SAME
+    # double on both engines, so no cancellation-parity risk either.
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    shard = o.groupBy((F.col("o_orderkey") % 8).alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents.cast("decimal(38,0)") * cents).cast("decimal(38,0)").alias("s2"),
+    )
+    merged = shard.agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").cast("decimal(38,0)").alias("s2"),
+        F.count(F.lit(1)).alias("n_shards"),
+    )
+    num = (
+        F.col("n") * F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1")
+    ).cast("double")
+    return merged.select(
+        "n",
+        "n_shards",
+        r4(F.col("s1") / (F.col("n") * 100.0)).alias("mean"),
+        r4(num / (F.col("n").cast("double") * (F.col("n") - 1) * 10000.0)).alias(
+            "var_samp"
+        ),
+    )
