@@ -465,32 +465,36 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (overlap = _CHUNK_W - _CHUNK_S = 8 tokens)
 
+# Shared chunk-derivation CTEs for q_doc_chunks' oracle AND the RAG
+# retrieval oracle (which composes on the chunker's Spark plan) — one
+# source of truth for the cover formula, same anti-drift rule as
+# _COSUPPLY_EDGES_SQL.
+_CHUNKS_CTES = """toks0 AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), spans0 AS (
+      SELECT doc_id, lang, t, n,
+             CASE WHEN n <= {W} THEN 1
+                  ELSE CAST(CEIL((n - {W}) / {S}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks0
+    ), chunks AS (
+      SELECT doc_id, lang, gs AS chunk_id, n,
+             gs * {S} + 1 AS chunk_start,
+             list_slice(t, gs * {S} + 1, LEAST(gs * {S} + {W}, n)) AS ctoks
+      FROM spans0, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
+    )""".replace("{W}", str(_CHUNK_W)).replace("{S}", str(_CHUNK_S))
+
 
 @register(
     "q_doc_chunks",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, lang, string_split(text, ' ') AS t,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    ), spans AS (
-      SELECT doc_id, lang, t, n,
-             CASE WHEN n <= {_CHUNK_W} THEN 1
-                  ELSE CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1
-             END AS n_chunks
-      FROM toks
-    )
-    SELECT doc_id, lang,
-           gs AS chunk_id,
-           gs * {_CHUNK_S} + 1 AS chunk_start,
-           CAST(len(list_slice(t, gs * {_CHUNK_S} + 1,
-                               LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n))) AS BIGINT)
-             AS chunk_len,
-           array_to_string(
-             list_slice(t, gs * {_CHUNK_S} + 1,
-                        LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n)), ' ')
-             AS chunk_text
-    FROM spans, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
+    WITH {_CHUNKS_CTES}
+    SELECT doc_id, lang, chunk_id, chunk_start,
+           CAST(len(ctoks) AS BIGINT) AS chunk_len,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM chunks
     """,
     priority="P2",
     tags=("llm", "rag", "chunking"),
@@ -749,23 +753,7 @@ def q_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RAG_K1 = 1.2
 _RAG_B = 0.75
 
-_RAG_CHUNKS_SQL = f"""
-    toks0 AS (
-      SELECT doc_id, string_split(text, ' ') AS t,
-             len(string_split(text, ' ')) AS n
-      FROM documents
-    ), spans0 AS (
-      SELECT doc_id, t, n,
-             CASE WHEN n <= {_CHUNK_W} THEN 1
-                  ELSE CAST(CEIL((n - {_CHUNK_W}) / {_CHUNK_S}.0) AS BIGINT) + 1
-             END AS n_chunks
-      FROM toks0
-    ), chunks AS (
-      SELECT doc_id, gs AS chunk_id,
-             list_slice(t, gs * {_CHUNK_S} + 1,
-                        LEAST(gs * {_CHUNK_S} + {_CHUNK_W}, n)) AS ctoks
-      FROM spans0, UNNEST(generate_series(0, n_chunks - 1)) AS u(gs)
-    )"""
+_RAG_CHUNKS_SQL = _CHUNKS_CTES  # shared chunk derivation (see above)
 
 
 @register(
@@ -921,14 +909,17 @@ def q_split_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle the per-side user counts already need."""
     prep(spark)
     e = load(spark, sf_dir, "events")
-    # exact integer-microsecond cutoff (min + 80% of the span, *8 div 10)
-    # so both engines compare against the identical instant
-    mn = F.unix_micros(F.min("ts").cast("timestamp"))
-    mx = F.unix_micros(F.max("ts").cast("timestamp"))
-    cutoff = e.agg(
-        F.timestamp_micros(mn + ((mx - mn) * 8 / 10).cast("bigint"))
-        .cast("timestamp_ntz")
-        .alias("c")
+    # exact integer-microsecond cutoff (min + 80% of the span) via
+    # BIGINT `div` — double division would round past 2^53 µs spans and
+    # could disagree with the oracle's floor `//` at the boundary
+    bounds = e.agg(
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("mn"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"),
+    )
+    cutoff = bounds.select(
+        F.expr(
+            "CAST(timestamp_micros(mn + ((mx - mn) * 8) div 10) AS TIMESTAMP_NTZ)"
+        ).alias("c")
     )
     tagged = (
         e.select("user_id", "event_id", "ts")

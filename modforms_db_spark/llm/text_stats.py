@@ -150,10 +150,10 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_lang_id",
-    oracle="""
-    WITH t AS (
+# Shared by q_lang_id and q_eval_confusion (the eval composes on the
+# classifier's plan, so its oracle must share the classifier's CTEs —
+# same anti-drift rule as _COSUPPLY_EDGES_SQL / the chunker snippet).
+_LANG_ID_PREDS_CTES = """t AS (
       SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents
     ), tok_freq AS (
@@ -167,11 +167,19 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t.doc_id, tt.model_lang, COUNT(*) AS hits
       FROM t JOIN top_toks tt ON t.tok = tt.tok
       GROUP BY t.doc_id, tt.model_lang
-    )
-    SELECT doc_id, model_lang AS pred_lang FROM (
-      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, model_lang) AS rn
-      FROM hits
-    ) WHERE rn = 1
+    ), preds AS (
+      SELECT doc_id, model_lang AS pred_lang FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, model_lang) AS rn
+        FROM hits
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q_lang_id",
+    oracle=f"""
+    WITH {_LANG_ID_PREDS_CTES}
+    SELECT doc_id, pred_lang FROM preds
     """,
     priority="P2",
     tags=("llm", "text", "langid"),
@@ -1122,7 +1130,7 @@ _NB_ORACLE = f"""
     ), vocab AS (
       SELECT COUNT(DISTINCT tok) AS v FROM tf
     ), priors AS (
-      SELECT lang, COUNT(DISTINCT doc_id) AS nd FROM tok GROUP BY lang
+      SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang
     ), nd_all AS (
       SELECT CAST(SUM(nd) AS BIGINT) AS total FROM priors
     ), scores AS (
@@ -1182,7 +1190,9 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     totals = tf.groupBy("lang").agg(F.sum("n").alias("nt"))
     vocab = tf.agg(F.count_distinct("tok").alias("v"))
-    priors = tok.groupBy("lang").agg(F.count_distinct("doc_id").alias("nd"))
+    # priors from the doc-grain table directly — a tok-based
+    # count_distinct would re-explode the whole corpus a third time
+    priors = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
     nd_all = priors.agg(F.sum("nd").alias("total"))
     m = totals.withColumnRenamed("lang", "model_lang")
     tfm = tf.select(
@@ -1222,26 +1232,7 @@ def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CONFUSION_ORACLE = f"""
-    WITH t AS (
-      SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS tok
-      FROM documents
-    ), tok_freq AS (
-      SELECT lang, tok, COUNT(*) AS df FROM t GROUP BY lang, tok
-    ), top_toks AS (
-      SELECT lang AS model_lang, tok FROM (
-        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY df DESC, tok) AS rn
-        FROM tok_freq
-      ) WHERE rn <= 20
-    ), hits AS (
-      SELECT t.doc_id, tt.model_lang, COUNT(*) AS hits
-      FROM t JOIN top_toks tt ON t.tok = tt.tok
-      GROUP BY t.doc_id, tt.model_lang
-    ), preds AS (
-      SELECT doc_id, model_lang AS pred_lang FROM (
-        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, model_lang) AS rn
-        FROM hits
-      ) WHERE rn = 1
-    ), joined AS (
+    WITH {_LANG_ID_PREDS_CTES}, joined AS (
       SELECT d.lang AS true_lang, p.pred_lang
       FROM documents d JOIN preds p USING (doc_id)
     ), cells AS (

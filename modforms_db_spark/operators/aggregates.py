@@ -1605,11 +1605,11 @@ def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS n
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1
-    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM crossed)
+    )
     SELECT CASE WHEN n >= 100 THEN cross_key ELSE 'OTHER' END AS feature,
            CAST(SUM(n) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_raw_keys
-    FROM crossed CROSS JOIN tot
+    FROM crossed
     GROUP BY 1
     """,
     priority="P2",

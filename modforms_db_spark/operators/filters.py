@@ -314,10 +314,13 @@ def q_subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per quantified subquery would re-read orders once each).
     low = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
     urg = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    # counts are ROW counts per class (count over a when(cond, 1)), not
+    # non-NULL price counts — with NULL prices in a class the two differ
+    # and the empty-set laws would fire wrongly
     ext = o.agg(
-        F.count(low).alias("n_low"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", F.lit(1))).alias("n_low"),
         F.max(low).alias("max_low"),
-        F.count(urg).alias("n_urg"),
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))).alias("n_urg"),
         F.min(urg).alias("min_urg"),
     )
     gt_all = (F.col("n_low") == 0) | (F.col("o_totalprice") > F.col("max_low"))

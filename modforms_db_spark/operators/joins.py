@@ -786,6 +786,8 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "dist", F.levenshtein("nm_a", "nm_b", 2).cast("bigint")
     )
-    return joined.where((F.col("dist") >= 0) & (F.col("dist") <= 2)).select(
+    # dist >= 0 is the whole condition: the bounded form returns -1 past
+    # the threshold and never a value above it
+    return joined.where(F.col("dist") >= 0).select(
         "s_suppkey", "c_custkey", "dist"
     )

@@ -11,6 +11,8 @@ number of CHECKS, not rows, so the report is free to collect anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -380,7 +382,7 @@ def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
 _BENFORD_SQL = " UNION ALL ".join(
     f"SELECT {d} AS digit, {p!r} AS expected" for d, p in _BENFORD.items()
 )
@@ -430,7 +432,11 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    counts = (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # total + the expected join both read it
+    )
     expected = counts.sparkSession.createDataFrame(
         [(d, p) for d, p in _BENFORD.items()], "digit INT, expected DOUBLE"
     )

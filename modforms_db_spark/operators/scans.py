@@ -297,6 +297,7 @@ def q_partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.spark_partition_id().alias("pid"))
         .groupBy("pid")
         .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)  # total + output both read the 16 rows
     )
     tot = parts.agg(F.sum("n_rows").alias("total"))
     return (

@@ -1749,7 +1749,8 @@ def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     cells = e.groupBy(
         F.dayofweek("ts").alias("dow"), F.hour("ts").cast("int").alias("hod")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    # ^ total + output both read the cells — single fact pass
     tot = cells.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_cells"))
     return cells.crossJoin(F.broadcast(tot)).select(
         "dow",
