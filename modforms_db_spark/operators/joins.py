@@ -791,3 +791,88 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.where(F.col("dist") >= 0).select(
         "s_suppkey", "c_custkey", "dist"
     )
+
+
+@register(
+    "q_entity_clusters",
+    oracle="""
+    WITH RECURSIVE a AS (
+      SELECT s_suppkey, lower(s_name) AS nm, length(s_name) AS ln FROM supplier
+    ), b AS (
+      SELECT c_custkey, lower(c_name) AS nm, length(c_name) AS ln FROM customer
+    ), pairs AS (
+      SELECT a.s_suppkey * 2 AS d1, b.c_custkey * 2 + 1 AS d2
+      FROM a JOIN b
+        ON ABS(a.ln - b.ln) <= 2
+       AND substring(a.nm, 1, 4) = substring(b.nm, 1, 4)
+       AND levenshtein(a.nm, b.nm) <= 2
+    ), sym AS (
+      SELECT d1 AS v, d2 AS nbr FROM pairs UNION SELECT d2, d1 FROM pairs
+    ), lp AS (
+      SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM sym)
+      UNION ALL
+      SELECT s.nbr AS v, lp.lbl
+      FROM lp JOIN sym s ON lp.v = s.v
+      WHERE lp.lbl < s.nbr
+    ), labels AS (
+      SELECT v, MIN(lbl) AS component FROM lp GROUP BY v
+    )
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_entities,
+           CAST(SUM(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
+           CAST(SUM(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers
+    FROM labels GROUP BY component
+    HAVING COUNT(*) > 1
+    """,
+    priority="P2",
+    tags=("join", "entity-resolution", "components"),
+)
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution CLUSTERS: the blocked fuzzy name join
+    (`q_fuzzy_name_join`'s exact blocking + distance) feeds the
+    large-star/small-star connected-components engine
+    (`llm.dedup.connected_components` — the same component core the
+    fuzzy-dedup pipeline uses), giving multi-record identity groups
+    across BOTH tables (supplier/customer ids disambiguated by
+    even/odd encoding) with per-side member counts — the full
+    record-linkage pipeline (block → match → cluster) composed from
+    two registered primitives. Oracle walks the same clusters with a
+    recursive min-label propagation.
+
+    Scale: pair generation is the blocked join (block-selectivity
+    bound); clustering is O(log n) star rounds over the PAIR graph —
+    orders of magnitude smaller than either table. The compose-don't-
+    materialize shape is the point: no intermediate table lands
+    between match and cluster."""
+    prep(spark)
+    from modforms_db_spark.llm.dedup import connected_components
+
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.lower("s_name").alias("nm_a"), F.length("s_name").alias("ln_a")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower("c_name").alias("nm_b"), F.length("c_name").alias("ln_b")
+    )
+    pairs = (
+        s.join(
+            c,
+            (F.substring("nm_a", 1, 4) == F.substring("nm_b", 1, 4))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein("nm_a", "nm_b", 2))
+        .where(F.col("dist") >= 0)
+        .select(
+            (F.col("s_suppkey") * 2).alias("d1"),
+            (F.col("c_custkey") * 2 + 1).alias("d2"),
+        )
+    )
+    labels, _rounds = connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_suppliers"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_customers"),
+        )
+        .where(F.col("n_entities") > 1)
+    )
