@@ -67,6 +67,14 @@ class QueryDef:
     headline: bool = False  # included in bench.py's timed set
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    module: str = ""  # defining module (captured at registration)
+
+    @property
+    def family(self) -> str:
+        """Top-level subpackage ("operators", "llm", ...) — the grain the
+        verification rotation balances tier-0 debt across."""
+        parts = self.module.split(".")
+        return parts[1] if len(parts) > 1 else self.module
 
 
 def register(
@@ -88,6 +96,7 @@ def register(
             headline=headline,
             doc=doc or (fn.__doc__ or "").strip().splitlines()[0] if (doc or fn.__doc__) else "",
             tags=tags,
+            module=fn.__module__,
         )
         return fn
 
@@ -112,11 +121,27 @@ def _load_all() -> None:
 # as a deterministic verification-rotation schedule derived from the
 # repo's recorded driver artifacts (CORRECTNESS_r*.json):
 #
-#   tier 0  never sampled, or latest sample errored / hash-mismatched
-#           (registration order) — fresh operators and regressions first;
+#   tier 0  never sampled, or latest sample errored / hash-mismatched —
+#           fresh operators and regressions first.  WITHIN tier 0, names
+#           are ordered by FAMILY VERIFICATION DEBT: the top-level
+#           subpackage ("llm", "operators", "functions", ...) with the
+#           most never-sampled names goes first (then registration order
+#           within a family).  Plain registration order starved whole
+#           families — modules imported last (the llm/ dedup/similarity/
+#           text/multimodal/curation family, 82 names) never reached the
+#           driver's ~50-name window in three rounds because every
+#           addition to an earlier module jumped the queue (VERDICT r3
+#           item 1).  Largest-debt-first drains the biggest blind spot
+#           first and is self-correcting: once sampled, names leave
+#           tier 0 and the next-largest family leads.
 #   tier 1  latest sample was an error-free ROWS-ONLY run (oldest round
 #           first) — a weak signal, deliberately NOT treated as verified:
-#           these rotate back into the window ahead of hash-verified names;
+#           these rotate back into the window ahead of hash-verified names.
+#           Includes rows-only-BY-DESIGN names (driver records
+#           err="no_oracle" with a live row count): that IS the strongest
+#           signal such a name can ever earn, so it must not pin the name
+#           to tier 0 where it burns one sample slot per round re-recording
+#           the same row (VERDICT r3 item 2).
 #   tier 2  latest sample HASH-MATCHED (oldest round first) — once tiers
 #           0-1 drain, the earliest-verified names re-enter the window, so
 #           a later regression cannot permanently evade re-verification.
@@ -131,14 +156,20 @@ _SIG_HASH = 2
 
 def _row_signal(row: dict) -> int | None:
     """Signal strength of one driver CORRECTNESS row: ``_SIG_HASH`` for a
-    hash match, ``_SIG_ROWS`` for an error-free rows-only run, ``None``
-    for errors of any kind (including the retired ``no_oracle``) and hash
-    mismatches — those send the name back to tier 0."""
+    hash match, ``_SIG_ROWS`` for an error-free rows-only run — including
+    the ``err="no_oracle"``-with-rows shape the driver records for
+    rows-only-by-design names (no oracle exists, so this is the best
+    signal they can earn; tier 0 would re-sample them forever) — and
+    ``None`` for true errors and hash mismatches, which send the name
+    back to tier 0."""
     if row.get("hash_match") is True:
         return _SIG_HASH
     if row.get("hash_match") is False:
         return None
-    if row.get("err") is None and row.get("rows_match") is not False:
+    err = row.get("err")
+    if err is None and row.get("rows_match") is not False:
+        return _SIG_ROWS
+    if err == "no_oracle" and (row.get("spark_rows") or 0) > 0:
         return _SIG_ROWS
     return None
 
@@ -175,11 +206,33 @@ def _ordered_names(root: str | None = None) -> list[str]:
     signals = _driver_signals(root)
     names = list(REGISTRY)
     reg_pos = {n: i for i, n in enumerate(names)}
-    # (strength asc, round asc, registration order) — tier 0 has no entry
-    # in ``signals`` and sorts first via strength 0.
+    # Family verification debt: count of tier-0 (never-sampled / failed)
+    # names per top-level subpackage.  Largest debt leads tier 0; ties
+    # break on the family's earliest-registered member so the order is
+    # fully deterministic.
+    debt: dict[str, int] = {}
+    first_pos: dict[str, int] = {}
+    for n in names:
+        if n not in signals:
+            fam = REGISTRY[n].family
+            debt[fam] = debt.get(fam, 0) + 1
+            first_pos.setdefault(fam, reg_pos[n])
+    fam_rank = {
+        fam: i
+        for i, fam in enumerate(
+            sorted(debt, key=lambda f: (-debt[f], first_pos[f]))
+        )
+    }
+    # (strength asc, round asc, family-debt rank, registration order) —
+    # tier 0 has no entry in ``signals`` and sorts first via strength 0;
+    # the family rank is 0 for tiers 1-2 so their order is unchanged.
     return sorted(
         names,
-        key=lambda n: (*signals.get(n, (0, 0)), reg_pos[n]),
+        key=lambda n: (
+            *signals.get(n, (0, 0)),
+            fam_rank[REGISTRY[n].family] if n not in signals else 0,
+            reg_pos[n],
+        ),
     )
 
 

@@ -155,15 +155,21 @@ def test_driver_row_signal_classification():
                "spark_rows": 5, "oracle_rows": 5, "err": None}
     rows_only = {"rows_match": None, "schema_match": None, "hash_match": None,
                  "spark_rows": 5, "oracle_rows": None, "err": None}
-    no_oracle = {"rows_match": None, "schema_match": None, "hash_match": None,
-                 "spark_rows": 1, "oracle_rows": None, "err": "no_oracle"}
+    no_oracle_ran = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": 16, "oracle_rows": None, "err": "no_oracle"}
+    no_oracle_empty = {"rows_match": None, "schema_match": None, "hash_match": None,
+                       "spark_rows": 0, "oracle_rows": None, "err": "no_oracle"}
     mismatch = {"rows_match": True, "schema_match": True, "hash_match": False,
                 "spark_rows": 5, "oracle_rows": 5, "err": None}
     crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": "AnalysisException"}
     assert _row_signal(ok_hash) == _SIG_HASH
     assert _row_signal(rows_only) == _SIG_ROWS
-    assert _row_signal(no_oracle) is None
+    # rows-only-BY-DESIGN: no_oracle + a live row count is the best signal
+    # such a name can earn — tier 1, not tier 0 (it must stop burning one
+    # driver sample slot per round).
+    assert _row_signal(no_oracle_ran) == _SIG_ROWS
+    assert _row_signal(no_oracle_empty) is None
     assert _row_signal(mismatch) is None
     assert _row_signal(crashed) is None
 
@@ -213,6 +219,37 @@ def test_driver_window_rotation_order():
     # Tier 0 (never sampled / failed) must lead while any remains.
     n_tier0 = sum(1 for k in keys if k[0] == 0)
     assert all(k[0] == 0 for k in keys[:n_tier0])
+
+
+def test_driver_window_family_debt_order():
+    """Within tier 0, families with more never-sampled names must come
+    first (largest verification debt drains first), contiguously, and in
+    registration order within each family — the fix for the llm/ family
+    starving behind module import order for three rounds."""
+    from modforms_db_spark.registry import _driver_signals, get_queries, get_registry
+
+    signals = _driver_signals()
+    reg = get_registry()
+    tier0 = [n for n in get_queries() if n not in signals]
+    if not tier0:
+        return  # rotation fully drained — nothing to order
+    # Contiguous family blocks, ordered by descending debt.
+    blocks: list[tuple[str, int]] = []
+    for n in tier0:
+        fam = reg[n].family
+        if blocks and blocks[-1][0] == fam:
+            blocks[-1] = (fam, blocks[-1][1] + 1)
+        else:
+            blocks.append((fam, 1))
+    fams = [f for f, _ in blocks]
+    assert len(fams) == len(set(fams)), f"family split across blocks: {blocks}"
+    counts = [c for _, c in blocks]
+    assert counts == sorted(counts, reverse=True), blocks
+    # Registration order preserved within each family.
+    reg_pos = {n: i for i, n in enumerate(reg)}
+    for fam in fams:
+        members = [reg_pos[n] for n in tier0 if reg[n].family == fam]
+        assert members == sorted(members), fam
 
 
 def test_survey_inventory_matches_registry():
