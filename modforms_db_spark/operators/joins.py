@@ -731,86 +731,162 @@ def q_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_fuzzy_name_join",
-    oracle="""
-    WITH a AS (
-      SELECT s_suppkey, lower(s_name) AS nm, length(s_name) AS ln FROM supplier
-    ), b AS (
-      SELECT c_custkey, lower(c_name) AS nm, length(c_name) AS ln FROM customer
+# Deterministic "dirty registry" for record linkage: two source systems
+# derived from supplier names by injected typos.  The shipped data has no
+# naturally fuzzy-matchable table pair (supplier names are 'Supplier#N',
+# customer names 'Customer#N' — no cross-table edit-distance-2 pair can
+# exist), so the dirty side is SYNTHESIZED in-query by deterministic
+# perturbation — the same discipline q_table_diff / q_impute_mean use —
+# which makes the blocking + residual-distance machinery actually
+# exercise on real candidate pairs instead of passing vacuously on an
+# empty join (round-3 ADVICE item 1).
+#
+#   crm (all suppliers):        k%3==0 name unchanged        (dist 0)
+#                               k%3==1 one 'p' deleted       (dist 1)
+#                               k%3==2 '#' -> ' '            (dist 1)
+#   erp (suppliers, k%5 != 0):  k%2==0 'l' -> '1'            (dist 1)
+#                               k%2==1 '.' prepended         (dist 1)
+#
+# All edits hit the name's PREFIX, never its digit tail — so the last-4-
+# chars blocking key below is robust to them by construction (the point
+# of choosing a stable blocking key in real linkage: block on the field
+# fragment your noise model does not touch).
+_DIRTY_CRM_SQL = """
+      SELECT k, 'crm' AS src,
+             CASE k % 3
+               WHEN 0 THEN nm
+               WHEN 1 THEN substring(nm, 1, 3) || substring(nm, 5)
+               ELSE replace(nm, '#', ' ')
+             END AS nm
+      FROM m
+"""
+_DIRTY_ERP_SQL = """
+      SELECT k, 'erp' AS src,
+             CASE k % 2
+               WHEN 0 THEN substring(nm, 1, 4) || '1' || substring(nm, 6)
+               ELSE '.' || nm
+             END AS nm
+      FROM m WHERE k % 5 <> 0
+"""
+_FUZZY_PAIRS_SQL = f"""
+    m AS (
+      SELECT s_suppkey AS k, lower(s_name) AS nm FROM supplier
+    ), dirty AS (
+      {_DIRTY_CRM_SQL}
+      UNION ALL
+      {_DIRTY_ERP_SQL}
+    ), pairs AS (
+      SELECT m.k AS s_suppkey, d.src, d.k AS rec_key,
+             CAST(levenshtein(m.nm, d.nm) AS BIGINT) AS dist
+      FROM m JOIN dirty d
+        ON right(m.nm, 4) = right(d.nm, 4)
+       AND ABS(length(m.nm) - length(d.nm)) <= 2
+      WHERE levenshtein(m.nm, d.nm) <= 2
     )
-    SELECT a.s_suppkey, b.c_custkey,
-           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
-    FROM a JOIN b
-      ON ABS(a.ln - b.ln) <= 2
-     AND substring(a.nm, 1, 4) = substring(b.nm, 1, 4)
-     AND levenshtein(a.nm, b.nm) <= 2
-    """,
-    priority="P2",
-    tags=("join", "fuzzy", "blocking"),
-)
-def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy entity-resolution join (edit distance ≤ 2 between supplier
-    and customer names) with BLOCKING: candidates must share a 4-char
-    lowercase prefix and have lengths within 2 before Levenshtein runs
-    — the record-linkage discipline that turns an O(|A|·|B|) distance
-    matrix into equi-join buckets plus a cheap residual. Both blocking
-    predicates are JOIN KEYS Catalyst hashes on; only the distance is
-    a residual filter.
+"""
 
-    Scale: cost = Σ_blocks |a_block|·|b_block| — governed by the
-    blocking key's selectivity, the knob you tune (longer prefix,
-    phonetic key, or q-gram LSH) as data grows. Levenshtein's ≤2 bound
-    also admits the banded O(n·k) DP rather than full O(n²) per pair
-    (Spark's builtin takes the threshold argument for exactly this)."""
-    prep(spark)
-    s = load(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        F.lower("s_name").alias("nm_a"),
-        F.length("s_name").alias("ln_a"),
+
+def _fuzzy_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(master, dirty) sides of the linkage, Spark mirror of
+    ``_FUZZY_PAIRS_SQL``'s ``m`` / ``dirty`` CTEs."""
+    m = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.lower("s_name").alias("nm")
     )
-    c = load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.lower("c_name").alias("nm_b"),
-        F.length("c_name").alias("ln_b"),
+    crm = m.select(
+        "k",
+        F.lit("crm").alias("src"),
+        F.when(F.col("k") % 3 == 0, F.col("nm"))
+        .when(
+            F.col("k") % 3 == 1,
+            F.concat(F.substring("nm", 1, 3), F.expr("substring(nm, 5)")),
+        )
+        .otherwise(F.replace(F.col("nm"), F.lit("#"), F.lit(" ")))
+        .alias("nm"),
+    )
+    erp = m.where(F.col("k") % 5 != 0).select(
+        "k",
+        F.lit("erp").alias("src"),
+        F.when(
+            F.col("k") % 2 == 0,
+            F.concat(F.substring("nm", 1, 4), F.lit("1"), F.expr("substring(nm, 6)")),
+        )
+        .otherwise(F.concat(F.lit("."), F.col("nm")))
+        .alias("nm"),
+    )
+    return m, crm.unionAll(erp)
+
+
+def _fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, dirty = _fuzzy_sides(spark, sf_dir)
+    a = m.select("k", F.col("nm").alias("nm_a"), F.length("nm").alias("ln_a"))
+    b = dirty.select(
+        F.col("k").alias("rec_key"),
+        "src",
+        F.col("nm").alias("nm_b"),
+        F.length("nm").alias("ln_b"),
     )
     # Join ONLY on the hashable blocking keys; compute the distance once
     # in the projection (bounded 3-arg form: banded O(n·k) DP, returns -1
     # past the threshold) and filter on it — Catalyst does not CSE between
     # a join residual and a post-join projection, so putting levenshtein
     # in both would run the DP twice per candidate pair.
-    joined = s.join(
-        c,
-        (F.substring("nm_a", 1, 4) == F.substring("nm_b", 1, 4))
+    joined = a.join(
+        b,
+        (F.expr("right(nm_a, 4)") == F.expr("right(nm_b, 4)"))
         & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2),
-    ).withColumn(
-        "dist", F.levenshtein("nm_a", "nm_b", 2).cast("bigint")
-    )
+    ).withColumn("dist", F.levenshtein("nm_a", "nm_b", 2).cast("bigint"))
     # dist >= 0 is the whole condition: the bounded form returns -1 past
     # the threshold and never a value above it
     return joined.where(F.col("dist") >= 0).select(
-        "s_suppkey", "c_custkey", "dist"
+        F.col("k").alias("s_suppkey"), "src", "rec_key", "dist"
     )
 
 
 @register(
+    "q_fuzzy_name_join",
+    oracle=f"""
+    WITH {_FUZZY_PAIRS_SQL}
+    SELECT s_suppkey, src, rec_key, dist FROM pairs
+    """,
+    priority="P2",
+    tags=("join", "fuzzy", "blocking"),
+)
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join (edit distance ≤ 2) between the
+    supplier master registry and a two-source dirty registry
+    (deterministic typo injection — see ``_DIRTY_*_SQL``), with
+    BLOCKING: candidates must share the name's last 4 characters and
+    have lengths within 2 before Levenshtein runs — the record-linkage
+    discipline that turns an O(|A|·|B|) distance matrix into equi-join
+    buckets plus a cheap residual. Both blocking predicates are JOIN
+    KEYS Catalyst hashes on; only the distance is a residual filter,
+    and the blocking key (the digit tail) is chosen to be invariant
+    under the noise model (prefix typos) — the key-design step that
+    decides recall in real linkage.
+
+    Scale: cost = Σ_blocks |a_block|·|b_block| — governed by the
+    blocking key's selectivity, the knob you tune (longer suffix,
+    phonetic key, or q-gram LSH) as data grows. Levenshtein's ≤2 bound
+    also admits the banded O(n·k) DP rather than full O(n²) per pair
+    (Spark's builtin takes the threshold argument for exactly this)."""
+    prep(spark)
+    return _fuzzy_pairs(spark, sf_dir)
+
+
+@register(
     "q_entity_clusters",
-    oracle="""
-    WITH RECURSIVE a AS (
-      SELECT s_suppkey, lower(s_name) AS nm, length(s_name) AS ln FROM supplier
-    ), b AS (
-      SELECT c_custkey, lower(c_name) AS nm, length(c_name) AS ln FROM customer
-    ), pairs AS (
-      SELECT a.s_suppkey * 2 AS d1, b.c_custkey * 2 + 1 AS d2
-      FROM a JOIN b
-        ON ABS(a.ln - b.ln) <= 2
-       AND substring(a.nm, 1, 4) = substring(b.nm, 1, 4)
-       AND levenshtein(a.nm, b.nm) <= 2
+    oracle=f"""
+    WITH RECURSIVE {_FUZZY_PAIRS_SQL},
+    edges AS (
+      SELECT s_suppkey * 4 AS d1,
+             CASE WHEN src = 'crm' THEN rec_key * 4 + 1
+                  ELSE rec_key * 4 + 3 END AS d2
+      FROM pairs
     ), sym AS (
-      SELECT d1 AS v, d2 AS nbr FROM pairs UNION SELECT d2, d1 FROM pairs
+      SELECT d1 AS v, d2 AS nbr FROM edges UNION SELECT d2, d1 FROM edges
     ), lp AS (
       SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM sym)
-      UNION ALL
+      UNION
       SELECT s.nbr AS v, lp.lbl
       FROM lp JOIN sym s ON lp.v = s.v
       WHERE lp.lbl < s.nbr
@@ -819,8 +895,8 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT component,
            CAST(COUNT(*) AS BIGINT) AS n_entities,
-           CAST(SUM(CASE WHEN v % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers,
-           CAST(SUM(CASE WHEN v % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers
+           CAST(SUM(CASE WHEN v % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_master,
+           CAST(SUM(CASE WHEN v % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
     FROM labels GROUP BY component
     HAVING COUNT(*) > 1
     """,
@@ -829,15 +905,21 @@ def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution CLUSTERS: the blocked fuzzy name join
-    (`q_fuzzy_name_join`'s exact blocking + distance) feeds the
+    (`q_fuzzy_name_join`'s exact blocking + distance over the
+    synthesized two-source dirty registry) feeds the
     large-star/small-star connected-components engine
     (`llm.dedup.connected_components` — the same component core the
     fuzzy-dedup pipeline uses), giving multi-record identity groups
-    across BOTH tables (supplier/customer ids disambiguated by
-    even/odd encoding) with per-side member counts — the full
+    across master + both dirty sources (ids disambiguated mod 4: master
+    4k, crm 4k+1, erp 4k+3) with per-side member counts — the full
     record-linkage pipeline (block → match → cluster) composed from
     two registered primitives. Oracle walks the same clusters with a
-    recursive min-label propagation.
+    recursive min-label propagation whose recursive term uses UNION
+    (not UNION ALL): the recursive working table is deduped against
+    prior rows, which is what guarantees termination on cyclic match
+    graphs — with UNION ALL, a dirty record matching two masters forms
+    a 4-cycle that re-emits the same (node, label) rows forever
+    (round-3 ADVICE item 2; termination pinned by a test).
 
     Scale: pair generation is the blocked join (block-selectivity
     bound); clustering is O(log n) star rounds over the PAIR graph —
@@ -847,32 +929,19 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from modforms_db_spark.llm.dedup import connected_components
 
-    s = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", F.lower("s_name").alias("nm_a"), F.length("s_name").alias("ln_a")
+    edges = _fuzzy_pairs(spark, sf_dir).select(
+        (F.col("s_suppkey") * 4).alias("d1"),
+        F.when(F.col("src") == "crm", F.col("rec_key") * 4 + 1)
+        .otherwise(F.col("rec_key") * 4 + 3)
+        .alias("d2"),
     )
-    c = load(spark, sf_dir, "customer").select(
-        "c_custkey", F.lower("c_name").alias("nm_b"), F.length("c_name").alias("ln_b")
-    )
-    pairs = (
-        s.join(
-            c,
-            (F.substring("nm_a", 1, 4) == F.substring("nm_b", 1, 4))
-            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= 2),
-        )
-        .withColumn("dist", F.levenshtein("nm_a", "nm_b", 2))
-        .where(F.col("dist") >= 0)
-        .select(
-            (F.col("s_suppkey") * 2).alias("d1"),
-            (F.col("c_custkey") * 2 + 1).alias("d2"),
-        )
-    )
-    labels, _rounds = connected_components(pairs)
+    labels, _rounds = connected_components(edges)
     return (
         labels.groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("n_entities"),
-            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_suppliers"),
-            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_customers"),
+            F.sum((F.col("doc_id") % 4 == 0).cast("long")).alias("n_master"),
+            F.sum((F.col("doc_id") % 4 != 0).cast("long")).alias("n_dirty"),
         )
         .where(F.col("n_entities") > 1)
     )

@@ -299,3 +299,68 @@ def test_partition_skew_report_laws(spark):
     total = load(spark, SF_DIR, "lineitem").count()
     assert sum(n for n, _ in rows.values()) == total
     assert abs(sum(s for _, s in rows.values()) - 1.0) < 0.01
+
+
+def test_fuzzy_name_join_nonvacuous(spark):
+    """The fuzzy linkage must produce candidate pairs on the shipped data
+    (round-3 ADVICE: the old supplier-vs-customer form was provably empty
+    — 'supp' vs 'cust' prefixes could never block together — so its
+    parity check passed vacuously). Laws: every supplier matches its own
+    crm record; dist is 0 only for k%3==0 crm records; all dists ≤ 2."""
+    from modforms_db_spark.io import load
+
+    out = get_registry()["q_fuzzy_name_join"].builder(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    n_supp = load(spark, SF_DIR, "supplier").count()
+    crm_self = out[(out.src == "crm") & (out.s_suppkey == out.rec_key)]
+    assert len(crm_self) == n_supp  # every master finds its crm twin
+    assert (out.dist <= 2).all() and (out.dist >= 0).all()
+    zero = out[out.dist == 0]
+    assert ((zero.src == "crm") & (zero.rec_key % 3 == 0)).all()
+
+
+def test_entity_clusters_nonvacuous(spark):
+    """Clusters exist and respect the construction: each has exactly one
+    master record, 1-2 dirty records, and erp members only for k%5 != 0."""
+    out = get_registry()["q_entity_clusters"].builder(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.n_master == 1).all()
+    assert out.n_dirty.between(1, 2).all()
+    assert (out.n_entities == out.n_master + out.n_dirty).all()
+    # component label is the master node id 4k -> k%5==0 masters lack erp
+    no_erp = out[(out.component // 4) % 5 == 0]
+    assert (no_erp.n_dirty == 1).all()
+
+
+def test_entity_clusters_oracle_terminates_on_cycles():
+    """The recursive min-label CTE must use UNION, not UNION ALL, in its
+    recursive term: UNION dedupes the working table against prior rows,
+    which is what guarantees termination on cyclic match graphs. This
+    pins the fix on the canonical record-linkage cycle — two masters
+    each matching the same two dirty records (a bipartite 4-cycle), the
+    exact shape that hung DuckDB under UNION ALL (round-3 ADVICE)."""
+    import duckdb
+
+    from modforms_db_spark.registry import get_registry
+
+    oracle = get_registry()["q_entity_clusters"].oracle
+    lp_body = oracle.split("), lp AS (")[1].split("), labels AS (")[0]
+    assert "UNION ALL" not in lp_body
+    assert "UNION" in lp_body
+    con = duckdb.connect()
+    # Bipartite 4-cycle: masters 0, 4 each match dirty records 1, 3.
+    res = con.execute("""
+        WITH RECURSIVE edges AS (
+          SELECT * FROM (VALUES (0, 1), (0, 3), (4, 1), (4, 3)) t(d1, d2)
+        ), sym AS (
+          SELECT d1 AS v, d2 AS nbr FROM edges UNION SELECT d2, d1 FROM edges
+        ), lp AS (
+          SELECT v, v AS lbl FROM (SELECT DISTINCT v FROM sym)
+          UNION
+          SELECT s.nbr AS v, lp.lbl
+          FROM lp JOIN sym s ON lp.v = s.v
+          WHERE lp.lbl < s.nbr
+        )
+        SELECT v, MIN(lbl) AS component FROM lp GROUP BY v ORDER BY v
+    """).fetchall()
+    assert res == [(0, 0), (1, 0), (3, 0), (4, 0)]
