@@ -504,17 +504,22 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="lang string, n_tokens bigint, n_chars bigint, max_tok_len int")
     class LangTokenSummary:
         def __init__(self):
-            self.seen = False  # distinguishes "no rows" from a NULL lang
+            # Count rows with non-NULL text, not just rows: the oracle's
+            # unnest(string_split(text, ' ')) yields NO rows for a NULL
+            # text, so a language whose texts are ALL NULL is absent from
+            # the oracle output entirely — emitting a (lang, 0, 0, 0)
+            # summary row for it would diverge (round-3 ADVICE item 3).
+            self.with_text = 0
             self.lang = None
             self.n = 0
             self.chars = 0
             self.longest = 0
 
         def eval(self, row):
-            self.seen = True
             self.lang = row["lang"]
             if row["text"] is None:
                 return  # NULL text has zero tokens (≡ unnest of NULL)
+            self.with_text += 1
             for t in row["text"].split(" "):
                 self.n += 1
                 self.chars += len(t)
@@ -522,7 +527,7 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     self.longest = len(t)
 
         def terminate(self):
-            if self.seen:
+            if self.with_text > 0:
                 yield (self.lang, self.n, self.chars, self.longest)
 
     spark.udtf.register("mfdb_lang_summary", LangTokenSummary)

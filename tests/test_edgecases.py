@@ -364,3 +364,30 @@ def test_entity_clusters_oracle_terminates_on_cycles():
         SELECT v, MIN(lbl) AS component FROM lp GROUP BY v ORDER BY v
     """).fetchall()
     assert res == [(0, 0), (1, 0), (3, 0), (4, 0)]
+
+
+def test_udtf_table_arg_all_null_text_lang_suppressed(spark, tmp_path):
+    """A language whose texts are ALL NULL must be absent from
+    q_udtf_table_arg's output (the oracle's unnest over NULL yields no
+    rows, so the lang never appears there) — while a lang mixing NULL
+    and real texts counts only the real ones (round-3 ADVICE item 3)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, None, "a bb", None],
+            "lang": ["xx", "xx", "yy", "yy"],
+            "source": ["t"] * 4,
+            "n_chars": [0, 0, 4, 0],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r.lang: r
+        for r in get_registry()["q_udtf_table_arg"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert "xx" not in out  # all-NULL lang suppressed, not (xx, 0, 0, 0)
+    assert out["yy"].n_tokens == 2 and out["yy"].n_chars == 3
+    assert out["yy"].max_tok_len == 2
