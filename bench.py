@@ -156,27 +156,34 @@ def main() -> None:
         reg[name].builder(spark, quad_dir).toPandas()
         quad_timings[name] = round(time.perf_counter() - t0, 4)
         gc.collect()
+    spark_cmp = round(sum(timings[n] for n in comparable), 4)
+    duck_cmp = round(sum(duck[n] for n in comparable), 4)
+    # Totals lead the line (BENCH_r03's capture was head-truncated and
+    # lost everything before the per-query dicts) AND are duplicated in
+    # a compact ``totals_tail`` as the LAST key — whichever end of the
+    # line survives a truncated capture carries all three numbers.
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "sf": sf,
+                "spark_comparable_total": spark_cmp,
+                "duckdb_comparable_total": duck_cmp,
+                "duckdb_total": round(sum(duck.values()), 4),
                 "queries": timings,
                 "duckdb_oracle": duck,
-                "duckdb_total": round(sum(duck.values()), 4),
-                "spark_comparable_total": round(
-                    sum(timings[n] for n in comparable), 4
-                ),
-                "duckdb_comparable_total": round(
-                    sum(duck[n] for n in comparable), 4
-                ),
                 "comparable_queries": comparable,
                 "write_path_queries": write_path,
                 "demo_overhead_queries": demo_overhead,
                 "quadratic_watch": quad_timings,
                 "quadratic_watch_sf_dir": quad_dir,
-                "sf": sf,
+                "totals_tail": {
+                    "headline_total": total,
+                    "spark_comparable_total": spark_cmp,
+                    "duckdb_comparable_total": duck_cmp,
+                },
             }
         )
     )

@@ -930,9 +930,7 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_quantile_bins",
-    oracle=f"""
+_QUANTILE_BINS_ORACLE = f"""
     WITH t AS (
       SELECT event_type, value, event_id,
              ntile(4) OVER (
@@ -945,7 +943,12 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
            {R4('MIN(value)')} AS lo,
            {R4('MAX(value)')} AS hi
     FROM t GROUP BY event_type, bin
-    """,
+    """
+
+
+@register(
+    "q_quantile_bins",
+    oracle=_QUANTILE_BINS_ORACLE,
     priority="P2",
     tags=("agg", "histogram", "quantile"),
 )
@@ -970,6 +973,52 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select("event_type", "value", "event_id")
         .withColumn("bin", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@register(
+    "q_quantile_bins_scaled",
+    oracle=_QUANTILE_BINS_ORACLE,
+    priority="P2",
+    tags=("agg", "histogram", "quantile", "banded", "scale-twin"),
+)
+def q_quantile_bins_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_quantile_bins`'s scale twin (same oracle, same result,
+    test-pinned): exact per-event_type quartiles WITHOUT serializing a
+    giant group through one ntile task. Rows get a banded per-group row
+    number in (value, event_id) order (`operators.banded` — the band is
+    a value-range slice WITHIN each event_type, so one hot group spreads
+    over 32 parallel tasks), then ntile(4) is recovered as pure integer
+    arithmetic over (row number, group count) — `ntile_from_rn` is
+    Spark's and DuckDB's shared tile-size definition, so the result is
+    exact, not approximate-cutpoint.
+
+    Scale: three narrow column-pruned passes over (event_type, value,
+    event_id) — group stats, banded window, band totals — each
+    parallel; the per-(group, band) offset window runs over ≤ 5×32
+    aggregate rows. At 100 TB that re-scan beats one-task ntile by the
+    width of the cluster."""
+    prep(spark)
+    from modforms_db_spark.operators.banded import ntile_from_rn, with_banded_order
+
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    ranked = with_banded_order(
+        e, "value", ["event_id"], group_cols=["event_type"], rn_name="rn"
+    )
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.join(F.broadcast(counts), "event_type")
+        .withColumn("bin", ntile_from_rn(F.col("rn"), F.col("_n"), 4))
         .groupBy("event_type", "bin")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1387,9 +1436,7 @@ def q_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_pareto_abc",
-    oracle=f"""
+_PARETO_ABC_ORACLE = f"""
     WITH rev AS (
       SELECT l_partkey, {R2('SUM(l_extendedprice * (1 - l_discount))')} AS r
       FROM lineitem GROUP BY l_partkey
@@ -1408,7 +1455,12 @@ def q_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT abc, COUNT(*) AS n_parts, {R2('SUM(r)')} AS revenue
     FROM classed GROUP BY abc
-    """,
+    """
+
+
+@register(
+    "q_pareto_abc",
+    oracle=_PARETO_ABC_ORACLE,
     priority="P2",
     tags=("agg", "pareto", "abc"),
 )
@@ -1439,6 +1491,64 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy()
     share_before = r4((F.sum("r").over(wc) - F.col("r")) / F.sum("r").over(wt))
     classed = rev.select(
+        "r",
+        F.when(share_before < 0.8, "A")
+        .when(share_before < 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"), r2(F.sum("r")).alias("revenue")
+    )
+
+
+@register(
+    "q_pareto_abc_scaled",
+    oracle=_PARETO_ABC_ORACLE,
+    priority="P2",
+    tags=("agg", "pareto", "abc", "banded", "scale-twin"),
+)
+def q_pareto_abc_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_pareto_abc`'s scale twin (same oracle, same result,
+    test-pinned): the cumulative-revenue sweep via a BANDED running sum
+    instead of one unpartitioned window (`operators.banded`), so the
+    part-grain table never serializes through a single task. Revenue is
+    carried as EXACT integer cents (r is already 2-dp-rounded, so
+    ``round(r*100)`` is lossless): per-band partial sums + band offsets
+    then compose associatively with no floating-point drift, and the
+    threshold ratio is one double division of exact integers, rounded
+    4dp before the compare like the contract row.
+
+    Scale: one partial-agg shuffle to part grain, banded window across
+    32 parallel tasks, 32-row offset prefix, broadcast scalar total —
+    no global sort anywhere."""
+    prep(spark)
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("r")
+    )
+    # Checkpoint the part-grain table: banding + offsets + the scalar
+    # total re-derive from this grain, never from the fact scan.
+    rev = rev.withColumn(
+        "cents", F.round(F.col("r") * 100).cast("bigint")
+    ).localCheckpoint(eager=False)
+    ranked = with_banded_order(
+        rev,
+        "cents",
+        ["l_partkey"],
+        descending=True,
+        cumsum_col="cents",
+        rn_name="rn",
+        cum_name="cum_cents",
+    )
+    tot_df = rev.groupBy().agg(F.sum("cents").alias("_tot_cents"))
+    share_before = r4(
+        (F.col("cum_cents") - F.col("cents")).cast("double")
+        / F.col("_tot_cents").cast("double")
+    )
+    classed = ranked.crossJoin(F.broadcast(tot_df)).select(
         "r",
         F.when(share_before < 0.8, "A")
         .when(share_before < 0.95, "B")

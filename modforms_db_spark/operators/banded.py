@@ -1,0 +1,127 @@
+"""Banded global ordering — distributed exact rank / cumulative sums.
+
+The scale-safe replacement for ``Window.orderBy(...)`` with no partition
+(a single-task global sort): band rows by VALUE RANGE, run the window
+per band in parallel, then shift each band by offsets computed on the
+band GRAIN (≤ ``n_bands`` rows per group — a trivially small window).
+
+Exactness argument: the band id is a monotone function of the leading
+order column (floor of an affine map; fp subtraction/multiplication by a
+positive constant are monotone, so v1 < v2 ⇒ band(v1) ≤ band(v2), and
+equal values share a band), hence every row of band i precedes every row
+of band i+1 in the target order and the per-band window + prefix offset
+reproduces the global window EXACTLY — unlike quantile-cut
+approximations, no boundary-tie caveat.  Equal-width bands trade skew
+resistance for declarativeness (no driver-side cutpoint collect, no
+extra pass); production layouts with skewed leading columns would feed
+GK-sketch cutpoints into the same shape.
+
+Cost: three passes over the input (min/max stats, the banded window,
+band totals) instead of one — at 100 TB those are narrow column-pruned
+scans, which beats materializing the whole table through one task by
+orders of magnitude.  Offsets and stats are band-/group-grain and joined
+back via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_BANDS = 32
+
+_BAND = "_mfdb_band"
+_RN_OFF = "_mfdb_rn_off"
+_CUM_OFF = "_mfdb_cum_off"
+
+
+def with_banded_order(
+    df: DataFrame,
+    order_col: str,
+    tiebreaks: list[str],
+    *,
+    descending: bool = False,
+    group_cols: list[str] | None = None,
+    cumsum_col: str | None = None,
+    rn_name: str = "rn",
+    cum_name: str = "cum",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Return ``df`` plus a global (per ``group_cols``) row number
+    ``rn_name`` in ``(order_col [DESC], *tiebreaks)`` order — and, when
+    ``cumsum_col`` is given, the running sum ``cum_name`` over that
+    order — computed with only band-partitioned windows.  ``order_col``
+    must be numeric and non-null; ``tiebreaks`` must make the full order
+    key unique within a group (so rank ≡ row_number)."""
+    g = list(group_cols or [])
+    v = F.col(order_col)
+
+    stats = df.groupBy(*g).agg(
+        F.min(order_col).alias("_mfdb_mn"), F.max(order_col).alias("_mfdb_mx")
+    )
+    d = df.join(F.broadcast(stats), g) if g else df.crossJoin(F.broadcast(stats))
+    span = F.col("_mfdb_mx") - F.col("_mfdb_mn")
+    frac = (F.col("_mfdb_mx") - v) if descending else (v - F.col("_mfdb_mn"))
+    band = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bands - 1),
+            F.floor(frac.cast("double") / span.cast("double") * n_bands),
+        )
+    )
+    d = d.withColumn(_BAND, band.cast("int")).drop("_mfdb_mn", "_mfdb_mx")
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)] + [
+        F.asc(t) for t in tiebreaks
+    ]
+    w_local = Window.partitionBy(*g, _BAND).orderBy(*order)
+    d = d.withColumn(rn_name, F.row_number().over(w_local).cast("bigint"))
+    aggs = [F.count(F.lit(1)).alias("_mfdb_bn")]
+    if cumsum_col is not None:
+        d = d.withColumn(
+            cum_name,
+            F.sum(cumsum_col).over(
+                w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        aggs.append(F.sum(cumsum_col).alias("_mfdb_bs"))
+
+    # Band-grain offsets: ≤ n_bands rows per group — the only
+    # "unpartitioned" window left runs over that tiny aggregate.
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy(_BAND)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = d.groupBy(*g, _BAND).agg(*aggs)
+    off_cols = [
+        F.coalesce(F.sum("_mfdb_bn").over(w_off), F.lit(0)).alias(_RN_OFF)
+    ]
+    if cumsum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("_mfdb_bs").over(w_off), F.lit(0)).alias(_CUM_OFF)
+        )
+    offs = offs.select(*g, _BAND, *off_cols)
+
+    d = d.join(F.broadcast(offs), [*g, _BAND])
+    d = d.withColumn(rn_name, F.col(rn_name) + F.col(_RN_OFF))
+    drop = [_BAND, _RN_OFF]
+    if cumsum_col is not None:
+        d = d.withColumn(cum_name, F.col(cum_name) + F.col(_CUM_OFF))
+        drop.append(_CUM_OFF)
+    return d.drop(*drop)
+
+
+def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` as a pure function of a 1-based row number ``rn``
+    and the partition size ``n`` (both bigint): the first ``n % k`` tiles
+    hold ``n div k + 1`` rows, the rest ``n div k`` — Spark's and
+    DuckDB's shared definition, which makes a distributed ntile just a
+    banded row number plus this arithmetic."""
+    base = (n / k).cast("bigint")  # n, k > 0: truncation == floor
+    rem = n % k
+    big = base + 1
+    in_big = rn <= rem * big
+    return (
+        F.when(in_big, ((rn - 1) / big).cast("bigint") + 1)
+        .otherwise(rem + ((rn - rem * big - 1) / base).cast("bigint") + 1)
+    )

@@ -1407,9 +1407,7 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_max_concurrency",
-    oracle="""
+_MAX_CONCURRENCY_ORACLE = """
     WITH iv AS (
       SELECT user_id, ts AS s, ts + INTERVAL 10 MINUTE AS e, event_id FROM events
     ), pts AS (
@@ -1424,7 +1422,12 @@ def q_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day, CAST(MAX(load) AS BIGINT) AS peak_concurrency
     FROM run GROUP BY day
-    """,
+    """
+
+
+@register(
+    "q_max_concurrency",
+    oracle=_MAX_CONCURRENCY_ORACLE,
     priority="P2",
     tags=("temporal", "interval", "concurrency"),
 )
@@ -1470,6 +1473,64 @@ def q_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return run.groupBy("day").agg(
         F.max("load").cast("bigint").alias("peak_concurrency")
+    )
+
+
+@register(
+    "q_max_concurrency_scaled",
+    oracle=_MAX_CONCURRENCY_ORACLE,
+    priority="P2",
+    tags=("temporal", "interval", "concurrency", "scale-twin"),
+)
+def q_max_concurrency_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_max_concurrency`'s scale twin (same oracle, same result,
+    test-pinned): the endpoint sweep range-partitioned BY DAY — which is
+    also the output grain, so slicing is free. Each day sweeps its own
+    endpoints in parallel (local running sum in (t, kind, event_id)
+    order); the opening load a day inherits from history is the prefix
+    sum of prior days' NET deltas, computed on the day-grain aggregate
+    (≤ a few thousand rows for decades of data — the only unpartitioned
+    window left). peak(day) = opening(day) + max(local running sum),
+    exactly the global sweep's value because every prior-day endpoint
+    sorts before every current-day endpoint in the global order.
+
+    Scale: one shuffle on day for the sliced window, one day-grain agg +
+    tiny prefix window, one broadcast join back — no single-task pass
+    over the endpoint stream."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    iv = e.select(
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("e"),
+        "event_id",
+    )
+    pts = iv.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "event_id", F.lit(0).alias("kind")
+    ).unionByName(
+        iv.select(
+            F.col("e").alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+            F.lit(1).alias("kind"),
+        )
+    ).withColumn("day", F.date_trunc("day", "t"))
+    w_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = pts.select("day", F.sum("delta").over(w_day).alias("local_load"))
+    per_day = local.groupBy("day").agg(F.max("local_load").alias("max_local"))
+    nets = pts.groupBy("day").agg(F.sum("delta").alias("net"))
+    w_open = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    opening = nets.select(
+        "day", F.coalesce(F.sum("net").over(w_open), F.lit(0)).alias("opening")
+    )
+    return per_day.join(F.broadcast(opening), "day").select(
+        "day",
+        (F.col("opening") + F.col("max_local")).cast("bigint").alias(
+            "peak_concurrency"
+        ),
     )
 
 

