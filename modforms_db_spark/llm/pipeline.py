@@ -119,26 +119,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Token array projected to a named column first — a split captured
     # inside the lambda would re-run per shingle (measured 15× slower at
-    # sf0.1; see _per_doc_bigram_counts note).
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.col("t"), i, _SHINGLE_N)
-                ),
-            )
-        ).alias("shingle"),
-    ).crossJoin(F.broadcast(split))
+    # sf0.1; see _per_doc_bigram_counts note). The split filter is
+    # applied BELOW the explode on each branch: filtering the exploded
+    # stream instead would shingle the whole corpus once per branch
+    # (Catalyst can't push a predicate through the generate when its
+    # threshold arrives via the crossJoin) — measured ~2× the explode
+    # work at sf0.1.
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .crossJoin(F.broadcast(split))
+    )
+
+    def shingles(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, _SHINGLE_N)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+
     eval_sh = (
-        sh.where(F.col("doc_id") >= F.col("eval_from"))
+        shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
         .select("shingle")
         .distinct()
     )
     return (
-        sh.where(F.col("doc_id") < F.col("eval_from"))
+        shingles(toks.where(F.col("doc_id") < F.col("eval_from")))
         .join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
