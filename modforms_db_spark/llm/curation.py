@@ -1004,3 +1004,183 @@ def q_sample_weighted_wor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("k"), "doc_id"))
     ).select("doc_id", "lang", "n_chars", "rk")
+
+
+_MIX_BUDGET = 333_333  # tokens; chosen so Hamilton remainders are nonzero
+_MIX_WEIGHTS = [("en", 500), ("de", 125), ("es", 125), ("fr", 125), ("zh", 125)]
+_MIX_WEIGHTS_SQL = ", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)
+
+
+@register(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES {_MIX_WEIGHTS_SQL}) t(lang, wpm)
+    ), quota AS (
+      SELECT a.lang, a.avail_tokens,
+             CAST(FLOOR({_MIX_BUDGET} * w.wpm / 1000.0) AS BIGINT) AS fl,
+             {_MIX_BUDGET} * w.wpm % 1000 AS rem
+      FROM avail a JOIN w ON a.lang = w.lang
+    ), short AS (
+      SELECT {_MIX_BUDGET} - SUM(fl) AS k FROM quota
+    ), ranked AS (
+      SELECT lang, avail_tokens, fl,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM quota
+    ), alloc AS (
+      SELECT lang, avail_tokens,
+             fl + CASE WHEN rk <= short.k THEN 1 ELSE 0 END AS target_tokens
+      FROM ranked CROSS JOIN short
+    )
+    SELECT lang, avail_tokens, target_tokens,
+           {R4('target_tokens * 1.0 / avail_tokens')} AS epochs,
+           target_tokens > avail_tokens AS oversampled
+    FROM alloc
+    """,
+    priority="P2",
+    tags=("llm", "curation", "mix", "allocation"),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix retargeting: split a token budget across languages
+    by TARGET weights (per-mille, a broadcast dim — the mix you WANT,
+    unlike `q_alloc_largest_remainder`'s availability-proportional
+    split), integerized with Hamilton largest-remainder so allocations
+    sum exactly to the budget, then report per language the EPOCH
+    factor (target / available) and whether the mix oversamples it
+    (epochs > 1 — the "how many passes over each domain" number every
+    pretraining data card publishes). All allocation arithmetic is
+    exact integers (budget × per-mille weights), so remainder ranking
+    cannot flip cross-engine.
+
+    Scale: one linear token count to lang grain; everything after
+    operates on the #langs-sized table (bounded window, broadcast
+    scalar shortfall)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    avail = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("avail_tokens"))
+    )
+    w = spark.createDataFrame(_MIX_WEIGHTS, "lang string, wpm int")
+    quota = avail.join(F.broadcast(w), "lang").select(
+        "lang",
+        "avail_tokens",
+        F.floor(F.lit(_MIX_BUDGET) * F.col("wpm") / 1000.0)
+        .cast("bigint")
+        .alias("fl"),
+        (F.lit(_MIX_BUDGET).cast("bigint") * F.col("wpm") % 1000).alias("rem"),
+    )
+    short = quota.agg((F.lit(_MIX_BUDGET) - F.sum("fl")).alias("k"))
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "lang"))
+    )
+    alloc = ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "avail_tokens",
+        (F.col("fl") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)).alias(
+            "target_tokens"
+        ),
+    )
+    return alloc.select(
+        "lang",
+        "avail_tokens",
+        "target_tokens",
+        r4(F.col("target_tokens") * 1.0 / F.col("avail_tokens")).alias("epochs"),
+        (F.col("target_tokens") > F.col("avail_tokens")).alias("oversampled"),
+    )
+
+
+_NEYMAN_N = 100  # audit-sample size to allocate across language strata
+
+
+@register(
+    "q_stratified_neyman",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+             {R4('stddev_pop(n_chars)')} AS sigma
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n_h, sigma,
+             CAST(ROUND(n_h * sigma * 10000) AS BIGINT) AS wgt
+      FROM s
+    ), tot AS (SELECT SUM(wgt) AS tw FROM w),
+    quota AS (
+      SELECT lang, n_h, sigma,
+             CAST(FLOOR({_NEYMAN_N} * wgt / tot.tw) AS BIGINT) AS fl,
+             {_NEYMAN_N} * wgt % tot.tw AS rem
+      FROM w CROSS JOIN tot
+    ), short AS (SELECT {_NEYMAN_N} - SUM(fl) AS k FROM quota),
+    ranked AS (
+      SELECT lang, n_h, sigma, fl,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM quota
+    ), alloc AS (
+      SELECT lang, n_h, sigma,
+             fl + CASE WHEN rk <= short.k THEN 1 ELSE 0 END AS alloc_neyman
+      FROM ranked CROSS JOIN short
+    )
+    SELECT lang, n_h, sigma, alloc_neyman,
+           CAST(LEAST(alloc_neyman, n_h) AS BIGINT) AS n_sampled,
+           alloc_neyman > n_h AS capped
+    FROM alloc
+    """,
+    priority="P2",
+    tags=("llm", "curation", "sampling", "allocation"),
+)
+def q_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman allocation of a quality-audit sample across language
+    strata: sample size per stratum ∝ N_h·σ_h (stratum size × length
+    variability) — the variance-optimal split for estimating a corpus
+    mean, vs `q_sample_stratified`'s fixed rates. Weights are quantized
+    to integer micro-units AFTER 4-dp-rounding σ (the house exact-
+    arithmetic rule), so the Hamilton largest-remainder integerization
+    ranks exact integers and cannot flip cross-engine; allocations
+    exceeding a stratum's population are capped (flagged, not silently
+    redistributed).
+
+    Scale: one partial-agg pass to lang grain (count + variance
+    moments); all allocation arithmetic on the #strata-sized table."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_h"),
+        r4(F.stddev_pop("n_chars")).alias("sigma"),
+    )
+    w = s.withColumn(
+        "wgt", F.round(F.col("n_h") * F.col("sigma") * 10000).cast("bigint")
+    )
+    tot = w.agg(F.sum("wgt").alias("tw"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "sigma",
+        F.floor(F.lit(_NEYMAN_N) * F.col("wgt") / F.col("tw"))
+        .cast("bigint")
+        .alias("fl"),
+        (F.lit(_NEYMAN_N).cast("bigint") * F.col("wgt") % F.col("tw")).alias("rem"),
+    )
+    short = quota.agg((F.lit(_NEYMAN_N) - F.sum("fl")).alias("k"))
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "lang"))
+    )
+    alloc = ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "n_h",
+        "sigma",
+        (F.col("fl") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)).alias(
+            "alloc_neyman"
+        ),
+    )
+    return alloc.select(
+        "lang",
+        "n_h",
+        "sigma",
+        "alloc_neyman",
+        F.least("alloc_neyman", "n_h").cast("bigint").alias("n_sampled"),
+        (F.col("alloc_neyman") > F.col("n_h")).alias("capped"),
+    )

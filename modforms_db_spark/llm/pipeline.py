@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
+from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -466,4 +468,99 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
         )
+    )
+
+
+@register(
+    "q_eval_leakage",
+    oracle=f"""
+    WITH split AS (
+      SELECT CAST(FLOOR({_EVAL_FRACTION} * (MAX(doc_id) + 1)) AS BIGINT) AS eval_from
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - {_SHINGLE_N - 1}),
+               i -> array_to_string(t[i:i+{_SHINGLE_N - 1}], ' '))) AS shingle
+      FROM toks CROSS JOIN split
+      WHERE len(t) >= {_SHINGLE_N}
+    ), ev AS (
+      SELECT DISTINCT doc_id, shingle FROM sh, split WHERE doc_id >= eval_from
+    ), tr AS (
+      SELECT DISTINCT shingle FROM sh, split WHERE doc_id < eval_from
+    ), own AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ev GROUP BY doc_id
+    ), hits AS (
+      SELECT ev.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM ev JOIN tr ON ev.shingle = tr.shingle
+      GROUP BY ev.doc_id
+    )
+    SELECT own.doc_id, own.n_shingles,
+           COALESCE(hits.n_hits, 0) AS n_hits,
+           {R4('COALESCE(hits.n_hits, 0) * 1.0 / own.n_shingles')} AS leak_ratio
+    FROM own LEFT JOIN hits ON own.doc_id = hits.doc_id
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "contamination"),
+)
+def q_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-integrity report — the flip side of `q_decontaminate`: for
+    every HELD-OUT doc, what fraction of its 5-token shingles also
+    appears anywhere in the training split (which benchmark items are
+    compromised and by how much, the number an eval card publishes —
+    vs decontaminate's training-side "which docs to drop").
+
+    Scale: join direction is the one that survives 100 TB — the eval
+    side is small by construction, so its (doc, shingle) index
+    BROADCASTS while the training shingle stream flows map-side into
+    the join (never a shuffle of the big side, plan-asserted for the
+    decontaminate twin); per-eval-doc distinct-hit counts partial-agg.
+    Training shingles are NOT pre-deduplicated — countDistinct after
+    the join absorbs duplicates without a corpus-wide distinct."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    split = d.agg(
+        F.floor(_EVAL_FRACTION * (F.max("doc_id") + 1))
+        .cast("bigint")
+        .alias("eval_from")
+    )
+    toks = (
+        d.select("doc_id", F.split("text", " ").alias("t"))
+        .crossJoin(F.broadcast(split))
+    )
+
+    def shingles(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("t"), i, _SHINGLE_N)
+                    ),
+                )
+            ).alias("shingle"),
+        )
+
+    ev = (
+        shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    own = ev.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    tr = shingles(toks.where(F.col("doc_id") < F.col("eval_from"))).select("shingle")
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").cast("bigint").alias("n_hits"))
+    )
+    return own.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        r4(F.coalesce("n_hits", F.lit(0)) * 1.0 / F.col("n_shingles")).alias(
+            "leak_ratio"
+        ),
     )

@@ -1387,3 +1387,80 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
     )
+
+
+@register(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM tok GROUP BY lang, tok
+    ), ranked AS (
+      SELECT lang, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+      FROM freq
+    ), pts AS (
+      SELECT lang, ln(rk) AS x, ln(n) AS y FROM ranked
+    ), s AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM pts GROUP BY lang
+    )
+    SELECT lang, n_types,
+           {R4('(n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)')} AS slope,
+           {R4('(sy - (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx) * sx) / n_types')} AS intercept
+    FROM s
+    """,
+    priority="P2",
+    tags=("llm", "text", "zipf", "banded"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: rank the vocabulary by frequency and
+    OLS-fit ln(freq) on ln(rank) — the slope (~−1 for natural text) is
+    the classic sanity check that a corpus hasn't degenerated into
+    boilerplate (too steep) or synthetic noise (too flat), and the
+    per-language comparison flags domains whose token distribution
+    diverges before they poison a training mix.
+
+    Scale: frequencies are one explode → partial-agg shuffle to (lang,
+    token) grain; the VOCABULARY rank uses `operators.banded`
+    (`with_banded_order` grouped by lang) — exact global row numbers
+    without serializing a web-scale vocabulary (10⁸+ types) through one
+    task, the same machinery as the `_scaled` twins. The OLS reduces to
+    five sums per language; the ln() points never materialize beyond
+    the agg."""
+    prep(spark)
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = with_banded_order(
+        freq, "n", ["tok"], descending=True, group_cols=["lang"], rn_name="rk"
+    )
+    pts = ranked.select(
+        "lang", F.log(F.col("rk")).alias("x"), F.log(F.col("n")).alias("y")
+    )
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "lang",
+        "n_types",
+        r4(slope).alias("slope"),
+        r4((F.col("sy") - slope * F.col("sx")) / F.col("n_types")).alias(
+            "intercept"
+        ),
+    )
