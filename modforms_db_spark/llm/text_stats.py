@@ -1434,7 +1434,9 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     from modforms_db_spark.operators.banded import with_banded_order
 
-    d = load(spark, sf_dir, "documents")
+    # spread(): the token explode must not inherit a few-split input's
+    # parallelism (see io.spread / §6 measured note).
+    d = spread(load(spark, sf_dir, "documents"))
     freq = (
         d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("lang", "tok")
