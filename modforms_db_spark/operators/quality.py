@@ -242,19 +242,30 @@ def q_stat_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted data-entry-error spikes for the IQR detector: every 211th
+# order is multiplied by 7 (~0.5% of rows, far past any Tukey fence).
+_IQR_SPIKE_MOD = 211
+_IQR_SPIKE_FACTOR = 7
+
+
 @register(
     "q_outlier_iqr",
     oracle=f"""
-    WITH q AS (
+    WITH spiked AS (
+      SELECT o_orderkey, o_orderpriority,
+             {R2(f"o_totalprice * CASE WHEN o_orderkey % {_IQR_SPIKE_MOD} = 0 "
+                 f"THEN {_IQR_SPIKE_FACTOR} ELSE 1 END")} AS amount
+      FROM orders
+    ), q AS (
       SELECT o_orderpriority,
-             {R4('quantile_cont(o_totalprice, 0.25)')} AS q1,
-             {R4('quantile_cont(o_totalprice, 0.75)')} AS q3
-      FROM orders GROUP BY o_orderpriority
+             {R4('quantile_cont(amount, 0.25)')} AS q1,
+             {R4('quantile_cont(amount, 0.75)')} AS q3
+      FROM spiked GROUP BY o_orderpriority
     )
-    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+    SELECT s.o_orderkey, s.o_orderpriority, s.amount,
            {R2('q.q3 + 1.5 * (q.q3 - q.q1)')} AS hi_fence
-    FROM orders o JOIN q USING (o_orderpriority)
-    WHERE o.o_totalprice > {R2('q.q3 + 1.5 * (q.q3 - q.q1)')}
+    FROM spiked s JOIN q USING (o_orderpriority)
+    WHERE s.amount > {R2('q.q3 + 1.5 * (q.q3 - q.q1)')}
     """,
     priority="P2",
     tags=("quality", "outlier", "iqr"),
@@ -267,22 +278,40 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     r4/r2-rounded before the comparison so the boundary can't flip
     between engines.
 
+    TPC-H's o_totalprice is thin-tailed by construction — Q3 + 1.5·IQR
+    sits above its maximum at every SF, so the raw column can never
+    produce an outlier and the parity check would pass vacuously on
+    empty==empty (the q_fuzzy_name_join lesson). The query therefore
+    PLANTS deterministic data-entry-error spikes (every
+    {_IQR_SPIKE_MOD}th order ×{_IQR_SPIKE_FACTOR}) and detects them —
+    known ground truth, so a test can assert every planted key is
+    caught and nothing unplanted is.
+
     Scale: exact quantiles per group need the per-group sort once; at
     100 TB swap `percentile` for the GK sketch
     (`q_agg_approx_percentile`'s path) — the fence join itself is a
     broadcast of #groups rows against the scan."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
-    q = o.groupBy("o_orderpriority").agg(
-        r4(F.percentile("o_totalprice", F.lit(0.25))).alias("q1"),
-        r4(F.percentile("o_totalprice", F.lit(0.75))).alias("q3"),
+    spiked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        r2(
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % _IQR_SPIKE_MOD == 0, _IQR_SPIKE_FACTOR)
+            .otherwise(1)
+        ).alias("amount"),
+    )
+    q = spiked.groupBy("o_orderpriority").agg(
+        r4(F.percentile("amount", F.lit(0.25))).alias("q1"),
+        r4(F.percentile("amount", F.lit(0.75))).alias("q3"),
     )
     fence = r2(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
     return (
-        o.join(F.broadcast(q), "o_orderpriority")
+        spiked.join(F.broadcast(q), "o_orderpriority")
         .withColumn("hi_fence", fence)
-        .where(F.col("o_totalprice") > F.col("hi_fence"))
-        .select("o_orderkey", "o_orderpriority", "o_totalprice", "hi_fence")
+        .where(F.col("amount") > F.col("hi_fence"))
+        .select("o_orderkey", "o_orderpriority", "amount", "hi_fence")
     )
 
 

@@ -533,11 +533,15 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_max_drawdown",
     oracle=f"""
-    WITH series AS (
+    WITH signed AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_id % 7 = 0 THEN -value ELSE value END AS value
+      FROM events WHERE event_type = 'purchase'
+    ), series AS (
       SELECT user_id, ts, event_id,
              {R(f'''SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 10)} AS cum
-      FROM events WHERE event_type = 'purchase'
+      FROM signed
     ), dd AS (
       SELECT user_id,
              {R(f'''MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -552,12 +556,19 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "drawdown", "running"),
 )
 def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximum drawdown per user over the cumulative purchase-value
+    """Maximum drawdown per user over the cumulative NET purchase-value
     series: running-peak minus current cumulative, maximized — the
     risk/health metric for any monotone-hoped series (revenue, balance,
     model-metric over checkpoints). Running sums r10-rounded on both
     engines so the two stacked windows see identical inputs; (ts,
     event_id) tiebreak fixes the accumulation order.
+
+    The shipped events have strictly positive purchase values, so the
+    raw cumulative series is monotone and a drawdown can never exist —
+    the parity check was passing vacuously on empty==empty at every SF
+    (the q_fuzzy_name_join lesson). Refunds are therefore synthesized
+    deterministically (every 7th event_id flips sign), making the
+    series genuinely non-monotone for essentially every active user.
 
     Scale: both windows and the final agg share ONE user_id exchange
     (Catalyst collapses same-partitioning windows); per-row state is
@@ -565,13 +576,21 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the report."""
     prep(spark)
     e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    signed = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, -F.col("value"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.round(F.sum("value").over(w), 10)
-    series = e.select("user_id", "ts", "event_id", cum.alias("cum"))
+    series = signed.select("user_id", "ts", "event_id", cum.alias("cum"))
     dd = series.select(
         "user_id",
         (F.round(F.max("cum").over(w), 10) - F.col("cum")).alias("drawdown"),

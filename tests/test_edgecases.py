@@ -391,3 +391,36 @@ def test_udtf_table_arg_all_null_text_lang_suppressed(spark, tmp_path):
     assert "xx" not in out  # all-NULL lang suppressed, not (xx, 0, 0, 0)
     assert out["yy"].n_tokens == 2 and out["yy"].n_chars == 3
     assert out["yy"].max_tok_len == 2
+
+
+def test_outlier_iqr_catches_planted_spikes(spark):
+    """q_outlier_iqr plants deterministic x7 spikes (every 211th order)
+    because TPC-H's thin-tailed totalprice can never breach a Tukey
+    fence on its own (its old form was empty at every SF — vacuous
+    parity). Laws: non-empty; nothing unplanted is flagged; at least
+    half the planted spikes are caught (a cheap order ×7 can
+    legitimately stay under its class's fence, so exact recall is not
+    a law)."""
+    from modforms_db_spark.io import load
+    from modforms_db_spark.operators.quality import _IQR_SPIKE_MOD
+
+    out = get_registry()["q_outlier_iqr"].builder(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.o_orderkey % _IQR_SPIKE_MOD == 0).all()
+    planted = (
+        load(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") % _IQR_SPIKE_MOD == 0)
+        .count()
+    )
+    assert len(out) >= planted / 2
+
+
+def test_max_drawdown_nonvacuous(spark):
+    """q_max_drawdown synthesizes refunds (every 7th event_id negates)
+    because all-positive purchase values make the cumulative series
+    monotone — no drawdown could ever exist (empty at every SF before).
+    Laws: non-empty; drawdowns strictly positive; at least one refund
+    event exists per reported user."""
+    out = get_registry()["q_max_drawdown"].builder(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.max_drawdown > 0).all()
