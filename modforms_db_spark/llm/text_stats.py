@@ -1466,3 +1466,114 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re
+      FROM documents
+    ), f AS (
+      SELECT lang, ws, re, re * 1.0 / ws AS fert FROM per_doc WHERE ws > 0
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {R4('AVG(fert)')} AS mean_fertility,
+           {R4('quantile_cont(fert, 0.5)')} AS p50_fertility,
+           {R4('quantile_cont(fert, 0.9)')} AS p90_fertility
+    FROM f GROUP BY lang
+    """,
+    priority="P2",
+    tags=("llm", "text", "tokenizer"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword-ish tokens per
+    whitespace word (the BPE-ish regex tokenizer vs the whitespace
+    split, both already pinned cross-engine by `q_token_count`),
+    reported as mean/p50/p90 per lang — the standard tokenizer-equity
+    metric (a language with 2× fertility pays 2× context length for the
+    same text, and a data card reports exactly this distribution).
+
+    Scale: per-doc arithmetic is map-only; the per-lang summary is one
+    partial-agg pass plus exact per-group percentiles (group sort —
+    swap for the GK sketch path at 100 TB, `q_agg_approx_percentile`)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("bigint")
+        .alias("re"),
+    ).where(F.col("ws") > 0)
+    f = per_doc.withColumn("fert", F.col("re") * 1.0 / F.col("ws"))
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        r4(F.avg("fert")).alias("mean_fertility"),
+        r4(F.percentile("fert", F.lit(0.5))).alias("p50_fertility"),
+        r4(F.percentile("fert", F.lit(0.9))).alias("p90_fertility"),
+    )
+
+
+_XLING_N = 5  # shingle width for cross-lingual overlap
+
+
+@register(
+    "q_cross_lingual_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT lang,
+             unnest(list_transform(
+               generate_series(1, len(t) - {_XLING_N - 1}),
+               i -> array_to_string(t[i:i+{_XLING_N - 1}], ' '))) AS shingle
+      FROM toks WHERE len(t) >= {_XLING_N}
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+    """,
+    priority="P2",
+    tags=("llm", "text", "contamination", "cross-lingual"),
+)
+def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual passage overlap: for every language pair, how many
+    distinct 5-token shingles appear in BOTH languages'
+    documents — the detector for mislabeled language splits, copied
+    boilerplate, and translationese leaking across a supposedly
+    language-partitioned corpus (a nonzero en↔zh 5-gram overlap is
+    almost always a labeling bug worth auditing).
+
+    Scale: the join runs on the DISTINCT (lang, shingle) grain, so a
+    shingle's fan-out is bounded by #langs² (≤ 25 here) regardless of
+    how many documents repeat it — boilerplate cannot blow up the
+    pair join the way a raw (doc, shingle) self-join would; the pair
+    aggregate is #lang² rows."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("lang", F.split("text", " ").alias("t"))
+    sh = (
+        toks.where(F.size("t") >= _XLING_N)
+        .select(
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_XLING_N - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _XLING_N)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    b = sh.select(F.col("lang").alias("lang_b"), "shingle")
+    return (
+        sh.select(F.col("lang").alias("lang_a"), "shingle")
+        .join(b, "shingle")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
