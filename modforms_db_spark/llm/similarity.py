@@ -34,6 +34,11 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
+    # Measured note (sf0.1): an unrolled 64-term `a[0]*b[0]+…` sum —
+    # the usual HOF-avoidance rewrite — is ~3× SLOWER here, not faster:
+    # 128 GetArrayItem nodes per pair push the generated method past
+    # the codegen size limits and the whole expression falls back to
+    # interpreted eval. The zip_with+aggregate fold stays.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
