@@ -1317,3 +1317,67 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d_sub", "d_super", cont.alias("containment"))
         .where(F.col("containment") >= 0.9)
     )
+
+
+@register(
+    "q_dedup_group_stats",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      FROM documents
+    ), grp AS (
+      SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY h
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM c)
+    SELECT grp.n AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) * (grp.n - 1) AS BIGINT) AS docs_removed,
+           CAST(ROUND(CAST(CAST((COUNT(*) * (grp.n - 1) * 1.0 / tot.n_docs) AS VARCHAR)
+                           AS DECIMAL(38,18)), 6) AS DOUBLE) AS removal_share
+    FROM grp CROSS JOIN tot
+    WHERE grp.n > 1
+    GROUP BY grp.n, tot.n_docs
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "report"),
+)
+def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup impact report over the canonical token-set groups
+    (`q_dedup_canonical`'s exact key): duplicate-group SIZE histogram
+    with, per size, how many documents a keep-min policy removes and
+    that removal's share of the corpus — the before/after number every
+    dedup run reports ("N% of the corpus was duplicate") broken down
+    by group size, which is what distinguishes boilerplate explosions
+    (few giant groups) from pairwise near-misses (many size-2 groups).
+
+    Scale: one hash-groupBy to group grain, then the histogram is an
+    agg over group SIZES (bounded by the largest dup cluster); the
+    corpus total is a broadcast scalar. Nothing beyond the first agg
+    touches doc grain."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    canon = F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+    c = d.select("doc_id", canon.alias("h"))
+    grp = c.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        grp.where(F.col("n") > 1)
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n").alias("group_size"), "n_docs")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("n_groups") * (F.col("group_size") - 1))
+            .cast("bigint")
+            .alias("docs_removed"),
+            F.round(
+                F.col("n_groups") * (F.col("group_size") - 1) * 1.0
+                / F.col("n_docs"),
+                6,
+            ).alias("removal_share"),
+        )
+    )

@@ -945,3 +945,96 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_entities") > 1)
     )
+
+
+@register(
+    "q_basket_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), nord AS (
+      SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM op
+    ), marg AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+      GROUP BY a.p, b.p
+    ), top AS (
+      SELECT p1, p2, n_orders, rk FROM (
+        SELECT *, row_number() OVER (ORDER BY n_orders DESC, p1, p2) AS rk
+        FROM pairs
+      ) WHERE rk <= 20
+    )
+    SELECT t.p1, t.p2, t.n_orders, t.rk,
+           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 * nord.n / (m1.n_p * m2.n_p)) AS VARCHAR)
+                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS lift,
+           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 / m1.n_p) AS VARCHAR)
+                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_1_to_2,
+           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 / m2.n_p) AS VARCHAR)
+                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_2_to_1
+    FROM top t
+    JOIN marg m1 ON t.p1 = m1.p
+    JOIN marg m2 ON t.p2 = m2.p
+    CROSS JOIN nord
+    """,
+    priority="P2",
+    tags=("join", "market-basket", "association-rules"),
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the top-20 co-purchase pairs
+    (`q_copurchase_pairs`' exact support ranking): LIFT
+    (P(a,b)/(P(a)·P(b)) — >1 means genuinely associated, not just both
+    popular) and both directed CONFIDENCEs (P(b|a), P(a|b)) — the
+    metrics that turn raw pair supports into a recommendation rule.
+
+    Scale: pair supports are the basket-width-bounded self-join (see
+    `q_copurchase_pairs`); the part marginals are one partial-agg pass
+    over the SAME distinct (order, part) grain; the order total is a
+    broadcast scalar. Marginals join onto the 20-row top list — the
+    20-row side broadcasts, so the metric join costs nothing at any
+    scale. The distinct grain is checkpointed: supports, marginals and
+    the total all derive from it in one scan of the fact table."""
+    prep(spark)
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nord = op.agg(F.countDistinct("ok").cast("bigint").alias("n"))
+    marg = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    b = op.select(F.col("ok"), F.col("p").alias("p2"))
+    pairs = (
+        op.join(b, "ok")
+        .where(F.col("p") < F.col("p2"))
+        .groupBy(F.col("p").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    top = pairs.orderBy(F.desc("n_orders"), "p1", "p2").limit(20)
+    w = Window.orderBy(F.desc("n_orders"), "p1", "p2")
+    top = top.withColumn("rk", F.row_number().over(w))
+    m1 = marg.select(F.col("p").alias("p1"), F.col("n_p").alias("n_p1"))
+    m2 = marg.select(F.col("p").alias("p2"), F.col("n_p").alias("n_p2"))
+    return (
+        m1.join(F.broadcast(top), "p1")
+        .join(m2, "p2")
+        .crossJoin(F.broadcast(nord))
+        .select(
+            "p1",
+            "p2",
+            "n_orders",
+            "rk",
+            F.round(
+                F.col("n_orders") * 1.0 * F.col("n")
+                / (F.col("n_p1") * F.col("n_p2")),
+                4,
+            ).alias("lift"),
+            F.round(F.col("n_orders") * 1.0 / F.col("n_p1"), 4).alias(
+                "conf_1_to_2"
+            ),
+            F.round(F.col("n_orders") * 1.0 / F.col("n_p2"), 4).alias(
+                "conf_2_to_1"
+            ),
+        )
+    )
