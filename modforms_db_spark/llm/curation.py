@@ -1106,7 +1106,7 @@ _NEYMAN_N = 100  # audit-sample size to allocate across language strata
       FROM documents GROUP BY lang
     ), w AS (
       SELECT lang, n_h, sigma,
-             CAST(ROUND(n_h * sigma * 10000) AS BIGINT) AS wgt
+             CAST({R('n_h * sigma * 10000', 0)} AS BIGINT) AS wgt
       FROM s
     ), tot AS (SELECT SUM(wgt) AS tw FROM w),
     quota AS (

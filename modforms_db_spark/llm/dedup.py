@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -1321,7 +1321,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_group_stats",
-    oracle="""
+    oracle=f"""
     WITH c AS (
       SELECT doc_id,
              sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
@@ -1332,8 +1332,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT grp.n AS group_size,
            CAST(COUNT(*) AS BIGINT) AS n_groups,
            CAST(COUNT(*) * (grp.n - 1) AS BIGINT) AS docs_removed,
-           CAST(ROUND(CAST(CAST((COUNT(*) * (grp.n - 1) * 1.0 / tot.n_docs) AS VARCHAR)
-                           AS DECIMAL(38,18)), 6) AS DOUBLE) AS removal_share
+           {R('COUNT(*) * (grp.n - 1) * 1.0 / tot.n_docs', 6)} AS removal_share
     FROM grp CROSS JOIN tot
     WHERE grp.n > 1
     GROUP BY grp.n, tot.n_docs
@@ -1361,8 +1360,14 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         256,
     )
     c = d.select("doc_id", canon.alias("h"))
-    grp = c.groupBy("h").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    tot = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # Checkpoint the GROUP grain: the corpus total is Σn over groups, so
+    # it derives from this aggregate instead of a second documents scan.
+    grp = (
+        c.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = grp.agg(F.sum("n").cast("bigint").alias("n_docs"))
     return (
         grp.where(F.col("n") > 1)
         .crossJoin(F.broadcast(tot))

@@ -32,6 +32,31 @@ _EVAL_FRACTION = 0.9
 _SHINGLE_N = 5
 
 
+def _doc_shingles(side: DataFrame) -> DataFrame:
+    """(doc_id, shingle) stream of overlapping ``_SHINGLE_N``-token
+    shingles from a ``(doc_id, t: array<string>)`` side. Shared by
+    q_decontaminate / q_eval_leakage (one definition so guards can't
+    drift between them).
+
+    The ``size >= _SHINGLE_N`` guard is semantic AND protective: docs
+    too short to shingle contribute no rows (matching the oracles'
+    ``generate_series``, which is empty for a non-positive stop), and
+    without it Spark's ``F.sequence(1, size-4)`` would produce a
+    DESCENDING sequence for short docs (sequence defaults to step -1
+    when start > stop) and ``slice(t, 0, …)`` then throws — a crash
+    the shipped fixtures (min 10 tokens) never trip but a real corpus
+    would."""
+    return side.where(F.size("t") >= _SHINGLE_N).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _SHINGLE_N)),
+            )
+        ).alias("shingle"),
+    )
+
+
 def _per_doc_bigram_counts(d):
     """(doc_id, top_n, total) over each doc's bigram multiset: explode →
     (doc, bigram) counts → per-doc max/sum.
@@ -131,27 +156,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.split("text", " ").alias("t"))
         .crossJoin(F.broadcast(split))
     )
-
-    def shingles(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("t"), i, _SHINGLE_N)
-                    ),
-                )
-            ).alias("shingle"),
-        )
-
     eval_sh = (
-        shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
+        _doc_shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
         .select("shingle")
         .distinct()
     )
     return (
-        shingles(toks.where(F.col("doc_id") < F.col("eval_from")))
+        _doc_shingles(toks.where(F.col("doc_id") < F.col("eval_from")))
         .join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
@@ -531,26 +542,13 @@ def q_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(split))
     )
 
-    def shingles(side: DataFrame) -> DataFrame:
-        return side.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (_SHINGLE_N - 1)),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("t"), i, _SHINGLE_N)
-                    ),
-                )
-            ).alias("shingle"),
-        )
-
     ev = (
-        shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
+        _doc_shingles(toks.where(F.col("doc_id") >= F.col("eval_from")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     own = ev.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
-    tr = shingles(toks.where(F.col("doc_id") < F.col("eval_from"))).select("shingle")
+    tr = _doc_shingles(toks.where(F.col("doc_id") < F.col("eval_from"))).select("shingle")
     hits = (
         tr.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")

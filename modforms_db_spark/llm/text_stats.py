@@ -1442,8 +1442,22 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Band on ln(n), not n: frequency is Zipf-distributed, so equal-width
+    # bands in VALUE space would dump nearly the whole vocabulary (every
+    # type with n ≤ max/32) into one band and re-serialize the rank the
+    # banding exists to parallelize. ln(n) is order-preserving (rank
+    # unchanged) and spreads the head across bands; the hapax/low-count
+    # tail still dominates one log-band at web scale, so the true 10⁸-type
+    # form would feed rank-space cutpoints (frequency-histogram prefix
+    # sums — the band boundaries don't affect correctness, only balance)
+    # into the same shape.
     ranked = with_banded_order(
-        freq, "n", ["tok"], descending=True, group_cols=["lang"], rn_name="rk"
+        freq.withColumn("log_n", F.log("n")),
+        "log_n",
+        ["tok"],
+        descending=True,
+        group_cols=["lang"],
+        rn_name="rk",
     )
     pts = ranked.select(
         "lang", F.log(F.col("rk")).alias("x"), F.log(F.col("n")).alias("y")

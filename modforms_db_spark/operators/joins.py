@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.oracle_dialect import R2, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -949,7 +949,7 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_basket_lift",
-    oracle="""
+    oracle=f"""
     WITH op AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
     ), nord AS (
@@ -967,12 +967,9 @@ def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rk <= 20
     )
     SELECT t.p1, t.p2, t.n_orders, t.rk,
-           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 * nord.n / (m1.n_p * m2.n_p)) AS VARCHAR)
-                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS lift,
-           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 / m1.n_p) AS VARCHAR)
-                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_1_to_2,
-           CAST(ROUND(CAST(CAST((t.n_orders * 1.0 / m2.n_p) AS VARCHAR)
-                           AS DECIMAL(38,18)), 4) AS DOUBLE) AS conf_2_to_1
+           {R4('t.n_orders * 1.0 * nord.n / (m1.n_p * m2.n_p)')} AS lift,
+           {R4('t.n_orders * 1.0 / m1.n_p')} AS conf_1_to_2,
+           {R4('t.n_orders * 1.0 / m2.n_p')} AS conf_2_to_1
     FROM top t
     JOIN marg m1 ON t.p1 = m1.p
     JOIN marg m2 ON t.p2 = m2.p

@@ -123,7 +123,12 @@ def q_win_ranking_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         rn.cast("int").alias("rnk"),
         rn.cast("int").alias("drnk"),
         ntile_from_rn(rn, n, 4).cast("int").alias("quartile"),
-        r4((rn - 1).cast("double") / (n - 1).cast("double")).alias("pct_rank"),
+        # percent_rank is DEFINED as 0 for a single-row partition; the
+        # naive (rn-1)/(n-1) would be 0/0 = NaN there.
+        r4(
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double"))
+            .otherwise(F.lit(0.0))
+        ).alias("pct_rank"),
         r4(rn.cast("double") / n.cast("double")).alias("cdist"),
     )
 

@@ -424,3 +424,28 @@ def test_max_drawdown_nonvacuous(spark):
     out = get_registry()["q_max_drawdown"].builder(spark, SF_DIR).toPandas()
     assert len(out) > 0
     assert (out.max_drawdown > 0).all()
+
+
+def test_shingle_queries_survive_short_docs(spark, tmp_path):
+    """Docs shorter than the shingle width must be silently excluded,
+    not crash: Spark's sequence(1, size-4) turns DESCENDING for short
+    docs and slice(t, 0, 5) throws (code-review round-4 finding; the
+    shipped fixtures' min length of 10 tokens never trips it). The
+    shared _doc_shingles guard pins both shingle consumers."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["one two", "a b c d", "w x y z q r s t u v", "one two"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [7, 7, 19, 7],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    reg = get_registry()
+    # eval split = doc_id >= floor(0.9*4) = 3 → eval doc 3 is SHORT: it
+    # contributes no shingles, so the leakage report is empty — but must
+    # not crash. decontaminate likewise.
+    assert reg["q_eval_leakage"].builder(spark, str(tmp_path)).count() == 0
+    assert reg["q_decontaminate"].builder(spark, str(tmp_path)).count() == 0
