@@ -1035,3 +1035,106 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN ts END AS purchase_ts
+      FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), w AS (
+      SELECT user_id, ts, event_id, event_type,
+             last_value(purchase_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_ts,
+             first_value(purchase_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_ts
+      FROM tagged
+    )
+    SELECT user_id, event_id, ts AS signup_ts,
+           CASE
+             WHEN prev_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prev_ts
+             WHEN epoch_us(ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+             ELSE next_ts
+           END AS nearest_purchase_ts,
+           CASE
+             WHEN prev_ts IS NULL AND next_ts IS NULL THEN NULL
+             WHEN prev_ts IS NULL THEN epoch_us(next_ts) - epoch_us(ts)
+             WHEN next_ts IS NULL THEN epoch_us(prev_ts) - epoch_us(ts)
+             WHEN epoch_us(ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts)
+               THEN epoch_us(prev_ts) - epoch_us(ts)
+             ELSE epoch_us(next_ts) - epoch_us(ts)
+           END AS gap_us
+    FROM w WHERE event_type = 'signup'
+    """,
+    priority="P2",
+    tags=("join", "asof", "nearest"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third direction next to backward
+    (`q_join_asof`) and forward (`q_join_asof_forward`): for each
+    signup, the user's closest purchase in EITHER direction, signed gap
+    in exact µs (negative = purchase preceded signup), ties broken
+    toward the earlier (backward) match — pandas' merge_asof
+    direction='nearest' semantics, pinned identically in both engines
+    via integer µs comparison (never float seconds, so the tiebreak
+    can't flip).
+
+    Scale: both direction scans come from the SAME (user_id)-partitioned
+    (ts, event_id)-ordered window — Catalyst plans one Exchange + one
+    Sort with two frames over it, so nearest costs the same single
+    shuffle as either one-direction form."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.withColumn(
+        "purchase_ts",
+        F.when(F.col("event_type") == "purchase", F.col("ts")),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    d = (
+        tagged.withColumn("prev_ts", F.last("purchase_ts", ignorenulls=True).over(wb))
+        .withColumn("next_ts", F.first("purchase_ts", ignorenulls=True).over(wf))
+        .where(F.col("event_type") == "signup")
+    )
+    prev_closer = (t_us("ts") - t_us("prev_ts")) <= (t_us("next_ts") - t_us("ts"))
+    nearest = (
+        F.when(F.col("prev_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prev_ts"))
+        .when(prev_closer, F.col("prev_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    gap = (
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(), F.lit(None))
+        .when(F.col("prev_ts").isNull(), t_us("next_ts") - t_us("ts"))
+        .when(F.col("next_ts").isNull(), t_us("prev_ts") - t_us("ts"))
+        .when(prev_closer, t_us("prev_ts") - t_us("ts"))
+        .otherwise(t_us("next_ts") - t_us("ts"))
+    )
+    return d.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("signup_ts"),
+        nearest.alias("nearest_purchase_ts"),
+        gap.alias("gap_us"),
+    )
