@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -966,4 +967,76 @@ def q_vector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("mean_x"),
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("x"), 6).alias("max_x"),
+    )
+
+
+@register(
+    "q_embedding_drift",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+             CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS half
+      FROM embeddings
+    ), long AS (
+      SELECT label, half,
+             generate_subscripts(emb, 1) - 1 AS dim0, unnest(emb) AS x
+      FROM e
+    ), comp AS (
+      SELECT label, half, dim0, AVG(x) AS mu, COUNT(*) AS n
+      FROM long GROUP BY label, half, dim0
+    ), paired AS (
+      SELECT a.label, a.dim0, a.mu AS mu_a, b.mu AS mu_b,
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b
+      FROM comp a JOIN comp b
+        ON a.label = b.label AND a.dim0 = b.dim0
+       AND a.half = 'a' AND b.half = 'b'
+      GROUP BY a.label, a.dim0, a.mu, b.mu
+    )
+    SELECT label,
+           CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           {R4('SQRT(SUM((mu_a - mu_b) * (mu_a - mu_b)))')} AS centroid_l2
+    FROM paired GROUP BY label
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "drift"),
+)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space DRIFT monitor: per label, the L2 distance between
+    the centroid of one half of the vectors (even vec_ids — standing in
+    for "last week's batch") and the other half — the cheap first-line
+    detector for an upstream embedding-model change or a shifted input
+    distribution before anything expensive (re-clustering, re-indexing)
+    runs. Deterministic halves make it oracle-checkable; a deployment
+    keys halves by ingestion date instead.
+
+    Scale: centroids are posexplode → (label, half, dim) partial-agg
+    means — one shuffle keyed well below cardinality problems (labels ×
+    2 × 64 cells); the distance is a 64-row-per-label aggregate. No
+    vector pair is ever formed."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn(
+        "half", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
+    )
+    comp = (
+        e.select("label", "half", F.posexplode("emb").alias("dim0", "x"))
+        .groupBy("label", "half", "dim0")
+        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
+    )
+    a = comp.where(F.col("half") == "a").select(
+        "label", "dim0", F.col("mu").alias("mu_a"), F.col("n").alias("n_a")
+    )
+    b = comp.where(F.col("half") == "b").select(
+        "label", "dim0", F.col("mu").alias("mu_b"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim0"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            r4(
+                F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2))
+            ).alias("centroid_l2"),
+        )
     )

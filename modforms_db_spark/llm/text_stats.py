@@ -1591,3 +1591,69 @@ def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("lang_a", "lang_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           {R4('SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) * 1.0 / COUNT(*)')}
+             AS novelty
+    FROM sh s JOIN first_seen f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    priority="P2",
+    tags=("llm", "text", "novelty", "dedup"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY curve: per document (doc_id = ingestion order),
+    the fraction of its distinct 5-token shingles never seen in any
+    earlier document — the diversity-over-time diagnostic that shows a
+    crawl going stale (novelty decays toward 0 as the frontier
+    re-visits boilerplate) and the quantity deduped-corpus audits
+    plot before deciding how much more data is worth ingesting.
+
+    Scale: one distinct (doc, shingle) projection; first-seen is a
+    min-aggregate keyed on shingle (partial-agg combines map-side);
+    the join back is shingle-keyed against that same grain and the
+    final agg returns to doc grain. No pass is quadratic, nothing
+    compares doc PAIRS — global first-seen replaces the all-pairs
+    overlap question entirely."""
+    prep(spark)
+    from modforms_db_spark.llm.pipeline import _doc_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = _doc_shingles(
+        d.select("doc_id", F.split("text", " ").alias("t"))
+    ).distinct()
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_new",
+            r4(F.col("n_new") * 1.0 / F.col("n_shingles")).alias("novelty"),
+        )
+    )

@@ -31,8 +31,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R, R4
-from modforms_db_spark.parity import r4
+from modforms_db_spark.oracle_dialect import R, R2, R4
+from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -1881,4 +1881,71 @@ def q_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r4(F.col("cusum")).alias("cusum"),
         (F.abs("cusum") == F.col("peak_abs")).alias("is_changepoint"),
+    )
+
+
+@register(
+    "q_user_ltv_cohort",
+    oracle=f"""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('day', MIN(ts)) AS c0
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), purchases AS (
+      SELECT user_id, date_trunc('day', ts) AS d, value
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), joined AS (
+      SELECT c.c0, date_diff('day', c.c0, p.d) AS offset_days, p.value
+      FROM cohort c JOIN purchases p ON c.user_id = p.user_id
+      WHERE date_diff('day', c.c0, p.d) BETWEEN 0 AND 7
+    ), daily AS (
+      SELECT c0, offset_days, {R2('SUM(value)')} AS revenue
+      FROM joined GROUP BY c0, offset_days
+    )
+    SELECT c0 AS cohort_day, offset_days,
+           revenue,
+           {R2('''SUM(revenue) OVER (PARTITION BY c0 ORDER BY offset_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''')}
+             AS cum_ltv
+    FROM daily
+    """,
+    priority="P2",
+    tags=("temporal", "cohort", "ltv"),
+)
+def q_user_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — the revenue companion to `q_events_retention`'s
+    activity counts: users cohorted by first-signup day, purchase value
+    summed per day-offset 0..7 and accumulated into the running
+    lifetime value per cohort — the curve LTV/CAC decisions read.
+
+    Scale: cohorts are a per-user aggregate (one shuffle), purchases a
+    filtered projection; the join is user-keyed (well-distributed), the
+    offset cap bounds output to cohorts × 8 rows, and the cumulative
+    window runs per cohort over ≤ 8 rows — bounded, never row grain."""
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    cohort = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("c0"))
+    )
+    purchases = e.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", F.date_trunc("day", "ts").alias("d"), "value")
+    off = F.datediff("d", "c0")
+    daily = (
+        cohort.join(purchases, "user_id")
+        .where((off >= 0) & (off <= 7))
+        .groupBy(F.col("c0"), off.alias("offset_days"))
+        .agg(r2(F.sum("value")).alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("c0")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        F.col("c0").alias("cohort_day"),
+        "offset_days",
+        "revenue",
+        r2(F.sum("revenue").over(w)).alias("cum_ltv"),
     )
