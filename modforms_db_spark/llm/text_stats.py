@@ -1657,3 +1657,64 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("n_new") * 1.0 / F.col("n_shingles")).alias("novelty"),
         )
     )
+
+
+_SAT_BUCKET = 50  # docs per ingestion bucket for the saturation curve
+
+
+@register(
+    "q_corpus_saturation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+      FROM toks WHERE len(t) >= 5
+    ), first_seen AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    ), per_bucket AS (
+      SELECT CAST(first_doc // {_SAT_BUCKET} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_seen GROUP BY 1
+    )
+    SELECT bucket, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct
+    FROM per_bucket
+    """,
+    priority="P2",
+    tags=("llm", "text", "novelty", "saturation"),
+)
+def q_corpus_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-SATURATION curve — the corpus-level companion of
+    `q_ngram_novelty`: cumulative count of distinct 5-token shingles as
+    ingestion progresses (doc_id order, bucketed per 50 docs). The
+    flattening of this curve is the "is more data still buying
+    diversity?" answer that decides when to stop a crawl.
+
+    Cumulative-distinct-over-a-prefix is normally the hard part (a
+    distinct per prefix is quadratic); attributing each shingle to its
+    FIRST document makes it exact and linear — new-per-bucket is a
+    shingle-keyed min-agg histogram and the cumulative runs over the
+    tiny bucket grain (docs/50 rows)."""
+    prep(spark)
+    from modforms_db_spark.llm.pipeline import _doc_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = _doc_shingles(
+        d.select("doc_id", F.split("text", " ").alias("t"))
+    ).distinct()
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = first_seen.groupBy(
+        (F.col("first_doc") / _SAT_BUCKET).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_distinct")
+    )

@@ -1964,3 +1964,67 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_score.cast("bigint").alias("m_score"),
         (r_score * 100 + f_score * 10 + m_score).cast("bigint").alias("rfm"),
     )
+
+
+_WILSON_Z2 = "3.8416"  # z² for z = 1.96 (95% two-sided), exact decimal
+
+
+@register(
+    "q_wilson_ranking",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY l_suppkey
+    ), sc AS (
+      SELECT l_suppkey, n, k,
+             {R4('k * 1.0 / n')} AS p_hat,
+             {R4(f'''(k * 1.0 / n + {_WILSON_Z2} / (2 * n)
+                  - SQRT({_WILSON_Z2}) * SQRT((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                        + {_WILSON_Z2} / (4 * n * n)))
+                 / (1 + {_WILSON_Z2} / n)''')} AS wilson_lo
+      FROM s
+    )
+    SELECT l_suppkey, n, k, p_hat, wilson_lo, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY wilson_lo DESC, l_suppkey) AS rk
+      FROM sc
+    ) WHERE rk <= 20
+    """,
+    priority="P2",
+    tags=("agg", "ranking", "wilson", "proportion"),
+)
+def q_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportion ranking with CONFIDENCE: top-20 suppliers by the
+    Wilson-score LOWER bound of their non-return rate (l_returnflag ≠
+    'R', z=1.96) — the ranking that doesn't let a 3-for-3
+    supplier outrank a 950-for-1000 one, the standard fix for sorting
+    by raw success rate (review scores, vendor SLAs, variant win
+    rates). The bound is rounded 4dp before ranking with a suppkey
+    tiebreak, so cross-engine float noise can't reorder.
+
+    Scale: one partial-agg pass to supplier grain; the top-20 is
+    orderBy+limit (TakeOrdered), the rank window runs over 20 rows."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("l_returnflag") != "R").cast("long"))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z2 = float(_WILSON_Z2)
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    wilson_lo = r4(
+        (p + z2 / (2 * n)
+         - F.sqrt(F.lit(z2)) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n)))
+        / (1 + z2 / n)
+    )
+    sc = s.select("l_suppkey", "n", "k", r4(p).alias("p_hat"), wilson_lo.alias("wilson_lo"))
+    top = sc.orderBy(F.desc("wilson_lo"), "l_suppkey").limit(20)
+    w = Window.orderBy(F.desc("wilson_lo"), "l_suppkey")
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "l_suppkey", "n", "k", "p_hat", "wilson_lo", "rk"
+    )
