@@ -1184,3 +1184,78 @@ def q_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("alloc_neyman", "n_h").cast("bigint").alias("n_sampled"),
         (F.col("alloc_neyman") > F.col("n_h")).alias("capped"),
     )
+
+
+_SRM_CHI2_CRIT = 5.9915  # chi-square 0.95 critical value, df = 2
+
+_SRM_PCT_SQL = "(CASE split WHEN 'train' THEN 96 WHEN 'val' THEN 2 ELSE 2 END)"
+_SRM_EXP_SQL = f"tot.t * {_SRM_PCT_SQL} / 100.0"
+_SRM_CHI2_SQL = f"POWER(n - {_SRM_EXP_SQL}, 2) / ({_SRM_EXP_SQL})"
+
+
+@register(
+    "q_srm_check",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT CASE WHEN (doc_id * {_KNUTH} % {_MOD}) % 100 < 96 THEN 'train'
+                  WHEN (doc_id * {_KNUTH} % {_MOD}) % 100 < 98 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), counts AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY split
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
+    scored AS (
+      SELECT split, n,
+             {R4(_SRM_EXP_SQL)} AS expected,
+             {R4(_SRM_CHI2_SQL)} AS chi2_term
+      FROM counts CROSS JOIN tot
+    )
+    SELECT split, n, expected, chi2_term,
+           {R4('SUM(chi2_term) OVER ()')} AS chi2_total,
+           {R4('SUM(chi2_term) OVER ()')} > {_SRM_CHI2_CRIT} AS srm_detected
+    FROM scored
+    """,
+    priority="P2",
+    tags=("llm", "curation", "experimentation", "srm"),
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) check on the deterministic 96/2/2
+    hash split (`q_split_assign`'s exact assignment rule): per-arm
+    observed vs expected counts, chi-square terms, the total statistic
+    and the detection flag at the df=2, alpha=0.05 critical value — the
+    first gate every experimentation/data-split pipeline runs, because
+    a biased assignment invalidates everything downstream. Expected
+    counts and chi-square terms are 4-dp-rounded before the total and
+    the threshold compare, so the boundary can't flip cross-engine.
+
+    Scale: one projection + 3-group count; everything after runs on the
+    3-row arm table (the OVER () window is 3 rows, not data grain)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    b = _hash_bucket("doc_id", 100)
+    counts = (
+        d.select(
+            F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    pct = F.when(F.col("split") == "train", 96).otherwise(2)
+    exp_raw = F.col("t") * pct / 100.0
+    scored = counts.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n",
+        r4(exp_raw).alias("expected"),
+        r4(F.pow(F.col("n") - exp_raw, 2) / exp_raw).alias("chi2_term"),
+    )
+    w = Window.partitionBy()
+    chi2_total = r4(F.sum("chi2_term").over(w))
+    return scored.select(
+        "split",
+        "n",
+        "expected",
+        "chi2_term",
+        chi2_total.alias("chi2_total"),
+        (chi2_total > _SRM_CHI2_CRIT).alias("srm_detected"),
+    )

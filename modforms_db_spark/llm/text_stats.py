@@ -1718,3 +1718,88 @@ def q_corpus_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.select(
         "bucket", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_distinct")
     )
+
+
+_JSD_IN_SQL = """0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)"""
+
+
+@register(
+    "q_text_js_divergence",
+    oracle=f"""
+    WITH lt AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok
+    ), lt_tot AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS tl FROM lt GROUP BY lang
+    ), ct AS (
+      SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM lt GROUP BY tok
+    ), c_tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS t FROM ct),
+    terms AS (
+      SELECT lt.lang,
+             lt.c * 1.0 / lt_tot.tl AS p,
+             ct.cc * 1.0 / c_tot.t AS q,
+             (lt.c * 1.0 / lt_tot.tl + ct.cc * 1.0 / c_tot.t) / 2 AS m
+      FROM lt
+      JOIN lt_tot ON lt.lang = lt_tot.lang
+      JOIN ct ON lt.tok = ct.tok
+      CROSS JOIN c_tot
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           {R4('SUM(q)')} AS q_coverage,
+           {R4(f'SUM({_JSD_IN_SQL}) + 0.5 * ln(2) * (1 - SUM(q))')} AS jsd
+    FROM terms GROUP BY lang
+    """,
+    priority="P2",
+    tags=("llm", "text", "drift", "divergence"),
+)
+def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each language's token distribution
+    from the corpus-wide distribution — the TEXT-space drift/domain-shift
+    monitor next to `q_embedding_drift`'s vector-space one: a language
+    whose JSD spikes between snapshots changed character (new domain,
+    new boilerplate, mislabeled ingest). Tokens absent from a language
+    contribute 0.5·ln2·(their corpus mass) — folded in exactly via the
+    language's corpus-coverage ΣQ, so the sum runs ONLY over (lang, tok)
+    pairs that exist, never the full langs×vocab cross product.
+
+    Scale: one explode → (lang, tok) partial-agg grain (checkpointed);
+    the per-lang totals, corpus marginals and the scalar total all
+    re-derive from that grain — one corpus pass total. The term join is
+    keyed on tok against the vocab-grain marginal."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    lt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lt_tot = lt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("tl"))
+    ct = lt.groupBy("tok").agg(F.sum("c").cast("bigint").alias("cc"))
+    c_tot = ct.agg(F.sum("cc").cast("bigint").alias("t"))
+    p = F.col("c") * 1.0 / F.col("tl")
+    q = F.col("cc") * 1.0 / F.col("t")
+    m = (p + q) / 2
+    terms = (
+        lt.join(F.broadcast(lt_tot), "lang")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "lang",
+            p.alias("p"),
+            q.alias("q"),
+            m.alias("m"),
+        )
+    )
+    jsd_in = 0.5 * F.col("p") * F.log(F.col("p") / F.col("m")) + 0.5 * F.col(
+        "q"
+    ) * F.log(F.col("q") / F.col("m"))
+    import math
+
+    return terms.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        r4(F.sum("q")).alias("q_coverage"),
+        r4(F.sum(jsd_in) + 0.5 * math.log(2) * (1 - F.sum("q"))).alias("jsd"),
+    )
