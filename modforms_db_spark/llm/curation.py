@@ -1189,7 +1189,7 @@ def q_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SRM_CHI2_CRIT = 5.9915  # chi-square 0.95 critical value, df = 2
 
 _SRM_PCT_SQL = "(CASE split WHEN 'train' THEN 96 WHEN 'val' THEN 2 ELSE 2 END)"
-_SRM_EXP_SQL = f"tot.t * {_SRM_PCT_SQL} / 100.0"
+_SRM_EXP_SQL = f"t * {_SRM_PCT_SQL} / 100.0"
 _SRM_CHI2_SQL = f"POWER(n - {_SRM_EXP_SQL}, 2) / ({_SRM_EXP_SQL})"
 
 
@@ -1203,12 +1203,13 @@ _SRM_CHI2_SQL = f"POWER(n - {_SRM_EXP_SQL}, 2) / ({_SRM_EXP_SQL})"
       FROM documents
     ), counts AS (
       SELECT split, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY split
-    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts),
-    scored AS (
+    ), with_tot AS (
+      SELECT split, n, CAST(SUM(n) OVER () AS BIGINT) AS t FROM counts
+    ), scored AS (
       SELECT split, n,
              {R4(_SRM_EXP_SQL)} AS expected,
              {R4(_SRM_CHI2_SQL)} AS chi2_term
-      FROM counts CROSS JOIN tot
+      FROM with_tot
     )
     SELECT split, n, expected, chi2_term,
            {R4('SUM(chi2_term) OVER ()')} AS chi2_total,
@@ -1240,10 +1241,16 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    # Grand total as a window over the 3-row arm table — NOT a second
+    # aggregate off the counts lineage, which would re-run the documents
+    # scan (round-4 review finding: 2 FileScans for a scalar derivable
+    # from 3 rows).
+    counts = counts.withColumn(
+        "t", F.sum("n").over(Window.partitionBy()).cast("bigint")
+    )
     pct = F.when(F.col("split") == "train", 96).otherwise(2)
     exp_raw = F.col("t") * pct / 100.0
-    scored = counts.crossJoin(F.broadcast(tot)).select(
+    scored = counts.select(
         "split",
         "n",
         r4(exp_raw).alias("expected"),

@@ -982,21 +982,18 @@ def q_vector_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(emb, 1) - 1 AS dim0, unnest(emb) AS x
       FROM e
     ), comp AS (
-      SELECT label, half, dim0, AVG(x) AS mu, COUNT(*) AS n
-      FROM long GROUP BY label, half, dim0
-    ), paired AS (
-      SELECT a.label, a.dim0, a.mu AS mu_a, b.mu AS mu_b,
-             MAX(a.n) AS n_a, MAX(b.n) AS n_b
-      FROM comp a JOIN comp b
-        ON a.label = b.label AND a.dim0 = b.dim0
-       AND a.half = 'a' AND b.half = 'b'
-      GROUP BY a.label, a.dim0, a.mu, b.mu
+      SELECT label, dim0,
+             AVG(CASE WHEN half = 'a' THEN x END) AS mu_a,
+             AVG(CASE WHEN half = 'b' THEN x END) AS mu_b,
+             COUNT(CASE WHEN half = 'a' THEN x END) AS n_a,
+             COUNT(CASE WHEN half = 'b' THEN x END) AS n_b
+      FROM long GROUP BY label, dim0
     )
     SELECT label,
            CAST(MAX(n_a) AS BIGINT) AS n_a,
            CAST(MAX(n_b) AS BIGINT) AS n_b,
            {R4('SQRT(SUM((mu_a - mu_b) * (mu_a - mu_b)))')} AS centroid_l2
-    FROM paired GROUP BY label
+    FROM comp GROUP BY label
     """,
     priority="P2",
     tags=("llm", "similarity", "drift"),
@@ -1018,25 +1015,26 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).withColumn(
         "half", F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b")
     )
+    # ONE conditional aggregation instead of a per-half split + self-join:
+    # one embeddings scan, one shuffle, and — unlike an inner join on the
+    # halves — a label whose vectors all fall in one half still surfaces
+    # (its other-half centroid is NULL, so centroid_l2 reports NULL with
+    # the half counts showing 0: the most-drifted case stays visible
+    # instead of silently dropping out; round-4 review findings 2 and 5).
     comp = (
         e.select("label", "half", F.posexplode("emb").alias("dim0", "x"))
-        .groupBy("label", "half", "dim0")
-        .agg(F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n"))
-    )
-    a = comp.where(F.col("half") == "a").select(
-        "label", "dim0", F.col("mu").alias("mu_a"), F.col("n").alias("n_a")
-    )
-    b = comp.where(F.col("half") == "b").select(
-        "label", "dim0", F.col("mu").alias("mu_b"), F.col("n").alias("n_b")
-    )
-    return (
-        a.join(b, ["label", "dim0"])
-        .groupBy("label")
+        .groupBy("label", "dim0")
         .agg(
-            F.max("n_a").cast("bigint").alias("n_a"),
-            F.max("n_b").cast("bigint").alias("n_b"),
-            r4(
-                F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2))
-            ).alias("centroid_l2"),
+            F.avg(F.when(F.col("half") == "a", F.col("x"))).alias("mu_a"),
+            F.avg(F.when(F.col("half") == "b", F.col("x"))).alias("mu_b"),
+            F.count(F.when(F.col("half") == "a", F.col("x"))).alias("n_a"),
+            F.count(F.when(F.col("half") == "b", F.col("x"))).alias("n_b"),
         )
+    )
+    return comp.groupBy("label").agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        r4(
+            F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2))
+        ).alias("centroid_l2"),
     )

@@ -1593,10 +1593,10 @@ def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "q_ngram_novelty",
-    oracle=f"""
-    WITH toks AS (
+# Shared shingle -> first-seen derivation for the novelty/saturation pair
+# (one definition on each side so shingle width / guards cannot drift
+# between the two "companion" operators — the _doc_shingles discipline).
+_FIRST_SEEN_SQL = """toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
@@ -1606,7 +1606,31 @@ def q_cross_lingual_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM toks WHERE len(t) >= 5
     ), first_seen AS (
       SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )"""
+
+
+def _shingle_first_seen(spark, sf_dir):
+    """(sh, first_seen) DataFrames: the distinct (doc, shingle) grain —
+    CHECKPOINTED, because both consumers fan two computations out of it
+    (first-seen agg + join-back / bucket histogram) and without the
+    checkpoint the tokenize+explode+distinct would run once per branch
+    (round-4 review finding: 2 FileScans, 0 ReusedExchange)."""
+    from modforms_db_spark.llm.pipeline import _doc_shingles
+
+    d = spread(load(spark, sf_dir, "documents"))
+    sh = (
+        _doc_shingles(d.select("doc_id", F.split("text", " ").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return sh, first_seen
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH {_FIRST_SEEN_SQL}
     SELECT s.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_shingles,
            CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
@@ -1634,13 +1658,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares doc PAIRS — global first-seen replaces the all-pairs
     overlap question entirely."""
     prep(spark)
-    from modforms_db_spark.llm.pipeline import _doc_shingles
-
-    d = spread(load(spark, sf_dir, "documents"))
-    sh = _doc_shingles(
-        d.select("doc_id", F.split("text", " ").alias("t"))
-    ).distinct()
-    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    sh, first_seen = _shingle_first_seen(spark, sf_dir)
     return (
         sh.join(first_seen, "shingle")
         .groupBy("doc_id")
@@ -1665,26 +1683,22 @@ _SAT_BUCKET = 50  # docs per ingestion bucket for the saturation curve
 @register(
     "q_corpus_saturation",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id,
-             unnest(list_transform(
-               generate_series(1, len(t) - 4),
-               i -> array_to_string(t[i:i+4], ' '))) AS shingle
-      FROM toks WHERE len(t) >= 5
-    ), first_seen AS (
-      SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
-    ), per_bucket AS (
+    WITH {_FIRST_SEEN_SQL}, per_bucket AS (
       SELECT CAST(first_doc // {_SAT_BUCKET} AS BIGINT) AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_new
       FROM first_seen GROUP BY 1
+    ), spine AS (
+      SELECT unnest(generate_series(0, (SELECT MAX(bucket) FROM per_bucket)))
+        AS bucket
+    ), dense AS (
+      SELECT s.bucket, CAST(COALESCE(p.n_new, 0) AS BIGINT) AS n_new
+      FROM spine s LEFT JOIN per_bucket p ON s.bucket = p.bucket
     )
     SELECT bucket, n_new,
            CAST(SUM(n_new) OVER (ORDER BY bucket
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              AS cum_distinct
-    FROM per_bucket
+    FROM dense
     """,
     priority="P2",
     tags=("llm", "text", "novelty", "saturation"),
@@ -1702,20 +1716,24 @@ def q_corpus_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-keyed min-agg histogram and the cumulative runs over the
     tiny bucket grain (docs/50 rows)."""
     prep(spark)
-    from modforms_db_spark.llm.pipeline import _doc_shingles
-
-    d = spread(load(spark, sf_dir, "documents"))
-    sh = _doc_shingles(
-        d.select("doc_id", F.split("text", " ").alias("t"))
-    ).distinct()
-    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    _sh, first_seen = _shingle_first_seen(spark, sf_dir)
     per_bucket = first_seen.groupBy(
         (F.col("first_doc") / _SAT_BUCKET).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    # Dense bucket spine: a bucket in which no shingle is first-seen must
+    # still appear (n_new = 0) — those zero rows are exactly where the
+    # curve flattens, which is the condition this operator exists to
+    # show (review finding: the sparse form had holes there).
+    spine = per_bucket.agg(F.max("bucket").alias("mx")).select(
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("mx"))).alias("bucket")
+    )
+    dense = spine.join(per_bucket, "bucket", "left").select(
+        "bucket", F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new")
+    )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return per_bucket.select(
+    return dense.select(
         "bucket", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_distinct")
     )
 
