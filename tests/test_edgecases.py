@@ -449,3 +449,17 @@ def test_shingle_queries_survive_short_docs(spark, tmp_path):
     # not crash. decontaminate likewise.
     assert reg["q_eval_leakage"].builder(spark, str(tmp_path)).count() == 0
     assert reg["q_decontaminate"].builder(spark, str(tmp_path)).count() == 0
+
+
+def test_abc_xyz_exercises_both_axes(spark):
+    """Both classification axes must discriminate on the shipped data
+    (the zero-week-inclusive cv put every part in Z — vacuous axis,
+    caught and fixed): all three ABC classes and at least two XYZ
+    classes appear, and part counts sum to the part population."""
+    from modforms_db_spark.io import load
+
+    out = get_registry()["q_abc_xyz"].builder(spark, SF_DIR).toPandas()
+    assert set(out.abc) == {"A", "B", "C"}
+    assert len(set(out.xyz)) >= 2
+    n_parts = load(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
+    assert out.n_parts.sum() == n_parts
