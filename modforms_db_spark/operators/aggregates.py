@@ -1523,40 +1523,19 @@ def q_pareto_abc_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 parallel tasks, 32-row offset prefix, broadcast scalar total —
     no global sort anywhere."""
     prep(spark)
-    from modforms_db_spark.operators.banded import with_banded_order
+    from modforms_db_spark.operators.banded import with_abc_class
 
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("r")
     )
-    # Checkpoint the part-grain table: banding + offsets + the scalar
-    # total re-derive from this grain, never from the fact scan.
-    rev = rev.withColumn(
-        "cents", F.round(F.col("r") * 100).cast("bigint")
-    ).localCheckpoint(eager=False)
-    ranked = with_banded_order(
-        rev,
-        "cents",
-        ["l_partkey"],
-        descending=True,
-        cumsum_col="cents",
-        rn_name="rn",
-        cum_name="cum_cents",
-    )
-    tot_df = rev.groupBy().agg(F.sum("cents").alias("_tot_cents"))
-    share_before = r4(
-        (F.col("cum_cents") - F.col("cents")).cast("double")
-        / F.col("_tot_cents").cast("double")
-    )
-    classed = ranked.crossJoin(F.broadcast(tot_df)).select(
-        "r",
-        F.when(share_before < 0.8, "A")
-        .when(share_before < 0.95, "B")
-        .otherwise("C")
-        .alias("abc"),
-    )
-    return classed.groupBy("abc").agg(
-        F.count(F.lit(1)).alias("n_parts"), r2(F.sum("r")).alias("revenue")
+    # with_abc_class checkpoints the part-grain table internally: the
+    # banding, offsets and the scalar total re-derive from that grain,
+    # never from the fact scan.
+    return (
+        with_abc_class(rev, "r", "l_partkey")
+        .groupBy("abc")
+        .agg(F.count(F.lit(1)).alias("n_parts"), r2(F.sum("r")).alias("revenue"))
     )
 
 
@@ -2072,8 +2051,8 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC×XYZ inventory matrix — the two-axis classification supply
     planning runs: ABC = revenue concentration (strictly-before
     cumulative share, as `q_pareto_abc`), XYZ = demand VARIABILITY
-    (weekly-demand coefficient of variation: X < 0.5 steady, Y < 1.0,
-    Z erratic). An A/Z cell (high value, erratic demand) is where
+    (ACTIVE-week demand cv: X < 0.55 steady, Y < 0.65 moderate, else Z
+    erratic — bounds explained below). An A/Z cell (high value, erratic demand) is where
     safety stock goes; C/X is where automation goes.
 
     The variability axis uses the cv over each part's ACTIVE weeks
@@ -2093,7 +2072,7 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain, week count, revenue ranks and demand moments all re-derive
     from it."""
     prep(spark)
-    from modforms_db_spark.operators.banded import with_banded_order
+    from modforms_db_spark.operators.banded import with_abc_class
 
     li = load(spark, sf_dir, "lineitem")
     wk = (
@@ -2106,7 +2085,6 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "rev"
             ),
         )
-        .localCheckpoint(eager=False)
     )
     part = wk.groupBy("l_partkey").agg(
         r2(F.sum("rev")).alias("r"),
@@ -2119,29 +2097,9 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.greatest(F.lit(0.0), F.col("sd2") / F.col("n_obs") - mu * mu)) / mu
     )
     xyz_df = part.select("l_partkey", "r", cv.alias("cv"))
-    xyz_df = xyz_df.withColumn(
-        "cents", F.round(F.col("r") * 100).cast("bigint")
-    ).localCheckpoint(eager=False)
-    ranked = with_banded_order(
-        xyz_df,
-        "cents",
-        ["l_partkey"],
-        descending=True,
-        cumsum_col="cents",
-        rn_name="rn",
-        cum_name="cum_cents",
-    )
-    tot = xyz_df.groupBy().agg(F.sum("cents").alias("_tot_cents"))
-    share_before = r4(
-        (F.col("cum_cents") - F.col("cents")).cast("double")
-        / F.col("_tot_cents").cast("double")
-    )
-    classed = ranked.crossJoin(F.broadcast(tot)).select(
+    classed = with_abc_class(xyz_df, "r", "l_partkey").select(
         "r",
-        F.when(share_before < 0.8, "A")
-        .when(share_before < 0.95, "B")
-        .otherwise("C")
-        .alias("abc"),
+        "abc",
         F.when(F.col("cv") < 0.55, "X")
         .when(F.col("cv") < 0.65, "Y")
         .otherwise("Z")

@@ -125,3 +125,49 @@ def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
         F.when(in_big, ((rn - 1) / big).cast("bigint") + 1)
         .otherwise(rem + ((rn - rem * big - 1) / base).cast("bigint") + 1)
     )
+
+
+def with_abc_class(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    *,
+    a_bound: float = 0.8,
+    b_bound: float = 0.95,
+    abc_name: str = "abc",
+) -> DataFrame:
+    """ABC (Pareto) classification over ``value_col`` (a 2-dp-rounded
+    double): quantize to EXACT integer cents, banded cumulative sum in
+    (value DESC, key) order, class from the 4-dp-rounded
+    strictly-before cumulative share (< a_bound → A, < b_bound → B,
+    else C). One definition shared by `q_pareto_abc_scaled` and
+    `q_abc_xyz` so the cents/rounding/threshold contract cannot drift
+    between them. Adds ``abc_name``; drops the internal columns."""
+    d = df.withColumn(
+        "_mfdb_cents", F.round(F.col(value_col) * 100).cast("bigint")
+    ).localCheckpoint(eager=False)
+    ranked = with_banded_order(
+        d,
+        "_mfdb_cents",
+        [key_col],
+        descending=True,
+        cumsum_col="_mfdb_cents",
+        rn_name="_mfdb_rn",
+        cum_name="_mfdb_cum",
+    )
+    tot = d.groupBy().agg(F.sum("_mfdb_cents").alias("_mfdb_tot"))
+    share_before = F.round(
+        (F.col("_mfdb_cum") - F.col("_mfdb_cents")).cast("double")
+        / F.col("_mfdb_tot").cast("double"),
+        4,
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn(
+            abc_name,
+            F.when(share_before < a_bound, "A")
+            .when(share_before < b_bound, "B")
+            .otherwise("C"),
+        )
+        .drop("_mfdb_cents", "_mfdb_rn", "_mfdb_cum", "_mfdb_tot")
+    )

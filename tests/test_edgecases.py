@@ -460,6 +460,6 @@ def test_abc_xyz_exercises_both_axes(spark):
 
     out = get_registry()["q_abc_xyz"].builder(spark, SF_DIR).toPandas()
     assert set(out.abc) == {"A", "B", "C"}
-    assert len(set(out.xyz)) >= 2
+    assert set(out.xyz) == {"X", "Y", "Z"}
     n_parts = load(spark, SF_DIR, "lineitem").select("l_partkey").distinct().count()
     assert out.n_parts.sum() == n_parts

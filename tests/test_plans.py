@@ -525,6 +525,7 @@ def test_banded_twins_partition_their_big_windows(spark):
         ("q_win_ranking_scaled", "_mfdb_band"),
         ("q_pareto_abc_scaled", "_mfdb_band"),
         ("q_quantile_bins_scaled", "_mfdb_band"),
+        ("q_abc_xyz", "_mfdb_band"),
         ("q_max_concurrency_scaled", "day"),
     ]:
         plan = _plan(spark, name)
