@@ -1949,3 +1949,55 @@ def q_user_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         r2(F.sum("revenue").over(w)).alias("cum_ltv"),
     )
+
+
+@register(
+    "q_repeat_purchase_interval",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)))
+               / 86400000000.0 AS gap_days
+      FROM p
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_repeat_users,
+           {R4('AVG(gap_days)')} AS mean_gap_days,
+           {R4('quantile_cont(gap_days, 0.5)')} AS p50_gap_days,
+           {R4('quantile_cont(gap_days, 0.9)')} AS p90_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+    priority="P2",
+    tags=("temporal", "cadence", "retention"),
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-cadence summary: the distribution of days between a
+    user's consecutive purchases (count, repeat-user count, mean, p50,
+    p90) — the inter-purchase-interval statistic replenishment
+    reminders, churn-risk windows ("2× median gap silent = at risk")
+    and CLV models are parameterized from. Gaps in exact integer
+    microseconds divided once at the end; summary values 4-dp-rounded.
+
+    Scale: one shuffle on user_id for the lag window (per-user state is
+    one row), then a global agg whose partials are five numbers per
+    partition; the exact percentiles run over the gap multiset — swap
+    for GK (`q_agg_approx_percentile`'s path) when gaps outgrow a sort,
+    as flagged for every exact-percentile row."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+    gaps = e.select(
+        "user_id", ((t_us - prev_us) / 86400000000.0).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.countDistinct("user_id").cast("bigint").alias("n_repeat_users"),
+        r4(F.avg("gap_days")).alias("mean_gap_days"),
+        r4(F.percentile("gap_days", F.lit(0.5))).alias("p50_gap_days"),
+        r4(F.percentile("gap_days", F.lit(0.9))).alias("p90_gap_days"),
+    )
