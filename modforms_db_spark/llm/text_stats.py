@@ -625,7 +625,7 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, tok,
            CAST(COUNT(*) AS BIGINT) AS df,
-           list_sort(list(doc_id)) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM toks
     GROUP BY lang, tok
     HAVING COUNT(*) >= 3
@@ -638,8 +638,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds): per (lang, token) the document frequency and the SORTED
     posting list of doc_ids, restricted to tokens appearing in ≥ 3 docs
     (singleton/pair postings are the long tail a first-stage retriever
-    prunes). Postings are sorted so the array value — and therefore the
-    cross-engine hash — is deterministic.
+    prunes). Postings are emitted as a comma-joined STRING of
+    numerically-sorted doc_ids — scalar output columns only, because the
+    driver's canonicalizer sorts raw cells and crashes on array values
+    (CORRECTNESS_r04.json: `unhashable type: numpy.ndarray`); the string
+    form is equally deterministic and hash-comparable cross-engine.
 
     Scale: distinct-tokens projection is per-row (array_distinct before
     the explode, so each (doc, tok) ships once), then ONE shuffle on
@@ -659,7 +662,10 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.groupBy("lang", "tok")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("postings"),
         )
         .where(F.col("df") >= 3)
     )
