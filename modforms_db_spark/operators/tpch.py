@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -848,4 +848,454 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- synthesized partsupp -------------------------------------------------
+#
+# The driver schema ships no partsupp table, which blocked TPC-H
+# Q2/Q9/Q11/Q16/Q20 (SURVEY §2.13 note). Rather than skip the five
+# canonical shapes, partsupp is SYNTHESIZED deterministically from pure
+# key arithmetic — the same q_table_diff discipline: the identical
+# derivation runs as a CTE on DuckDB and as a DataFrame expression on
+# Spark, so parity checks the QUERY, not a data file. Each part gets 4
+# suppliers by hash (the dbgen cardinality); availqty and supplycost come
+# from modular key arithmetic. supplycost is carried as EXACT INTEGER
+# CENTS end-to-end so stock-value sums never touch float summation order;
+# /100.0 happens only at emission (both engines compute the identical
+# IEEE division).
+
+_PARTSUPP_CTE = """
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + i.i * 13) % ns.n AS ps_suppkey,
+             (p_partkey * 31 + i.i * 17) % 9999 + 1 AS ps_availqty,
+             (p_partkey * 13 + i.i * 29) % 99900 + 100 AS ps_supplycost_cents
+      FROM part CROSS JOIN ns
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    )
+"""
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp synthesis (see module comment above): one
+    row per (part, i<4) with ps_suppkey/availqty/supplycost_cents from
+    modular key arithmetic. The supplier COUNT arrives as a 1-row
+    broadcast (the q_tpch_q15 scalar discipline) so suppkeys stay in
+    domain at every SF without a driver-side collect.
+
+    Scale: |partsupp| = 4·|part| — a dimension, not a fact. It is built
+    by a part-scan × 1-row broadcast (no shuffle) and is broadcast-able
+    into fact joins at any SF where part itself is; at 100 TB you'd
+    materialize it bucketed by (ps_partkey, ps_suppkey) once."""
+    p = load(spark, sf_dir, "part").select("p_partkey")
+    ns = load(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.crossJoin(F.broadcast(ns))
+        .select(
+            "p_partkey",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("n")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("p_partkey") * 31 + F.col("i") * 17) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+            ((F.col("p_partkey") * 13 + F.col("i") * 29) % 99900 + 100).alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_brand, es.s_name, es.s_acctbal, es.n_name,
+             ps.ps_supplycost_cents
+      FROM part p
+      JOIN partsupp ps ON p.p_partkey = ps.ps_partkey
+      JOIN eu_supp es ON ps.ps_suppkey = es.s_suppkey
+      WHERE p.p_size = 15 AND p.p_type = 'STANDARD'
+    ),
+    mn AS (
+      SELECT p_partkey, MIN(ps_supplycost_cents) AS mc
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_brand,
+           c.ps_supplycost_cents / 100.0 AS ps_supplycost
+    FROM cand c
+    JOIN mn ON c.p_partkey = mn.p_partkey AND c.ps_supplycost_cents = mn.mc
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+    priority="P1",
+    tags=("tpch", "join", "correlated-min", "partsupp"),
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2): for every size-15 STANDARD part,
+    the EUROPE supplier(s) offering it at the region-wide minimum
+    supplycost — the correlated-MIN-subquery shape, decorrelated into a
+    per-part MIN joined back on (part, cost) equality. Costs compare as
+    exact integer cents, so the min-equality join cannot fp-miss.
+
+    Scale: part (size/type-filtered) and the region supplier dim both
+    broadcast; the per-part MIN aggregates the already-filtered candidate
+    set (never all of partsupp); final top-100 is orderBy().limit() —
+    TakeOrdered, no global sort. Ordering is total (acctbal DESC, nation,
+    supplier, part — (part, supplier) pairs are unique), so LIMIT is
+    deterministic cross-engine."""
+    prep(spark)
+    ps = synth_partsupp(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eu = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    cand = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.ps_suppkey == eu.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            "ps_supplycost_cents",
+        )
+    )
+    mn = cand.groupBy("p_partkey").agg(
+        F.min("ps_supplycost_cents").alias("mc")
+    ).withColumnRenamed("p_partkey", "mk")
+    return (
+        cand.join(
+            F.broadcast(mn),
+            (cand.p_partkey == F.col("mk"))
+            & (cand.ps_supplycost_cents == F.col("mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            (F.col("ps_supplycost_cents") / 100.0).alias("ps_supplycost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    pr AS (
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             CAST({R('l_extendedprice * (1 - l_discount) * 100', 0)}
+                  AS BIGINT) AS rev_cents,
+             CAST(ps_supplycost_cents * l_quantity AS BIGINT) AS cost_cents
+      FROM lineitem
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%rod%'
+    )
+    SELECT nation, o_year,
+           CAST(SUM(rev_cents) AS BIGINT) / 100.0 AS revenue,
+           CAST(SUM(cost_cents) AS BIGINT) / 100.0 AS supply_cost,
+           (CAST(SUM(rev_cents) AS BIGINT) - CAST(SUM(cost_cents) AS BIGINT))
+             / 100.0 AS profit
+    FROM pr
+    GROUP BY nation, o_year
+    """,
+    priority="P1",
+    tags=("tpch", "join", "multi-join", "partsupp"),
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9): revenue minus supply cost for
+    '%rod%' parts, by supplier nation and order year — the widest join
+    in the suite (fact ⋈ partsupp ⋈ part ⋈ supplier ⋈ nation ⋈ orders).
+
+    Determinism: BOTH sums are exact integer cents. Supply cost is
+    Σ(cents × integer-valued quantity); revenue is quantized to cents
+    PER ROW (each row's double is engine-identical, so the per-row
+    Spark-round matches; integer sums are then summation-order-free —
+    the r2-round-the-float-sum house rule measurably flips a cent on
+    ~1% of groups here because the 6-join row order differs far more
+    across engines than a single fact scan's). profit is a pure integer
+    difference; /100.0 only at emission.
+
+    Scale: part (name-filtered), partsupp (4·|part|), supplier and
+    nation all broadcast — the fact never shuffles for them; the only
+    fact shuffle is the join to orders on l_orderkey, then the final
+    (nation, year) agg is partial-aggregated map-side. Catalyst orders
+    the broadcast joins below the shuffle join unaided."""
+    prep(spark)
+    ps = synth_partsupp(spark, sf_dir)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("%rod%")
+    ).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    pr = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            F.round(_rev() * 100, 0).cast("bigint").alias("rev_cents"),
+            (F.col("ps_supplycost_cents") * F.col("l_quantity"))
+            .cast("bigint")
+            .alias("cost_cents"),
+        )
+    )
+    rev_sum = F.sum("rev_cents").cast("bigint")
+    cost_sum = F.sum("cost_cents").cast("bigint")
+    return pr.groupBy("nation", "o_year").agg(
+        (rev_sum / 100.0).alias("revenue"),
+        (cost_sum / 100.0).alias("supply_cost"),
+        ((rev_sum - cost_sum) / 100.0).alias("profit"),
+    )
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    asia_supp AS (
+      SELECT s_suppkey
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    stock AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM partsupp JOIN asia_supp ON ps_suppkey = s_suppkey
+      GROUP BY ps_partkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(value_cents) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM stock
+    )
+    SELECT ps_partkey, value_cents / 100.0 AS value
+    FROM stock CROSS JOIN tot
+    WHERE value_cents * np * 5 > t * 6
+    """,
+    priority="P1",
+    tags=("tpch", "agg", "having-share", "partsupp"),
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11): per-part stock value
+    (supplycost × availqty) over ASIA suppliers, keeping parts stocked
+    ≥ 20% above the mean part value — the HAVING-over-global-share
+    shape. TPC-H's fixed 0.0001 fraction is SF-dependent; the
+    1.2×-mean threshold discriminates identically at every SF.
+
+    Determinism: value is exact integer cents (cents × integer qty);
+    the share test runs as cross-multiplied integers
+    (value·np·5 > total·6 — no division, no floats; magnitudes stay
+    < 2^60 through sf10). /100.0 only at emission.
+
+    Scale: region-filtered supplier dim broadcasts into the partsupp
+    build; the per-part agg partial-aggregates; the global (total,
+    count) is a 1-row broadcast back over the per-part frame — the
+    q_tpch_q15 scalar discipline, no second scan of partsupp."""
+    prep(spark)
+    ps = synth_partsupp(spark, sf_dir)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    stock = (
+        ps.join(F.broadcast(asia), ps.ps_suppkey == asia.s_suppkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    tot = stock.agg(
+        F.sum("value_cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return (
+        stock.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("np") * 5 > F.col("t") * 6)
+        .select("ps_partkey", (F.col("value_cents") / 100.0).alias("value"))
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE}
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+    priority="P1",
+    tags=("tpch", "agg", "grouped-not-in", "partsupp"),
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16): distinct-supplier counts
+    per (brand, type, size) for a size list, excluding one brand, one
+    type, and every "complaint" supplier — the grouped-NOT-IN shape.
+    The schema has no supplier comments, so complaint ≡ s_acctbal <
+    1000 (non-empty and non-total at every shipped SF: 1/10 suppliers
+    at sf0.001, 10/100, 135/1000).
+
+    Scale: the NOT IN runs as a LEFT ANTI join against the tiny
+    excluded-supplier dim (broadcast — NULL-safe trivially since keys
+    are non-null); part (brand/type/size-filtered) broadcasts;
+    COUNT(DISTINCT) expands to the standard two-phase partial-distinct
+    agg on (brand, type, size, suppkey)."""
+    prep(spark)
+    ps = synth_partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 1000
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            ps.ps_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+    WITH {_PARTSUPP_CTE},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%') bp
+        ON ps_partkey = p_partkey
+      JOIN shipped sh
+        ON sh.l_partkey = ps_partkey AND sh.l_suppkey = ps_suppkey
+      WHERE ps_availqty > 0.5 * sh.qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND s_suppkey IN (SELECT ps_suppkey FROM cand)
+    """,
+    priority="P1",
+    tags=("tpch", "join", "semi-anti-chain", "partsupp"),
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20): AFRICA suppliers holding
+    excess stock — availqty above half of what they shipped of some
+    'blue%' part during 1998 — the nested semi-join chain (supplier IN
+    (… partsupp WHERE availqty > correlated lineitem SUM)).
+
+    Determinism: l_quantity is integer-valued so the 1998 per-(part,
+    supplier) SUM is exact under any partitioning, and the 0.5·qty
+    threshold is an exact IEEE halving — the > test cannot flip
+    cross-engine.
+
+    Scale: the date window is pushed to the fact scan (row-group
+    pruning); the per-pair SUM partial-aggregates before its one
+    shuffle; the name-filtered part dim broadcasts into partsupp; the
+    qualifying-supplier set is DISTINCT-ed (small) and broadcast into
+    the final LEFT SEMI against the region-filtered supplier dim —
+    every join in the chain is a broadcast."""
+    prep(spark)
+    ps = synth_partsupp(spark, sf_dir)
+    ts = lambda x: F.lit(x).cast("timestamp_ntz")  # noqa: E731
+    shipped = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= ts("1998-01-01 00:00:00"))
+            & (F.col("l_shipdate") < ts("1999-01-01 00:00:00"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    bp = load(spark, sf_dir, "part").where(
+        F.col("p_name").like("blue%")
+    ).select("p_partkey")
+    cand = (
+        ps.join(F.broadcast(bp), ps.ps_partkey == bp.p_partkey)
+        .join(
+            shipped,
+            (shipped.l_partkey == ps.ps_partkey)
+            & (shipped.l_suppkey == ps.ps_suppkey),
+        )
+        .where(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "AFRICA")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(cand),
+            F.col("s_suppkey") == F.col("ps_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
     )
