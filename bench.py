@@ -156,6 +156,77 @@ def main() -> None:
         reg[name].builder(spark, quad_dir).toPandas()
         quad_timings[name] = round(time.perf_counter() - t0, 4)
         gc.collect()
+    # Family panel (round 5, VERDICT item 5): the headline set times 24
+    # of 323 operators; nothing else caught a perf regression in the
+    # other ~300. One NON-headline query per module-family per round,
+    # rotating deterministically by round index (inferred from the
+    # BENCH_r*.json files the driver leaves in the repo root), warmup +
+    # min-of-3, with round-over-round deltas against the most recent
+    # prior BENCH file that timed the same name. Over ~13 rounds the
+    # rotation covers every non-headline, non-quadratic operator.
+    import glob
+    import re as _re
+    from collections import defaultdict
+
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior: dict[str, tuple[int, float]] = {}
+    round_idx = 0
+    for f in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        m = _re.search(r"BENCH_r(\d+)", os.path.basename(f))
+        rnd = int(m.group(1)) if m else 0
+        round_idx = max(round_idx, rnd)
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+            for qn, sec in (data.get("family_panel") or {}).items():
+                if qn not in prior or prior[qn][0] < rnd:
+                    prior[qn] = (rnd, sec)
+        except Exception:
+            continue  # a truncated BENCH capture must not kill the bench
+    round_idx += 1  # this run belongs to the round AFTER the last record
+
+    families: dict[str, list[str]] = defaultdict(list)
+    for qname, qd in sorted(reg.items()):
+        families[qd.module.rsplit(".", 1)[-1]].append(qname)
+    # The graph family runs its panel pick at sf0.01: the synthetic
+    # co-supply graph is 91% DENSE at sf0.1 (453,588 of 499,500 possible
+    # edges, 137M wedges — measured round 5), so every sf0.1 graph query
+    # spends 5-49 s on data density, not plan quality; the sf0.01 timing
+    # is the same regression canary at ~1/50 the budget (the
+    # quadratic_watch precedent).
+    panel_sf_overrides = {"graph": quad_dir}
+    panel: dict[str, float] = {}
+    for fam in sorted(families):
+        eligible = [
+            n
+            for n in families[fam]
+            if n not in headline and n not in quadratic
+        ]
+        if not eligible:
+            continue
+        name = eligible[round_idx % len(eligible)]
+        fam_dir = panel_sf_overrides.get(fam, sf_dir)
+        reg[name].builder(spark, fam_dir).toPandas()  # warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            reg[name].builder(spark, fam_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        panel[name] = round(best, 4)
+        gc.collect()
+    panel_deltas = {
+        qn: {
+            "sec": sec,
+            "prev_sec": prior[qn][1],
+            "prev_round": prior[qn][0],
+            "delta_pct": round(100.0 * (sec - prior[qn][1]) / prior[qn][1], 1)
+            if prior[qn][1]
+            else None,
+        }
+        for qn, sec in panel.items()
+        if qn in prior
+    }
+
     spark_cmp = round(sum(timings[n] for n in comparable), 4)
     duck_cmp = round(sum(duck[n] for n in comparable), 4)
     # Totals lead the line (BENCH_r03's capture was head-truncated and
@@ -179,6 +250,10 @@ def main() -> None:
                 "demo_overhead_queries": demo_overhead,
                 "quadratic_watch": quad_timings,
                 "quadratic_watch_sf_dir": quad_dir,
+                "family_panel": panel,
+                "family_panel_deltas": panel_deltas,
+                "family_panel_round_idx": round_idx,
+                "family_panel_sf_overrides": panel_sf_overrides,
                 "totals_tail": {
                     "headline_total": total,
                     "spark_comparable_total": spark_cmp,
