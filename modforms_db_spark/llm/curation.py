@@ -1020,10 +1020,10 @@ _MIX_WEIGHTS_SQL = ", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)
     ), w AS (
       SELECT * FROM (VALUES {_MIX_WEIGHTS_SQL}) t(lang, wpm)
     ), quota AS (
-      SELECT a.lang, a.avail_tokens,
+      SELECT w.lang, COALESCE(a.avail_tokens, 0) AS avail_tokens,
              CAST(FLOOR({_MIX_BUDGET} * w.wpm / 1000.0) AS BIGINT) AS fl,
              {_MIX_BUDGET} * w.wpm % 1000 AS rem
-      FROM avail a JOIN w ON a.lang = w.lang
+      FROM w LEFT JOIN avail a ON a.lang = w.lang
     ), short AS (
       SELECT {_MIX_BUDGET} - SUM(fl) AS k FROM quota
     ), ranked AS (
@@ -1036,7 +1036,8 @@ _MIX_WEIGHTS_SQL = ", ".join(f"('{l}', {w})" for l, w in _MIX_WEIGHTS)
       FROM ranked CROSS JOIN short
     )
     SELECT lang, avail_tokens, target_tokens,
-           {R4('target_tokens * 1.0 / avail_tokens')} AS epochs,
+           CASE WHEN avail_tokens = 0 THEN NULL
+                ELSE {R4('target_tokens * 1.0 / avail_tokens')} END AS epochs,
            target_tokens > avail_tokens AS oversampled
     FROM alloc
     """,
@@ -1055,6 +1056,15 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (budget × per-mille weights), so remainder ranking
     cannot flip cross-engine.
 
+    The allocation is DRIVEN BY THE WEIGHT TABLE (left join to
+    availability, 0 tokens for a language the corpus lacks): an inner
+    join would silently drop an absent weighted language, and the
+    Hamilton shortfall would then hand its quota to the other languages
+    — target_tokens would still sum to the budget, but not to the mix
+    the weight table specifies (round-4 advisory). An absent language
+    surfaces as (avail 0, epochs NULL, oversampled true) instead of
+    vanishing.
+
     Scale: one linear token count to lang grain; everything after
     operates on the #langs-sized table (bounded window, broadcast
     scalar shortfall)."""
@@ -1066,9 +1076,13 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("bigint").alias("avail_tokens"))
     )
     w = spark.createDataFrame(_MIX_WEIGHTS, "lang string, wpm int")
-    quota = avail.join(F.broadcast(w), "lang").select(
+    # w LEFT JOIN avail; the broadcast must sit on the RIGHT (build)
+    # side of a left-outer BHJ — avail is lang-grain, so it's tiny too.
+    quota = w.join(F.broadcast(avail), "lang", "left").select(
         "lang",
-        "avail_tokens",
+        F.coalesce("avail_tokens", F.lit(0).cast("bigint")).alias(
+            "avail_tokens"
+        ),
         F.floor(F.lit(_MIX_BUDGET) * F.col("wpm") / 1000.0)
         .cast("bigint")
         .alias("fl"),
@@ -1089,7 +1103,11 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "avail_tokens",
         "target_tokens",
-        r4(F.col("target_tokens") * 1.0 / F.col("avail_tokens")).alias("epochs"),
+        F.when(
+            F.col("avail_tokens") == 0, F.lit(None).cast("double")
+        ).otherwise(
+            r4(F.col("target_tokens") * 1.0 / F.col("avail_tokens"))
+        ).alias("epochs"),
         (F.col("target_tokens") > F.col("avail_tokens")).alias("oversampled"),
     )
 

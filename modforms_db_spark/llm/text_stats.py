@@ -1724,7 +1724,10 @@ def q_corpus_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     _sh, first_seen = _shingle_first_seen(spark, sf_dir)
     per_bucket = first_seen.groupBy(
-        (F.col("first_doc") / _SAT_BUCKET).cast("bigint").alias("bucket")
+        # F.floor, not cast('bigint'): cast truncates toward zero while
+        # the oracle's // floors — equivalent only for non-negative ids
+        # below 2^53 (round-4 advisory; floor matches unconditionally).
+        F.floor(F.col("first_doc") / _SAT_BUCKET).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
     # Dense bucket spine: a bucket in which no shingle is first-seen must
     # still appear (n_new = 0) — those zero rows are exactly where the

@@ -117,14 +117,51 @@ def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
     hold ``n div k + 1`` rows, the rest ``n div k`` — Spark's and
     DuckDB's shared definition, which makes a distributed ntile just a
     banded row number plus this arithmetic."""
-    base = (n / k).cast("bigint")  # n, k > 0: truncation == floor
+    # EXACT integer division at any bigint magnitude (round-4 advisory:
+    # the old double-divide + cast is only floor below 2^53, and this
+    # module targets 10^8-10^9+ row partitions — headroom matters).
+    # base = n div k: divisor is a SMALL literal → two-limb long
+    # division; every intermediate double quotient has a < 2^53
+    # numerator, so each floor is exact for any n < 2^63, k < 2^21.
+    # The per-tile legs divide by LARGE columns (big ≈ n/k) but their
+    # quotients are < k, so a double estimate is within 2^-50 of the
+    # true ratio and a single ±1 correction (exact bigint multiply-back)
+    # pins the floor.
+    base = _div_by_small(n, k)
     rem = n % k
     big = base + 1
     in_big = rn <= rem * big
-    return (
-        F.when(in_big, ((rn - 1) / big).cast("bigint") + 1)
-        .otherwise(rem + ((rn - rem * big - 1) / base).cast("bigint") + 1)
-    )
+    first_leg = _div_small_quotient(rn - 1, big)
+    rest_leg = _div_small_quotient(rn - rem * big - 1, base)
+    return F.when(in_big, first_leg + 1).otherwise(rem + rest_leg + 1)
+
+
+def _div_by_small(a: Column, k: int) -> Column:
+    """Exact ``a div k`` for bigint ``a`` in [0, 2^63) and literal
+    0 < k < 2^21: two-limb (base 2^31) long division. The high limb is
+    < 2^32 and the second numerator rh·2^31 + lo is < k·2^31 < 2^52 —
+    both below 2^53, so the two double floors are exact."""
+    m = 1 << 31
+    a = a.cast("bigint")
+    hi = F.shiftright(a, 31)
+    lo = a - hi * m
+    qh = F.floor(hi / k).cast("bigint")
+    rh = hi - qh * k
+    q2 = F.floor((rh * m + lo) / k).cast("bigint")
+    return qh * m + q2
+
+
+def _div_small_quotient(a: Column, b: Column) -> Column:
+    """Exact ``a div b`` for bigint ``a ≥ 0`` and column ``b > 0`` when
+    the true quotient is SMALL (< ~2^40): floor the double estimate,
+    then correct by ±1 against the exact bigint multiply-back. The
+    double ratio's absolute error is ≤ quotient·2^-51 + 1 ulp < 1, so
+    the estimate is off by at most one either way."""
+    a = a.cast("bigint")
+    b = b.cast("bigint")
+    q0 = F.floor(a / b).cast("bigint")
+    r = a - q0 * b
+    return F.when(r < 0, q0 - 1).when(r >= b, q0 + 1).otherwise(q0)
 
 
 def with_abc_class(

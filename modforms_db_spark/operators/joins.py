@@ -1013,8 +1013,14 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = top.withColumn("rk", F.row_number().over(w))
     m1 = marg.select(F.col("p").alias("p1"), F.col("n_p").alias("n_p1"))
     m2 = marg.select(F.col("p").alias("p2"), F.col("n_p").alias("n_p2"))
+    # BOTH marginal joins must be broadcast (docstring contract): the
+    # first builds on the 20-row top list; its ≤20-row OUTPUT is then
+    # hinted explicitly for the second join — without the hint the
+    # small intermediate is unhinted against the full part-grain
+    # marginal and a non-AQE plan can shuffle the large side
+    # (round-4 advisory).
     return (
-        m1.join(F.broadcast(top), "p1")
+        F.broadcast(m1.join(F.broadcast(top), "p1"))
         .join(m2, "p2")
         .crossJoin(F.broadcast(nord))
         .select(

@@ -420,10 +420,29 @@ def test_max_drawdown_nonvacuous(spark):
     because all-positive purchase values make the cumulative series
     monotone — no drawdown could ever exist (empty at every SF before).
     Laws: non-empty; drawdowns strictly positive; at least one refund
-    event exists per reported user."""
+    event exists per reported user (a positive drawdown REQUIRES a
+    negative step, so a reported user without a refund purchase would
+    prove the query wrong — round-4 advisory: assert it, don't just
+    state it)."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
     out = get_registry()["q_max_drawdown"].builder(spark, SF_DIR).toPandas()
     assert len(out) > 0
     assert (out.max_drawdown > 0).all()
+    refund_users = {
+        r.user_id
+        for r in load(spark, SF_DIR, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("event_id") % 7 == 0))
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert set(out.user_id) <= refund_users, (
+        "reported drawdown user(s) with no refund event: "
+        f"{set(out.user_id) - refund_users}"
+    )
 
 
 def test_shingle_queries_survive_short_docs(spark, tmp_path):
@@ -490,3 +509,39 @@ def test_no_complex_output_columns_on_oracle_queries(spark):
         "SQL-oracle queries must emit scalar columns only (driver _canon "
         f"crashes on array/struct/map cells): {offenders}"
     )
+
+
+def test_token_budget_mix_absent_weighted_lang(spark, tmp_path):
+    """q_token_budget_mix must be driven by the WEIGHT table (round-4
+    advisory): with a corpus that lacks a weighted language ('zh'
+    here), the inner-join form silently dropped that row and the
+    Hamilton shortfall re-granted its quota elsewhere — target_tokens
+    kept summing to the budget but no longer matched the specified
+    mix. Laws: every weighted language appears exactly once; targets
+    sum exactly to the budget; the absent language surfaces as
+    (avail 0, epochs NULL, oversampled true)."""
+    import pandas as pd
+
+    from modforms_db_spark.llm.curation import _MIX_BUDGET, _MIX_WEIGHTS
+
+    langs = [l for l, _ in _MIX_WEIGHTS if l != "zh"]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(langs) * 2),
+            "text": ["alpha beta gamma delta"] * (len(langs) * 2),
+            "lang": langs * 2,
+            "source": ["t"] * (len(langs) * 2),
+            "n_chars": [22] * (len(langs) * 2),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = (
+        get_registry()["q_token_budget_mix"]
+        .builder(spark, str(tmp_path))
+        .toPandas()
+    )
+    assert sorted(out.lang) == sorted(l for l, _ in _MIX_WEIGHTS)
+    assert out.target_tokens.sum() == _MIX_BUDGET
+    zh = out[out.lang == "zh"].iloc[0]
+    assert zh.avail_tokens == 0
+    assert pd.isna(zh.epochs)
+    assert bool(zh.oversampled)
