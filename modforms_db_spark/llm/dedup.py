@@ -60,19 +60,40 @@ def _distinct_tokens(df: DataFrame) -> DataFrame:
 @register(
     "q_dedup_exact",
     oracle="""
+    WITH feed AS (
+      SELECT text FROM documents
+      UNION ALL
+      SELECT text FROM documents WHERE doc_id % 37 = 0
+    )
     SELECT sha256(text) AS h, COUNT(*) AS n
-    FROM documents GROUP BY h HAVING COUNT(*) > 1
+    FROM feed GROUP BY h HAVING COUNT(*) > 1
     """,
     priority="P1",
     tags=("llm", "dedup"),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup by content hash (0 groups expected in the driver data —
-    measured; still a valid hash-matchable result). GridFS checksum [R]."""
+    """Exact dedup by content hash over a feed with a deterministic
+    RE-INGESTED batch (every 37th doc appended again — the same planted
+    ground-truth discipline as `q_fuzzy_name_join`'s dirty registry).
+    GridFS checksum [R].
+
+    De-vacuated round 5: the shipped corpus has ZERO byte-identical
+    duplicates below sf0.1, so the round-4 driver hash-pass at sf0.01
+    was empty == empty and exercised none of the grouping logic
+    (CORRECTNESS_r04: spark_rows 0). The planted re-ingestion makes
+    ≥ |docs|/37 groups exist at EVERY shipped SF, while organic dups
+    (8 groups at sf0.1) still surface through the same path.
+
+    Scale: one projection + one hash-keyed partial+final agg — the
+    appended batch is a second scan of a 1/37 slice (scan-side modulo
+    predicate), not a join."""
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = d.select("text").unionAll(
+        d.where(F.col("doc_id") % 37 == 0).select("text")
+    )
     return (
-        d.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+        feed.groupBy(F.sha2(F.col("text"), 256).alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
     )

@@ -281,9 +281,13 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lo AS (
       SELECT COUNT(*) AS n_low, MAX(o_totalprice) AS max_low
       FROM orders WHERE o_orderpriority = '5-LOW'
+        AND o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
     ), ur AS (
       SELECT COUNT(*) AS n_urg, MIN(o_totalprice) AS min_urg
       FROM orders WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1997-03-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
     )
     SELECT o.o_orderkey, o.o_totalprice,
            (lo.n_low = 0 OR o.o_totalprice > lo.max_low) AS gt_all_low,
@@ -310,17 +314,35 @@ def q_subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join, zero shuffles on the probe side beyond the scan."""
     prep(spark)
     o = load(spark, sf_dir, "orders")
+    # The quantified subqueries range over ONE MONTH of orders: the
+    # round-5 vacuity audit showed that quantifying over the global
+    # classes degenerates as SF grows (max over ALL 5-LOW prices
+    # converges to the distribution max, so `> ALL` matched nothing at
+    # sf0.01/sf0.1 and the round-3 driver hash-pass was empty == empty);
+    # a fixed-window subquery keeps both branches live at every SF
+    # (98/26, 203/259, 227/29 rows measured).
+    in_mar97 = (
+        F.col("o_orderdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     # BOTH subquery extrema in one conditional-aggregation pass (a scan
     # per quantified subquery would re-read orders once each).
-    low = F.when(F.col("o_orderpriority") == "5-LOW", F.col("o_totalprice"))
-    urg = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
+    low = F.when(
+        (F.col("o_orderpriority") == "5-LOW") & in_mar97, F.col("o_totalprice")
+    )
+    urg = F.when(
+        (F.col("o_orderpriority") == "1-URGENT") & in_mar97, F.col("o_totalprice")
+    )
     # counts are ROW counts per class (count over a when(cond, 1)), not
     # non-NULL price counts — with NULL prices in a class the two differ
     # and the empty-set laws would fire wrongly
     ext = o.agg(
-        F.count(F.when(F.col("o_orderpriority") == "5-LOW", F.lit(1))).alias("n_low"),
+        F.count(
+            F.when((F.col("o_orderpriority") == "5-LOW") & in_mar97, F.lit(1))
+        ).alias("n_low"),
         F.max(low).alias("max_low"),
-        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(1))).alias("n_urg"),
+        F.count(
+            F.when((F.col("o_orderpriority") == "1-URGENT") & in_mar97, F.lit(1))
+        ).alias("n_urg"),
         F.min(urg).alias("min_urg"),
     )
     gt_all = (F.col("n_low") == 0) | (F.col("o_totalprice") > F.col("max_low"))

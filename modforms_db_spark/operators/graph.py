@@ -443,7 +443,17 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_link_prediction",
     oracle=f"""
-    WITH {_COSUPPLY_EDGES_SQL},
+    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+    raw AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS cnt
+      FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS ti, CAST(COUNT(*) AS BIGINT) AS np
+      FROM raw
+    ), edges AS (
+      SELECT u, v FROM raw CROSS JOIN tot WHERE cnt * np > ti
+    ),
     sym AS (
       SELECT u, v FROM edges UNION SELECT v, u FROM edges
     ), deg AS (
@@ -473,21 +483,50 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "link-prediction", "jaccard"),
 )
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction on the co-supply graph: top-20 NON-adjacent
-    supplier pairs by neighbor-set Jaccard (|Γx∩Γy| / |Γx∪Γy|) — the
-    classic "who should be connected" score; common neighbors come
-    from a wedge join (pairs sharing a neighbor), the union size from
-    degrees (|Γx|+|Γy|−cn, no second set materialization), and
-    existing edges are anti-joined out. Ranking on the ROUNDED score
-    with pair tiebreak keeps top-20 engine-exact.
+    """Link prediction on the STRONG co-supply graph: top-20
+    non-adjacent supplier pairs by neighbor-set Jaccard
+    (|Γx∩Γy| / |Γx∪Γy|) — the classic "who should be connected" score.
+    Strong edges are pairs whose co-supply count is strictly above the
+    mean count (compared as cnt·n_pairs > total — exact integers, no
+    division): the round-5 vacuity audit showed the UNWEIGHTED
+    co-supply graph is COMPLETE below sf0.1, so there were no
+    non-edges to predict and the query returned nothing at the test
+    and driver SFs; the above-mean cut is scale-free (keeps a strict
+    subset at every SF: 21/45, 2573/4950, 214k/454k edges measured)
+    and asks the sensible question — which strong partnerships are
+    missing. Common neighbors come from a wedge join (pairs sharing a
+    neighbor), the union size from degrees (|Γx|+|Γy|−cn, no second
+    set materialization), and existing strong edges are anti-joined
+    out. Ranking on the ROUNDED score with pair tiebreak keeps top-20
+    engine-exact.
 
     Scale: identical envelope to `q_triangle_count`'s wedges — work is
     Σ_v deg(v)², bounded by orienting on the low-degree endpoint at
     power-law scale; degrees and the anti-join are key-partitioned
     aggregates. Top-20 via TakeOrdered."""
     prep(spark)
-    half = cosupply_edges(spark, sf_dir).localCheckpoint(
-        eager=False
+    raw = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    b0 = raw.withColumnRenamed("s", "s2")
+    counts = (
+        raw.join(b0, "ok")
+        .where(F.col("s") < F.col("s2"))
+        .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds both the mean and the cut
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("ti"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    half = (
+        counts.crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * F.col("np") > F.col("ti"))
+        .select("u", "v")
+        .localCheckpoint(eager=False)
     )  # sym, degrees, and the anti-join probe all read it
     sym = half.union(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))

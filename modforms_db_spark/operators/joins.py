@@ -156,17 +156,31 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
     """,
     priority="P0",
     tags=("join", "anti"),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left anti — the reference's signature completeness scan [R]:
-    records that still need computation."""
+    customers with no orders in the CURRENT epoch (since 2000), i.e.
+    records that still need computation this cycle.
+
+    De-vacuated round 5: the unfiltered form was empty at sf0.001 and
+    sf0.01 (the generator gives ~every customer an order), so its
+    round-1 driver hash-pass was empty == empty. Anti-joining against
+    the date-filtered order set keeps the anti-join load-bearing at
+    every shipped SF (14 / 135 / 1355 rows measured) — and the filter
+    pushes to the orders scan, the realistic shape anyway."""
     prep(spark)
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

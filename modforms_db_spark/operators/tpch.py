@@ -253,7 +253,11 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
            {R2('SUM(c.c_acctbal)')} AS total_bal
     FROM customer c CROSS JOIN avg_bal
     WHERE c.c_acctbal > avg_bal.a
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
     GROUP BY c.c_nationkey
     """,
     priority="P1",
@@ -261,18 +265,30 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-sales-opportunity (TPC-H Q22 shape): customers with an
-    above-average balance and NO orders, grouped by nation — the
-    "well-funded but inactive" completeness report, composing a scalar
-    aggregate threshold with an existence anti-join.
+    above-average balance and no orders SINCE 2000 (lapsed, not
+    never-active — the unfiltered NOT EXISTS was empty below sf0.1
+    since the generator gives ~every customer an order, making the
+    round-2 driver hash-pass empty == empty; de-vacuated round 5),
+    grouped by nation — the "well-funded but inactive" report
+    composing a scalar aggregate threshold with an existence
+    anti-join.
 
     Spark shape: the threshold is a broadcast 1-row aggregate (rounded
     to 2 dp on both engines so an ulp of summation-order noise cannot
     flip a boundary row), the NOT EXISTS is a left_anti join against
-    the projected order keys; at 100 TB the anti join shuffles on
-    custkey once and the threshold costs one linear pass."""
+    the date-filtered projected order keys (the date predicate pushes
+    to the orders scan); at 100 TB the anti join shuffles on custkey
+    once and the threshold costs one linear pass."""
     prep(spark)
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
     avg_bal = c.where(F.col("c_acctbal") > 0).agg(
         F.round(F.avg("c_acctbal"), 2).alias("a")
     )

@@ -632,3 +632,26 @@ def test_compression_ratio_laws(spark):
     r_rep = len(zlib.compress(rep.encode(), 6)) / len(rep.encode())
     r_noisy = len(zlib.compress(noisy.encode(), 6)) / len(noisy.encode())
     assert r_rep < 0.1 < r_noisy
+
+
+def test_dedup_exact_nonvacuous_with_planted_reingest(spark):
+    """q_dedup_exact was vacuous below sf0.1 (zero byte-identical dups in
+    the shipped corpus — CORRECTNESS_r04 hash-passed on empty==empty).
+    The round-5 planted re-ingestion (every 37th doc appended again)
+    guarantees groups at every SF. Laws: non-empty; every group has
+    n ≥ 2; at least as many groups as distinct re-ingested texts."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.io import load
+
+    out = get_registry()["q_dedup_exact"].builder(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    assert (out.n >= 2).all()
+    planted = (
+        load(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 37 == 0)
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert len(out) >= planted > 0
