@@ -184,6 +184,11 @@ def main() -> None:
         except Exception:
             continue  # a truncated BENCH capture must not kill the bench
     round_idx += 1  # this run belongs to the round AFTER the last record
+    # Re-running bench after the driver has already recorded this
+    # round's BENCH file would silently rotate to the next round's
+    # query set; SPARK_GRAFT_PANEL_ROUND pins the rotation for such
+    # same-round re-runs (round-5 review).
+    round_idx = int(os.environ.get("SPARK_GRAFT_PANEL_ROUND", round_idx))
 
     families: dict[str, list[str]] = defaultdict(list)
     for qname, qd in sorted(reg.items()):

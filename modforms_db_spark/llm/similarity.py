@@ -572,7 +572,11 @@ def q_knn_classify_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests."""
     prep(spark)
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
-    ranked = ivf_rank_cells(e, carry=("label",))
+    ranked = ivf_rank_cells(e, carry=("label",)).localCheckpoint(
+        eager=False
+    )  # TWO consumers (assignment + probe) — without the checkpoint the
+    # cell-score crossJoin, window, and vec_id re-join all execute twice
+    # (the round-4 flaw the q_sim_ivf_topk rework fixed; round-5 review)
     asg = ranked.where(F.col("rn") == 1).select(
         F.col("vec_id").alias("nb_id"),
         F.col("emb").alias("nb_emb"),

@@ -214,19 +214,31 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSUPPLY_EDGES_SQL = """
+# The ONE pair derivation every graph operator builds on (Spark twin:
+# cosupply_pair_counts) — factored so the edge definition can't drift
+# between operators: unweighted edges project it DISTINCT-style
+# (_COSUPPLY_EDGES_SQL), the strong-edge cut (q_link_prediction)
+# thresholds its counts.
+_COSUPPLY_PAIRS_SQL = """
     os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-    edges AS (
-      SELECT DISTINCT a.s AS u, b.s AS v
+    pair_counts AS (
+      SELECT a.s AS u, b.s AS v, COUNT(*) AS cnt
       FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
+      GROUP BY a.s, b.s
+    )"""
+
+_COSUPPLY_EDGES_SQL = f"""
+    {_COSUPPLY_PAIRS_SQL},
+    edges AS (
+      SELECT u, v FROM pair_counts
     )"""
 
 
-def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oriented (u < v) distinct co-supply edges: suppliers adjacent iff
-    they ship lines of the same order — the Spark twin of
-    ``_COSUPPLY_EDGES_SQL``, shared by both graph operators so the edge
-    definition can't drift between them."""
+def cosupply_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) co-supply pairs with their shared-order COUNT —
+    the Spark twin of ``_COSUPPLY_PAIRS_SQL`` and the single source of
+    the pair derivation for every graph operator (the count is free:
+    the same shuffle that deduped the pairs produces it)."""
     os_ = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
@@ -236,9 +248,17 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         os_.join(b, "ok")
         .where(F.col("s") < F.col("s2"))
-        .select(F.col("s").alias("u"), F.col("s2").alias("v"))
-        .distinct()
+        .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct co-supply edges: suppliers adjacent iff
+    they ship lines of the same order — ``cosupply_pair_counts`` minus
+    the weight column; shared by the graph operators so the edge
+    definition can't drift between them."""
+    return cosupply_pair_counts(spark, sf_dir).select("u", "v")
 
 
 def triangle_close(edges: DataFrame) -> DataFrame:
@@ -443,16 +463,12 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_link_prediction",
     oracle=f"""
-    WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
-    raw AS (
-      SELECT a.s AS u, b.s AS v, COUNT(*) AS cnt
-      FROM os a JOIN os b ON a.ok = b.ok AND a.s < b.s
-      GROUP BY a.s, b.s
-    ), tot AS (
+    WITH {_COSUPPLY_PAIRS_SQL},
+    tot AS (
       SELECT CAST(SUM(cnt) AS BIGINT) AS ti, CAST(COUNT(*) AS BIGINT) AS np
-      FROM raw
+      FROM pair_counts
     ), edges AS (
-      SELECT u, v FROM raw CROSS JOIN tot WHERE cnt * np > ti
+      SELECT u, v FROM pair_counts CROSS JOIN tot WHERE cnt * np > ti
     ),
     sym AS (
       SELECT u, v FROM edges UNION SELECT v, u FROM edges
@@ -505,19 +521,9 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law scale; degrees and the anti-join are key-partitioned
     aggregates. Top-20 via TakeOrdered."""
     prep(spark)
-    raw = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    b0 = raw.withColumnRenamed("s", "s2")
-    counts = (
-        raw.join(b0, "ok")
-        .where(F.col("s") < F.col("s2"))
-        .groupBy(F.col("s").alias("u"), F.col("s2").alias("v"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=False)  # feeds both the mean and the cut
-    )
+    counts = cosupply_pair_counts(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # feeds both the mean and the cut
     tot = counts.agg(
         F.sum("cnt").cast("bigint").alias("ti"),
         F.count(F.lit(1)).alias("np"),

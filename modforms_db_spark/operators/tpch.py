@@ -885,7 +885,7 @@ _PARTSUPP_CTE = """
     ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
     partsupp AS (
       SELECT p_partkey AS ps_partkey,
-             (p_partkey * 7 + i.i * 13) % ns.n AS ps_suppkey,
+             (p_partkey * 7 + i.i) % ns.n AS ps_suppkey,
              (p_partkey * 31 + i.i * 17) % 9999 + 1 AS ps_availqty,
              (p_partkey * 13 + i.i * 29) % 99900 + 100 AS ps_supplycost_cents
       FROM part CROSS JOIN ns
@@ -916,7 +916,13 @@ def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            ((F.col("p_partkey") * 7 + F.col("i") * 13) % F.col("n")).alias(
+            # offset is i itself (0..3), NOT a multiple: consecutive
+            # offsets are distinct mod n for ANY supplier count n ≥ 4,
+            # so the (part, supplier) pairs are unique unconditionally —
+            # a stride k would collapse them whenever gcd(k·Δi, n) trips
+            # (round-5 review: 13 suppliers would have collapsed all 4
+            # rows onto one suppkey, quadrupling Q9's lineitem matches).
+            ((F.col("p_partkey") * 7 + F.col("i")) % F.col("n")).alias(
                 "ps_suppkey"
             ),
             ((F.col("p_partkey") * 31 + F.col("i") * 17) % 9999 + 1).alias(

@@ -74,7 +74,30 @@ def assert_parity(spark, ddb, name: str, sf_dir: str = SF_DIR) -> None:
 
     qd = get_registry()[name]
     assert qd.oracle is not None, f"{name} has no oracle (rows-only query)"
-    got = canon(qd.builder(spark, sf_dir).toPandas())
+    df = qd.builder(spark, sf_dir)
+    # Guard (round-5, closes the q_inverted_index class permanently): a
+    # SQL-oracle query must emit SCALAR output columns only — the
+    # driver's canonicalizer sorts raw result cells and crashes on
+    # array/struct/map values (CORRECTNESS_r04: `unhashable type:
+    # numpy.ndarray`); this local harness stringifies rows so it would
+    # pass where the driver dies. Asserted here, on the DataFrame the
+    # parity run builds anyway, so the check costs nothing extra and
+    # covers every present and future oracle query (including the
+    # eager sink/stream builders a standalone schema sweep would have
+    # to re-execute).
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
+    assert not complex_cols, (
+        f"{name}: oracle query emits non-scalar column(s) {complex_cols} — "
+        "the driver's canonicalizer crashes on array/struct/map cells; "
+        "serialize them (array_join / to_json) before returning"
+    )
+    got = canon(df.toPandas())
     want = canon(ddb.execute(qd.oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"

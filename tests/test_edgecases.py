@@ -484,33 +484,6 @@ def test_abc_xyz_exercises_both_axes(spark):
     assert out.n_parts.sum() == n_parts
 
 
-def test_no_complex_output_columns_on_oracle_queries(spark):
-    """Class-closing guard for the round-4 driver crash (q_inverted_index,
-    CORRECTNESS_r04.json): the driver's canonicalizer sorts raw result
-    cells and dies on array/struct/map values (`unhashable type:
-    numpy.ndarray`). Every SQL-oracle query must therefore emit SCALAR
-    output columns only — complex values must be serialized (array_join /
-    to_json) before return. One sf0.001 schema pass over the whole
-    registry; builders are lazy so this is planning cost only."""
-    from pyspark.sql import types as T
-
-    def has_complex(dt) -> bool:
-        return isinstance(dt, (T.ArrayType, T.StructType, T.MapType))
-
-    offenders = []
-    for name, qd in sorted(get_registry().items()):
-        if qd.oracle is None:
-            continue  # rows-only: driver never canonicalizes these values
-        schema = qd.builder(spark, SF_DIR).schema
-        bad = [f.name for f in schema.fields if has_complex(f.dataType)]
-        if bad:
-            offenders.append((name, bad))
-    assert not offenders, (
-        "SQL-oracle queries must emit scalar columns only (driver _canon "
-        f"crashes on array/struct/map cells): {offenders}"
-    )
-
-
 def test_token_budget_mix_absent_weighted_lang(spark, tmp_path):
     """q_token_budget_mix must be driven by the WEIGHT table (round-4
     advisory): with a corpus that lacks a weighted language ('zh'
