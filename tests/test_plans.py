@@ -387,8 +387,17 @@ def test_ann_twins_never_cartesian(spark):
     ):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
-    plan = _plan(spark, "q_knn_classify_ann")
+    # q_knn_classify_ann localCheckpoints the ranked frame (round-5 review:
+    # two consumers), which cuts lineage — the registered query's plan starts
+    # at Scan ExistingRDD. Probe the PRE-checkpoint ivf_rank_cells frame for
+    # the centroid broadcast instead; that is where the nested-loop lives.
+    from modforms_db_spark.llm.similarity import _emb, _norm, ivf_rank_cells
+
+    e = _emb(spark, SF_DIR).withColumn("nrm", _norm("emb"))
+    ranked = ivf_rank_cells(e, carry=("label",))
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan and "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_zorder_layout_shrinks_per_file_bounding_boxes(spark):
