@@ -17,10 +17,14 @@ extra pass); production layouts with skewed leading columns would feed
 GK-sketch cutpoints into the same shape.
 
 Cost: three passes over the input (min/max stats, the banded window,
-band totals) instead of one — at 100 TB those are narrow column-pruned
-scans, which beats materializing the whole table through one task by
-orders of magnitude.  Offsets and stats are band-/group-grain and joined
-back via broadcast.
+band totals) instead of one — the input is materialized ONCE with
+``localCheckpoint(eager=False)`` so the passes re-read cached rows
+rather than recomputing the upstream pipeline (banding inputs are
+aggregated grains: vocab, parts, customers — the multi-consumer
+checkpoint trade the house convention already makes).  Offsets and
+stats are band-/group-grain and joined back via broadcast; offsets
+derive from the pre-window band frame so the per-band window executes
+exactly once.
 """
 
 from __future__ import annotations
@@ -46,15 +50,31 @@ def with_banded_order(
     rn_name: str = "rn",
     cum_name: str = "cum",
     n_bands: int = N_BANDS,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Return ``df`` plus a global (per ``group_cols``) row number
     ``rn_name`` in ``(order_col [DESC], *tiebreaks)`` order — and, when
     ``cumsum_col`` is given, the running sum ``cum_name`` over that
     order — computed with only band-partitioned windows.  ``order_col``
     must be numeric and non-null; ``tiebreaks`` must make the full order
-    key unique within a group (so rank ≡ row_number)."""
+    key unique within a group (so rank ≡ row_number).  Pass
+    ``checkpoint_input=False`` only when ``df`` is already a
+    localCheckpoint (a second materialization of the same rows is pure
+    overhead — measured +0.2 s on q_pareto_abc_scaled)."""
     g = list(group_cols or [])
     v = F.col(order_col)
+
+    # ONE materialization of the caller's frame: stats and the band-join
+    # below both read it, and the banded frame itself feeds two legs
+    # (offsets + the windowed output). Without this, an un-checkpointed
+    # upstream pipeline recomputes once per leg — and CHAINED bandings
+    # (q_rfm_segmentation scores three axes) amplify that geometrically:
+    # measured steady-state 3.9 s → 2.7 s at sf0.1 from this one line.
+    # Banding inputs are aggregated grains (vocab, parts, customers), so
+    # materializing them is the same deliberate trade the house
+    # checkpoint convention already makes for multi-consumer grains.
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=False)
 
     stats = df.groupBy(*g).agg(
         F.min(order_col).alias("_mfdb_mn"), F.max(order_col).alias("_mfdb_mx")
@@ -70,12 +90,25 @@ def with_banded_order(
     )
     d = d.withColumn(_BAND, band.cast("int")).drop("_mfdb_mn", "_mfdb_mx")
 
+    # Band-grain offsets come from the PRE-window band frame: the per-band
+    # count/sum doesn't need row numbers, and deriving it from the
+    # windowed frame (the old shape) executed the window twice — once for
+    # the output leg, once here.
+    aggs = [F.count(F.lit(1)).alias("_mfdb_bn")]
+    if cumsum_col is not None:
+        aggs.append(F.sum(cumsum_col).alias("_mfdb_bs"))
+    w_off = (
+        Window.partitionBy(*g)
+        .orderBy(_BAND)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = d.groupBy(*g, _BAND).agg(*aggs)
+
     order = [F.desc(order_col) if descending else F.asc(order_col)] + [
         F.asc(t) for t in tiebreaks
     ]
     w_local = Window.partitionBy(*g, _BAND).orderBy(*order)
     d = d.withColumn(rn_name, F.row_number().over(w_local).cast("bigint"))
-    aggs = [F.count(F.lit(1)).alias("_mfdb_bn")]
     if cumsum_col is not None:
         d = d.withColumn(
             cum_name,
@@ -83,16 +116,6 @@ def with_banded_order(
                 w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
-        aggs.append(F.sum(cumsum_col).alias("_mfdb_bs"))
-
-    # Band-grain offsets: ≤ n_bands rows per group — the only
-    # "unpartitioned" window left runs over that tiny aggregate.
-    w_off = (
-        Window.partitionBy(*g)
-        .orderBy(_BAND)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = d.groupBy(*g, _BAND).agg(*aggs)
     off_cols = [
         F.coalesce(F.sum("_mfdb_bn").over(w_off), F.lit(0)).alias(_RN_OFF)
     ]
@@ -191,6 +214,7 @@ def with_abc_class(
         cumsum_col="_mfdb_cents",
         rn_name="_mfdb_rn",
         cum_name="_mfdb_cum",
+        checkpoint_input=False,  # d is the localCheckpoint two lines up
     )
     tot = d.groupBy().agg(F.sum("_mfdb_cents").alias("_mfdb_tot"))
     share_before = F.round(
