@@ -169,8 +169,17 @@ def main() -> None:
     from collections import defaultdict
 
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior: dict[str, tuple[int, float]] = {}
+    # prior: name -> (round, sec, sf_dir the timing was taken at).
+    # Round-6 panel entries are {"sec": .., "sf_dir": ..} dicts; the
+    # round-5 format was a bare float — those were timed at the override
+    # dir for their family (graph → sf0.01) and sf_dir otherwise, which
+    # the reader below reconstructs so deltas never compare timings
+    # taken at different scale factors (ADVICE r5).
+    prior: dict[str, tuple[int, float, str | None]] = {}
     round_idx = 0
+    fam_of = {
+        qname: qd.module.rsplit(".", 1)[-1] for qname, qd in reg.items()
+    }
     for f in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
         m = _re.search(r"BENCH_r(\d+)", os.path.basename(f))
         rnd = int(m.group(1)) if m else 0
@@ -178,9 +187,21 @@ def main() -> None:
         try:
             with open(f) as fh:
                 data = json.load(fh)
-            for qn, sec in (data.get("family_panel") or {}).items():
+            legacy_overrides = data.get("family_panel_sf_overrides") or {}
+            try:  # the main panel dir of that run, from its "sf" field
+                legacy_dir = f"/root/testdata/sf{data['sf']}"
+            except Exception:
+                legacy_dir = None
+            for qn, entry in (data.get("family_panel") or {}).items():
+                if isinstance(entry, dict):  # round-6+ format
+                    sec, ent_dir = entry.get("sec"), entry.get("sf_dir")
+                else:  # round-5 bare float — reconstruct its sf_dir
+                    sec = entry
+                    ent_dir = legacy_overrides.get(fam_of.get(qn), legacy_dir)
+                if sec is None:
+                    continue
                 if qn not in prior or prior[qn][0] < rnd:
-                    prior[qn] = (rnd, sec)
+                    prior[qn] = (rnd, sec, ent_dir)
         except Exception:
             continue  # a truncated BENCH capture must not kill the bench
     round_idx += 1  # this run belongs to the round AFTER the last record
@@ -200,12 +221,19 @@ def main() -> None:
     # is the same regression canary at ~1/50 the budget (the
     # quadratic_watch precedent).
     panel_sf_overrides = {"graph": quad_dir}
-    panel: dict[str, float] = {}
+    panel: dict[str, dict] = {}
     for fam in sorted(families):
         eligible = [
             n
             for n in families[fam]
-            if n not in headline and n not in quadratic
+            if n not in headline
+            and n not in quadratic
+            # Write-path operators (bucketed/partitioned/compacted table
+            # and file writes) execute their write 4× under warmup +
+            # min-of-3; the timing is a write+read mix, not an engine
+            # plan-regression signal — same carve-out the headline
+            # totals make via write_path (ADVICE r5).
+            and "sink" not in (reg[n].tags or ())
         ]
         if not eligible:
             continue
@@ -217,19 +245,24 @@ def main() -> None:
             t0 = time.perf_counter()
             reg[name].builder(spark, fam_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
-        panel[name] = round(best, 4)
+        # sf_dir rides along so future rounds only diff same-scale runs.
+        panel[name] = {"sec": round(best, 4), "sf_dir": fam_dir}
         gc.collect()
     panel_deltas = {
         qn: {
-            "sec": sec,
+            "sec": ent["sec"],
             "prev_sec": prior[qn][1],
             "prev_round": prior[qn][0],
-            "delta_pct": round(100.0 * (sec - prior[qn][1]) / prior[qn][1], 1)
+            "delta_pct": round(
+                100.0 * (ent["sec"] - prior[qn][1]) / prior[qn][1], 1
+            )
             if prior[qn][1]
             else None,
         }
-        for qn, sec in panel.items()
-        if qn in prior
+        for qn, ent in panel.items()
+        # Same-scale priors only: a delta between timings taken at
+        # different sf_dirs is a bogus regression signal (ADVICE r5).
+        if qn in prior and prior[qn][2] == ent["sf_dir"]
     }
 
     spark_cmp = round(sum(timings[n] for n in comparable), 4)
@@ -238,35 +271,43 @@ def main() -> None:
     # lost everything before the per-query dicts) AND are duplicated in
     # a compact ``totals_tail`` as the LAST key — whichever end of the
     # line survives a truncated capture carries all three numbers.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "spark_comparable_total": spark_cmp,
-                "duckdb_comparable_total": duck_cmp,
-                "duckdb_total": round(sum(duck.values()), 4),
-                "queries": timings,
-                "duckdb_oracle": duck,
-                "comparable_queries": comparable,
-                "write_path_queries": write_path,
-                "demo_overhead_queries": demo_overhead,
-                "quadratic_watch": quad_timings,
-                "quadratic_watch_sf_dir": quad_dir,
-                "family_panel": panel,
-                "family_panel_deltas": panel_deltas,
-                "family_panel_round_idx": round_idx,
-                "family_panel_sf_overrides": panel_sf_overrides,
-                "totals_tail": {
-                    "headline_total": total,
-                    "spark_comparable_total": spark_cmp,
-                    "duckdb_comparable_total": duck_cmp,
-                },
-            }
-        )
-    )
+    report = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "spark_comparable_total": spark_cmp,
+        "duckdb_comparable_total": duck_cmp,
+        "duckdb_total": round(sum(duck.values()), 4),
+        "queries": timings,
+        "duckdb_oracle": duck,
+        "comparable_queries": comparable,
+        "write_path_queries": write_path,
+        "demo_overhead_queries": demo_overhead,
+        "quadratic_watch": quad_timings,
+        "quadratic_watch_sf_dir": quad_dir,
+        "family_panel": panel,
+        "family_panel_deltas": panel_deltas,
+        "family_panel_round_idx": round_idx,
+        "family_panel_sf_overrides": panel_sf_overrides,
+        "totals_tail": {
+            "headline_total": total,
+            "spark_comparable_total": spark_cmp,
+            "duckdb_comparable_total": duck_cmp,
+        },
+    }
+    # The driver's BENCH_r{N}.json keeps only a ~2000-char tail of this
+    # line, which round 5 showed can silently drop the per-query dicts.
+    # Persist the FULL report to bench_last.json (committed to the repo)
+    # so cross-round per-query diffs survive the driver's truncation
+    # (VERDICT r5 item 5).
+    try:
+        with open(os.path.join(repo_dir, "bench_last.json"), "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as exc:
+        print(f"bench_last.json write skipped: {exc}", file=sys.stderr)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -314,33 +314,42 @@ def q_udf_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cogroup_balance(key, cust_pdf, ord_pdf):
-    """Per-customer cogroup merge (module-level so tests can drive the
-    exact function Spark ships to executors): one output row per customer
+def _make_cogroup_balance():
+    """Factory for the per-customer cogroup merge — NESTED so cloudpickle
+    ships it by value (a module-level function pickles by reference and
+    dies on workers that can't import modforms_db_spark; round-6
+    neutral-cwd sweep catch, SCALE.md §9j): one output row per customer
     present in the CUSTOMER side — order count + total spend against the
     account balance. Customers with no orders get zeros (ord_pdf empty);
     order groups with no customer row are dropped (inner-ish semantics on
     the dimension side, like the oracle's LEFT JOIN from customer)."""
-    import pandas as pd
 
-    if len(cust_pdf) == 0:
+    def cogroup_balance(key, cust_pdf, ord_pdf):
+        import pandas as pd
+
+        if len(cust_pdf) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "c_custkey", "acctbal", "n_orders", "total_spend",
+                    "spend_ratio",
+                ]
+            )
+        bal = float(cust_pdf["c_acctbal"].iloc[0])
+        total = float(ord_pdf["o_totalprice"].sum()) if len(ord_pdf) else 0.0
+        # NO rounding here: Python's round() is banker's rounding, which
+        # can disagree with the engine rounding policy on half-way values
+        # — raw floats out, Spark-side round() applied by the caller.
         return pd.DataFrame(
-            columns=["c_custkey", "acctbal", "n_orders", "total_spend", "spend_ratio"]
+            {
+                "c_custkey": [int(key[0])],
+                "acctbal": [bal],
+                "n_orders": [len(ord_pdf)],
+                "total_spend": [total],
+                "spend_ratio": [total / bal if bal != 0 else None],
+            }
         )
-    bal = float(cust_pdf["c_acctbal"].iloc[0])
-    total = float(ord_pdf["o_totalprice"].sum()) if len(ord_pdf) else 0.0
-    # NO rounding here: Python's round() is banker's rounding, which can
-    # disagree with the engine rounding policy on half-way values — raw
-    # floats out, Spark-side round() applied by the caller (parity.py).
-    return pd.DataFrame(
-        {
-            "c_custkey": [int(key[0])],
-            "acctbal": [bal],
-            "n_orders": [len(ord_pdf)],
-            "total_spend": [total],
-            "spend_ratio": [total / bal if bal != 0 else None],
-        }
-    )
+
+    return cogroup_balance
 
 
 @register(
@@ -383,7 +392,7 @@ def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.groupBy("c_custkey")
         .cogroup(o.groupBy("o_custkey"))
         .applyInPandas(
-            _cogroup_balance,
+            _make_cogroup_balance(),
             "c_custkey long, acctbal double, n_orders bigint,"
             " total_spend double, spend_ratio double",
         )

@@ -374,31 +374,38 @@ def q_dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
-    long = lsh_band_long(e, carry=("nrm",))
-    a = long.select(
-        F.col("vec_id").alias("v1"),
-        F.col("emb").alias("e1"),
-        F.col("nrm").alias("n1"),
-        "band",
-        "bucket",
-    )
-    b = long.select(
-        F.col("vec_id").alias("v2"),
-        F.col("emb").alias("e2"),
-        F.col("nrm").alias("n2"),
-        "band",
-        "bucket",
-    )
+    # Narrow banding (round-6 rework, see lsh_band_long): candidate ID
+    # pairs are generated on (vec_id, band, bucket) only — the 64-float
+    # embeddings re-attach once per side, by keyed join, after dedup.
+    long = lsh_band_long(e).localCheckpoint(eager=False)
+    # ONE banding pass feeds both sides of the self-join.
+    a = long.select(F.col("vec_id").alias("v1"), "band", "bucket")
+    b = long.select(F.col("vec_id").alias("v2"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "e1", "e2", "n1", "n2")
+        .select("v1", "v2")
         .distinct()
+    )
+    pairs = cand.join(
+        e.select(
+            F.col("vec_id").alias("v1"),
+            F.col("emb").alias("e1"),
+            F.col("nrm").alias("n1"),
+        ),
+        "v1",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("v2"),
+            F.col("emb").alias("e2"),
+            F.col("nrm").alias("n2"),
+        ),
+        "v2",
     )
     cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4).alias(
         "cos4"
     )
-    return cand.select("v1", "v2", cos4).where(F.col("cos4") >= 0.45)
+    return pairs.select("v1", "v2", cos4).where(F.col("cos4") >= 0.45)
 
 
 def _perm_hash(i: int):

@@ -304,11 +304,17 @@ _PACK_BUDGET = 64
 _PACK_SHARD_DOCS = 256  # docs per (lang, shard) packing group — see below
 
 
-def _pack_pdf(pdf):
-    """Greedy next-fit packer for one shard (Arrow batch): walk docs in
-    doc_id order, open a new bin when the doc would overflow the budget;
-    an oversize doc occupies a bin alone (never splits). Module-level so
-    tests drive the EXACT function applyInPandas ships to executors.
+def _make_pack_pdf():
+    """Factory for the greedy next-fit packer of one shard (Arrow
+    batch): walk docs in doc_id order, open a new bin when the doc
+    would overflow the budget; an oversize doc occupies a bin alone
+    (never splits). A FACTORY (round 6) because applyInPandas ships the
+    callable via cloudpickle: a module-level function pickles BY
+    REFERENCE and dies on workers that can't import modforms_db_spark
+    (the driver harness loads the entry file by path — neutral-cwd
+    sweep catch, see SCALE.md §9j); the nested function pickles by
+    value. Tests call this same factory, so they still drive the EXACT
+    code executors run.
 
     Bin ids are unique WITHIN a lang without cross-shard coordination:
     each shard owns the id range [shard_id·_PACK_SHARD_DOCS, …) — a shard
@@ -316,16 +322,21 @@ def _pack_pdf(pdf):
     the same lang can never collide. Shard_id = doc_id // _PACK_SHARD_DOCS
     is shared ACROSS langs, so a bin is identified by (lang, bin) — which
     is how every consumer (and the output grouping) keys it."""
-    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-    base = int(pdf["shard_id"].iloc[0]) * _PACK_SHARD_DOCS if len(pdf) else 0
-    bins, fill, b = [], 0, base
-    for n in pdf["n_toks"]:
-        if fill and fill + n > _PACK_BUDGET:
-            b, fill = b + 1, 0
-        fill += n
-        bins.append(b)
-    pdf["bin"] = bins
-    return pdf
+    shard_docs, budget = _PACK_SHARD_DOCS, _PACK_BUDGET  # closure-local
+
+    def pack_pdf(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        base = int(pdf["shard_id"].iloc[0]) * shard_docs if len(pdf) else 0
+        bins, fill, b = [], 0, base
+        for n in pdf["n_toks"]:
+            if fill and fill + n > budget:
+                b, fill = b + 1, 0
+            fill += n
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf
+
+    return pack_pdf
 
 
 @register(
@@ -376,7 +387,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group, so pandas memory per task is O(shard), never O(corpus)).
     Parallelism = Σ_lang ⌈docs/256⌉, growing linearly with data instead
     of capping at #languages. Bin ids stay unique within a lang via
-    per-shard id ranges (see _pack_pdf; consumers key bins by
+    per-shard id ranges (see _make_pack_pdf; consumers key bins by
     (lang, bin)) — no cross-shard coordination, no second
     pass. The oracle runs the SAME sharded recurrence as a recursive CTE
     partitioned by (lang, shard_id), which also bounds its recursion
@@ -392,7 +403,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"doc_id div {_PACK_SHARD_DOCS}").alias("shard_id"),
     )
     packed = toks.groupBy("lang", "shard_id").applyInPandas(
-        _pack_pdf,
+        _make_pack_pdf(),
         "doc_id long, lang string, n_toks int, shard_id long, bin long",
     )
     return (

@@ -264,11 +264,47 @@ def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_close(edges: DataFrame) -> DataFrame:
     """Wedge-close triangle count over an oriented (u < v) edge DF —
     1-row DataFrame with n_triangles. Factored out so the Hypothesis
-    property test drives the SAME join pipeline the operator ships."""
-    e2 = edges.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    wedges = edges.join(e2, "v").select("u", "w")
+    property test drives the SAME join pipeline the operator ships.
+
+    DEGREE orientation (round 6, VERDICT item 6 — previously documented
+    in-code, now the shipped plan): every undirected edge is re-oriented
+    from its lower-(degree, id) endpoint to the higher, so each wedge
+    pivots on its LOWEST-degree vertex and total wedge work is bounded
+    by O(m^1.5) (arboricity bound) instead of Σdeg² on hubs — the
+    difference between a hub of degree d contributing d²/2 wedges and
+    contributing none. The count is invariant: (degree, id) is a strict
+    total order (ids distinct), each triangle {x≺y≺z} is produced
+    exactly once as the wedge (x→y, x→z) closed by x's check of y→z —
+    the same oracle verifies both orientations."""
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    oriented = (
+        edges.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        )
+        .localCheckpoint(eager=False)  # reused 3× (two wedge legs + probe)
+    )
+    l2 = oriented.select(
+        "a", F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = (
+        oriented.join(l2, "a")
+        .where(F.struct("db", "b") < F.struct("dc", "c"))
+        .select("b", "c")
+    )
     return wedges.join(
-        edges.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "inner"
+        oriented.select(F.col("a").alias("b"), F.col("b").alias("c")),
+        ["b", "c"],
+        "inner",
     ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
@@ -295,14 +331,15 @@ def triangle_close(edges: DataFrame) -> DataFrame:
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the undirected co-supply graph (suppliers
     adjacent iff they ship lines of the same order), via the oriented
-    wedge-close join: every edge stored once as u<v, wedges (u<v<w)
-    from edges⋈edges, closed by a third edge lookup. Exact — each
-    triangle is counted exactly once by its sorted orientation.
+    wedge-close join: every edge stored once as u<v, re-oriented by
+    (degree, id) inside :func:`triangle_close`, wedges from the pivot's
+    out-edges, closed by a third edge lookup. Exact — each triangle is
+    counted exactly once by its ≺-sorted orientation.
 
-    Scale: the id-orientation here is the textbook compact form; on a
-    power-law 100 TB graph you orient by (degree, id) instead — every
-    wedge then pivots on its LOWEST-degree vertex, bounding work by
-    O(m^1.5) (arboricity bound) instead of Σdeg² on hubs. Both wedge
+    Scale: degree-orientation (shipped round 6) pivots every wedge on
+    its LOWEST-degree vertex, bounding work by O(m^1.5) (arboricity
+    bound) instead of Σdeg² on hubs — the count is orientation-
+    invariant, so the id-ordered oracle still verifies it. Both wedge
     build and close are plain equi-joins — Catalyst shuffles on the
     pivot key; no per-node adjacency materialization."""
     prep(spark)

@@ -16,8 +16,6 @@ generator loop for API/page fetches with the SAME partition contract
 
 from __future__ import annotations
 
-import datetime as dt
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,18 +23,29 @@ from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
 try:  # Python DataSource API: Spark 4 (gate for older runtimes)
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceReader,
-        InputPartition,
-    )
+    from pyspark.sql.datasource import DataSource  # noqa: F401
 
     _HAVE_PYDS = True
 except ImportError:  # pragma: no cover
     _HAVE_PYDS = False
 
 
-if _HAVE_PYDS:
+def _calendar_source():
+    """Factory returning the calendar DataSource CLASS. Defined NESTED
+    on purpose: `spark.dataSource.register` ships the class to Python
+    workers via cloudpickle, and a module-level class pickles BY
+    REFERENCE — any worker that cannot `import modforms_db_spark` (the
+    driver harness loads `__spark_entry__.py` by file path; workers
+    inherit no repo path) fails with PYTHON_DATA_SOURCE_ERROR. Nested
+    classes pickle by value (round-6 neutral-cwd sweep catch; same rule
+    as `llm/multimodal._bmp_codec`)."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
 
     class _CalendarReader(DataSourceReader):
         """Q1-2024 calendar, one partition (= one Spark task) per month."""
@@ -60,6 +69,8 @@ if _HAVE_PYDS:
 
         def reader(self, schema):
             return _CalendarReader()
+
+    return CalendarDataSource
 
 
 @register(
@@ -86,7 +97,7 @@ def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _HAVE_PYDS:  # pragma: no cover
         raise NotImplementedError("Python DataSource API requires Spark 4+")
     prep(spark)
-    spark.dataSource.register(CalendarDataSource)
+    spark.dataSource.register(_calendar_source())
     cal = spark.read.format("mfdb_calendar").load()
     return cal.groupBy(F.month("d").alias("m")).agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -109,7 +120,15 @@ _TICKS_TOTAL = 500
 _TICKS_PER_BATCH = 100
 
 
-if _HAVE_PYDS_STREAM:
+def _tick_stream_source():
+    """Factory returning the tick-stream DataSource CLASS — nested for
+    the same by-value pickling reason as `_calendar_source`."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    total, per_batch = _TICKS_TOTAL, _TICKS_PER_BATCH  # closure-local
 
     class _TickStreamReader(SimpleDataSourceStreamReader):
         """Deterministic tick feed: offsets are row positions; each
@@ -127,7 +146,7 @@ if _HAVE_PYDS_STREAM:
 
         def read(self, start: dict):
             lo = start["pos"]
-            hi = min(lo + _TICKS_PER_BATCH, _TICKS_TOTAL)
+            hi = min(lo + per_batch, total)
             return iter(self._rows(lo, hi)), {"pos": hi}
 
         def readBetweenOffsets(self, start: dict, end: dict):
@@ -146,6 +165,8 @@ if _HAVE_PYDS_STREAM:
 
         def simpleStreamReader(self, schema):
             return _TickStreamReader()
+
+    return TickStreamDataSource
 
 
 @register(
@@ -179,7 +200,7 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _HAVE_PYDS_STREAM:  # pragma: no cover
         raise NotImplementedError("Python streaming DataSource requires Spark 4+")
     prep(spark)
-    spark.dataSource.register(TickStreamDataSource)
+    spark.dataSource.register(_tick_stream_source())
     ticks = spark.readStream.format("mfdb_ticks").load()
     from modforms_db_spark.streaming.streams import _stream_shuffle
 

@@ -64,9 +64,20 @@ def test_ivf_recall(spark):
 
 
 def test_ann_lsh_recall(spark):
-    """Random-hyperplane LSH (16 bits, 4x4 multi-probe) measured at
-    0.60-0.66 recall; assert a floor with margin."""
-    assert _topk_recall(spark, "q_sim_ann_lsh") >= 0.4
+    """Random-hyperplane LSH (16 bits, 4 bands x 4) top-k recall.
+
+    Round-6 re-pin: round 5's banding was DEGENERATE (a two-parameter
+    transform lambda let Spark pass the array index as the plane id, so
+    all 16 bits per vector were identical and every vector landed in
+    bucket 0b0000 or 0b1111 — 'LSH' was passing half of all pairs as
+    candidates, which is why the old recall looked high). With real
+    hyperplanes the theory says: per-plane agreement p = 1 − θ/π, band
+    collision p⁴, 4-band recall 1−(1−p⁴)⁴ ≈ 0.45-0.55 for this corpus's
+    top-k cosine range — measured 0.49/0.45 at sf0.001/sf0.01. Floor
+    0.3 with margin; the regime LSH exists for (true near-dups,
+    cos ≥ 0.9) is pinned at ~1.0 by
+    test_lsh_banding_recovers_planted_near_dups."""
+    assert _topk_recall(spark, "q_sim_ann_lsh") >= 0.3
 
 
 def test_ann_scores_match_exact_cosine(spark):
@@ -169,16 +180,27 @@ def test_components_absorb_canonical_groups(spark):
 
 
 def test_mm_resize_fixed_size_and_deterministic(spark):
-    """Stride resize: every thumbnail ≤ 64 bytes (== 64 when source ≥ 64),
-    binary survives the Arrow round trip, and reruns are byte-identical."""
+    """Real-BMP stride resize (round 6): every thumbnail is the fixed
+    4×4 re-encoded BMP (54 + 48 bytes), channel means stay in [0, 255],
+    and reruns are identical."""
+    from modforms_db_spark.llm.multimodal import (
+        _BMP_H,
+        _BMP_W,
+        _THUMB_SX,
+        _THUMB_SY,
+    )
+
     reg = get_registry()
     rows1 = {r["doc_id"]: r for r in reg["q_mm_resize"].builder(spark, SF_DIR).collect()}
     rows2 = {r["doc_id"]: r for r in reg["q_mm_resize"].builder(spark, SF_DIR).collect()}
     assert rows1.keys() == rows2.keys()
+    tw, th = _BMP_W // _THUMB_SX, _BMP_H // _THUMB_SY
     for k, r in rows1.items():
-        assert isinstance(r["thumb"], (bytes, bytearray))
-        assert r["thumb_len"] == len(r["thumb"]) <= 64
-        assert bytes(r["thumb"]) == bytes(rows2[k]["thumb"])
+        assert r["thumb_w"] == tw and r["thumb_h"] == th
+        assert r["thumb_bytes"] == 54 + 3 * tw * th
+        for ch in ("mean_r", "mean_g", "mean_b"):
+            assert 0.0 <= r[ch] <= 255.0
+        assert tuple(r) == tuple(rows2[k])
 
 
 def test_simhash_pairs_exact_vs_bruteforce(spark):
@@ -242,7 +264,7 @@ def test_pack_sequences_sharded_parallelism(spark):
     from pyspark.sql import functions as F
 
     from modforms_db_spark.io import load
-    from modforms_db_spark.llm.pipeline import _PACK_SHARD_DOCS, _pack_pdf
+    from modforms_db_spark.llm.pipeline import _PACK_SHARD_DOCS, _make_pack_pdf
 
     d = load(spark, SF_DIR, "documents")
     toks = d.select(
@@ -256,7 +278,7 @@ def test_pack_sequences_sharded_parallelism(spark):
     assert n_groups > n_langs, (n_groups, n_langs)
 
     packed = toks.groupBy("lang", "shard_id").applyInPandas(
-        _pack_pdf,
+        _make_pack_pdf(),
         "doc_id long, lang string, n_toks int, shard_id long, bin long",
     )
     rows = packed.collect()
@@ -450,7 +472,11 @@ def test_threshold_ann_subset_and_recall(spark):
     output ⊆ q_sim_threshold by construction, asserted) and must recover
     a floor fraction of them. The driver embeddings are uniform random —
     LSH's worst case (pairs barely over τ=0.2 have low per-band collision
-    probability); measured recall ≈ 0.6 at sf0.01, floor pinned at 0.4."""
+    probability: p = 1 − acos(0.2)/π ≈ 0.56, 4-band recall
+    1−(1−p⁴)⁴ ≈ 0.35 predicted; measured 0.41 at both SFs with the real
+    hyperplanes round 6 restored — see test_ann_lsh_recall for the
+    degenerate-banding history). Floor 0.3; the cos ≥ 0.9 regime is
+    pinned at ~1.0 by test_lsh_banding_recovers_planted_near_dups."""
     reg = get_registry()
     exact = {
         (r.v1, r.v2, r.label, r.cos4)
@@ -463,15 +489,21 @@ def test_threshold_ann_subset_and_recall(spark):
     assert ann <= exact
     assert exact, "exact threshold query returned nothing — test is vacuous"
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.4, recall
+    assert recall >= 0.3, recall
 
 
 def test_embedding_ann_subset_and_recall(spark):
     """q_dedup_embedding_ann emits only TRUE near-dup pairs (exact-verified
     cosine ⇒ output ⊆ q_dedup_embedding, asserted) and must recover a
     floor fraction. Deterministic: fixed hyperplanes + fixed data ⇒ fixed
-    recall (measured 0.571 at sf0.001, 0.857 at sf0.01 — pairs at the
-    0.45 tail of uniform-random vectors are LSH's worst case)."""
+    recall. Pairs at the 0.45 tail of uniform-random vectors are LSH's
+    worst case: p = 1 − acos(0.45)/π ≈ 0.65, 4-band recall
+    1−(1−p⁴)⁴ ≈ 0.54 predicted; measured 0.571/0.429 at sf0.001/sf0.01
+    with the real hyperplanes round 6 restored (the old 0.857 was the
+    degenerate banding passing half of all pairs — see
+    test_ann_lsh_recall). Floor 0.25 (7-14 exact pairs ⇒ coarse
+    quantization); cos ≥ 0.9 near-dups are pinned at ~1.0 by
+    test_lsh_banding_recovers_planted_near_dups."""
     reg = get_registry()
     exact = {
         (r.v1, r.v2, r.cos4)
@@ -484,7 +516,40 @@ def test_embedding_ann_subset_and_recall(spark):
     assert ann <= exact
     assert exact, "exact embedding-dedup query returned nothing — vacuous"
     recall = len(ann & exact) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.25, recall
+
+
+def test_lsh_banding_recovers_planted_near_dups(spark):
+    """THE law LSH exists for: genuine near-duplicates (cos ≥ 0.99 —
+    re-encoded/re-crawled embeddings) MUST collide. 40 deterministic
+    base vectors each get a planted twin (one coordinate nudged 1%,
+    cosine ≥ 0.999); per the banding math (p ≈ 0.99, 4-band collision
+    1−(1−p⁴)⁴ ≈ 0.9999) every twin pair must share ≥1 (band, bucket) —
+    asserted exactly, not as a floor. Drives the SAME lsh_band_long the
+    three ANN operators share, so a banding regression (e.g. round 5's
+    index-as-plane lambda bug, which this test would have survived —
+    degenerate banding over-collides — but the recall floors above now
+    bracket from the other side) cannot silently change the family."""
+    from modforms_db_spark.llm.similarity import lsh_band_long
+
+    rows = []
+    for i in range(40):
+        base = [float(((i * 31 + d * 17) % 201) - 100) / 100.0 for d in range(64)]
+        twin = list(base)
+        twin[i % 64] = twin[i % 64] + 0.01 * (abs(twin[i % 64]) + 0.1)
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, twin))
+    df = spark.createDataFrame(rows, "vec_id bigint, emb array<double>")
+    buckets = lsh_band_long(df).collect()
+    by_vec: dict[int, set] = {}
+    for r in buckets:
+        by_vec.setdefault(r.vec_id, set()).add((r.band, r.bucket))
+    missed = [
+        i
+        for i in range(40)
+        if not (by_vec[2 * i] & by_vec[2 * i + 1])
+    ]
+    assert missed == [], f"planted near-dup twins missed by banding: {missed}"
 
 
 def test_knn_classify_ann_totality_and_agreement(spark):

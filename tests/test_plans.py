@@ -6,6 +6,7 @@ nothing, so a regression here is caught before it matters."""
 
 from __future__ import annotations
 
+import os
 import re
 
 from modforms_db_spark.registry import get_registry
@@ -548,3 +549,24 @@ def test_banded_twins_partition_their_big_windows(spark):
             if part_key not in l and "windowspecdefinition(" in l:
                 # offset windows order by the band/slice alone
                 assert "_mfdb_band" in l or "day" in l, (name, l)
+
+
+def test_plan_audit_is_green():
+    """Registry-wide plan audit (scripts/plan_audit.py) must exit 0:
+    every cartesian/row-UDF/global-window/dup-scan finding is either
+    fixed or consciously allowlisted WITH a reason (VERDICT r5 item 1).
+    Runs in a subprocess (own SparkSession, sf0.001) so a red audit —
+    i.e. the NEXT operator someone adds with a quadratic join or an
+    unpartitioned window — fails the suite, not just the script."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "plan_audit.py")],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-25:])
+    assert proc.returncode == 0, f"plan audit red:\n{tail}\n{proc.stderr[-2000:]}"

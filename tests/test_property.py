@@ -193,7 +193,7 @@ def test_pack_sequences_matches_greedy(spark, counts):
 
     from pyspark.sql import functions as F
 
-    from modforms_db_spark.llm.pipeline import _pack_pdf
+    from modforms_db_spark.llm.pipeline import _make_pack_pdf
 
     from modforms_db_spark.llm.pipeline import _PACK_SHARD_DOCS
 
@@ -207,7 +207,7 @@ def test_pack_sequences_matches_greedy(spark, counts):
         (r.doc_id, r.bin)
         for r in toks.groupBy("lang", "shard_id")
         .applyInPandas(
-            _pack_pdf,
+            _make_pack_pdf(),
             "doc_id long, lang string, n_toks int, shard_id long, bin long",
         )
         .collect()

@@ -268,27 +268,27 @@ def test_temporal_ops_survive_empty_input(spark, tmp_path):
 
 
 def test_audio_windows_shape_and_determinism(spark):
+    """Real-WAV windowing law (round 6): every doc yields exactly
+    (n − win)/hop + 1 full windows over its 800-sample PCM16 clip,
+    win_start = win_idx·hop, RMS within the int16 range, reruns
+    byte-identical."""
     from modforms_db_spark.io import load
-    from modforms_db_spark.llm.multimodal import _AUDIO_HOP, _AUDIO_WIN
+    from modforms_db_spark.llm.multimodal import _AUDIO_HOP, _AUDIO_WIN, _WAV_N
 
     out1 = _q("q_mm_audio_windows")(spark, SF_DIR).collect()
     out2 = _q("q_mm_audio_windows")(spark, SF_DIR).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
-    docs = {
-        r.doc_id: r.n for r in
-        load(spark, SF_DIR, "documents")
-        .select("doc_id", F.length(F.encode("text", "UTF-8")).alias("n"))
-        .collect()
-    }
+    n_docs = load(spark, SF_DIR, "documents").count()
+    expect = (_WAV_N - _AUDIO_WIN) // _AUDIO_HOP + 1
     per_doc: dict[int, list] = {}
     for r in out1:
         per_doc.setdefault(r.doc_id, []).append(r)
+    assert len(per_doc) == n_docs
     for doc_id, rows in per_doc.items():
-        n = docs[doc_id]
-        expect = len(range(0, max(n - _AUDIO_WIN + 1, 1), _AUDIO_HOP))
-        assert len(rows) == expect, (doc_id, n, len(rows), expect)
+        assert len(rows) == expect, (doc_id, len(rows), expect)
         for r in rows:
-            assert 0.0 <= r.rms <= 1.0
+            assert r.win_start == r.win_idx * _AUDIO_HOP
+            assert 0.0 <= r.rms <= 10000.0  # |sample| <= 10000 by formula
 
 
 def test_sorted_sink_files_cover_disjoint_ranges(spark):
