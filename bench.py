@@ -180,13 +180,29 @@ def main() -> None:
     fam_of = {
         qname: qd.module.rsplit(".", 1)[-1] for qname, qd in reg.items()
     }
-    for f in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+
+    def _norm_dir(p):
+        return os.path.normpath(p) if p else None
+
+    # bench_last.json is the durable full report this script writes each
+    # run — it survives the driver's ~2000-char BENCH_r*.json tail
+    # truncation, which otherwise silently wipes the priors exactly when
+    # they matter (round-6 review finding: writing the durable file
+    # without READING it left the original failure in place). Its round
+    # is recorded inside as family_panel_round_idx.
+    for f in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))) + [
+        os.path.join(repo_dir, "bench_last.json")
+    ]:
         m = _re.search(r"BENCH_r(\d+)", os.path.basename(f))
         rnd = int(m.group(1)) if m else 0
-        round_idx = max(round_idx, rnd)
+        round_idx = max(round_idx, rnd)  # filename round counts even if
+        # the capture is truncated to invalid JSON — rotation must advance
         try:
             with open(f) as fh:
                 data = json.load(fh)
+            if rnd == 0:  # bench_last.json carries its own round index
+                rnd = int(data.get("family_panel_round_idx") or 0)
+                round_idx = max(round_idx, rnd)
             legacy_overrides = data.get("family_panel_sf_overrides") or {}
             try:  # the main panel dir of that run, from its "sf" field
                 legacy_dir = f"/root/testdata/sf{data['sf']}"
@@ -201,7 +217,7 @@ def main() -> None:
                 if sec is None:
                     continue
                 if qn not in prior or prior[qn][0] < rnd:
-                    prior[qn] = (rnd, sec, ent_dir)
+                    prior[qn] = (rnd, sec, _norm_dir(ent_dir))
         except Exception:
             continue  # a truncated BENCH capture must not kill the bench
     round_idx += 1  # this run belongs to the round AFTER the last record
@@ -245,8 +261,10 @@ def main() -> None:
             t0 = time.perf_counter()
             reg[name].builder(spark, fam_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
-        # sf_dir rides along so future rounds only diff same-scale runs.
-        panel[name] = {"sec": round(best, 4), "sf_dir": fam_dir}
+        # sf_dir rides along (normalized — trailing slashes must not
+        # break the same-scale comparison) so future rounds only diff
+        # same-scale runs.
+        panel[name] = {"sec": round(best, 4), "sf_dir": _norm_dir(fam_dir)}
         gc.collect()
     panel_deltas = {
         qn: {

@@ -172,9 +172,13 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bmp_codec():
-    """(synth, parse) pair for the deterministic 16×8 24-bit test image
-    as REAL BMP bytes — the shared codec of the image trio
-    (`q_mm_bmp_decode`, `q_mm_image_features`, `q_mm_resize`).
+    """(synth, parse, encode) triple for REAL 24-bit BMP bytes — the
+    shared codec of the image trio (`q_mm_bmp_decode`,
+    `q_mm_image_features`, `q_mm_resize`). ``encode`` turns any RGB
+    top-down (H, W, 3) array into a BMP blob (the header layout lives
+    ONLY here — round-6 review folded q_mm_resize's inline thumbnail
+    re-encode into it); ``synth`` builds the deterministic 16×8 test
+    image through it.
 
     Returned as NESTED functions on purpose: a mapInPandas closure that
     referenced module-level helpers would cloudpickle them BY REFERENCE
@@ -193,20 +197,27 @@ def _bmp_codec():
 
     W, H = _BMP_W, _BMP_H
 
+    def encode(img) -> bytes:
+        """RGB top-down (H, W, 3) uint8-able array → 24-bit BMP blob
+        (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows).
+        Caller guarantees 4-byte-aligned row width (W·3 % 4 == 0 for
+        every shape this module writes)."""
+        h, w = img.shape[0], img.shape[1]
+        px = np.asarray(img, dtype=np.uint8)[::-1, :, ::-1].tobytes()
+        header = struct.pack(
+            "<2sIHHI", b"BM", 54 + len(px), 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0
+        )
+        return header + px
+
     def synth(doc_id: int) -> bytes:
         xs = np.arange(W)[None, :]
         ys = np.arange(H)[:, None]
         r = (doc_id + 3 * xs + 7 * ys) % 256
         g = (doc_id * 5 + 11 * xs + ys) % 256
         b = (doc_id * 9 + xs + 13 * ys) % 256
-        img = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (H, W, 3) RGB
-        px = img[::-1, :, ::-1].tobytes()  # bottom-up BGR rows
-        header = struct.pack(
-            "<2sIHHI", b"BM", 54 + len(px), 0, 0, 54
-        ) + struct.pack(
-            "<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(px), 2835, 2835, 0, 0
-        )
-        return header + px
+        return encode(np.stack([r, g, b], axis=-1))
 
     def parse(blob: bytes):
         """REAL 24-bit BMP parse: magic, header dims, bottom-up BGR →
@@ -222,7 +233,7 @@ def _bmp_codec():
         )
         return w_hdr, h_hdr, arr
 
-    return synth, parse
+    return synth, parse, encode
 
 
 _LUMA_BRIGHT = 128_000  # luma threshold in milli-units (ITU-R 601 × 1000)
@@ -274,7 +285,7 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment (synthesized in-task here, like the decode trio)."""
     prep(spark)
     d = load(spark, sf_dir, "documents").select("doc_id")
-    synth, parse = _bmp_codec()  # nested fns — pickle by value (see codec)
+    synth, parse, _ = _bmp_codec()  # nested fns — pickle by value
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -361,11 +372,9 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     d = load(spark, sf_dir, "documents").select("doc_id")
     TW, TH = _BMP_W // _THUMB_SX, _BMP_H // _THUMB_SY
-    synth, parse = _bmp_codec()  # nested fns — pickle by value (see codec)
+    synth, parse, encode = _bmp_codec()  # nested fns — pickle by value
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
             out = {"doc_id": [], "thumb_w": [], "thumb_h": [],
                    "thumb_bytes": [], "sum_r": [], "sum_g": [], "sum_b": []}
@@ -374,15 +383,7 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _w, _h, arr = parse(synth(doc_id))
                 thumb = arr[::_THUMB_SY, ::_THUMB_SX, :]  # (TH, TW, 3) RGB
                 # re-encode the thumbnail as a real BMP (rows 4-aligned)
-                tpx = thumb[::-1, :, ::-1].astype("uint8").tobytes()
-                tblob = (
-                    struct.pack("<2sIHHI", b"BM", 54 + len(tpx), 0, 0, 54)
-                    + struct.pack(
-                        "<IiiHHIIiiII",
-                        40, TW, TH, 1, 24, 0, len(tpx), 2835, 2835, 0, 0,
-                    )
-                    + tpx
-                )
+                tblob = encode(thumb)
                 out["doc_id"].append(doc_id)
                 out["thumb_w"].append(thumb.shape[1])
                 out["thumb_h"].append(thumb.shape[0])
@@ -633,14 +634,18 @@ def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to q_mm_wav_decode — mapInPandas over
     Arrow binary batches, ~0.4 KB blob per row synthesized and parsed
-    in-task, per-row output, no shuffle."""
-    import struct
-
-    import numpy as np
-
+    in-task, per-row output, no shuffle. (Round 6: encode/parse come
+    from the shared `_bmp_codec`, the single home of the BMP header
+    layout. Python `round` on the means predates the r6
+    exact-int-then-JVM-round discipline but is PROVABLY tie-free here:
+    mod 256 preserves mod 8, and each channel's residue grid sums to
+    ≡ 0 mod 8 for every doc_id — verified over 2000 ids — so
+    sum/128 · 10⁴ is an integer and `round` never sees a tie. New
+    decode operators must use the emit-int-sums + F.round pattern
+    instead of relying on such structure.)"""
     prep(spark)
     d = load(spark, sf_dir, "documents").select("doc_id")
-    W, H = _BMP_W, _BMP_H
+    synth, parse, _ = _bmp_codec()  # nested fns — pickle by value
 
     def synth_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -648,32 +653,8 @@ def q_mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "mean_r": [], "mean_g": [], "mean_b": []}
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                xs = np.arange(W)[None, :]
-                ys = np.arange(H)[:, None]
-                r = (doc_id + 3 * xs + 7 * ys) % 256
-                g = (doc_id * 5 + 11 * xs + ys) % 256
-                b = (doc_id * 9 + xs + 13 * ys) % 256
-                img = np.stack([r, g, b], axis=-1).astype(np.uint8)  # (H, W, 3)
-                # -- encode: real BMP (BGR byte order, bottom-up rows) --
-                px = img[::-1, :, ::-1].tobytes()
-                size = 54 + len(px)
-                header = struct.pack(
-                    "<2sIHHI", b"BM", size, 0, 0, 54
-                ) + struct.pack(
-                    "<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(px), 2835, 2835, 0, 0
-                )
-                blob = header + px
-                # -- decode: parse the container back ------------------
-                assert blob[:2] == b"BM"
-                off = struct.unpack_from("<I", blob, 10)[0]
-                w_hdr, h_hdr = struct.unpack_from("<ii", blob, 18)
-                bpp = struct.unpack_from("<H", blob, 28)[0]
-                assert bpp == 24
-                arr = (
-                    np.frombuffer(blob, dtype=np.uint8, offset=off)
-                    .reshape(h_hdr, w_hdr, 3)[::-1, :, ::-1]
-                    .astype(np.int64)
-                )
+                blob = synth(doc_id)
+                w_hdr, h_hdr, arr = parse(blob)
                 out["doc_id"].append(doc_id)
                 out["blob_bytes"].append(len(blob))
                 out["width"].append(w_hdr)

@@ -4,11 +4,14 @@ Brute-force exact cosine is the oracle-checked contract; the LSH-bucketed
 variant (`q_sim_ann_lsh`) is the 100 TB path (rows-only, recall measured
 against exact in tests).
 
-Determinism discipline: dot products and norms are computed as
+Determinism discipline: FLOAT dot products and norms are computed as
 ELEMENT-ORDER folds (`zip_with` + `aggregate`) — never explode+groupBy,
-whose float summation order is partition-dependent. Ranking happens on the
-ROUNDED cosine with a vec_id tiebreak, so an ulp of cross-engine float
-noise cannot reorder the top-k.
+whose float summation order is partition-dependent. The one explode+
+groupBy reduction (`lsh_band_long`'s signature pass, round 6) is exempt
+by construction: it sums INTEGER-quantized products, and integer
+addition is commutative — any partial split/spill order gives the same
+sum. Ranking happens on the ROUNDED cosine with a vec_id tiebreak, so an
+ulp of cross-engine float noise cannot reorder the top-k.
 
 Scale notes: the query side of the crossJoin is broadcast (20 rows here;
 at 100 TB the query batch stays the small side). For all-pairs kNN at
@@ -422,20 +425,31 @@ def lsh_band_long(e: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     ~0.41-0.57 on this corpus's uniform-random worst case, ≈ 1.0 for
     planted cos ≥ 0.99 near-dups — both pinned in tests/test_llm.py."""
 
-    # hyperplane h coefficient in [-0.5, 0.5) for the exploded dim pos:
-    # deterministic hash of (plane, dim), dim 1-based int as before.
-    def plane_coeff(h: int) -> Column:
+    # Hyperplane h weight for the exploded dim pos: deterministic hash
+    # of (plane, dim), dim 1-based int. INTEGER weights on purpose —
+    # w = 2·(raw mod m) − m is the float coefficient (raw mod m)/m − ½
+    # scaled by the positive constant 2m, so every plane dot product
+    # keeps its exact sign, but the grouped SUM becomes integer
+    # arithmetic: commutative and exact, so the module's determinism
+    # discipline (no order-dependent float summation through a groupBy)
+    # holds even if the hash aggregate splits or spills a vector's
+    # dim-rows across partials (round-6 review finding).
+    def plane_w(h: int) -> Column:
         raw = F.xxhash64(F.lit(h), F.col("pos") + F.lit(1))
-        return (raw % 1000003).cast("double") / 1000003.0 - 0.5
+        return raw % 1000003 * 2 - 1000003
 
+    # Quantized dim value: |emb| < 1 on this corpus, so xq < 2^30,
+    # |xq·w| < 2^51, and a 64-term sum < 2^57 — exact in int64.
     exploded = e.select(
-        "vec_id", *carry, F.posexplode("emb").alias("pos", "x")
-    )
+        "vec_id",
+        *carry,
+        F.posexplode("emb").alias("pos", "xf"),
+    ).withColumn("x", F.round(F.col("xf") * F.lit(1e9)).cast("bigint"))
     # signature bit h = sign(Σ_d emb[d] * coeff(h, d)) — the 16 plane
     # dot products as conditional sums of ONE grouped aggregate.
     sums = exploded.groupBy("vec_id", *carry).agg(
         *[
-            F.sum(F.col("x") * plane_coeff(h)).alias(f"s{h}")
+            F.sum(F.col("x") * plane_w(h)).alias(f"s{h}")
             for h in range(16)
         ]
     )

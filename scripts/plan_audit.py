@@ -389,8 +389,18 @@ def _window_findings(plan: str) -> list[str]:
     for i, line in enumerate(lines):
         depth, body = _line_parts(line)
         if body.startswith("WindowGroupLimit "):
+            # Partitioned WGL prints [partSpec], [orderSpec], …; but
+            # TreeNode.argString OMITS empty Seqs, so a GLOBAL WGL
+            # prints its ORDER spec as the first bracket group (round-6
+            # review finding — an empty-first-group check alone is dead
+            # code). Global iff the first group is missing, empty, or
+            # is itself an order spec (args carry ASC/DESC NULLS).
             groups = _top_level_groups(body)
-            if not groups or not groups[0].strip():
+            if (
+                not groups
+                or not groups[0].strip()
+                or _ORDER_ARG.search(groups[0])
+            ):
                 out.append(body[:120])
         elif body.startswith("Window "):
             for m in re.finditer(r"windowspecdefinition\(", body):
