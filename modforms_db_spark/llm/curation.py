@@ -1284,3 +1284,124 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2_total.alias("chi2_total"),
         (chi2_total > _SRM_CHI2_CRIT).alias("srm_detected"),
     )
+
+
+_DSIR_B = 256  # hashed-feature buckets (production: 10^4-10^5)
+
+
+@register(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               generate_series(1, len(tk) - 1),
+               i -> CAST(('0x' || substr(md5(tk[i] || ' ' || tk[i + 1]), 1, 6))
+                         AS BIGINT) % {_DSIR_B})) AS b
+      FROM t WHERE len(tk) > 1
+    ), tgt AS (
+      SELECT b, COUNT(*) AS nt FROM bg WHERE lang = 'en' GROUP BY b
+    ), alln AS (
+      SELECT b, COUNT(*) AS na FROM bg GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COUNT(*) FROM bg WHERE lang = 'en') AS n_t,
+             (SELECT COUNT(*) FROM bg) AS n_a
+    )
+    SELECT bg.doc_id, bg.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {R4(f"AVG(ln((COALESCE(nt, 0) + 1.0) / (n_t + {_DSIR_B})) "
+               f"- ln((na + 1.0) / (n_a + {_DSIR_B})))")} AS dsir_weight
+    FROM bg
+    JOIN alln USING (b)
+    LEFT JOIN tgt USING (b)
+    CROSS JOIN tot
+    GROUP BY bg.doc_id, bg.lang
+    """,
+    priority="P3",
+    tags=("llm", "curation", "dsir", "importance-sampling"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its hashed-bigram features are under the TARGET domain
+    (lang = 'en' here) than under the full corpus —
+    w_d = avg_b [ln p_tgt(b) − ln p_corpus(b)] over the doc's bigram
+    occurrences, add-one smoothed over {_DSIR_B} md5-hashed buckets.
+    High weight ⇒ the doc "looks like" the target domain; resampling
+    ∝ exp(w) is the standard pretraining-mix upweighting step after
+    quality filtering and before token-budget allocation
+    (`q_token_budget_mix`).
+
+    Cross-engine determinism: the feature hash is md5 (bit-identical in
+    both engines — the `q_mm_blob_meta` precedent), bucket = first 6
+    hex chars as an integer mod {_DSIR_B} (Spark `conv(.., 16, 10)` ≡
+    DuckDB `('0x' || ..)::BIGINT`); counts are exact integers and the
+    one float step (avg of log-ratios) follows the `q_bigram_logprob`
+    discipline — r4-rounded on both engines.
+
+    Scale: the model is two {_DSIR_B}-row count tables plus a 1-row
+    total — broadcast side by construction no matter the corpus size;
+    scoring is a per-row explode, a broadcast join, and a map-side
+    combinable per-doc average. The exploded bigram frame is built
+    ONCE (localCheckpoint) and feeds the target counts, the corpus
+    counts, and the scoring pass — one documents scan. At 100 TB you
+    raise the bucket count and train the target counts from the actual
+    target-domain sample instead of a language slice; nothing else
+    changes shape."""
+    prep(spark)
+    from modforms_db_spark.io import spread
+
+    d = spread(load(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "lang", F.split("text", " ").alias("tk"))
+    # Bucket array built per-row (transform) then exploded — the
+    # q_bigram_logprob shape; exploding an index column instead would
+    # carry the whole token array on every exploded row.
+    buckets_arr = F.transform(
+        F.sequence(F.lit(1), F.size("tk") - 1),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("tk"), i),
+                        F.element_at(F.col("tk"), i + 1),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _DSIR_B,
+    )
+    bg = (
+        tk.where(F.size("tk") > 1)
+        .select("doc_id", "lang", F.explode(buckets_arr).alias("b"))
+        .localCheckpoint(eager=False)  # feeds tgt counts, corpus counts,
+        # and the scoring pass — ONE documents scan
+    )
+    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    alln = bg.groupBy("b").agg(F.count(F.lit(1)).alias("na"))
+    tot = bg.agg(
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("n_t"),
+        F.count(F.lit(1)).alias("n_a"),
+    )
+    lr = F.log(
+        (F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
+        / (F.col("n_t") + F.lit(_DSIR_B))
+    ) - F.log((F.col("na") + 1.0) / (F.col("n_a") + F.lit(_DSIR_B)))
+    return (
+        bg.join(F.broadcast(alln), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r4(F.avg(lr)).alias("dsir_weight"),
+        )
+    )

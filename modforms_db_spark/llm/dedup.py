@@ -1414,3 +1414,97 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("removal_share"),
         )
     )
+
+
+_SEMANTIC_K = 8  # clusters; production scales k with corpus size
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=None,  # k-means assignment is a chained fp argmin — exactly
+    # the cross-engine fp-tie coupling the parity rules forbid
+    # (q_cluster_kmeans precedent); laws pinned in tests instead:
+    # totality, keeper idempotence, agreement with the exact pair set
+    # on same-cluster pairs, determinism.
+    priority="P3",
+    tags=("llm", "dedup", "embedding", "semantic", "scale-path"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): the
+    cluster-then-dedup-within-cluster pipeline that makes embedding
+    near-dup removal tractable when even LSH candidate generation is
+    too coarse — (1) k-means clusters the embedding space
+    (deterministic `kmeans_fit`, k = 8, 3 Lloyd rounds), (2) ONLY
+    within-cluster pairs are scored (exact rounded cosine ≥ 0.45, the
+    `q_dedup_embedding` threshold), (3) connected components over the
+    near-dup graph (large-star/small-star, the `q_dedup_components`
+    engine), (4) the component-min member is the keeper. Emits one row
+    per vector: (vec_id, cluster, keeper, is_keeper).
+
+    Output ⊆ exact by construction on the pair level: every merged
+    pair passed the exact cosine verify; what clustering loses is
+    CROSS-cluster near-dup pairs (SemDeDup's documented recall trade —
+    near-dups overwhelmingly co-cluster since k-means cells are
+    convex). Tests pin: totality (one row per vector), keeper
+    idempotence (keeper ≤ vec_id; a keeper's keeper is itself),
+    agreement with `q_dedup_embedding` on every exact pair whose ends
+    share a cluster (equal keepers), and rerun determinism.
+
+    Scale: the whole point — the pair space shrinks from n²/2 to
+    Σ_c |c|²/2, and k grows with the corpus (fixed target cluster
+    size), so per-cluster work is bounded and the join shuffles on the
+    cluster key. k-means itself is the linear broadcast-crossJoin shape
+    `kmeans_fit` documents; components run in O(log n) rounds. The
+    embedding payload rides the within-cluster self-join only (bounded
+    fan-out per row = cluster size), matching the SemDeDup reference
+    implementation's per-cluster pairwise pass."""
+    prep(spark)
+    from modforms_db_spark.llm.similarity import (
+        _dot,
+        _emb,
+        _norm,
+        kmeans_fit,
+    )
+
+    vecs = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "emb")
+        .withColumn("nrm", _norm("emb"))
+        .localCheckpoint(eager=False)  # consumed by every k-means round
+        # AND both sides of the within-cluster pair join — one scan
+    )
+    asg = kmeans_fit(vecs, _SEMANTIC_K, 3).select(
+        "vec_id", "cluster"
+    ).localCheckpoint(eager=False)  # pair join (twice) + final output
+    v = vecs.join(asg, "vec_id")
+    a = v.select(
+        "cluster",
+        F.col("vec_id").alias("d1"),
+        F.col("emb").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = v.select(
+        "cluster",
+        F.col("vec_id").alias("d2"),
+        F.col("emb").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4)
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("d1") < F.col("d2"))
+        .where(cos4 >= 0.45)
+        .select("d1", "d2")
+    )
+    labels, _rounds = connected_components(pairs)
+    return (
+        asg.join(
+            labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("keeper"),
+        )
+        .withColumn("is_keeper", F.col("keeper") == F.col("vec_id"))
+    )

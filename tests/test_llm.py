@@ -720,3 +720,39 @@ def test_dedup_exact_nonvacuous_with_planted_reingest(spark):
         .count()
     )
     assert len(out) >= planted > 0
+
+
+def test_semantic_dedup_laws(spark):
+    """SemDeDup pipeline laws (q_dedup_semantic is rows-only — k-means
+    fp argmin chains aren't oracle-able): (1) totality — exactly one
+    row per vector; (2) keeper idempotence — keeper ≤ vec_id, a
+    keeper's keeper is itself, is_keeper ⟺ keeper == vec_id;
+    (3) soundness vs the exact pair set — every q_dedup_embedding pair
+    (exact cos ≥ 0.45) whose BOTH ends landed in the same cluster must
+    share a keeper (within-cluster recall of the exact graph is 100%
+    by construction; only cross-cluster pairs may be lost);
+    (4) rerun determinism."""
+    reg = get_registry()
+    rows1 = reg["q_dedup_semantic"].builder(spark, SF_DIR).collect()
+    rows2 = reg["q_dedup_semantic"].builder(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+    from modforms_db_spark.io import load
+
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert len(rows1) == n_vecs
+    assert len({r.vec_id for r in rows1}) == n_vecs
+
+    keeper = {r.vec_id: r.keeper for r in rows1}
+    cluster = {r.vec_id: r.cluster for r in rows1}
+    for r in rows1:
+        assert r.keeper <= r.vec_id
+        assert keeper[r.keeper] == r.keeper, (r.vec_id, r.keeper)
+        assert r.is_keeper == (r.keeper == r.vec_id)
+
+    exact = _pairs(spark, "q_dedup_embedding", ("v1", "v2"))
+    assert exact, "exact embedding-dedup pair set is empty — vacuous"
+    same_cluster = [(a, b) for a, b in exact if cluster[a] == cluster[b]]
+    assert same_cluster, "no exact pair co-clustered — soundness check vacuous"
+    for a, b in same_cluster:
+        assert keeper[a] == keeper[b], (a, b, keeper[a], keeper[b])
