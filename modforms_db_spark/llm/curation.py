@@ -1328,7 +1328,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     likely its hashed-bigram features are under the TARGET domain
     (lang = 'en' here) than under the full corpus —
     w_d = avg_b [ln p_tgt(b) − ln p_corpus(b)] over the doc's bigram
-    occurrences, add-one smoothed over {_DSIR_B} md5-hashed buckets.
+    occurrences, add-one smoothed over 256 md5-hashed buckets.
     High weight ⇒ the doc "looks like" the target domain; resampling
     ∝ exp(w) is the standard pretraining-mix upweighting step after
     quality filtering and before token-budget allocation
@@ -1336,12 +1336,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: the feature hash is md5 (bit-identical in
     both engines — the `q_mm_blob_meta` precedent), bucket = first 6
-    hex chars as an integer mod {_DSIR_B} (Spark `conv(.., 16, 10)` ≡
+    hex chars as an integer mod 256 (Spark `conv(.., 16, 10)` ≡
     DuckDB `('0x' || ..)::BIGINT`); counts are exact integers and the
     one float step (avg of log-ratios) follows the `q_bigram_logprob`
     discipline — r4-rounded on both engines.
 
-    Scale: the model is two {_DSIR_B}-row count tables plus a 1-row
+    Scale: the model is two 256-row count tables plus a 1-row
     total — broadcast side by construction no matter the corpus size;
     scoring is a per-row explode, a broadcast join, and a map-side
     combinable per-doc average. The exploded bigram frame is built
@@ -1395,13 +1395,17 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("nt"), F.lit(0)) + 1.0)
         / (F.col("n_t") + F.lit(_DSIR_B))
     ) - F.log((F.col("na") + 1.0) / (F.col("n_a") + F.lit(_DSIR_B)))
+    # lr depends only on the bucket: fold the three model inputs into one
+    # <=256-row (bucket, lr) table so ln() runs 2x256 times, not 2x per
+    # exploded bigram occurrence, and the scoring pass is ONE broadcast join.
+    model = (
+        alln.join(tgt, "b", "left").crossJoin(tot).select("b", lr.alias("lr"))
+    )
     return (
-        bg.join(F.broadcast(alln), "b")
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(tot))
+        bg.join(F.broadcast(model), "b")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            r4(F.avg(lr)).alias("dsir_weight"),
+            r4(F.avg("lr")).alias("dsir_weight"),
         )
     )

@@ -1416,7 +1416,6 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_K = 8  # clusters; production scales k with corpus size
 
 
 @register(
@@ -1434,7 +1433,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-then-dedup-within-cluster pipeline that makes embedding
     near-dup removal tractable when even LSH candidate generation is
     too coarse — (1) k-means clusters the embedding space
-    (deterministic `kmeans_fit`, k = 8, 3 Lloyd rounds), (2) ONLY
+    (deterministic `kmeans_fit`, the shared `_KMEANS_K`/`_KMEANS_ITERS`
+    of `q_cluster_kmeans` so the two operators cannot drift), (2) ONLY
     within-cluster pairs are scored (exact rounded cosine ≥ 0.45, the
     `q_dedup_embedding` threshold), (3) connected components over the
     near-dup graph (large-star/small-star, the `q_dedup_components`
@@ -1460,6 +1460,8 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation's per-cluster pairwise pass."""
     prep(spark)
     from modforms_db_spark.llm.similarity import (
+        _KMEANS_ITERS,
+        _KMEANS_K,
         _dot,
         _emb,
         _norm,
@@ -1473,7 +1475,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed by every k-means round
         # AND both sides of the within-cluster pair join — one scan
     )
-    asg = kmeans_fit(vecs, _SEMANTIC_K, 3).select(
+    asg = kmeans_fit(vecs, _KMEANS_K, _KMEANS_ITERS).select(
         "vec_id", "cluster"
     ).localCheckpoint(eager=False)  # pair join (twice) + final output
     v = vecs.join(asg, "vec_id")
