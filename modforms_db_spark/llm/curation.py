@@ -1409,3 +1409,258 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("lr")).alias("dsir_weight"),
         )
     )
+
+
+_TEMP_BUDGET_NUM = 1  # budget = floor(total_tokens / 2) — half-corpus sample
+_TEMP_BUDGET_DEN = 2
+
+
+@register(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, avail_tokens,
+             CAST(FLOOR(SQRT(CAST(avail_tokens AS DOUBLE))) AS BIGINT) AS w_sqrt
+      FROM avail
+    ), tot AS (
+      SELECT CAST(SUM(w_sqrt) AS BIGINT) AS wtot,
+             CAST(SUM(avail_tokens) AS BIGINT) AS atot,
+             CAST(SUM(avail_tokens) // {_TEMP_BUDGET_DEN} AS BIGINT) AS budget
+      FROM w
+    ), quota AS (
+      SELECT lang, avail_tokens, w_sqrt,
+             (1000 * avail_tokens) // atot AS natural_pm,
+             (1000 * w_sqrt) // wtot AS temp_pm,
+             (budget * w_sqrt) // wtot AS fl,
+             (budget * w_sqrt) % wtot AS rem,
+             budget
+      FROM w CROSS JOIN tot
+    ), short AS (
+      SELECT CAST(MIN(budget) - SUM(fl) AS BIGINT) AS k FROM quota
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM quota
+    )
+    SELECT lang, avail_tokens, w_sqrt, natural_pm, temp_pm,
+           CAST(fl + CASE WHEN rk <= short.k THEN 1 ELSE 0 END AS BIGINT)
+             AS target_tokens,
+           temp_pm > natural_pm AS upweighted
+    FROM ranked CROSS JOIN short
+    """,
+    priority="P2",
+    tags=("llm", "curation", "mix", "temperature"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the XLM-R / mC4
+    alpha-smoothing step): sampling weight per language is
+    availability^alpha with alpha = 0.5, which upweights low-resource
+    languages relative to their natural share — the standard fix for
+    high-resource languages drowning the mix when sampling
+    proportionally. Unlike `q_domain_mix` / `q_token_budget_mix`
+    (targets come from a human-authored weight TABLE), the target here
+    is DERIVED FROM THE DATA by the temperature formula.
+
+    Cross-engine determinism: availability^0.5 is integerized as
+    floor(sqrt(avail_tokens)) — IEEE-754 sqrt is correctly rounded in
+    both engines and sqrt of a perfect square <= 2^52 is exact, so the
+    floor cannot flip; every later step (per-mille shares, Hamilton
+    largest-remainder integerization to the half-corpus token budget)
+    is pure BIGINT arithmetic, the `q_token_budget_mix` discipline.
+
+    Scale: one linear token count to lang grain; the allocation
+    operates on the #langs-sized frame (bounded global window,
+    broadcast scalar shortfall) — same 100 TB shape as the other
+    allocation operators."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    avail = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("avail_tokens"))
+        .withColumn(
+            "w_sqrt",
+            F.floor(F.sqrt(F.col("avail_tokens").cast("double"))).cast(
+                "bigint"
+            ),
+        )
+        .localCheckpoint(eager=False)  # feeds totals AND quota — one scan
+    )
+    tot = avail.agg(
+        F.sum("w_sqrt").alias("wtot"),
+        F.sum("avail_tokens").alias("atot"),
+        (F.sum("avail_tokens") / _TEMP_BUDGET_DEN)
+        .cast("bigint")
+        .alias("budget"),
+    )
+    quota = avail.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "avail_tokens",
+        "w_sqrt",
+        F.expr("1000 * avail_tokens div atot").alias("natural_pm"),
+        F.expr("1000 * w_sqrt div wtot").alias("temp_pm"),
+        F.expr("budget * w_sqrt div wtot").alias("fl"),
+        (F.col("budget") * F.col("w_sqrt") % F.col("wtot")).alias("rem"),
+        "budget",
+    )
+    short = quota.agg((F.min("budget") - F.sum("fl")).alias("k"))
+    ranked = quota.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rem"), "lang"))
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "lang",
+        "avail_tokens",
+        "w_sqrt",
+        "natural_pm",
+        "temp_pm",
+        (F.col("fl") + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("target_tokens"),
+        (F.col("temp_pm") > F.col("natural_pm")).alias("upweighted"),
+    )
+
+
+# Data-constrained scaling (q_epoch_repeats): target mix per-mille, the
+# token budget as a multiple of unique supply, and the repeat ceiling.
+_EPOCH_WEIGHTS = [("en", 500), ("de", 200), ("fr", 150), ("es", 100), ("zh", 50)]
+_EPOCH_WEIGHTS_SQL = ", ".join(f"('{l}', {w})" for l, w in _EPOCH_WEIGHTS)
+_EPOCH_BUDGET_NUM = 3  # budget = 1.5 x total unique tokens: the
+_EPOCH_BUDGET_DEN = 2  # high-weight langs hit the cap, the tail stays open
+_EPOCH_RMAX = 2  # max epochs over any single language's unique tokens
+
+
+@register(
+    "q_epoch_repeats",
+    oracle=f"""
+    WITH u AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS uniq
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT * FROM (VALUES {_EPOCH_WEIGHTS_SQL}) t(lang, wpm)
+    ), tot AS (
+      SELECT CAST(({_EPOCH_BUDGET_NUM} * SUM(uniq)) // {_EPOCH_BUDGET_DEN} AS BIGINT) AS budget FROM u
+    ), p1 AS (
+      SELECT w.lang, w.wpm, COALESCE(u.uniq, 0) AS uniq,
+             (tot.budget * w.wpm) // 1000 AS want_tokens,
+             CAST({_EPOCH_RMAX} * COALESCE(u.uniq, 0) AS BIGINT) AS cap_tokens,
+             tot.budget
+      FROM w LEFT JOIN u ON u.lang = w.lang CROSS JOIN tot
+    ), a1 AS (
+      SELECT *, LEAST(want_tokens, cap_tokens) AS alloc1,
+             want_tokens < cap_tokens AS open1
+      FROM p1
+    ), l1 AS (
+      SELECT CAST(MIN(budget) - SUM(alloc1) AS BIGINT) AS leftover,
+             CAST(COALESCE(SUM(wpm) FILTER (WHERE open1), 0) AS BIGINT) AS wopen
+      FROM a1
+    ), a2 AS (
+      SELECT a1.lang, a1.uniq, a1.want_tokens, a1.cap_tokens, a1.budget,
+             a1.alloc1 + CASE WHEN a1.open1 AND l1.wopen > 0
+               THEN LEAST(a1.cap_tokens - a1.alloc1,
+                          (l1.leftover * a1.wpm) // l1.wopen)
+               ELSE 0 END AS alloc_tokens
+      FROM a1 CROSS JOIN l1
+    )
+    SELECT lang, uniq AS unique_tokens, want_tokens, cap_tokens, alloc_tokens,
+           CASE WHEN uniq = 0 THEN NULL
+                ELSE {{EPOCHS}} END AS epochs,
+           alloc_tokens >= cap_tokens AS capped,
+           CAST(MIN(budget) OVER () - SUM(alloc_tokens) OVER () AS BIGINT)
+             AS unfilled_tokens
+    FROM a2
+    """.replace("{EPOCHS}", R4("alloc_tokens * 1.0 / uniq")),
+    priority="P2",
+    tags=("llm", "curation", "mix", "allocation"),
+)
+def q_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): when the token budget
+    (1.5x total unique supply here) exceeds what the mix weights can
+    serve at <= _EPOCH_RMAX epochs per language, allocate by a
+    two-pass water-fill — pass 1 gives each language
+    min(budget x weight, 2 x unique); pass 2 redistributes the
+    leftover across the languages their cap left OPEN, proportional to
+    their weights and capped again. What remains unfilled is the
+    paper's headline number: budget you cannot spend without exceeding
+    the repeat ceiling anywhere. Emits per language the unique supply,
+    uncapped want, cap, final allocation, epoch factor, cap flag, and
+    the (constant) unfilled budget.
+
+    All allocation arithmetic is exact BIGINT (budget x per-mille
+    weights, integer floor division), so nothing can flip cross-engine;
+    the one float column (epochs) is r4-rounded on both sides. A
+    fixed 2-pass fill (not fill-to-fixpoint) is the documented
+    contract — deterministic, and at lang-grain the whole allocation
+    runs on a broadcastable #langs-row frame after one linear token
+    count, the `q_token_budget_mix` 100 TB shape."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    u = (
+        d.select("lang", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("uniq"))
+    )
+    w = spark.createDataFrame(_EPOCH_WEIGHTS, "lang string, wpm int")
+    tot = u.agg(
+        F.expr(f"{_EPOCH_BUDGET_NUM} * sum(uniq) div {_EPOCH_BUDGET_DEN}")
+        .cast("bigint")
+        .alias("budget")
+    )
+    p1 = (
+        w.join(F.broadcast(u), "lang", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "wpm",
+            F.coalesce("uniq", F.lit(0).cast("bigint")).alias("uniq"),
+            F.expr("budget * wpm div 1000").alias("want_tokens"),
+            (F.lit(_EPOCH_RMAX) * F.coalesce("uniq", F.lit(0)))
+            .cast("bigint")
+            .alias("cap_tokens"),
+            "budget",
+        )
+    )
+    a1 = p1.select(
+        "*",
+        F.least("want_tokens", "cap_tokens").alias("alloc1"),
+        (F.col("want_tokens") < F.col("cap_tokens")).alias("open1"),
+    ).localCheckpoint(eager=False)  # leftover agg + pass-2 both read it
+    l1 = a1.agg(
+        (F.min("budget") - F.sum("alloc1")).alias("leftover"),
+        F.coalesce(
+            F.sum(F.when(F.col("open1"), F.col("wpm"))), F.lit(0)
+        ).cast("bigint").alias("wopen"),
+    )
+    a2 = a1.crossJoin(F.broadcast(l1)).select(
+        "lang",
+        "uniq",
+        "want_tokens",
+        "cap_tokens",
+        "budget",
+        (
+            F.col("alloc1")
+            + F.when(
+                F.col("open1") & (F.col("wopen") > 0),
+                F.least(
+                    F.col("cap_tokens") - F.col("alloc1"),
+                    F.expr("leftover * wpm div wopen"),
+                ),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("alloc_tokens"),
+    )
+    wall = Window.partitionBy()
+    return a2.select(
+        "lang",
+        F.col("uniq").alias("unique_tokens"),
+        "want_tokens",
+        "cap_tokens",
+        "alloc_tokens",
+        F.when(F.col("uniq") == 0, F.lit(None).cast("double"))
+        .otherwise(r4(F.col("alloc_tokens") * 1.0 / F.col("uniq")))
+        .alias("epochs"),
+        (F.col("alloc_tokens") >= F.col("cap_tokens")).alias("capped"),
+        (F.min("budget").over(wall) - F.sum("alloc_tokens").over(wall))
+        .cast("bigint")
+        .alias("unfilled_tokens"),
+    )

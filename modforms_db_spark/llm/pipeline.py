@@ -573,3 +573,101 @@ def q_eval_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "leak_ratio"
         ),
     )
+
+
+_BOILER_N = 3  # n-gram width for the cross-document boilerplate model
+_BOILER_DF = 3  # an n-gram is "boilerplate" once >= 3 distinct docs carry it
+
+
+@register(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ), ng AS (
+      SELECT DISTINCT doc_id, lang, g FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(
+                 generate_series(1, len(t) - {_BOILER_N - 1}),
+                 i -> array_to_string(t[i:i+{_BOILER_N - 1}], ' '))) AS g
+        FROM t WHERE len(t) >= {_BOILER_N})
+    ), freq AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM ng GROUP BY g
+    ), pd AS (
+      SELECT ng.doc_id, ng.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+             CAST(SUM(CASE WHEN f.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_common
+      FROM ng JOIN freq f ON ng.g = f.g
+      GROUP BY ng.doc_id, ng.lang
+    )
+    SELECT doc_id, lang, n_ngrams, n_common,
+           {R4('n_common * 1.0 / n_ngrams')} AS common_frac,
+           {R4('n_common * 1.0 / n_ngrams')} > 0.5 AS is_boilerplate
+    FROM pd
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "boilerplate", "dedup"),
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb / C4
+    "repeated n-gram" cut, CROSS-doc where `q_repetition_filter` is
+    WITHIN-doc): an n-gram is boilerplate once >= _BOILER_DF distinct
+    documents carry it; each document is scored by the fraction of its
+    DISTINCT 3-grams that are boilerplate, and flagged when the
+    (rounded) fraction exceeds 0.5 — headers, footers, and templated
+    text score high, original prose low. On the shipped fixtures the
+    flag is non-vacuous in both directions (~40 flagged of 500 at
+    sf0.01, the planted re-ingest duplicates at fraction 1.0).
+
+    Threshold on the ROUNDED fraction so the 0.5 boundary cannot flip
+    cross-engine; counts are exact integers (DISTINCT n-grams per doc,
+    distinct-doc frequency per n-gram).
+
+    Scale: the (doc, n-gram) stream is distinct-ed once and
+    checkpointed — the document-frequency model and the per-doc score
+    both read it, ONE documents scan; the model join shuffles on the
+    n-gram key (map-side combined counts). At 100 TB you'd threshold
+    the model FIRST and broadcast only the >= df slice (it's the tiny
+    side by Zipf), turning the scoring pass into a scan + broadcast
+    lookup — same two-aggregation shape, no new primitive."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    ng = (
+        tk.where(F.size("t") >= _BOILER_N)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (_BOILER_N - 1)),
+                    lambda i: F.array_join(
+                        F.slice("t", i, _BOILER_N), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # df model + per-doc score — one scan
+    )
+    freq = ng.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    frac = F.col("n_common") * 1.0 / F.col("n_ngrams")
+    return (
+        ng.join(freq, "g")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("df") >= _BOILER_DF).cast("int"))
+            .cast("bigint")
+            .alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_ngrams",
+            "n_common",
+            r4(frac).alias("common_frac"),
+            (r4(frac) > 0.5).alias("is_boilerplate"),
+        )
+    )

@@ -1156,3 +1156,209 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum((F.col("mu_a") - F.col("mu_b")) ** 2))
         ).alias("centroid_l2"),
     )
+
+
+_DOT = "list_inner_product(a.emb, b.emb)"
+
+
+@register(
+    "q_sim_mips",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id, {R4(_DOT)} AS dot4
+      FROM (SELECT * FROM e WHERE vec_id < 20) a
+      JOIN e b ON a.vec_id != b.vec_id
+    )
+    SELECT q_id, nb_id, dot4, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dot4 DESC, nb_id) AS rn
+      FROM p
+    ) WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "mips"),
+)
+def q_sim_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 by MAXIMUM INNER PRODUCT for each query vector
+    (vec_id < 20, self excluded) — the retrieval scoring two-tower /
+    recommendation models actually use, where a neighbor's NORM is
+    part of its relevance and the ranking genuinely differs from
+    `q_sim_cosine_topk` (verified non-identical on the shipped
+    fixtures). Ranking is on the r4-ROUNDED dot with a vec_id
+    tiebreak — the family's fp-determinism discipline.
+
+    Scale: same brute-force contract shape as the cosine twin (query
+    batch broadcast against the corpus scan). MIPS has no
+    triangle-inequality structure, so the 100 TB path is the
+    norm-augmentation reduction — append sqrt(M² − |x|²) to each
+    corpus vector and a 0 to each query, after which MIPS ≡ cosine and
+    the existing LSH/IVF ANN twins apply verbatim."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    dot4 = F.round(_dot("q_emb", "emb"), 4).alias("dot4")
+    scored = pairs.select("q_id", F.col("vec_id").alias("nb_id"), dot4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot4"), F.asc("nb_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "dot4", "rn")
+    )
+
+
+_LP_K = 5  # kNN width of the propagation graph
+_LP_SEED_MOD = 5  # vec_id % 5 == 0 keeps its true label as a seed
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings
+    ), knn AS (
+      SELECT q_id, nb_id FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {R4(_COS)} DESC, b.vec_id) AS rn
+        FROM e a JOIN e b ON a.vec_id != b.vec_id
+      ) WHERE rn <= {_LP_K}
+    ), edges AS (
+      SELECT q_id AS u, nb_id AS v FROM knn
+      UNION
+      SELECT nb_id AS u, q_id AS v FROM knn
+    ), y0 AS (
+      SELECT vec_id, CASE WHEN vec_id % {_LP_SEED_MOD} = 0 THEN label END AS y
+      FROM e
+    ), r1 AS (
+      SELECT u AS vec_id, y FROM (
+        SELECT ed.u, y0.y,
+               row_number() OVER (
+                 PARTITION BY ed.u
+                 ORDER BY COUNT(*) DESC, y0.y) AS rk
+        FROM edges ed JOIN y0 ON y0.vec_id = ed.v
+        WHERE y0.y IS NOT NULL
+        GROUP BY ed.u, y0.y
+      ) WHERE rk = 1
+    ), y1 AS (
+      SELECT y0.vec_id, COALESCE(y0.y, r1.y) AS y
+      FROM y0 LEFT JOIN r1 ON r1.vec_id = y0.vec_id
+    ), r2 AS (
+      SELECT u AS vec_id, y FROM (
+        SELECT ed.u, y1.y,
+               row_number() OVER (
+                 PARTITION BY ed.u
+                 ORDER BY COUNT(*) DESC, y1.y) AS rk
+        FROM edges ed JOIN y1 ON y1.vec_id = ed.v
+        WHERE y1.y IS NOT NULL
+        GROUP BY ed.u, y1.y
+      ) WHERE rk = 1
+    )
+    SELECT e.vec_id,
+           e.vec_id % {_LP_SEED_MOD} = 0 AS is_seed,
+           e.label AS label_true,
+           CASE WHEN e.vec_id % {_LP_SEED_MOD} = 0 THEN e.label
+                ELSE r2.y END AS label_pred
+    FROM e LEFT JOIN r2 ON r2.vec_id = e.vec_id
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "graph", "semi-supervised"),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation over the embedding kNN graph
+    (Zhu & Ghahramani 2002): every 5th vector keeps its true label as
+    a SEED; the rest take, for two synchronous rounds, the majority
+    label of their graph neighbors (ties broken by the smaller label;
+    seeds are clamped). The graph is the symmetrized exact-kNN graph
+    (k = 5 by rounded cosine, id tiebreak) — the transductive
+    classifier a labeling pipeline runs when labels are scarce, and
+    the propagation engine behind graph-based dedup/toxicity
+    spreading. Emits (vec_id, is_seed, label_true, label_pred);
+    label_pred is NULL only when no labeled node is within 2 hops.
+
+    Determinism: neighbor ranking is on the r4-ROUNDED cosine with an
+    id tiebreak; majority votes are integer counts with min-label
+    tiebreaks; rounds are fixed at 2 (unrolled — no fixpoint race).
+    Fully SQL-expressible, so the driver hash-checks the whole
+    iteration.
+
+    Scale: the kNN build here is the brute-force CONTRACT shape (the
+    corpus is <= 2k vectors at every shipped SF); at 100 TB candidate
+    generation swaps to the LSH/IVF twins (`q_sim_ann_lsh`) and each
+    propagation round is one (edges JOIN labels) shuffle on v plus a
+    groupBy(u) majority — the large-star/small-star cost profile,
+    O(log diameter) rounds if iterated."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb")).localCheckpoint(
+        eager=False
+    )  # both sides of the kNN pair join + seeds + final output — one scan
+    a = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    pairs = e.crossJoin(F.broadcast(a)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    knn = (
+        pairs.select("q_id", F.col("vec_id").alias("nb_id"), cos4)
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= _LP_K)
+        .select("q_id", "nb_id")
+    )
+    edges = (
+        knn.select(F.col("q_id").alias("u"), F.col("nb_id").alias("v"))
+        .unionByName(
+            knn.select(F.col("nb_id").alias("u"), F.col("q_id").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # one pair join feeds both rounds
+    )
+    y0 = e.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label")
+        ).alias("y"),
+    )
+
+    def vote(labels: DataFrame) -> DataFrame:
+        """One synchronous round: majority neighbor label per node
+        (count desc, min label tiebreak)."""
+        wv = Window.partitionBy("u").orderBy(F.desc("cnt"), F.asc("y"))
+        return (
+            edges.join(
+                labels.where(F.col("y").isNotNull()),
+                edges.v == labels.vec_id,
+            )
+            .groupBy("u", "y")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rk", F.row_number().over(wv))
+            .where(F.col("rk") == 1)
+            .select(F.col("u").alias("vec_id"), "y")
+        )
+
+    r1 = vote(y0)
+    y1 = (
+        y0.join(r1.withColumnRenamed("y", "ry"), "vec_id", "left")
+        .select("vec_id", F.coalesce("y", "ry").alias("y"))
+        .localCheckpoint(eager=False)  # round-2 vote input
+    )
+    r2 = vote(y1)
+    return (
+        e.join(r2.withColumnRenamed("y", "ry"), "vec_id", "left")
+        .select(
+            "vec_id",
+            (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
+            F.col("label").alias("label_true"),
+            F.when(F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label"))
+            .otherwise(F.col("ry"))
+            .alias("label_pred"),
+        )
+    )

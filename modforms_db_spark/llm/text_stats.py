@@ -1830,3 +1830,79 @@ def q_text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.sum("q")).alias("q_coverage"),
         r4(F.sum(jsd_in) + 0.5 * math.log(2) * (1 - F.sum("q"))).alias("jsd"),
     )
+
+
+_VOWEL_RE = "[aeiouy]+"
+
+
+@register(
+    "q_readability",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), syl AS (
+      SELECT doc_id, lang, word,
+             GREATEST(1, len(regexp_extract_all(word, '{_VOWEL_RE}'))) AS syll
+      FROM w
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(syll) AS BIGINT) AS n_syllables,
+           CAST(SUM(CASE WHEN syll >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_polysyllabic,
+           {R4('SUM(syll) * 1.0 / COUNT(*)')} AS syll_per_word,
+           {R4('SUM(CASE WHEN syll >= 3 THEN 1 ELSE 0 END) * 100.0 / COUNT(*)')}
+             AS poly_pct,
+           {R4('206.835 - 84.6 * (SUM(syll) * 1.0 / COUNT(*))')}
+             AS flesch_proxy
+    FROM syl GROUP BY doc_id, lang
+    """,
+    priority="P2",
+    tags=("llm", "text", "quality", "readability"),
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document readability profile: syllables approximated as
+    vowel-group runs (`[aeiouy]+` matches, min 1 per word — the
+    standard dictionary-free estimator), emitting words, syllables,
+    polysyllabic count (>= 3 syllables, the SMOG ingredient),
+    syllables/word, polysyllable %, and a Flesch-reading-ease proxy
+    (206.835 − 84.6 x syllables/word; the sentence-length term is
+    dropped because this corpus has no sentence boundaries — documented
+    proxy, monotone in the syllable load). Complements the rule-based
+    `q_quality_score` (length/stopword/punct) with the complexity axis
+    a readability-filtered training mix cuts on.
+
+    Cross-engine determinism: syllable counts are integer regexp-match
+    counts (`regexp_extract_all` in both engines, same RE2-class
+    pattern); all ratios are r4-rounded. Scale: one explode to word
+    grain, map-side-combinable agg straight back to doc grain — one
+    shuffle, no model table, no window."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    w = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    syll = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all("word", F.lit(_VOWEL_RE), 0))
+    )
+    return (
+        w.select("doc_id", "lang", syll.alias("syll"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("syll").cast("bigint").alias("n_syllables"),
+            F.sum((F.col("syll") >= 3).cast("int"))
+            .cast("bigint")
+            .alias("n_polysyllabic"),
+            r4(F.sum("syll") * 1.0 / F.count(F.lit(1))).alias("syll_per_word"),
+            r4(
+                F.sum((F.col("syll") >= 3).cast("int"))
+                * 100.0
+                / F.count(F.lit(1))
+            ).alias("poly_pct"),
+            r4(
+                F.lit(206.835) - F.lit(84.6) * (F.sum("syll") * 1.0 / F.count(F.lit(1)))
+            ).alias("flesch_proxy"),
+        )
+    )

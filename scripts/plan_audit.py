@@ -83,6 +83,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,
     "q_alloc_largest_remainder": _R_LANG_FRAME,
+    "q_epoch_repeats": _R_LANG_FRAME,
+    "q_sample_temperature": _R_LANG_FRAME,
     "q_stratified_neyman": _R_LANG_FRAME,
     "q_token_budget_mix": _R_LANG_FRAME,
     "q_corpus_saturation": "cumulative novelty over the size-bucket "
@@ -243,6 +245,7 @@ ALLOW_DUP_SCAN: dict[str, str] = {
     "q_dedup_embedding": _R_REATTACH,
     "q_dedup_embedding_ann": _R_REATTACH,
     "q_sim_cosine_topk": _R_REATTACH,
+    "q_sim_mips": _R_REATTACH,
     "q_sim_threshold": _R_REATTACH,
     "q_sim_ann_lsh": _R_REATTACH,
     "q_sim_threshold_ann": _R_REATTACH,
