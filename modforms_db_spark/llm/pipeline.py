@@ -671,3 +671,81 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r4(frac) > 0.5).alias("is_boilerplate"),
         )
     )
+
+
+_BADWORDS = ("slow", "big")  # deterministic blocklist over the fixture vocab
+_BAD_DENSITY = 0.05  # density variant: drop when > 5% of tokens are listed
+
+
+@register(
+    "q_badwords_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), pd AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(t, x -> x IN ('slow', 'big')))
+               AS BIGINT) AS n_bad
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_strict,
+           CAST(SUM(CASE WHEN {R4('n_bad * 1.0 / n_tokens')} > {_BAD_DENSITY}
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_density,
+           {R4("AVG(CASE WHEN n_bad > 0 THEN 0.0 ELSE 1.0 END)")}
+             AS strict_retention,
+           {R4(f"AVG(CASE WHEN {R4('n_bad * 1.0 / n_tokens')} > {_BAD_DENSITY}"
+               " THEN 0.0 ELSE 1.0 END)")} AS density_retention
+    FROM pd GROUP BY source
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "filter", "quality"),
+)
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist ("badwords") filtering report — the C4 cleanup rule
+    (Raffel et al. 2020: drop any page containing a listed word) beside
+    the density variant RefinedWeb-style pipelines prefer (drop only
+    when listed tokens exceed ``_BAD_DENSITY`` of the document): per
+    source, the document count, how many each rule would drop, and the
+    retention rates. The two columns quantify the known C4 failure mode
+    — strict dropping is far more aggressive than density dropping
+    (~93% vs ~65% of fixture docs hit, both directions non-vacuous).
+
+    The density threshold applies to the ROUNDED token fraction so the
+    boundary cannot flip cross-engine; all counts are exact integers.
+
+    Scale: the blocklist test is a per-row array filter (no explode, no
+    join — a real blocklist of a few hundred words stays a scan-side
+    literal or broadcast set), then ONE map-side-combined aggregation
+    to the source grain. This is the cheapest possible shape: a single
+    pass, projection-pruned to (source, text)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "source", F.split("text", " ").alias("t")
+    ).select(
+        "source",
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(
+            F.filter("t", lambda x: x.isin(*_BADWORDS))
+        ).cast("bigint").alias("n_bad"),
+    )
+    density4 = r4(F.col("n_bad") * 1.0 / F.col("n_tokens"))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("n_bad") > 0).cast("int")).cast("bigint").alias(
+            "n_drop_strict"
+        ),
+        F.sum((density4 > _BAD_DENSITY).cast("int")).cast("bigint").alias(
+            "n_drop_density"
+        ),
+        r4(F.avg(F.when(F.col("n_bad") > 0, 0.0).otherwise(1.0))).alias(
+            "strict_retention"
+        ),
+        r4(F.avg(F.when(density4 > _BAD_DENSITY, 0.0).otherwise(1.0))).alias(
+            "density_retention"
+        ),
+    )

@@ -1362,3 +1362,179 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label_pred"),
         )
     )
+
+
+def _jl_signs(k: int = 8, d: int = 64) -> list[list[float]]:
+    """Deterministic ±1 Rademacher matrix for the JL projection — md5 of
+    "jl_{row}_{col}" parity, reproducible in any environment (no RNG
+    state, no seed handshake; both engines receive the SAME literal)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"jl_{r}_{c}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for c in range(d)
+        ]
+        for r in range(k)
+    ]
+
+
+_JL_K = 8
+_JL_SIGNS = _jl_signs(_JL_K, 64)
+_JL_SQL_ROWS = [
+    "[" + ", ".join(f"{s:.1f}" for s in row) + "]" for row in _JL_SIGNS
+]
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), p AS (
+      SELECT vec_id, label,
+             list_inner_product(emb, emb) AS orig_sq,
+             {" + ".join(
+                 f"list_inner_product(emb, {row}) * list_inner_product(emb, {row})"
+                 for row in _JL_SQL_ROWS
+             )} AS proj_sq
+      FROM e
+    )
+    SELECT vec_id, label,
+           {R4('orig_sq')} AS orig_sq,
+           {R4(f'proj_sq / {_JL_K}')} AS proj_sq_scaled,
+           {R4(f'proj_sq / {_JL_K} / orig_sq')} AS distortion
+    FROM p
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "projection", "dimension-reduction"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    database-friendly ±1 form): each 64-d embedding is projected to
+    {_JL_K} dimensions through a fixed Rademacher sign matrix, and the
+    per-vector distortion ||Px||²/k / ||x||² — whose expectation is
+    exactly 1 — is reported. This is the dimension-reduction primitive
+    under SimHash (`q_dedup_simhash` keeps only the projection's SIGNS)
+    and the cheap first stage before exact re-scoring at 100 TB: an 8-d
+    sketch is 8× less shuffle payload than the raw embedding.
+
+    The sign matrix is derived from md5 parity (no RNG), so both
+    engines evaluate the SAME literal matrix; each projection is an
+    element-order fold (`zip_with` + `aggregate` ≡ DuckDB
+    `list_inner_product`), never an explode+groupBy float sum, so the
+    summation order is identical cross-engine and layout-independent.
+
+    Scale: per-row arithmetic only — zero shuffles, zero joins; the
+    8×64 matrix is a compile-time literal. At a real 100 TB run the
+    matrix rides the closure and the projected sketch is written
+    bucketed by its first component for locality."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    proj_sq = None
+    for row in _JL_SIGNS:
+        p = _dot("emb", F.array(*[F.lit(s) for s in row]))
+        term = p * p
+        proj_sq = term if proj_sq is None else proj_sq + term
+    orig_sq = _dot("emb", "emb")
+    return e.select(
+        "vec_id",
+        "label",
+        r4(orig_sq).alias("orig_sq"),
+        r4(proj_sq / _JL_K).alias("proj_sq_scaled"),
+        r4(proj_sq / _JL_K / orig_sq).alias("distortion"),
+    )
+
+
+@register(
+    "q_prototype_prune",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), long AS (
+      SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS x FROM e
+    ), cent AS (
+      SELECT label, pos, {R4('AVG(x)')} AS c FROM long GROUP BY label, pos
+    ), carr AS (
+      SELECT label, list(c ORDER BY pos) AS cvec FROM cent GROUP BY label
+    ), d AS (
+      SELECT e.vec_id, e.label,
+             {R4("list_sum(list_transform(generate_series(1, 64),"
+                 " i -> (emb[i] - cvec[i]) * (emb[i] - cvec[i])))")} AS dist2
+      FROM e JOIN carr USING (label)
+    ), r AS (
+      SELECT vec_id, label, dist2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY label
+               ORDER BY dist2, vec_id) AS BIGINT) AS proto_rank,
+             CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS _n
+      FROM d
+    )
+    SELECT vec_id, label, dist2, proto_rank,
+           proto_rank * 4 <= _n AS is_pruned
+    FROM r
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "pruning", "curation"),
+)
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): rank every vector by squared L2 distance to
+    its own class centroid and mark the EASIEST quarter (closest to the
+    prototype) as prune candidates — in the abundant-data regime the
+    most prototypical examples are the most redundant, and dropping
+    them beats random pruning. Complements `q_dedup_semantic` (which
+    removes near-identical PAIRS) by thinning dense regions globally.
+
+    Parity discipline: the centroid is the ROUNDED per-(label, pos)
+    mean (`q_centroid`'s exact frame), the distance is an element-order
+    fold over (x − c)² — identical summation order cross-engine — and
+    ranking happens on the rounded distance with a vec_id tiebreak.
+    The prune flag is exact integer arithmetic (rank·4 ≤ n, i.e. the
+    floor(n/4) closest rows), no float threshold.
+
+    Scale: centroids are a (labels × 64)-row aggregate (map-side
+    combined) collapsed to per-label ARRAYS and broadcast — the
+    distance pass is then scan-side arithmetic, no shuffle. The
+    per-label ranking window partitions on label; a 100 TB class would
+    use the banded rank (`operators.banded`) in the same shape, as
+    `q_quantile_bins_scaled` demonstrates."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.select("label", F.posexplode("emb").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(r4(F.avg("x")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cvec")
+        )
+    )
+    dist2 = r4(
+        F.aggregate(
+            F.zip_with("emb", "cvec", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = e.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", dist2.alias("dist2")
+    )
+    w = Window.partitionBy("label").orderBy("dist2", "vec_id")
+    wn = Window.partitionBy("label")
+    return d.select(
+        "vec_id",
+        "label",
+        "dist2",
+        F.row_number().over(w).cast("bigint").alias("proto_rank"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("_n"),
+    ).select(
+        "vec_id",
+        "label",
+        "dist2",
+        "proto_rank",
+        (F.col("proto_rank") * 4 <= F.col("_n")).alias("is_pruned"),
+    )

@@ -1906,3 +1906,140 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch_proxy"),
         )
     )
+
+
+@register(
+    "q_ppl_bucket",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i])) AS w1,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i + 1])) AS w2
+      FROM t WHERE len(toks) > 1
+    ), mbg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM bg WHERE lang = 'en' GROUP BY w1, w2
+    ), uni AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM mbg GROUP BY w1
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM mbg
+    ), sc AS (
+      SELECT bg.doc_id, bg.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             {R4("AVG(ln((COALESCE(b.n12, 0) + 1.0)"
+                 " / (COALESCE(u.n1, 0) + v.v)))")} AS avg_lp
+      FROM bg
+      LEFT JOIN mbg b ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN uni u ON bg.w1 = u.w1
+      CROSS JOIN v
+      GROUP BY bg.doc_id, bg.lang, v.v
+    )
+    SELECT doc_id, lang, n_bigrams, avg_lp,
+           CAST(NTILE(3) OVER (ORDER BY avg_lp DESC, doc_id) AS BIGINT)
+             AS bucket_id,
+           CASE NTILE(3) OVER (ORDER BY avg_lp DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM sc
+    """,
+    priority="P2",
+    tags=("llm", "text", "language-model", "quality", "banded"),
+)
+def q_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019): a bigram
+    LM is trained on the TARGET-domain slice only (lang='en' — the
+    Wikipedia side of CCNet's KenLM), every document is scored by its
+    add-one-smoothed mean bigram log-likelihood under that model, and
+    the corpus is split into equal-population head / middle / tail
+    terciles (head = most target-like). Downstream mixes keep head+
+    middle and drop or downweight tail — the standard LM-based quality
+    gate beside the rule-based `q_quality_score` and the importance-
+    weighted `q_dsir_weights`.
+
+    Smoothing: P(w2|w1) = (n12 + 1) / (n1 + V), V = model vocabulary
+    (distinct continuations) — finite for bigrams UNSEEN in the target
+    slice (the whole point: off-domain docs score low, not -inf).
+    Terciles assign on the ROUNDED score with a doc_id tiebreak, so an
+    ulp of cross-engine noise cannot move a document across buckets.
+
+    Scale: the bigram stream is materialized once (model + scoring both
+    read it — one documents scan); the model is two map-side-combined
+    aggregations over the en slice and is broadcast to the scorer
+    (vocab² is tiny by Zipf; a 100 TB corpus prunes to top-M first).
+    The global tercile is a BANDED rank (`operators.banded`) + exact
+    ntile arithmetic — no single-task window at any scale."""
+    prep(spark)
+    from modforms_db_spark.operators.banded import (
+        ntile_from_rn,
+        with_banded_order,
+    )
+
+    d = spread(load(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    bg = (
+        tk.where(F.size("t") > 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("t"), i).alias("w1"),
+                        F.element_at(F.col("t"), i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .localCheckpoint(eager=False)  # model slice + scoring — one scan
+    )
+    mbg = (
+        bg.where(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n12"))
+        .localCheckpoint(eager=False)  # uni + vocab + scoring join
+    )
+    uni = mbg.groupBy("w1").agg(F.sum("n12").cast("bigint").alias("n1"))
+    v = mbg.agg(F.countDistinct("w2").cast("bigint").alias("v"))
+    scored = (
+        bg.join(F.broadcast(mbg), ["w1", "w2"], "left")
+        .join(F.broadcast(uni), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            r4(
+                F.avg(
+                    F.log(
+                        (F.coalesce("n12", F.lit(0)) + 1.0)
+                        / (F.coalesce("n1", F.lit(0)) + F.col("v"))
+                    )
+                )
+            ).alias("avg_lp"),
+        )
+    )
+    scored = scored.localCheckpoint(eager=False)  # banding legs + total count
+    ranked = with_banded_order(
+        scored, "avg_lp", ["doc_id"], descending=True, checkpoint_input=False
+    )
+    n = scored.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    tile = ntile_from_rn(F.col("rn"), F.col("_n"), 3)
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "avg_lp",
+            tile.cast("bigint").alias("bucket_id"),
+            F.when(tile == 1, "head")
+            .when(tile == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

@@ -80,6 +80,7 @@ _R_CONTRACT_TWIN = (
 ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_abc_xyz": _R_BANDED_OFFSET,
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
+    "q_ppl_bucket": _R_BANDED_OFFSET,
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,
     "q_alloc_largest_remainder": _R_LANG_FRAME,
@@ -175,6 +176,8 @@ ALLOW_DUP_SCAN: dict[str, str] = {
     "q_feature_scale": _R_SELF_AGG,
     "q_impute_mean": _R_SELF_AGG,
     "q_outlier_iqr": _R_SELF_AGG,
+    "q_prototype_prune": _R_SELF_AGG + " (per-label centroid leg + "
+    "distance leg against the broadcast centroids)",
     "q_stat_freq_items": _R_SELF_AGG,
     "q_winsorize": _R_SELF_AGG + " (clip bounds from percentile agg "
     "re-applied per row; VERDICT r5 triage: document, not checkpoint — "
