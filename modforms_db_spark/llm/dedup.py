@@ -1510,3 +1510,116 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_keeper", F.col("keeper") == F.col("vec_id"))
     )
+
+
+_MHA_PERM = 32  # audit signature width (the LSH pipeline's _N_PERM)
+_MHA_SIG_SQL = ", ".join(
+    f"list_min(list_transform(toks, x -> md5('p{i} ' || x)))"
+    for i in range(_MHA_PERM)
+)
+
+
+@register(
+    "q_minhash_accuracy",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             [{_MHA_SIG_SQL}] AS sig
+      FROM t
+    ), p AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+             CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+               AS BIGINT) AS inter,
+             CAST(len(list_filter(generate_series(1, {_MHA_PERM}),
+               i -> a.sig[i] = b.sig[i])) AS BIGINT) AS matches
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT d1, d2, n1, n2, inter, matches,
+           {R4('inter * 1.0 / (n1 + n2 - inter)')} AS jac_exact,
+           {R4(f'matches * 1.0 / {_MHA_PERM}')} AS jac_est,
+           {R4(f'ABS({R4("inter * 1.0 / (n1 + n2 - inter)")}'
+               f' - {R4(f"matches * 1.0 / {_MHA_PERM}")})')} AS abs_err
+    FROM p
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "minhash", "sketch-audit"),
+)
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash sketch-accuracy audit (Broder 1997: E[matches/k] =
+    exact Jaccard): over a linear, deterministic pair domain
+    (consecutive doc ids — spans the whole similarity range, planted
+    re-ingest dups land at 1.0), compare the exact distinct-token
+    Jaccard against the 32-permutation MinHash estimate and report the
+    per-pair absolute error. This is the estimator audit for the sketch
+    the whole LSH dedup family is built on, exactly as
+    `q_agg_hll_merge` audits HLL against exact distinct counts.
+
+    Cross-engine determinism: permutations are md5('p{{i}} ' || token)
+    (bit-identical hex both engines) and each signature slot is the
+    LEXICOGRAPHIC min over the doc's distinct tokens — fixed-width
+    lowercase hex, so string order ≡ numeric order; the estimate
+    matches/32 is an exact dyadic rational. (The production pipeline's
+    `minhash_signatures` uses xxhash64 — JVM-only, hence its rows-only
+    twins; md5 here buys the full SQL oracle at audit-only cost.)
+
+    Scale: signatures are per-row projections (array_min over
+    transform — no explode, no shuffle; `minhash_signatures`'s own
+    discipline); the signature frame materializes ONCE
+    (localCheckpoint) and self-joins on the consecutive-id key — a
+    linear pair count by construction, vs the quadratic exact-Jaccard
+    contract rows."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+    def _md5_perm(i: int):
+        return lambda t: F.md5(F.concat(F.lit(f"p{i} "), t))
+
+    s = toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("toks"), _md5_perm(i)))
+                for i in range(_MHA_PERM)
+            ]
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        .cast("bigint")
+        .alias("inter"),
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (x == y).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("matches"),
+    )
+    jac_exact = r4(F.col("inter") * 1.0 / (F.col("n1") + F.col("n2") - F.col("inter")))
+    jac_est = r4(F.col("matches") * 1.0 / _MHA_PERM)
+    return p.select(
+        "d1",
+        "d2",
+        "n1",
+        "n2",
+        "inter",
+        "matches",
+        jac_exact.alias("jac_exact"),
+        jac_est.alias("jac_est"),
+        r4(F.abs(jac_exact - jac_est)).alias("abs_err"),
+    )

@@ -749,3 +749,295 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "density_retention"
         ),
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1), adapted to the
+# fixture corpus so every rule is non-vacuous in BOTH directions at the
+# sf0.01 gate scale (production values in parentheses):
+_GOPHER_WC_LO, _GOPHER_WC_HI = 20, 80  # word count (50 .. 100k)
+_GOPHER_MWL_LO, _GOPHER_MWL_HI = 4.0, 5.0  # mean word length (3 .. 10)
+_GOPHER_MIN_STOP = 2  # required stopword hits (>= 2 of a fixed list)
+_GOPHER_MIN_UNIQ = 0.4  # distinct-word fraction (repetition proxy)
+_GOPHER_STOPWORDS = ("the", "a")  # fixture slice of Gopher's 8-word list
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_words,
+             {R4("list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w)")}
+               AS mean_word_len,
+             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT)
+               AS n_stopwords,
+             {R4("len(list_distinct(w)) * 1.0 / len(w)")} AS uniq_frac
+      FROM t
+    )
+    SELECT doc_id, source, n_words, mean_word_len, n_stopwords, uniq_frac,
+           n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI} AS pass_word_count,
+           mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+             AS pass_word_len,
+           n_stopwords >= {_GOPHER_MIN_STOP} AS pass_stopwords,
+           uniq_frac >= {_GOPHER_MIN_UNIQ} AS pass_uniq,
+           (n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI})
+             AND (mean_word_len BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI})
+             AND n_stopwords >= {_GOPHER_MIN_STOP}
+             AND uniq_frac >= {_GOPHER_MIN_UNIQ} AS pass_all
+    FROM s
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "filter", "quality"),
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021, Table A1):
+    the published heuristic rule-set applied per document — word-count
+    bounds, mean-word-length bounds, a minimum stopword count, and a
+    minimum distinct-word fraction (the repetition proxy) — with one
+    boolean per rule plus the conjunction. This is the NAMED filter set
+    between the generic `q_quality_score` composite and the model-based
+    gates (`q_ppl_bucket`, `q_dsir_weights`); thresholds are adapted to
+    the fixture corpus (documented beside each constant) so every rule
+    fires both ways at the gate scale: 142/112/172 docs fail the
+    count/stopword/uniqueness rules and 207/500 pass all four at sf0.01.
+
+    Both float features (mean word length, distinct fraction) are
+    ROUNDED before their threshold comparison so an ulp of cross-engine
+    noise cannot flip a rule flag.
+
+    Scale: pure scan-side arithmetic — split, three array folds, zero
+    shuffles, zero joins; the projection prunes to (doc_id, source,
+    text). At 100 TB this is the cheapest pass in the pipeline and runs
+    fused with ingestion; the stopword list stays a literal (Gopher's
+    real list is 8 words)."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(w).cast("bigint").alias("n_words"),
+        r4(
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / F.size(w)
+        ).alias("mean_word_len"),
+        F.size(F.filter(w, lambda x: x.isin(*_GOPHER_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stopwords"),
+        r4(F.size(F.array_distinct(w)) * 1.0 / F.size(w)).alias("uniq_frac"),
+    )
+    pass_wc = F.col("n_words").between(_GOPHER_WC_LO, _GOPHER_WC_HI)
+    pass_mwl = F.col("mean_word_len").between(_GOPHER_MWL_LO, _GOPHER_MWL_HI)
+    pass_stop = F.col("n_stopwords") >= _GOPHER_MIN_STOP
+    pass_uniq = F.col("uniq_frac") >= _GOPHER_MIN_UNIQ
+    return s.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        "uniq_frac",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_word_len"),
+        pass_stop.alias("pass_stopwords"),
+        pass_uniq.alias("pass_uniq"),
+        (pass_wc & pass_mwl & pass_stop & pass_uniq).alias("pass_all"),
+    )
+
+
+def _qc_weights(b: int = 64) -> list[float]:
+    """Deterministic linear-classifier weights, one per hashed-feature
+    bucket — md5("qw_{b}") first 6 hex chars scaled to [-1, 1), rounded
+    to 6 dp so the literal embeds identically in both engines."""
+    import hashlib
+
+    return [
+        round(
+            int(hashlib.md5(f"qw_{i}".encode()).hexdigest()[:6], 16)
+            / 16777216.0
+            * 2.0
+            - 1.0,
+            6,
+        )
+        for i in range(b)
+    ]
+
+
+_QC_B = 64
+_QC_W = _qc_weights(_QC_B)
+_QC_W_SQL = "[" + ", ".join(f"{w!r}" for w in _QC_W) + "]"
+
+
+@register(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             {R4(f"list_sum(list_transform(w, x -> ({_QC_W_SQL})["
+                 f"CAST(('0x' || substr(md5(x), 1, 6)) AS BIGINT)"
+                 f" % {_QC_B} + 1])) / len(w)")} AS score
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, score,
+           {R4('1.0 / (1.0 + exp(-score))')} AS prob,
+           score > 0 AS keep
+    FROM s
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "classifier", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring with a hashed linear classifier —
+    the fastText-style gate GPT-3/LLaMA pipelines run against a
+    "looks-like-Wikipedia" model (Brown et al. 2020 §A; Touvron et al.
+    2023): every token hashes to one of {_QC_B} feature buckets, the
+    document score is the mean bucket weight over its token
+    occurrences, and keep = score > 0 (equivalently sigmoid prob >
+    0.5). The weight vector here is a deterministic md5-derived
+    stand-in — the Spark-side PLUMBING (hashed features, literal
+    weight vector, scan-side scoring) is exactly what a real exported
+    linear model needs; swapping in trained weights changes only the
+    literal. Completes the quality-gate triad: rules
+    (`q_gopher_rules`), target-domain LM (`q_ppl_bucket`), classifier
+    (this).
+
+    Determinism: md5 bucketing is bit-identical cross-engine (the
+    `q_dsir_weights` precedent); weights are 6-dp literals embedded in
+    BOTH engines; the score is an element-order fold over the token
+    array (identical summation order), r4-rounded before the sigmoid
+    and the keep threshold.
+
+    Scale: zero shuffles, zero joins — a {_QC_B}-double literal rides
+    the plan (a production 10^5-bucket model broadcasts instead) and
+    scoring is one fused projection over the pruned (doc_id, source,
+    text) scan. The cheapest possible classifier-inference shape."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    warr = F.array(*[F.lit(w) for w in _QC_W])
+    tokens = F.split("text", " ")
+    weights_of = F.transform(
+        tokens,
+        lambda x: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("bigint")
+                % _QC_B
+                + 1
+            ).cast("int"),
+        ),
+    )
+    score = r4(
+        F.aggregate(weights_of, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(tokens)
+    )
+    s = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+    )
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "score",
+        r4(1.0 / (1.0 + F.exp(-F.col("score")))).alias("prob"),
+        (F.col("score") > 0).alias("keep"),
+    )
+
+
+@register(
+    "q_split_leakage",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS group_key,
+             CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 96
+                    THEN 'train'
+                  WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT group_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_train,
+           CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_val,
+           CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_test,
+           CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+           COUNT(DISTINCT split) > 1 AS is_leaky
+    FROM t GROUP BY group_key HAVING COUNT(*) >= 2
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "split", "leakage", "dedup"),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit through duplicate clusters (the Lee et
+    al. 2021 "Deduplicating Training Data" concern: near-dups of a test
+    document sitting in train inflate eval): compose the canonical
+    duplicate grouping (`q_dedup_canonical`'s token-set key) with the
+    hash split (`q_split_assign`'s 96/2/2 rule) and report, per
+    duplicate group, its per-split membership and whether it STRADDLES
+    splits (`is_leaky`). 21 real groups at sf0.01, 3 of them leaky —
+    the fix is splitting by group_key instead of doc_id, which this
+    audit is the acceptance test for.
+
+    Both composed rules are exact integer/string computations (md5 key,
+    Knuth multiplicative hash mod 100), so the output is
+    deterministic with no float step at all.
+
+    Scale: one scan projected to (doc_id, text) → per-row key + split
+    derivation (pure projection) → ONE groupBy on the canonical key
+    with conditional counts. Group count is bounded by the dup rate;
+    HAVING ≥ 2 keeps only actual duplicate clusters. At 100 TB the
+    same pass runs after MinHash-LSH components, grouping on the
+    component id instead of the exact key — identical shape."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    b = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    t = d.select(
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            )
+        ).alias("group_key"),
+        F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    g = t.groupBy("group_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("split") == "train").cast("int"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("split") == "val").cast("int"))
+        .cast("bigint")
+        .alias("n_val"),
+        F.sum((F.col("split") == "test").cast("int"))
+        .cast("bigint")
+        .alias("n_test"),
+        F.countDistinct("split").cast("bigint").alias("n_splits"),
+    )
+    return g.where(F.col("n_docs") >= 2).select(
+        "group_key",
+        "n_docs",
+        "n_train",
+        "n_val",
+        "n_test",
+        "n_splits",
+        (F.col("n_splits") > 1).alias("is_leaky"),
+    )

@@ -1538,3 +1538,70 @@ def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "proto_rank",
         (F.col("proto_rank") * 4 <= F.col("_n")).alias("is_pruned"),
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS q_id, a.label AS q_label,
+             b.vec_id AS neg_id, b.label AS neg_label, {R4(_COS)} AS cos4
+      FROM (SELECT * FROM e WHERE vec_id % 10 = 0) a
+      JOIN e b ON a.label != b.label
+    )
+    SELECT q_id, q_label, neg_id, neg_label, cos4, rn FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        ORDER BY cos4 DESC, neg_id) AS BIGINT) AS rn
+      FROM p
+    ) WHERE rn <= 3
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "retrieval", "training-data"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training (the DPR /
+    ANCE recipe, Karpukhin et al. 2020; Xiong et al. 2021): for each
+    query vector (every 10th id), the top-3 MOST similar vectors with a
+    DIFFERENT label — the near-miss negatives that make contrastive
+    training effective, as opposed to random negatives which are
+    trivially separable. Output is the (query, negative) training-pair
+    manifest with rank and rounded cosine.
+
+    Same brute-force contract as `q_sim_cosine_topk` (rounded cosine,
+    id tiebreak) with the label-mismatch predicate replacing the
+    self-exclusion; per-query top-3 via a q_id-partitioned window.
+
+    Scale: the query batch (10% of ids here; in production the training
+    query set) broadcasts; candidates stream scan-side. At 100 TB the
+    candidate side goes through the existing ANN twins (`q_sim_ann_lsh`
+    / `q_sim_ivf_topk`) and negatives re-rank only bucket survivors —
+    ANCE literally refreshes this mining pass from the ANN index."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(
+        F.col("label") != F.col("q_label")
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    scored = pairs.select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        cos4,
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "q_label", "neg_id", "neg_label", "cos4", "rn")
+    )

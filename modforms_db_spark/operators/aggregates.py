@@ -2109,3 +2109,120 @@ def q_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         r2(F.sum("r")).alias("revenue"),
     )
+
+
+_KMV_K = 32  # k-minimum-values sketch size
+_KMV_SPACE = float(1 << 48)  # 12 hex chars of md5 → [0, 2^48)
+_KMV_U = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+_KMV_EST_SQL = R4(
+    f"COALESCE(({_KMV_K} - 1) * {_KMV_SPACE!r} / uk, n_exact * 1.0)"
+)
+
+
+@register(
+    "q_agg_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS grp, o_custkey,
+             {_KMV_U} AS u
+      FROM orders
+    ), per AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_exact FROM d GROUP BY grp
+    ), kth AS (
+      SELECT grp, u AS uk FROM (
+        SELECT grp, u, row_number() OVER (PARTITION BY grp
+          ORDER BY u, o_custkey) AS rn FROM d
+      ) WHERE rn = {_KMV_K}
+    ), au AS (
+      SELECT DISTINCT o_custkey, {_KMV_U} AS u FROM orders
+    ), aper AS (
+      SELECT CAST('ALL' AS VARCHAR) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_exact FROM au
+    ), akth AS (
+      SELECT CAST('ALL' AS VARCHAR) AS grp, u AS uk FROM (
+        SELECT u, row_number() OVER (ORDER BY u, o_custkey) AS rn FROM au
+      ) WHERE rn = {_KMV_K}
+    ), joined AS (
+      SELECT per.grp, n_exact, uk FROM per LEFT JOIN kth USING (grp)
+      UNION ALL
+      SELECT aper.grp, n_exact, uk FROM aper LEFT JOIN akth USING (grp)
+    )
+    SELECT grp, n_exact,
+           uk IS NULL AS exact_regime,
+           {_KMV_EST_SQL} AS n_est,
+           {R4(f"ABS({_KMV_EST_SQL} - n_exact) / n_exact")} AS rel_err
+    FROM joined
+    """,
+    priority="P2",
+    tags=("aggregate", "sketch", "distinct"),
+)
+def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch audit
+    (Bar-Yossef et al. 2002): per order-month, estimate the distinct
+    customer count from the {_KMV_K} smallest md5 hash values —
+    est = (k−1)·H/u_k with H the hash space — beside the exact count
+    and relative error; plus an ALL row whose sketch is the MERGE of
+    the per-month sketches (bottom-k of a union = bottom-k of the
+    pooled minima — the mergeability HLL shares but with an exact,
+    oracle-able definition). Groups with fewer than k values carry the
+    sketch itself and are EXACT (`exact_regime` — both regimes present
+    at the gate scale: months span 2–212 customers).
+
+    Determinism: u = first 12 hex chars of md5(custkey) as an integer —
+    bit-identical both engines; the kth value is selected with a
+    (u, custkey) tiebreak so even a hash collision cannot reorder.
+
+    Scale: one distinct shuffle to (month, custkey) grain; per-group
+    kth-minimum via a month-partitioned window (bounded groups); the
+    global kth via orderBy().limit(k) TakeOrdered — never a global
+    window. At 100 TB the per-partition bottom-k is a map-side
+    aggregate and only k values per group ever cross the wire — the
+    point of the sketch."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    d = (
+        o.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("grp"), "o_custkey"
+        )
+        .distinct()
+        .select("grp", "o_custkey", u.alias("u"))
+        .localCheckpoint(eager=False)  # per-month legs + the ALL sketch
+    )
+    per = d.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    w = Window.partitionBy("grp").orderBy("u", "o_custkey")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("grp", F.col("u").alias("uk"))
+    )
+    au = d.select("o_custkey", "u").distinct()
+    aper = au.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")).select(
+        F.lit("ALL").alias("grp"), "n_exact"
+    )
+    akth = (
+        au.orderBy("u", "o_custkey")
+        .limit(_KMV_K)
+        .agg(F.max("u").alias("uk"))
+        .select(F.lit("ALL").alias("grp"), "uk")
+    )
+    joined = per.join(kth, "grp", "left").unionByName(
+        aper.join(akth, "grp", "left")
+    )
+    n_est = r4(
+        F.coalesce(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("uk"),
+            F.col("n_exact") * 1.0,
+        )
+    )
+    return joined.select(
+        "grp",
+        "n_exact",
+        F.col("uk").isNull().alias("exact_regime"),
+        n_est.alias("n_est"),
+        r4(F.abs(n_est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )
