@@ -759,6 +759,7 @@ _GOPHER_MWL_LO, _GOPHER_MWL_HI = 4.0, 5.0  # mean word length (3 .. 10)
 _GOPHER_MIN_STOP = 2  # required stopword hits (>= 2 of a fixed list)
 _GOPHER_MIN_UNIQ = 0.4  # distinct-word fraction (repetition proxy)
 _GOPHER_STOPWORDS = ("the", "a")  # fixture slice of Gopher's 8-word list
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
 
 
 @register(
@@ -769,10 +770,10 @@ _GOPHER_STOPWORDS = ("the", "a")  # fixture slice of Gopher's 8-word list
     ), s AS (
       SELECT doc_id, source,
              CAST(len(w) AS BIGINT) AS n_words,
-             {R4("list_sum(list_transform(w, x -> strlen(x))) * 1.0 / len(w)")}
+             {R4("list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)")}
                AS mean_word_len,
-             CAST(len(list_filter(w, x -> x IN ('the', 'a'))) AS BIGINT)
-               AS n_stopwords,
+             CAST(len(list_filter(w, x -> x IN ({_GOPHER_STOP_SQL})))
+               AS BIGINT) AS n_stopwords,
              {R4("len(list_distinct(w)) * 1.0 / len(w)")} AS uniq_frac
       FROM t
     )
@@ -956,16 +957,23 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The audited split rule IS q_split_assign's — import its constants so
+# the audit can never drift from the split it claims to audit (review
+# finding: an inline copy would silently keep auditing a stale rule).
+from modforms_db_spark.llm.curation import _KNUTH as _SPLIT_KNUTH  # noqa: E402
+from modforms_db_spark.llm.curation import _MOD as _SPLIT_MOD  # noqa: E402
+
+
 @register(
     "q_split_leakage",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             md5(array_to_string(list_sort(list_distinct(
+             sha256(array_to_string(list_sort(list_distinct(
                string_split(text, ' '))), ' ')) AS group_key,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 96
+             CASE WHEN (doc_id * {_SPLIT_KNUTH}) % {_SPLIT_MOD} % 100 < 96
                     THEN 'train'
-                  WHEN (doc_id * 2654435761) % 4294967296 % 100 < 98
+                  WHEN (doc_id * {_SPLIT_KNUTH}) % {_SPLIT_MOD} % 100 < 98
                     THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
@@ -996,9 +1004,10 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fix is splitting by group_key instead of doc_id, which this
     audit is the acceptance test for.
 
-    Both composed rules are exact integer/string computations (md5 key,
-    Knuth multiplicative hash mod 100), so the output is
-    deterministic with no float step at all.
+    Both composed rules are exact integer/string computations (sha256
+    token-set key — the SAME key q_dedup_canonical emits, so the two
+    outputs join; split constants imported from q_split_assign's
+    module), so the output is deterministic with no float step at all.
 
     Scale: one scan projected to (doc_id, text) → per-row key + split
     derivation (pure projection) → ONE groupBy on the canonical key
@@ -1008,12 +1017,13 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     component id instead of the exact key — identical shape."""
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
-    b = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 100
+    b = (F.col("doc_id") * F.lit(_SPLIT_KNUTH)) % F.lit(_SPLIT_MOD) % 100
     t = d.select(
-        F.md5(
+        F.sha2(
             F.concat_ws(
                 " ", F.array_sort(F.array_distinct(F.split("text", " ")))
-            )
+            ),
+            256,
         ).alias("group_key"),
         F.when(b < 96, "train").when(b < 98, "val").otherwise("test").alias(
             "split"

@@ -2204,10 +2204,16 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     aper = au.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact")).select(
         F.lit("ALL").alias("grp"), "n_exact"
     )
+    # Sub-k ALL sketch must fall back to the exact regime like the
+    # per-month legs: max(u) over a LIMIT k frame with fewer than k rows
+    # is the overall max, not the kth minimum — null it out (review
+    # finding; latent at shipped SFs, live on any <k-customer slice).
     akth = (
         au.orderBy("u", "o_custkey")
         .limit(_KMV_K)
-        .agg(F.max("u").alias("uk"))
+        .agg(
+            F.when(F.count(F.lit(1)) >= _KMV_K, F.max("u")).alias("uk")
+        )
         .select(F.lit("ALL").alias("grp"), "uk")
     )
     joined = per.join(kth, "grp", "left").unionByName(

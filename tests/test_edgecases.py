@@ -518,3 +518,32 @@ def test_token_budget_mix_absent_weighted_lang(spark, tmp_path):
     assert zh.avail_tokens == 0
     assert pd.isna(zh.epochs)
     assert bool(zh.oversampled)
+
+
+def test_kmv_all_row_sub_k_falls_back_to_exact(spark, tmp_path):
+    """The merged (ALL) KMV sketch must enter the exact regime when the
+    whole table has fewer than k=32 distinct customers — max(u) over a
+    short LIMIT-k frame is NOT the kth minimum (review finding; latent
+    at shipped SFs, which all exceed k globally)."""
+    import datetime
+
+    from modforms_db_spark.operators.aggregates import q_agg_kmv_distinct
+
+    rows = [
+        (i, i % 5, "O", 100.0, datetime.date(1995, 1 + i % 3, 1), "1-URGENT")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = {r["grp"]: r for r in q_agg_kmv_distinct(spark, str(tmp_path)).collect()}
+    allr = out["ALL"]
+    assert allr["exact_regime"] is True
+    assert allr["n_exact"] == 5
+    assert allr["n_est"] == 5.0
+    assert allr["rel_err"] == 0.0
+    # every per-month group is also sub-k here → exact everywhere
+    assert all(r["exact_regime"] for r in out.values())
