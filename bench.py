@@ -237,6 +237,16 @@ def main() -> None:
     # is the same regression canary at ~1/50 the budget (the
     # quadratic_watch precedent).
     panel_sf_overrides = {"graph": quad_dir}
+    # Name-level overrides for documented slow-by-contract rows: the
+    # pandas-on-Spark merge_asof API row compiles to a
+    # BroadcastNestedLoopJoin (quadratic in by-group size — its own
+    # docstring's measured SCALE WARNING: seconds at sf0.01, MINUTES at
+    # sf0.1), so 4 panel executions at sf0.1 stall the whole bench for
+    # tens of minutes (hit live when the round-8 rotation landed on it).
+    # The sf0.01 timing is the same API-regression canary at ~1/100 the
+    # cost; q_join_asof (the linear window form) carries the semantics
+    # at full scale.
+    panel_name_overrides = {"q_join_asof_native": quad_dir}
     panel: dict[str, dict] = {}
     for fam in sorted(families):
         eligible = [
@@ -254,7 +264,9 @@ def main() -> None:
         if not eligible:
             continue
         name = eligible[round_idx % len(eligible)]
-        fam_dir = panel_sf_overrides.get(fam, sf_dir)
+        fam_dir = panel_name_overrides.get(
+            name, panel_sf_overrides.get(fam, sf_dir)
+        )
         reg[name].builder(spark, fam_dir).toPandas()  # warmup
         best = float("inf")
         for _ in range(3):

@@ -15,7 +15,7 @@ partition, embarrassingly parallel across partitions" shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
@@ -1050,4 +1050,204 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_test",
         "n_splits",
         (F.col("n_splits") > 1).alias("is_leaky"),
+    )
+
+
+# Shared scored-and-labeled frame for the classifier-evaluation pair
+# (q_roc_auc / q_calibration_ece): the hashed-classifier score beside the
+# C4 strict blocklist verdict as the binary ground truth ("is the doc
+# clean"). One definition so the two evaluations can never drift.
+_QC_SCORED_SQL = f"""
+      SELECT doc_id, source,
+             {{score_expr}} AS score,
+             len(list_filter(w, x -> x IN ('slow', 'big'))) = 0 AS label
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents)
+"""
+
+
+def _qc_scored_sql() -> str:
+    score_expr = R4(
+        f"list_sum(list_transform(w, x -> ({_QC_W_SQL})["
+        f"CAST(('0x' || substr(md5(x), 1, 6)) AS BIGINT)"
+        f" % {_QC_B} + 1])) / len(w)"
+    )
+    return _QC_SCORED_SQL.format(score_expr=score_expr)
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    warr = F.array(*[F.lit(wt) for wt in _QC_W])
+    tokens = F.split("text", " ")
+    weights_of = F.transform(
+        tokens,
+        lambda x: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("bigint")
+                % _QC_B
+                + 1
+            ).cast("int"),
+        ),
+    )
+    score = r4(
+        F.aggregate(weights_of, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(tokens)
+    )
+    label = (
+        F.size(F.filter(tokens, lambda x: x.isin(*_BADWORDS))) == 0
+    )
+    return d.select(
+        "doc_id", "source", score.alias("score"), label.alias("label")
+    )
+
+
+@register(
+    "q_roc_auc",
+    oracle=f"""
+    WITH s AS ({{scored}}
+    ), g AS (
+      SELECT source, score,
+             CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM s GROUP BY source, score
+    ), c AS (
+      SELECT source, score, np, nn,
+             CAST(COALESCE(SUM(nn) OVER (PARTITION BY source ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS nn_below
+      FROM g
+    )
+    SELECT source,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+             {R4('SUM(np * (2 * nn_below + nn)) * 1.0'
+                 ' / (2.0 * SUM(np) * SUM(nn))')}
+           END AS auc
+    FROM c GROUP BY source
+    """.format(scored=_qc_scored_sql()),
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "classifier"),
+)
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of the hashed quality classifier
+    (`q_quality_classifier`'s score) against the C4 strict-blocklist
+    verdict as ground truth, per source — the Mann-Whitney rank-sum
+    identity AUC = P(score_pos > score_neg) + ½P(tie), computed from
+    integer counts only: group to the (source, score) grain, cumulative
+    negatives below each score, numerator Σ np·(2·nn_below + nn) in
+    exact BIGINT halves — the single float step is the final division,
+    r4-rounded. Sources with a degenerate class (no positives or no
+    negatives) report NULL, the textbook undefined case.
+
+    Scale: one scan → (source, score) grain aggregation (map-side
+    combined; grain bounded by 4-dp score quantization × sources, NOT
+    by row count) → source-partitioned cumulative window → per-source
+    fold. The same shape computes AUC over billions of rows because
+    only the quantized-score grain ever enters the window — the
+    banded-rank trick applied to classifier evaluation."""
+    prep(spark)
+    s = _qc_scored(spark, sf_dir)
+    g = s.groupBy("source", "score").agg(
+        F.sum(F.col("label").cast("int")).cast("bigint").alias("np"),
+        F.sum((~F.col("label")).cast("int")).cast("bigint").alias("nn"),
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "nn_below", F.coalesce(F.sum("nn").over(wc), F.lit(0)).cast("bigint")
+    )
+    num2 = F.sum(F.col("np") * (2 * F.col("nn_below") + F.col("nn")))
+    return c.groupBy("source").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.when(
+            (F.sum("np") > 0) & (F.sum("nn") > 0),
+            r4(num2 * 1.0 / (2.0 * F.sum("np") * F.sum("nn"))),
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_calibration_ece",
+    oracle=f"""
+    WITH s AS ({{scored}}
+    ), p AS (
+      SELECT source, label,
+             {R4('1.0 / (1.0 + exp(-score))')} AS prob
+      FROM s
+    ), b AS (
+      SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS BIGINT) AS bin_id,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {R4('AVG(prob)')} AS avg_prob,
+             {R4("AVG(CASE WHEN label THEN 1.0 ELSE 0.0 END)")} AS frac_pos
+      FROM p GROUP BY 1
+    ), g AS (
+      SELECT bin_id, n, avg_prob, frac_pos,
+             {R4('avg_prob - frac_pos')} AS gap
+      FROM b
+    )
+    SELECT bin_id, n, avg_prob, frac_pos, gap,
+           {R4('SUM(n * ABS(gap)) OVER () / SUM(n) OVER ()')} AS ece
+    FROM g
+    """.format(scored=_qc_scored_sql()),
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "calibration"),
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error (Guo et al.
+    2017) for the hashed quality classifier: sigmoid probabilities
+    bucketed into 10 equal-width bins, each bin reporting its count,
+    mean predicted probability, and observed positive rate (C4
+    strict-blocklist verdict as truth); ECE = Σ (n_b/N)·|gap_b| rides
+    every row. The md5-derived stand-in weights make the EXPECTED
+    readout "miscalibrated" — which is exactly what the audit must show
+    for an untrained model; swap in trained weights and this becomes
+    the production calibration gate next to `q_roc_auc`.
+
+    Binning happens on the r4-ROUNDED probability (identical double in
+    both engines) so a boundary-straddling prob cannot change bins
+    cross-engine; the gap is rounded before |·| and the ECE sum runs
+    over the ≤10-row bin frame (`q_srm_check`'s rounded-term-sum
+    precedent).
+
+    Scale: one scan → per-row score/prob arithmetic → ONE
+    map-side-combined groupBy to the 10-row bin grain; the ECE window
+    touches 10 rows at any corpus size."""
+    prep(spark)
+    s = _qc_scored(spark, sf_dir)
+    p = s.select(
+        "label", r4(1.0 / (1.0 + F.exp(-F.col("score")))).alias("prob")
+    )
+    b = (
+        p.select(
+            F.least(F.floor(F.col("prob") * 10), F.lit(9))
+            .cast("bigint")
+            .alias("bin_id"),
+            "label",
+            "prob",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("prob")).alias("avg_prob"),
+            r4(F.avg(F.col("label").cast("double"))).alias("frac_pos"),
+        )
+    )
+    g = b.withColumn("gap", r4(F.col("avg_prob") - F.col("frac_pos")))
+    wall = Window.partitionBy()
+    return g.select(
+        "bin_id",
+        "n",
+        "avg_prob",
+        "frac_pos",
+        "gap",
+        r4(
+            F.sum(F.col("n") * F.abs(F.col("gap"))).over(wall)
+            / F.sum("n").over(wall)
+        ).alias("ece"),
     )

@@ -2232,3 +2232,225 @@ def q_agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_est.alias("n_est"),
         r4(F.abs(n_est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
     )
+
+
+@register(
+    "q_feature_mi",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT pri, status, n_xy,
+             CAST(SUM(n_xy) OVER (PARTITION BY pri) AS BIGINT) AS n_x,
+             CAST(SUM(n_xy) OVER (PARTITION BY status) AS BIGINT) AS n_y,
+             CAST(SUM(n_xy) OVER () AS BIGINT) AS n
+      FROM c
+    ), t AS (
+      SELECT pri, status, n_xy, n_x, n_y, n,
+             {R4('n_xy * 1.0 / n')} AS p_xy,
+             {R4('ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y))')} AS pmi,
+             {R4('(n_xy * 1.0 / n) * ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y))')}
+               AS mi_term
+      FROM m
+    )
+    SELECT pri, status, n_xy, n_x, n_y, n, p_xy, pmi, mi_term,
+           {R4('SUM(mi_term) OVER ()')} AS mi_total
+    FROM t
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "feature-selection"),
+)
+def q_feature_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (order
+    priority × order status) from the exact contingency table: per cell
+    the joint count, margins, PMI, and MI term p(x,y)·ln(p(x,y)/
+    (p(x)p(y))), plus the total MI — the dependence measure feature
+    selection ranks candidate features by (beside the chi-square family
+    `q_ab_proportions`/`q_srm_check` and `q_term_pmi`'s token-grain
+    PMI). All inputs to the logs are exact integers; each term is
+    r4-rounded and the total follows `q_srm_check`'s rounded-term-sum
+    window precedent.
+
+    Scale: ONE map-side-combined groupBy to the (x, y) grain; margins
+    and the total are windows over the contingency frame itself —
+    bounded by the label-vocabulary product (15 cells here), never by
+    row count, the `q_share_of_parent` discipline. Nothing but the
+    grid ever leaves the first aggregation."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_xy"))
+    wx = Window.partitionBy("pri")
+    wy = Window.partitionBy("status")
+    wall = Window.partitionBy()
+    m = c.select(
+        "pri",
+        "status",
+        "n_xy",
+        F.sum("n_xy").over(wx).cast("bigint").alias("n_x"),
+        F.sum("n_xy").over(wy).cast("bigint").alias("n_y"),
+        F.sum("n_xy").over(wall).cast("bigint").alias("n"),
+    )
+    pmi = F.log(
+        F.col("n_xy") * 1.0 * F.col("n") / (F.col("n_x") * 1.0 * F.col("n_y"))
+    )
+    t = m.select(
+        "pri",
+        "status",
+        "n_xy",
+        "n_x",
+        "n_y",
+        "n",
+        r4(F.col("n_xy") * 1.0 / F.col("n")).alias("p_xy"),
+        r4(pmi).alias("pmi"),
+        r4((F.col("n_xy") * 1.0 / F.col("n")) * pmi).alias("mi_term"),
+    )
+    return t.select(
+        "*", r4(F.sum("mi_term").over(wall)).alias("mi_total")
+    )
+
+
+_BOOT_B = 32  # Poisson-bootstrap resamples
+# Poisson(1) CDF quantized to parts-per-million: a hash draw m ∈ [0, 1e6)
+# maps to resample weight w = #{thresholds <= m}; exact integer compares,
+# so both engines draw the SAME weight for the same (orderkey, b).
+_BOOT_CDF = (367879, 735759, 919699, 981012, 996340, 999406)
+_BOOT_W_SQL = (
+    "(CASE WHEN m < 367879 THEN 0 WHEN m < 735759 THEN 1"
+    " WHEN m < 919699 THEN 2 WHEN m < 981012 THEN 3"
+    " WHEN m < 996340 THEN 4 WHEN m < 999406 THEN 5 ELSE 6 END)"
+)
+
+
+@register(
+    "q_bootstrap_poisson",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS pri, o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), pt AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {R4('SUM(cents) * 1.0 / COUNT(*) / 100')} AS point_mean
+      FROM base GROUP BY pri
+    ), draws AS (
+      SELECT pri, cents, b,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+               || '_' || CAST(b AS VARCHAR)), 1, 6)) AS BIGINT)
+               % 1000000 AS m
+      FROM base, unnest(generate_series(0, {_BOOT_B - 1})) AS t(b)
+    ), cells AS (
+      SELECT pri, b,
+             {R4(f'SUM({_BOOT_W_SQL} * cents) * 1.0'
+                 f' / SUM({_BOOT_W_SQL}) / 100')} AS mean_b
+      FROM draws WHERE {_BOOT_W_SQL} > 0 GROUP BY pri, b
+    ), ranked AS (
+      SELECT pri, mean_b,
+             row_number() OVER (PARTITION BY pri ORDER BY mean_b, b) AS rn
+      FROM cells
+    ), ci AS (
+      SELECT pri,
+             MAX(CASE WHEN rn = 2 THEN mean_b END) AS ci_lo,
+             MAX(CASE WHEN rn = {_BOOT_B - 1} THEN mean_b END) AS ci_hi
+      FROM ranked GROUP BY pri
+    )
+    SELECT pt.pri, n_orders, point_mean, ci_lo, ci_hi,
+           {R4('ci_hi - ci_lo')} AS ci_width
+    FROM pt JOIN ci ON pt.pri = ci.pri
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "bootstrap"),
+)
+def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the mean order value
+    per priority (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the bootstrap that works in ONE distributed
+    pass: each row joins resample b with weight ~ Poisson(1),
+    independently per row, so no global resample coordination): 32
+    resample means per group, CI = the [2nd, 31st] order statistics
+    (the ~94% interval). Every draw is a deterministic md5 hash mapped
+    through the integer-quantized Poisson CDF — both engines draw
+    identical weights, and the CI bounds are order statistics of
+    ROUNDED means with a b tiebreak, so no float-summation-order term
+    exists anywhere (the reason this op reports order-statistic CIs
+    rather than a bootstrap stddev).
+
+    Scale: the point estimate and the resample explode share one
+    checkpointed (pri, orderkey, cents) projection — one orders scan;
+    the explode is ×32 but filters w=0 draws (36.8%) before the
+    shuffle, and the per-(pri, b) sums are exact-integer map-side
+    combines; the final window runs over 32 rows per group."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).localCheckpoint(eager=False)  # point estimate + resample explode
+    pt = base.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        r4(F.sum("cents") * 1.0 / F.count(F.lit(1)) / 100).alias("point_mean"),
+    )
+    m = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    w = (
+        F.when(m < _BOOT_CDF[0], 0)
+        .when(m < _BOOT_CDF[1], 1)
+        .when(m < _BOOT_CDF[2], 2)
+        .when(m < _BOOT_CDF[3], 3)
+        .when(m < _BOOT_CDF[4], 4)
+        .when(m < _BOOT_CDF[5], 5)
+        .otherwise(6)
+        .cast("bigint")
+    )
+    draws = (
+        base.select(
+            "pri",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+            "o_orderkey",
+        )
+        .select("pri", "cents", "b", w.alias("w"))
+        .where(F.col("w") > 0)
+    )
+    cells = draws.groupBy("pri", "b").agg(
+        r4(F.sum(F.col("w") * F.col("cents")) * 1.0 / F.sum("w") / 100).alias(
+            "mean_b"
+        )
+    )
+    wr = Window.partitionBy("pri").orderBy("mean_b", "b")
+    ranked = cells.withColumn("rn", F.row_number().over(wr))
+    ci = ranked.groupBy("pri").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("mean_b"))).alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_B - 1, F.col("mean_b"))).alias(
+            "ci_hi"
+        ),
+    )
+    return pt.join(ci, "pri").select(
+        "pri",
+        "n_orders",
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+        r4(F.col("ci_hi") - F.col("ci_lo")).alias("ci_width"),
+    )

@@ -705,3 +705,43 @@ def q_stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.count_distinct("event_id").alias("n_ids"),
     )
+
+
+@register(
+    "q_stream_dedup_watermark",
+    oracle=None,  # rows-only; ≡ batch distinct (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming",),
+)
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ``dropDuplicatesWithinWatermark(event_id)`` — the Spark
+    3.5+ API twin of `q_stream_dedup` for sources whose duplicates carry
+    DIFFERENT event times (retries, at-least-once replays): plain
+    dropDuplicates keys state on the exact row and would emit a
+    re-delivered event with a nudged timestamp as new, and its per-key
+    state never expires unless the event-time column is part of the key;
+    the WithinWatermark form deduplicates on event_id alone while
+    guaranteeing state expiry once the watermark passes the FIRST
+    sighting — the contract a 100 TB always-on ingest needs (state
+    bounded by the watermark delay × arrival rate, not corpus size).
+
+    Scenario: the source unioned with a 1-second-shifted copy of itself
+    (every event re-delivered once with a perturbed timestamp — exactly
+    the retry shape above); the operator must emit each event_id once.
+    The law test pins output ≡ batch distinct on event_id."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    replay = _stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    doubled = events.union(replay)
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    return _run_to_table(
+        deduped.writeStream.format("memory").outputMode("append"),
+        "stream_dedup_wm",
+        spark,
+    )

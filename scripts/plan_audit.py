@@ -88,6 +88,11 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_sample_temperature": _R_LANG_FRAME,
     "q_stratified_neyman": _R_LANG_FRAME,
     "q_token_budget_mix": _R_LANG_FRAME,
+    "q_calibration_ece": "ECE sum over the 10-row probability-bin "
+    "frame — bounded by the bin count, not data size",
+    "q_feature_mi": "margins + MI total over the contingency frame — "
+    "bounded by the label-vocabulary product (priority × status = 15 "
+    "cells), not data size",
     "q_corpus_saturation": "cumulative novelty over the size-bucket "
     "grain — one row per fixed-width bucket, bounded by max doc length "
     "/ bucket width, not by row count",

@@ -180,3 +180,21 @@ def test_stream_outer_join_equals_batch_left_join(spark):
     assert len(batch) > 0
     assert (batch["purchase_id"].isna()).any()  # negatives present
     assert stream.equals(batch)
+
+
+def test_stream_dedup_watermark_recovers_ids(spark):
+    """Source + 1s-shifted replay + dropDuplicatesWithinWatermark ==
+    one row per event_id, with (user_id, event_type) intact. The ts of
+    the surviving row is whichever sighting a task saw first (original
+    or replay), so the law compares the time-free projection."""
+    got = canon(
+        _run(spark, "q_stream_dedup_watermark")
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )
+    want = canon(
+        load(spark, SF_DIR, "events")
+        .select("event_id", "user_id", "event_type")
+        .toPandas()
+    )
+    assert got.equals(want)
