@@ -144,6 +144,7 @@ def main() -> None:
         "q_dedup_embedding",
         "q_sim_threshold",
         "q_knn_classify",
+        "q_lsh_pr_curve",  # all-pairs exact-Jaccard evaluation side
     ]
     quad_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.01")
     if not os.path.isdir(quad_dir):

@@ -1623,3 +1623,211 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac_est.alias("jac_est"),
         r4(F.abs(jac_exact - jac_est)).alias("abs_err"),
     )
+
+
+_PRC_BANDS = 4
+_PRC_ROWS = _MHA_PERM // _PRC_BANDS  # 8 rows per band over the md5 perms
+_PRC_THETAS = (0.3, 0.5, 0.7, 0.9)
+_PRC_THETA_SQL = "[" + ", ".join(str(t) for t in _PRC_THETAS) + "]"
+_PRC_BANDSIG_SQL = ", ".join(
+    f"(SELECT array_to_string(sig[{b * _PRC_ROWS + 1}:"
+    f"{(b + 1) * _PRC_ROWS}], '|'))"
+    for b in range(_PRC_BANDS)
+)
+
+
+@register(
+    "q_lsh_pr_curve",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+             [{_MHA_SIG_SQL}] AS sig
+      FROM t
+    ), bands AS (
+      SELECT doc_id, b,
+             array_to_string(sig[b * {_PRC_ROWS} + 1 :
+                                 (b + 1) * {_PRC_ROWS}], '|') AS bandsig
+      FROM s, unnest(generate_series(0, {_PRC_BANDS - 1})) AS u(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+      FROM bands a JOIN bands b2
+        ON a.b = b2.b AND a.bandsig = b2.bandsig AND a.doc_id < b2.doc_id
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), inter AS (
+      SELECT a.doc_id AS d1, b2.doc_id AS d2,
+             CAST(COUNT(*) AS BIGINT) AS i
+      FROM tok a JOIN tok b2 ON a.tok = b2.tok AND a.doc_id < b2.doc_id
+      GROUP BY 1, 2
+    ), ex AS (
+      SELECT d1, d2,
+             {R4('i * 1.0 / (sa.n + sb.n - i)')} AS jac
+      FROM inter
+      JOIN s sa ON d1 = sa.doc_id
+      JOIN s sb ON d2 = sb.doc_id
+    ), candj AS (
+      SELECT cand.d1, cand.d2, COALESCE(ex.jac, 0.0) AS jac
+      FROM cand LEFT JOIN ex USING (d1, d2)
+    ), th AS (SELECT unnest({_PRC_THETA_SQL}) AS theta
+    ), exact_cnt AS (
+      SELECT theta, CAST(COUNT(ex.d1) AS BIGINT) AS n_exact
+      FROM th LEFT JOIN ex ON jac >= theta GROUP BY theta
+    ), hit_cnt AS (
+      SELECT theta, CAST(COUNT(candj.d1) AS BIGINT) AS n_hit
+      FROM th LEFT JOIN candj ON jac >= theta GROUP BY theta
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand)
+    SELECT theta, n_exact, n_cand, n_hit,
+           CASE WHEN n_cand > 0 THEN {R4('n_hit * 1.0 / n_cand')} END
+             AS precision_,
+           CASE WHEN n_exact > 0 THEN {R4('n_hit * 1.0 / n_exact')} END
+             AS recall_
+    FROM exact_cnt JOIN hit_cnt USING (theta) CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "lsh", "sketch-audit", "evaluation"),
+)
+def q_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate-quality audit: precision/recall of the
+    banded bucket join ({_PRC_BANDS} bands × {_PRC_ROWS} rows over the
+    md5 signatures `q_minhash_accuracy` audits) against EXACT all-pairs
+    Jaccard, at a grid of thresholds — the published banding-math
+    recall 1−(1−J^r)^b made measurable per corpus (Leskovec/Rajaraman/
+    Ullman ch.3). Low θ rows show recall collapsing (banding is not
+    built for J≈0.3); θ=0.9 shows the near-1 recall the dedup pipeline
+    relies on; precision is θ-independent in the denominator (the
+    candidate set is fixed by the banding).
+
+    Cross-engine: signatures/bands are md5-derived strings (bit
+    identical); candidate pairs an integer-keyed self-join; exact
+    Jaccard rounded before every θ compare; candidates missing from the
+    shared-token frame score 0.0 identically via left join.
+
+    Scale: the EXACT side is the audit's deliberately quadratic
+    evaluation (bench quadratic_watch row, timed at sf0.01) — in
+    production you run it on a SAMPLE to estimate the curve; the LSH
+    side itself is the linear banded shape the pipeline ships. Both
+    sides read one checkpointed token frame; candidates checkpoint
+    before fan-out to the θ grid."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ).localCheckpoint(eager=False)  # sig frame + token explode
+
+    def _md5_perm(i: int):
+        return lambda tk: F.md5(F.concat(F.lit(f"p{i} "), tk))
+
+    s = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("toks"), _md5_perm(i)))
+                for i in range(_MHA_PERM)
+            ]
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)  # bands + two size joins
+    bands = s.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * _PRC_ROWS + r + 1)
+                                for r in range(_PRC_ROWS)
+                            ],
+                        ).alias("bandsig"),
+                    )
+                    for b in range(_PRC_BANDS)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.b").alias("b"), F.col("p.bandsig").alias("bandsig"))
+    ba, bb = bands.alias("a"), bands.alias("c")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bandsig") == F.col("c.bandsig"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # total count + θ-grid hits
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("tok"))
+    ta, tb = tok.alias("a"), tok.alias("c")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("a.tok") == F.col("c.tok"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("d1"), F.col("c.doc_id").alias("d2")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    sa = s.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    sb = s.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    ex = (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .select(
+            "d1",
+            "d2",
+            r4(
+                F.col("i") * 1.0 / (F.col("n1") + F.col("n2") - F.col("i"))
+            ).alias("jac"),
+        )
+        .localCheckpoint(eager=False)  # exact counts + candidate join
+    )
+    candj = cand.join(ex, ["d1", "d2"], "left").select(
+        F.coalesce("jac", F.lit(0.0)).alias("jac")
+    )
+    thetas = F.explode(F.array(*[F.lit(v) for v in _PRC_THETAS]))
+    exact_cnt = (
+        ex.select(thetas.alias("theta"), "jac")
+        .groupBy("theta")
+        .agg(
+            F.sum((F.col("jac") >= F.col("theta")).cast("int"))
+            .cast("bigint")
+            .alias("n_exact")
+        )
+    )
+    hit_cnt = (
+        candj.select(thetas.alias("theta"), "jac")
+        .groupBy("theta")
+        .agg(
+            F.sum((F.col("jac") >= F.col("theta")).cast("int"))
+            .cast("bigint")
+            .alias("n_hit")
+        )
+    )
+    tot = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    return (
+        exact_cnt.join(hit_cnt, "theta")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "theta",
+            "n_exact",
+            "n_cand",
+            "n_hit",
+            F.when(
+                F.col("n_cand") > 0, r4(F.col("n_hit") * 1.0 / F.col("n_cand"))
+            ).alias("precision_"),
+            F.when(
+                F.col("n_exact") > 0,
+                r4(F.col("n_hit") * 1.0 / F.col("n_exact")),
+            ).alias("recall_"),
+        )
+    )

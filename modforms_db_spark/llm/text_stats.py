@@ -2043,3 +2043,193 @@ def q_ppl_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+_TRUNC_LENGTHS = (32, 64, 128)  # fixture-scaled context lengths (docs <=99)
+_TRUNC_SQL_ARR = "[" + ", ".join(str(x) for x in _TRUNC_LENGTHS) + "]"
+
+
+@register(
+    "q_truncation_loss",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ), x AS (
+      SELECT lang, n, unnest({_TRUNC_SQL_ARR}) AS ctx_len FROM t
+    )
+    SELECT lang, CAST(ctx_len AS BIGINT) AS ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(GREATEST(n - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_truncated,
+           {R4('SUM(GREATEST(n - ctx_len, 0)) * 1.0 / SUM(n)')} AS loss_frac
+    FROM x GROUP BY lang, ctx_len
+    """,
+    priority="P2",
+    tags=("llm", "text", "tokenization", "planning"),
+)
+def q_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation loss curve: for each candidate context
+    length, the tokens and documents a hard-truncation policy would
+    discard, per language — the planning table behind choosing a
+    training sequence length (vs packing, `q_pack_sequences`, which
+    loses nothing but pays cross-doc attention). Lengths are
+    fixture-scaled ({_TRUNC_LENGTHS}; production uses 2k-128k) so all
+    three regimes are live at the gate scale: ~no loss at 128, heavy
+    loss at 32. Counts are exact integers; the one float is the final
+    rounded ratio.
+
+    Scale: one scan to (lang, n) — the token count is per-row
+    arithmetic — then a ×{len(_TRUNC_LENGTHS)} literal explode into ONE
+    map-side-combined aggregation on the (lang, ctx_len) grain (≤ langs
+    × lengths rows). The explode multiplies 2-column rows, not text."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("n")
+    )
+    x = t.select(
+        "lang",
+        "n",
+        F.explode(
+            F.array(*[F.lit(v) for v in _TRUNC_LENGTHS])
+        ).alias("ctx_len"),
+    )
+    lost = F.greatest(F.col("n") - F.col("ctx_len"), F.lit(0))
+    return x.groupBy("lang", F.col("ctx_len").cast("bigint").alias("ctx_len")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(lost).cast("bigint").alias("tokens_lost"),
+        F.sum((F.col("n") > F.col("ctx_len")).cast("int"))
+        .cast("bigint")
+        .alias("docs_truncated"),
+        r4(F.sum(lost) * 1.0 / F.sum("n")).alias("loss_frac"),
+    )
+
+
+@register(
+    "q_heaps_law",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 2),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tri
+      FROM t WHERE len(w) > 2
+    ), fs AS (
+      SELECT tri, MIN(doc_id) AS fd FROM g GROUP BY tri
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t
+    ), ms AS (
+      SELECT CAST(1 AS BIGINT) << CAST(k AS INT) AS m
+      FROM nd, unnest(generate_series(4,
+           CAST(FLOOR(log2(n_docs)) AS BIGINT))) AS u(k)
+    ), vc AS (
+      SELECT m, CAST(COUNT(CASE WHEN fd < m THEN 1 END) AS BIGINT) AS v
+      FROM ms, fs GROUP BY m
+    ), xy AS (
+      SELECT m, v, {R4('ln(m * 1.0)')} AS x, {R4('ln(v * 1.0)')} AS y
+      FROM vc WHERE v > 0
+    ), fit AS (
+      SELECT m, v, x, y,
+             COUNT(*) OVER () AS s,
+             SUM(x) OVER () AS sx, SUM(y) OVER () AS sy,
+             SUM(x * y) OVER () AS sxy, SUM(x * x) OVER () AS sxx
+      FROM xy
+    )
+    SELECT m, v, x, y,
+           {R4('(sxy - sx * sy / s) / (sxx - sx * sx / s)')} AS beta,
+           {R4("exp(sy / s - (sxy - sx * sy / s)"
+               " / (sxx - sx * sx / s) * sx / s)")} AS k_coef
+    FROM fit
+    """,
+    priority="P2",
+    tags=("llm", "text", "scaling-law", "banded"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) = K·n^β of vocabulary growth over the
+    document stream (Heaps 1978) — the corpus-planning companion to
+    `q_zipf_fit` (they are asymptotically dual) and the closed form
+    under `q_corpus_saturation`'s empirical curve: how much NEW
+    vocabulary each marginal slice of corpus buys, the question behind
+    "is more of this source worth tokenizing". The unit-vocabulary is
+    3-grams (the 31-word fixture token vocabulary saturates within 3
+    docs — degenerate; the trigram space grows through the whole corpus,
+    828 → 16k across milestones at sf0.01).
+
+    V(m) milestones at powers of two (16 … 2^⌊log₂ n_docs⌋, derived
+    from a broadcast 1-row count — no collect); per-milestone V = exact
+    integer count of first-seen-before-m; the OLS fit runs in log-log
+    space on r4-rounded coordinates over the milestone frame.
+
+    Scale: first-seen = one map-side-combined min per distinct trigram
+    (vocabulary-bounded, Zipf-tiny vs corpus); milestones are
+    O(log corpus) rows (47 at 100 TB), so the fit window is bounded by
+    construction — the `q_srm_check` bounded-frame discipline."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    tk = d.select("doc_id", F.split("text", " ").alias("w"))
+    g = tk.where(F.size("w") > 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("tri"),
+    )
+    fs = g.groupBy("tri").agg(F.min("doc_id").alias("fd"))
+    nd = tk.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ms = nd.select(
+        F.explode(
+            F.sequence(F.lit(4), F.floor(F.log2("n_docs")).cast("int"))
+        ).alias("k")
+    ).select(F.expr("shiftleft(CAST(1 AS BIGINT), k)").alias("m"))
+    vc = (
+        fs.crossJoin(F.broadcast(ms))
+        .groupBy("m")
+        .agg(
+            F.sum((F.col("fd") < F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    xy = vc.where(F.col("v") > 0).select(
+        "m",
+        "v",
+        r4(F.log(F.col("m") * 1.0)).alias("x"),
+        r4(F.log(F.col("v") * 1.0)).alias("y"),
+    )
+    w = Window.partitionBy()
+    fit = xy.select(
+        "m",
+        "v",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("s"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    beta = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("s")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("s")
+    )
+    return fit.select(
+        "m",
+        "v",
+        "x",
+        "y",
+        r4(beta).alias("beta"),
+        r4(F.exp(F.col("sy") / F.col("s") - beta * F.col("sx") / F.col("s"))).alias(
+            "k_coef"
+        ),
+    )

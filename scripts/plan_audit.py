@@ -93,6 +93,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_feature_mi": "margins + MI total over the contingency frame — "
     "bounded by the label-vocabulary product (priority × status = 15 "
     "cells), not data size",
+    "q_heaps_law": "log-log OLS window over the power-of-two milestone "
+    "frame — O(log corpus) rows (47 at 100 TB), not data size",
     "q_corpus_saturation": "cumulative novelty over the size-bucket "
     "grain — one row per fixed-width bucket, bounded by max doc length "
     "/ bucket width, not by row count",
@@ -180,6 +182,8 @@ ALLOW_DUP_SCAN: dict[str, str] = {
     "by contract — each rule scans its own pruned subset)",
     "q_feature_scale": _R_SELF_AGG,
     "q_impute_mean": _R_SELF_AGG,
+    "q_heaps_law": _R_SELF_AGG + " (trigram first-seen leg + a "
+    "zero-column count-star leg for the milestone grid bound)",
     "q_outlier_iqr": _R_SELF_AGG,
     "q_prototype_prune": _R_SELF_AGG + " (per-label centroid leg + "
     "distance leg against the broadcast centroids)",
