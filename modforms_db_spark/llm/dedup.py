@@ -1629,11 +1629,6 @@ _PRC_BANDS = 4
 _PRC_ROWS = _MHA_PERM // _PRC_BANDS  # 8 rows per band over the md5 perms
 _PRC_THETAS = (0.3, 0.5, 0.7, 0.9)
 _PRC_THETA_SQL = "[" + ", ".join(str(t) for t in _PRC_THETAS) + "]"
-_PRC_BANDSIG_SQL = ", ".join(
-    f"(SELECT array_to_string(sig[{b * _PRC_ROWS + 1}:"
-    f"{(b + 1) * _PRC_ROWS}], '|'))"
-    for b in range(_PRC_BANDS)
-)
 
 
 @register(
@@ -1814,9 +1809,21 @@ def q_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    # Data-independent θ spine (the oracle's th CTE): on a corpus where
+    # the exact or candidate frame is EMPTY, the grouped counts above
+    # have no rows — the spine left-joins them back to 4 rows with 0
+    # counts, matching the oracle's LEFT JOIN row-for-row.
+    spine = spark.range(1).select(thetas.alias("theta"))
     return (
-        exact_cnt.join(hit_cnt, "theta")
+        spine.join(exact_cnt, "theta", "left")
+        .join(hit_cnt, "theta", "left")
         .crossJoin(F.broadcast(tot))
+        .select(
+            "theta",
+            F.coalesce("n_exact", F.lit(0)).cast("bigint").alias("n_exact"),
+            "n_cand",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+        )
         .select(
             "theta",
             "n_exact",

@@ -875,25 +875,71 @@ _QC_B = 64
 _QC_W = _qc_weights(_QC_B)
 _QC_W_SQL = "[" + ", ".join(f"{w!r}" for w in _QC_W) + "]"
 
+# ONE definition of the hashed-classifier scored frame — the classifier
+# itself AND its evaluations (q_roc_auc, q_calibration_ece) all read
+# this, so the evaluations can never audit a stale scoring rule (review
+# finding — the same no-inline-copy discipline as the split-leakage
+# constants). Columns: doc_id, source, n_tokens, score (r4 mean bucket
+# weight), label (C4 strict-blocklist verdict: doc is clean).
+_QC_BAD_SQL = ", ".join(f"'{b}'" for b in _BADWORDS)
+_QC_SCORED_SQL = f"""
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             {{score_expr}} AS score,
+             len(list_filter(w, x -> x IN ({_QC_BAD_SQL}))) = 0 AS label
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+            FROM documents)
+"""
+
+
+def _qc_scored_sql() -> str:
+    score_expr = R4(
+        f"list_sum(list_transform(w, x -> ({_QC_W_SQL})["
+        f"CAST(('0x' || substr(md5(x), 1, 6)) AS BIGINT)"
+        f" % {_QC_B} + 1])) / len(w)"
+    )
+    return _QC_SCORED_SQL.format(score_expr=score_expr)
+
+
+def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    warr = F.array(*[F.lit(wt) for wt in _QC_W])
+    tokens = F.split("text", " ")
+    weights_of = F.transform(
+        tokens,
+        lambda x: F.element_at(
+            warr,
+            (
+                F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("bigint")
+                % _QC_B
+                + 1
+            ).cast("int"),
+        ),
+    )
+    score = r4(
+        F.aggregate(weights_of, F.lit(0.0), lambda acc, x: acc + x)
+        / F.size(tokens)
+    )
+    label = F.size(F.filter(tokens, lambda x: x.isin(*_BADWORDS))) == 0
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(tokens).cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        label.alias("label"),
+    )
+
 
 @register(
     "q_quality_classifier",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-    ), s AS (
-      SELECT doc_id, source,
-             CAST(len(w) AS BIGINT) AS n_tokens,
-             {R4(f"list_sum(list_transform(w, x -> ({_QC_W_SQL})["
-                 f"CAST(('0x' || substr(md5(x), 1, 6)) AS BIGINT)"
-                 f" % {_QC_B} + 1])) / len(w)")} AS score
-      FROM t
+    WITH s AS ({{scored}}
     )
     SELECT doc_id, source, n_tokens, score,
            {R4('1.0 / (1.0 + exp(-score))')} AS prob,
            score > 0 AS keep
     FROM s
-    """,
+    """.format(scored=_qc_scored_sql()),
     priority="P2",
     tags=("llm", "pipeline", "classifier", "quality"),
 )
@@ -923,30 +969,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is one fused projection over the pruned (doc_id, source,
     text) scan. The cheapest possible classifier-inference shape."""
     prep(spark)
-    d = spread(load(spark, sf_dir, "documents"))
-    warr = F.array(*[F.lit(w) for w in _QC_W])
-    tokens = F.split("text", " ")
-    weights_of = F.transform(
-        tokens,
-        lambda x: F.element_at(
-            warr,
-            (
-                F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("bigint")
-                % _QC_B
-                + 1
-            ).cast("int"),
-        ),
-    )
-    score = r4(
-        F.aggregate(weights_of, F.lit(0.0), lambda acc, x: acc + x)
-        / F.size(tokens)
-    )
-    s = d.select(
-        "doc_id",
-        "source",
-        F.size(tokens).cast("bigint").alias("n_tokens"),
-        score.alias("score"),
-    )
+    s = _qc_scored(spark, sf_dir)
     return s.select(
         "doc_id",
         "source",
@@ -1053,55 +1076,6 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared scored-and-labeled frame for the classifier-evaluation pair
-# (q_roc_auc / q_calibration_ece): the hashed-classifier score beside the
-# C4 strict blocklist verdict as the binary ground truth ("is the doc
-# clean"). One definition so the two evaluations can never drift.
-_QC_SCORED_SQL = f"""
-      SELECT doc_id, source,
-             {{score_expr}} AS score,
-             len(list_filter(w, x -> x IN ('slow', 'big'))) = 0 AS label
-      FROM (SELECT doc_id, source, string_split(text, ' ') AS w
-            FROM documents)
-"""
-
-
-def _qc_scored_sql() -> str:
-    score_expr = R4(
-        f"list_sum(list_transform(w, x -> ({_QC_W_SQL})["
-        f"CAST(('0x' || substr(md5(x), 1, 6)) AS BIGINT)"
-        f" % {_QC_B} + 1])) / len(w)"
-    )
-    return _QC_SCORED_SQL.format(score_expr=score_expr)
-
-
-def _qc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spread(load(spark, sf_dir, "documents"))
-    warr = F.array(*[F.lit(wt) for wt in _QC_W])
-    tokens = F.split("text", " ")
-    weights_of = F.transform(
-        tokens,
-        lambda x: F.element_at(
-            warr,
-            (
-                F.conv(F.substring(F.md5(x), 1, 6), 16, 10).cast("bigint")
-                % _QC_B
-                + 1
-            ).cast("int"),
-        ),
-    )
-    score = r4(
-        F.aggregate(weights_of, F.lit(0.0), lambda acc, x: acc + x)
-        / F.size(tokens)
-    )
-    label = (
-        F.size(F.filter(tokens, lambda x: x.isin(*_BADWORDS))) == 0
-    )
-    return d.select(
-        "doc_id", "source", score.alias("score"), label.alias("label")
-    )
-
-
 @register(
     "q_roc_auc",
     oracle=f"""
@@ -1186,13 +1160,17 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
              {R4('AVG(prob)')} AS avg_prob,
              {R4("AVG(CASE WHEN label THEN 1.0 ELSE 0.0 END)")} AS frac_pos
       FROM p GROUP BY 1
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin_id
     ), g AS (
-      SELECT bin_id, n, avg_prob, frac_pos,
+      SELECT spine.bin_id, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+             avg_prob, frac_pos,
              {R4('avg_prob - frac_pos')} AS gap
-      FROM b
+      FROM spine LEFT JOIN b USING (bin_id)
     )
     SELECT bin_id, n, avg_prob, frac_pos, gap,
-           {R4('SUM(n * ABS(gap)) OVER () / SUM(n) OVER ()')} AS ece
+           {R4('SUM(COALESCE(n * ABS(gap), 0.0)) OVER ()'
+               ' / SUM(n) OVER ()')} AS ece
     FROM g
     """.format(scored=_qc_scored_sql()),
     priority="P2",
@@ -1238,7 +1216,20 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg(F.col("label").cast("double"))).alias("frac_pos"),
         )
     )
-    g = b.withColumn("gap", r4(F.col("avg_prob") - F.col("frac_pos")))
+    # Dense zero-filled bin spine (house curve-op discipline): the
+    # untrained weights concentrate probs near 0.5, and the diagram must
+    # SHOW the empty bins as n=0 rows rather than omit them.
+    spine = spark.range(10).select(F.col("id").cast("bigint").alias("bin_id"))
+    g = (
+        spine.join(b, "bin_id", "left")
+        .select(
+            "bin_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            "avg_prob",
+            "frac_pos",
+            r4(F.col("avg_prob") - F.col("frac_pos")).alias("gap"),
+        )
+    )
     wall = Window.partitionBy()
     return g.select(
         "bin_id",
@@ -1247,7 +1238,7 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_pos",
         "gap",
         r4(
-            F.sum(F.col("n") * F.abs(F.col("gap"))).over(wall)
+            F.sum(F.coalesce(F.col("n") * F.abs(F.col("gap")), F.lit(0.0))).over(wall)
             / F.sum("n").over(wall)
         ).alias("ece"),
     )

@@ -2188,11 +2188,18 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fs = g.groupBy("tri").agg(F.min("doc_id").alias("fd"))
     nd = tk.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    ms = nd.select(
-        F.explode(
-            F.sequence(F.lit(4), F.floor(F.log2("n_docs")).cast("int"))
-        ).alias("k")
-    ).select(F.expr("shiftleft(CAST(1 AS BIGINT), k)").alias("m"))
+    # Guard: sequence(4, k) turns DESCENDING for k < 4 (corpus under 16
+    # docs) where the oracle's generate_series(4, k) is EMPTY — the
+    # documented house trap; the filter matches the oracle's emptiness.
+    ms = (
+        nd.where(F.col("n_docs") >= 16)
+        .select(
+            F.explode(
+                F.sequence(F.lit(4), F.floor(F.log2("n_docs")).cast("int"))
+            ).alias("k")
+        )
+        .select(F.expr("shiftleft(CAST(1 AS BIGINT), k)").alias("m"))
+    )
     vc = (
         fs.crossJoin(F.broadcast(ms))
         .groupBy("m")

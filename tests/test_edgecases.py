@@ -547,3 +547,19 @@ def test_kmv_all_row_sub_k_falls_back_to_exact(spark, tmp_path):
     assert allr["rel_err"] == 0.0
     # every per-month group is also sub-k here → exact everywhere
     assert all(r["exact_regime"] for r in out.values())
+
+
+def test_heaps_law_sub_16_docs_is_empty(spark, tmp_path):
+    """Under 16 docs the milestone grid is empty — Spark must match the
+    oracle's empty generate_series(4, k<4), not emit the descending
+    F.sequence phantom milestones (the documented house trap)."""
+    from modforms_db_spark.llm.text_stats import q_heaps_law
+
+    rows = [(i, "the fast key order sort table scan merge part window",
+             "en", f"src{i % 3}", 50) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert q_heaps_law(spark, str(tmp_path)).count() == 0
