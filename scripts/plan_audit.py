@@ -258,6 +258,8 @@ ALLOW_DUP_SCAN: dict[str, str] = {
     "q_dedup_embedding_ann": _R_REATTACH,
     "q_hard_negatives": _R_REATTACH + " (broadcast query-batch leg + "
     "streamed candidate leg off the same table)",
+    "q_retrieval_metrics": _R_REATTACH + " (broadcast query-batch leg + "
+    "streamed candidate leg off the same table)",
     "q_sim_cosine_topk": _R_REATTACH,
     "q_sim_mips": _R_REATTACH,
     "q_sim_threshold": _R_REATTACH,
