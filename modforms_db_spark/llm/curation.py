@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
@@ -1663,4 +1663,210 @@ def q_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min("budget").over(wall) - F.sum("alloc_tokens").over(wall))
         .cast("bigint")
         .alias("unfilled_tokens"),
+    )
+
+
+@register(
+    "q_anneal_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS tw,
+             CAST(SUM(w) // 2 AS BIGINT) AS budget,
+             CAST((SUM(w) // 2) // 10 AS BIGINT) AS anneal_budget,
+             CAST(SUM(w) // 2 - (SUM(w) // 2) // 10 AS BIGINT)
+               AS main_budget,
+             {R4('SUM(sum_chars) * 1.0 / SUM(n_docs)')} AS gavg
+      FROM tok
+    ), lab AS (
+      SELECT source, w,
+             {R4('sum_chars * 1.0 / n_docs')} >= tot.gavg
+               AS is_anneal_source,
+             tw, budget, anneal_budget, main_budget
+      FROM tok CROSS JOIN tot
+    ), mainq AS (
+      SELECT source, w, is_anneal_source, main_budget, anneal_budget,
+             CAST(main_budget * w // tw AS BIGINT) AS m_floor,
+             main_budget * w % tw AS m_rem
+      FROM lab
+    ), mshort AS (
+      SELECT CAST(MAX(main_budget) - SUM(m_floor) AS BIGINT) AS k
+      FROM mainq
+    ), mranked AS (
+      SELECT *, row_number() OVER (ORDER BY m_rem DESC, source) AS rk
+      FROM mainq
+    ), mallocd AS (
+      SELECT source, w, is_anneal_source, anneal_budget,
+             m_floor + CASE WHEN rk <= mshort.k THEN 1 ELSE 0 END
+               AS main_alloc
+      FROM mranked CROSS JOIN mshort
+    ), aw AS (
+      SELECT CAST(SUM(CASE WHEN is_anneal_source THEN w ELSE 0 END)
+        AS BIGINT) AS atw FROM mallocd
+    ), annq AS (
+      SELECT source, w, is_anneal_source, main_alloc,
+             CASE WHEN is_anneal_source
+               THEN CAST(anneal_budget * w // aw.atw AS BIGINT)
+               ELSE 0 END AS a_floor,
+             CASE WHEN is_anneal_source
+               THEN anneal_budget * w % aw.atw ELSE -1 END AS a_rem,
+             anneal_budget
+      FROM mallocd CROSS JOIN aw
+    ), ashort AS (
+      SELECT CAST(MAX(anneal_budget) - SUM(a_floor) AS BIGINT) AS k
+      FROM annq
+    ), aranked AS (
+      SELECT *, row_number() OVER (ORDER BY a_rem DESC, source) AS rk
+      FROM annq
+    )
+    SELECT source, CAST(w AS BIGINT) AS weight_tokens, is_anneal_source,
+           CAST(main_alloc AS BIGINT) AS main_alloc,
+           CAST(a_floor + CASE WHEN is_anneal_source AND rk <= ashort.k
+             THEN 1 ELSE 0 END AS BIGINT) AS anneal_alloc,
+           CAST(main_alloc + a_floor
+             + CASE WHEN is_anneal_source AND rk <= ashort.k
+               THEN 1 ELSE 0 END AS BIGINT) AS total_alloc
+    FROM aranked CROSS JOIN ashort
+    """,
+    priority="P2",
+    tags=("llm", "curation", "allocation", "anneal"),
+)
+def q_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training-data schedule with an ANNEAL stage (the
+    Llama-3 / MiniCPM recipe: spend the final ~10% of the token budget
+    on the highest-quality slice only): a half-corpus budget splits
+    90/10 into main/anneal, the main phase allocates across ALL sources
+    ∝ token supply, the anneal phase re-allocates its budget across
+    QUALITY sources only (here: sources whose rounded mean doc length
+    ≥ the corpus mean — a deterministic stand-in for the real quality
+    gate; swap in `q_quality_classifier`'s verdict in production). Both
+    phases use exact Hamilton largest-remainder integer allocation
+    (`q_alloc_largest_remainder`'s B·w // W, B·w % W arithmetic — no
+    floats in any allocation step), so Σmain_alloc and Σanneal_alloc
+    land EXACTLY on their phase budgets. BIGINT products hold to ~10^18
+    (beyond petabyte token counts, promote to DECIMAL(38,0) — the
+    `q_stats_merge_pairwise` precedent).
+
+    Scale: one linear token count to the source grain; every window
+    after that runs over the ≤#sources-row quota frame (20 here) with a
+    1-row broadcast budget/shortfall — the `q_token_budget_mix`
+    discipline."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    # ONE documents scan: the source-grain aggregate (with exact integer
+    # doc/char sums) is checkpointed and every later frame — including
+    # the global mean the eligibility rule compares against — derives
+    # from it (plan-audit finding: the un-checkpointed lineage re-ran
+    # the scan 24× through the crossJoin/window cascade).
+    tok = (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("w"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = tok.agg(
+        F.sum("w").cast("bigint").alias("tw"),
+        (F.sum("w") / 2).cast("bigint").alias("budget"),
+        r4(F.sum("sum_chars") * 1.0 / F.sum("n_docs")).alias("gavg"),
+    ).select(
+        "tw",
+        "budget",
+        "gavg",
+        (F.col("budget") / 10).cast("bigint").alias("anneal_budget"),
+        (F.col("budget") - (F.col("budget") / 10).cast("bigint"))
+        .cast("bigint")
+        .alias("main_budget"),
+    )
+    lab = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "w",
+        (
+            r4(F.col("sum_chars") * 1.0 / F.col("n_docs")) >= F.col("gavg")
+        ).alias("is_anneal_source"),
+        "tw",
+        "anneal_budget",
+        "main_budget",
+    )
+    mainq = lab.select(
+        "*",
+        (F.col("main_budget") * F.col("w") / F.col("tw"))
+        .cast("bigint")
+        .alias("m_floor"),
+        (F.col("main_budget") * F.col("w") % F.col("tw")).alias("m_rem"),
+    )
+    mshort = mainq.agg(
+        (F.max("main_budget") - F.sum("m_floor")).cast("bigint").alias("k")
+    )
+    wm = Window.orderBy(F.desc("m_rem"), F.asc("source"))
+    mallocd = (
+        mainq.withColumn("rk", F.row_number().over(wm))
+        .crossJoin(F.broadcast(mshort))
+        .select(
+            "source",
+            "w",
+            "is_anneal_source",
+            "anneal_budget",
+            (
+                F.col("m_floor")
+                + F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("main_alloc"),
+        )
+    )
+    aw = mallocd.agg(
+        F.sum(F.when(F.col("is_anneal_source"), F.col("w")).otherwise(0))
+        .cast("bigint")
+        .alias("atw")
+    )
+    annq = mallocd.crossJoin(F.broadcast(aw)).select(
+        "source",
+        "w",
+        "is_anneal_source",
+        "main_alloc",
+        "anneal_budget",
+        F.when(
+            F.col("is_anneal_source"),
+            (F.col("anneal_budget") * F.col("w") / F.col("atw")).cast(
+                "bigint"
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("a_floor"),
+        F.when(
+            F.col("is_anneal_source"),
+            F.col("anneal_budget") * F.col("w") % F.col("atw"),
+        )
+        .otherwise(-1)
+        .alias("a_rem"),
+    )
+    ashort = annq.agg(
+        (F.max("anneal_budget") - F.sum("a_floor")).cast("bigint").alias("k")
+    )
+    wa = Window.orderBy(F.desc("a_rem"), F.asc("source"))
+    plus = F.when(
+        F.col("is_anneal_source") & (F.col("rk") <= F.col("k")), 1
+    ).otherwise(0)
+    return (
+        annq.withColumn("rk", F.row_number().over(wa))
+        .crossJoin(F.broadcast(ashort))
+        .select(
+            "source",
+            F.col("w").cast("bigint").alias("weight_tokens"),
+            "is_anneal_source",
+            F.col("main_alloc").cast("bigint").alias("main_alloc"),
+            (F.col("a_floor") + plus).cast("bigint").alias("anneal_alloc"),
+            (F.col("main_alloc") + F.col("a_floor") + plus)
+            .cast("bigint")
+            .alias("total_alloc"),
+        )
     )

@@ -2454,3 +2454,44 @@ def q_bootstrap_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_hi",
         r4(F.col("ci_hi") - F.col("ci_lo")).alias("ci_width"),
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    priority="P2",
+    tags=("aggregate", "string", "api"),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`listagg(...) WITHIN GROUP (ORDER BY ...)` — the SQL:2016
+    ordered string aggregation added natively in Spark 4.0, as a
+    first-class API row beside `q_agg_string`'s composed form
+    (collect_list → array_sort → array_join, the pre-4.0 idiom). Same
+    semantics, one call; the oracle is DuckDB's `string_agg(...ORDER
+    BY)`. The row pins that the native form stays deterministic: the
+    WITHIN GROUP order is part of the aggregate, so shuffle layout
+    cannot reorder the joined string.
+
+    Scale: broadcast dim join + map-side-combinable ordered aggregate
+    over bounded per-group lists (25 nations / 5 regions) — the label
+    assembly shape; a data-sized group would cap or bucket first."""
+    prep(spark)
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    j.createOrReplaceTempView("mfdb_listagg_nr")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM mfdb_listagg_nr GROUP BY r_name
+        """
+    )

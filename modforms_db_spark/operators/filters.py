@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2
+from modforms_db_spark.oracle_dialect import R2, R4
 from modforms_db_spark.parity import r2
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -399,4 +399,44 @@ def q_sql_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING :tbl AS t, :grp AS g, mfdb_status AS s
         """,
         args={"tbl": tbl, "grp": grp},
+    )
+
+
+@register(
+    "q_sql_pipe",
+    oracle=f"""
+    SELECT o_orderpriority AS pri,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R4("SUM(o_totalprice)")} AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("sql", "pipe-syntax", "api"),
+)
+def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0 `|>` operators, the SQL:2023-era
+    linear composition form): the same filter → aggregate plan as
+    classic SQL, written as a pipeline — `FROM orders |> WHERE ... |>
+    AGGREGATE ... GROUP BY ...`. The API row proves the surface parses
+    and, critically, that Catalyst compiles it to the IDENTICAL plan
+    (same pushdown, same partial aggregation) as the classic form the
+    oracle runs — pipe syntax is sugar, not a different engine path.
+
+    Scale: one pruned scan with the status predicate pushed down, one
+    map-side-combined aggregation to the priority grain — identical to
+    `q_agg_flagship`'s discipline; nothing about `|>` changes the
+    physical plan."""
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("mfdb_pipe_orders")
+    return spark.sql(
+        """
+        FROM mfdb_pipe_orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS revenue
+           GROUP BY o_orderpriority AS pri
+        |> SELECT pri, CAST(n AS BIGINT) AS n, revenue
+        """
     )

@@ -84,6 +84,9 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,
     "q_alloc_largest_remainder": _R_LANG_FRAME,
+    "q_anneal_mix": "two Hamilton remainder rankings over the "
+    "per-source quota frame — bounded by the source vocabulary "
+    "(20 here), not data size",
     "q_epoch_repeats": _R_LANG_FRAME,
     "q_sample_temperature": _R_LANG_FRAME,
     "q_stratified_neyman": _R_LANG_FRAME,

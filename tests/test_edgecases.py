@@ -563,3 +563,23 @@ def test_heaps_law_sub_16_docs_is_empty(spark, tmp_path):
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     assert q_heaps_law(spark, str(tmp_path)).count() == 0
+
+
+def test_anneal_mix_budgets_exact(spark):
+    """Hamilton allocation law: each phase's allocations sum EXACTLY to
+    its integer budget (main = B - B//10, anneal = B//10 over the
+    half-corpus budget B), and the anneal eligibility splits sources
+    both ways."""
+    from modforms_db_spark.llm.curation import q_anneal_mix
+
+    rows = q_anneal_mix(spark, "/root/testdata/sf0.001").collect()
+    total_supply = sum(r["weight_tokens"] for r in rows)
+    budget = total_supply // 2
+    anneal_budget = budget // 10
+    assert sum(r["main_alloc"] for r in rows) == budget - anneal_budget
+    assert sum(r["anneal_alloc"] for r in rows) == anneal_budget
+    flags = {r["is_anneal_source"] for r in rows}
+    assert flags == {True, False}
+    assert all(
+        r["anneal_alloc"] == 0 for r in rows if not r["is_anneal_source"]
+    )
