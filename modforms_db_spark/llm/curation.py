@@ -226,9 +226,7 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     c = load(spark, sf_dir, "customer")
-    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
-        F.count(F.lit(1)).alias("grp_n")
-    )
+    g = c.groupBy(*_QI_COLS).agg(F.count(F.lit(1)).alias("grp_n"))
     return g.agg(
         F.count(F.lit(1)).alias("n_classes"),
         F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).alias(
@@ -1870,3 +1868,89 @@ def q_anneal_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_alloc"),
         )
     )
+
+
+# q_l_diversity shares the quasi-identifier grouping with
+# q_k_anonymity (nation × market segment) and bands the sensitive
+# attribute (account balance) into 2000-unit buckets via FLOOR on the
+# raw double — both engines floor the same parquet double, so the band
+# is bit-identical without any cents round-trip.
+_QI_COLS = ("c_nationkey", "c_mktsegment")
+_LDIV_L = 3
+_LDIV_BAND = 2000.0
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT {_QI_COLS[0]}, {_QI_COLS[1]},
+             CAST(FLOOR(c_acctbal / {_LDIV_BAND!r}) AS BIGINT) AS band,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2, 3
+    ), cls AS (
+      SELECT {_QI_COLS[0]}, {_QI_COLS[1]},
+             CAST(SUM(n) AS BIGINT) AS rows_n,
+             CAST(COUNT(*) AS BIGINT) AS l
+      FROM g GROUP BY 1, 2
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(MIN(l) AS BIGINT) AS min_l,
+             CAST(SUM(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS classes_under_l,
+             CAST(SUM(CASE WHEN l < {_LDIV_L} THEN rows_n ELSE 0 END)
+                  AS BIGINT) AS rows_at_risk
+      FROM cls
+    ), gl AS (
+      SELECT CAST(COUNT(DISTINCT band) AS BIGINT) AS distinct_sensitive
+      FROM g
+    )
+    SELECT n_classes, min_l, classes_under_l, rows_at_risk,
+           distinct_sensitive
+    FROM agg CROSS JOIN gl
+    """,
+    priority="P2",
+    tags=("curation", "privacy", "audit"),
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit over the same quasi-identifier classes as
+    `q_k_anonymity` (nation × market segment): per equivalence class,
+    how many DISTINCT sensitive values (2000-unit account-balance
+    bands) it carries — a class can be k-anonymous yet leak its
+    sensitive attribute if every member shares one value (Machanavajjhala
+    et al. 2007). Reports class count, the minimum l, classes below
+    l = {_LDIV_L} with their row exposure, and the global sensitive
+    domain size. Low-l classes exist at every shipped SF while most
+    classes are diverse, so both risk directions stay live.
+
+    Scale: one pass to the (QI, band) grain (map-side combined,
+    bounded by QI-domain × band-domain), checkpointed to feed both the
+    class rollup and the global domain count without re-scanning; the
+    report is a 1-row combine of two bounded aggregates.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _LDIV_BAND).cast("bigint")
+    g = (
+        c.groupBy(*_QI_COLS, band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # class rollup + global band domain
+    )
+    cls = g.groupBy(*_QI_COLS).agg(
+        F.sum("n").cast("bigint").alias("rows_n"),
+        F.count(F.lit(1)).cast("bigint").alias("l"),
+    )
+    agg = cls.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < _LDIV_L, 1).otherwise(0))
+        .cast("bigint")
+        .alias("classes_under_l"),
+        F.sum(F.when(F.col("l") < _LDIV_L, F.col("rows_n")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+    )
+    gl = g.select("band").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("distinct_sensitive")
+    )
+    return agg.crossJoin(F.broadcast(gl))

@@ -696,3 +696,225 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_crit.alias("d_crit"),
         (F.max("d_v") > d_crit).alias("reject"),
     )
+
+
+# Candidate FK edges for q_fk_discovery: (candidate, child_table,
+# child_col, parent_table, parent_col). Five true warehouse FKs, one
+# discovered inclusion (event users drawn from the customer key space),
+# and one deliberately mis-declared edge (part sizes are NOT nation
+# keys) so both verdict directions stay live at every SF.
+_FK_CANDIDATES = (
+    ("ord_cust", "orders", "o_custkey", "customer", "c_custkey"),
+    ("li_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("li_supp", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("cust_nat", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nat_reg", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("evt_user", "events", "user_id", "customer", "c_custkey"),
+    ("part_size_nat", "part", "p_size", "nation", "n_nationkey"),
+)
+
+
+def _fk_oracle() -> str:
+    blocks = []
+    for cand, ct, cc, pt, pc in _FK_CANDIDATES:
+        blocks.append(f"""
+    SELECT '{cand}' AS candidate,
+           CAST(SUM(c) AS BIGINT) AS child_rows,
+           CAST(COUNT(*) AS BIGINT) AS child_keys,
+           CAST(SUM(CASE WHEN p IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS orphan_rows,
+           CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS orphan_keys,
+           {R4('1.0 - SUM(CASE WHEN p IS NULL THEN c ELSE 0 END) * 1.0'
+               ' / SUM(c)')} AS containment,
+           SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT CAST({cc} AS BIGINT) AS k, COUNT(*) AS c
+          FROM {ct} WHERE {cc} IS NOT NULL GROUP BY 1) ch
+    LEFT JOIN (SELECT DISTINCT CAST({pc} AS BIGINT) AS p FROM {pt}) pa
+      ON ch.k = pa.p""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
+@register(
+    "q_fk_discovery",
+    oracle=_fk_oracle(),
+    priority="P2",
+    tags=("quality", "integrity", "audit"),
+)
+def q_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate foreign-key discovery audit: for each declared or
+    suspected FK edge, the containment of the child key set in the
+    parent key set — child rows/keys, orphan rows/keys, containment
+    fraction, and a holds flag (zero orphans). The profiling sweep a
+    warehouse runs before trusting joins: five true FKs hold, the
+    event→customer inclusion is discovered, and the mis-declared
+    part-size→nation edge surfaces orphans (both verdict directions
+    live by construction; the reference's store-consistency sweeps [R]
+    are this shape run against its linked stores).
+
+    Scale: every table is scanned ONCE, whatever mix of child/parent
+    roles it plays — multi-column children (lineitem) emit all their
+    candidate keys via one `stack`, multi-role tables (customer,
+    nation, part) checkpoint one column-pruned projection that feeds
+    every role, and parents shared by several candidates tag their
+    distinct keys via an array explode instead of re-scanning. The
+    child side pre-aggregates to (candidate, key) grain map-side, so
+    the audit join is bounded by key DOMAINS, not row counts. One
+    shuffle join on (candidate, key), one bounded final combine — at
+    100 TB the fact scan dominates and nothing wide ever shuffles.
+    """
+    prep(spark)
+    child_by_table: dict[str, list[tuple[str, str]]] = {}
+    parent_by_col: dict[tuple[str, str], list[str]] = {}
+    cols_needed: dict[str, set[str]] = {}
+    for cand, ct, cc, pt, pc in _FK_CANDIDATES:
+        child_by_table.setdefault(ct, []).append((cand, cc))
+        parent_by_col.setdefault((pt, pc), []).append(cand)
+        cols_needed.setdefault(ct, set()).add(cc)
+        cols_needed.setdefault(pt, set()).add(pc)
+    n_roles = {
+        t: len(child_by_table.get(t, [])) + sum(1 for (pt, _pc) in parent_by_col if pt == t)
+        for t in cols_needed
+    }
+    base: dict[str, DataFrame] = {}
+    for tbl, cols in cols_needed.items():
+        df = load(spark, sf_dir, tbl).select(*sorted(cols))
+        if n_roles[tbl] > 1:  # multi-role: one scan feeds every role
+            df = df.localCheckpoint(eager=False)
+        base[tbl] = df
+    child_frames = []
+    for ct, pairs in child_by_table.items():
+        args = ", ".join(
+            f"'{cand}', CAST({cc} AS BIGINT)" for cand, cc in pairs
+        )
+        child_frames.append(
+            base[ct].selectExpr(
+                f"stack({len(pairs)}, {args}) AS (candidate, k)"
+            )
+        )
+    child = child_frames[0]
+    for f in child_frames[1:]:
+        child = child.unionByName(f)
+    ch = (
+        child.where(F.col("k").isNotNull())
+        .groupBy("candidate", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    parent_frames = []
+    for (pt, pc), cands in parent_by_col.items():
+        parent_frames.append(
+            base[pt]
+            .select(F.col(pc).cast("bigint").alias("p"))
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(*[F.lit(c) for c in cands])
+                ).alias("candidate"),
+                "p",
+            )
+        )
+    pa = parent_frames[0]
+    for f in parent_frames[1:]:
+        pa = pa.unionByName(f)
+    joined = ch.join(
+        pa, (ch["candidate"] == pa["candidate"]) & (ch["k"] == pa["p"]), "left"
+    ).select(ch["candidate"], "c", "p")
+    orphan_rows = F.sum(F.when(F.col("p").isNull(), F.col("c")).otherwise(0))
+    orphan_keys = F.sum(F.when(F.col("p").isNull(), 1).otherwise(0))
+    return joined.groupBy("candidate").agg(
+        F.sum("c").cast("bigint").alias("child_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("child_keys"),
+        orphan_rows.cast("bigint").alias("orphan_rows"),
+        orphan_keys.cast("bigint").alias("orphan_keys"),
+        r4(1.0 - orphan_rows * 1.0 / F.sum("c")).alias("containment"),
+        (orphan_keys == 0).alias("holds"),
+    )
+
+
+# Candidate functional dependencies for q_fd_audit: (candidate, table,
+# lhs_col, rhs_col). The two key-determined FDs hold; the four
+# independence candidates fail — both verdict directions live.
+_FD_CANDIDATES = (
+    ("nat_key_name", "nation", "n_nationkey", "n_name"),
+    ("nat_key_region", "nation", "n_nationkey", "n_regionkey"),
+    ("doc_lang_source", "documents", "lang", "source"),
+    ("li_part_supp", "lineitem", "l_partkey", "l_suppkey"),
+    ("ord_cust_priority", "orders", "o_custkey", "o_orderpriority"),
+    ("evt_user_type", "events", "user_id", "event_type"),
+)
+
+
+def _fd_oracle() -> str:
+    blocks = []
+    for cand, tbl, lhs, rhs in _FD_CANDIDATES:
+        blocks.append(f"""
+    SELECT '{cand}' AS candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(SUM(CASE WHEN ndv > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS violation_rows,
+           CAST(MAX(ndv) AS BIGINT) AS max_rhs_per_group,
+           SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT CAST({lhs} AS VARCHAR) AS l, COUNT(*) AS c,
+                 COUNT(DISTINCT CAST({rhs} AS VARCHAR)) AS ndv
+          FROM {tbl} WHERE {lhs} IS NOT NULL GROUP BY 1)""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
+@register(
+    "q_fd_audit",
+    oracle=_fd_oracle(),
+    priority="P2",
+    tags=("quality", "integrity", "audit"),
+)
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate functional-dependency audit: for each declared
+    LHS → RHS dependency, the number of LHS groups, groups carrying
+    more than one RHS value (violations), rows inside violating
+    groups, and the worst per-group RHS cardinality — the schema-rule
+    profiling that decides whether a column is derivable (and so safe
+    to normalize out or impute from its determinant). Key-determined
+    FDs hold; independence candidates (lang→source, part→supplier,
+    customer→priority, user→event-type) fail, keeping both verdict
+    directions live.
+
+    Scale: each table is scanned once — same-table candidates share a
+    `stack` like `q_fk_discovery` — and the (candidate, lhs) grain
+    aggregate is map-side combinable with `count_distinct` partials,
+    and the verdict combine is bounded by the number of CANDIDATES.
+    At 100 TB the scan dominates; only (lhs, rhs-partial) pairs cross
+    the wire.
+    """
+    prep(spark)
+    by_table: dict[str, list[tuple[str, str, str]]] = {}
+    for cand, tbl, lhs, rhs in _FD_CANDIDATES:
+        by_table.setdefault(tbl, []).append((cand, lhs, rhs))
+    frames = []
+    for tbl, triples in by_table.items():
+        args = ", ".join(
+            f"'{cand}', CAST({lhs} AS STRING), CAST({rhs} AS STRING)"
+            for cand, lhs, rhs in triples
+        )
+        frames.append(
+            load(spark, sf_dir, tbl)
+            .selectExpr(f"stack({len(triples)}, {args}) AS (candidate, l, r)")
+            .where(F.col("l").isNotNull())
+        )
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    grp = t.groupBy("candidate", "l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.countDistinct("r").cast("bigint").alias("ndv"),
+    )
+    violating = F.sum(F.when(F.col("ndv") > 1, 1).otherwise(0))
+    return grp.groupBy("candidate").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        violating.cast("bigint").alias("violating_groups"),
+        F.sum(F.when(F.col("ndv") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("violation_rows"),
+        F.max("ndv").cast("bigint").alias("max_rhs_per_group"),
+        (violating == 0).alias("holds"),
+    )

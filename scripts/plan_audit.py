@@ -27,7 +27,7 @@ join or an unpartitioned window. Checks, per executed-plan tree:
                   re-reads the fact table (review rounds 3-4 each found
                   one of these by hand; this automates the grep).
 
-    python scripts/plan_audit.py [sf_dir] [--json out.json]
+    python scripts/plan_audit.py [sf_dir] [--json out.json] [--only regex]
 
 Exit 0 iff every finding is allowlisted. Runs the builders (sink/stream
 operators execute their writes) but never collects result rows.
@@ -457,6 +457,9 @@ def main() -> int:
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    only = None
+    if "--only" in sys.argv:  # iterate fast on a few names; gate runs all
+        only = re.compile(sys.argv[sys.argv.index("--only") + 1])
 
     from pyspark.sql import SparkSession
 
@@ -473,6 +476,8 @@ def main() -> int:
     report: dict[str, dict[str, list[str]]] = {}
     errors: dict[str, str] = {}
     for name, q in get_registry().items():
+        if only is not None and not only.search(name):
+            continue
         try:
             plan = (
                 q.builder(spark, sf_dir)
@@ -505,7 +510,9 @@ def main() -> int:
                 print(f"{kind.upper():14s} {name}: {it}")
     for name, e in sorted(errors.items()):
         print(f"{'ERROR':14s} {name}: {e[:160]}")
-    total = len(get_registry())
+    total = sum(
+        1 for n in get_registry() if only is None or only.search(n)
+    )
     print(
         f"findings: {sum(len(v) for v in report.values())} across "
         f"{len(report)} of {total} queries; {len(errors)} errors ({sf_dir})"
