@@ -2495,3 +2495,328 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM mfdb_listagg_nr GROUP BY r_name
         """
     )
+
+
+_COLLAPSE_K = 40  # keep the top-K categories, collapse the tail
+
+
+@register(
+    "q_rare_collapse",
+    oracle=f"""
+    WITH g AS (
+      SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM part GROUP BY 1, 2
+    ), topk AS (
+      SELECT p_brand, p_type FROM g
+      ORDER BY c DESC, p_brand, p_type LIMIT {_COLLAPSE_K}
+    )
+    SELECT CASE WHEN t.p_brand IS NOT NULL
+                THEN g.p_brand || '/' || g.p_type
+                ELSE '__other__' END AS category,
+           CAST(SUM(g.c) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) AS BIGINT) AS n_source_cats,
+           {R2('SUM(g.cents) / (100.0 * SUM(g.c))')} AS avg_price
+    FROM g LEFT JOIN topk t
+      ON g.p_brand = t.p_brand AND g.p_type = t.p_type
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("aggregate", "feature-eng", "category"),
+)
+def q_rare_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category collapse (the keep-top-K encoder step): the
+    brand × type cross feature keeps its {_COLLAPSE_K} most frequent
+    categories and folds the long tail into `__other__` — the
+    cardinality cap applied before one-hot/target encoding so unseen
+    or rare levels cannot blow up the feature space. Deterministic
+    boundary: ties at rank K break on (count DESC, brand, type).
+    106–150 source categories exist at the shipped SFs, so both the
+    kept and collapsed branches are always live.
+
+    Scale: one scan to the bounded (brand, type) grain (map-side
+    combined, exact integer cents); the top-K frame is
+    `orderBy().limit(K)` — TakeOrdered, never a global window — and
+    the membership join + re-aggregate run entirely on the
+    category-domain-bounded frame.
+    """
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100, 0).cast("bigint")
+    g = (
+        p.groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # top-K election + membership join
+    )
+    topk = (
+        g.orderBy(F.col("c").desc(), "p_brand", "p_type")
+        .limit(_COLLAPSE_K)
+        .select("p_brand", "p_type", F.lit(True).alias("kept"))
+    )
+    j = g.join(F.broadcast(topk), ["p_brand", "p_type"], "left")
+    category = F.when(
+        F.col("kept"), F.concat_ws("/", "p_brand", "p_type")
+    ).otherwise(F.lit("__other__"))
+    return j.groupBy(category.alias("category")).agg(
+        F.sum("c").cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_cats"),
+        r2(F.sum("cents") / (100.0 * F.sum("c"))).alias("avg_price"),
+    )
+
+
+_FHASH_B = 32  # 2^5 hash buckets; sign bit is hash bit 5
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH f AS (
+      SELECT feat, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT 'b=' || p_brand AS feat FROM part
+        UNION ALL
+        SELECT 't=' || p_type AS feat FROM part
+      ) GROUP BY 1
+    ), h AS (
+      SELECT feat, n,
+             CAST(('0x' || substr(md5(feat), 1, 12)) AS BIGINT) AS u
+      FROM f
+    ), b AS (
+      SELECT u % {_FHASH_B} AS bucket,
+             CAST(SUM(n) AS BIGINT) AS n_hits,
+             CAST(COUNT(*) AS BIGINT) AS n_feature_values,
+             CAST(SUM(CASE WHEN (u >> 5) & 1 = 0 THEN n ELSE -n END)
+                  AS BIGINT) AS signed_sum
+      FROM h GROUP BY 1
+    )
+    SELECT s.bucket,
+           COALESCE(n_hits, 0) AS n_hits,
+           COALESCE(n_feature_values, 0) AS n_feature_values,
+           COALESCE(signed_sum, 0) AS signed_sum,
+           COALESCE(n_feature_values, 0) > 1 AS collision
+    FROM (SELECT UNNEST(generate_series(0, {_FHASH_B - 1})) AS bucket) s
+    LEFT JOIN b ON b.bucket = s.bucket
+    """,
+    priority="P2",
+    tags=("aggregate", "feature-eng", "hashing"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009):
+    categorical features (brand, type) hash into {_FHASH_B} buckets
+    with a ±1 sign bit, producing the signed per-bucket accumulator a
+    linear model trains on — no vocabulary, fixed width, collisions
+    accounted (`collision` = bucket carries >1 distinct source value;
+    the signed sum is the trick's unbiasedness device). Dense spine:
+    every bucket row exists even when nothing hashed into it (zero
+    hits keep the vector width honest — house curve/report rule).
+
+    Determinism: u = first 12 hex chars of md5(feature string), the
+    KMV device; bucket = u mod B, sign = hash bit 5 — exact integer
+    arithmetic, bit-identical in both engines.
+
+    Scale: one pass per feature column folded into a single union scan
+    (column-pruned), map-side combined to the bounded feature-value
+    grain BEFORE hashing, so the bucket aggregate sees vocabulary-
+    not row-count; the spine join is a {_FHASH_B}-row broadcast.
+    """
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    feats = p.selectExpr(
+        "stack(2, concat('b=', p_brand), concat('t=', p_type)) AS (feat)"
+    )
+    f = feats.groupBy("feat").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    u = F.conv(F.substring(F.md5(F.col("feat")), 1, 12), 16, 10).cast("bigint")
+    h = f.select("feat", "n", u.alias("u"))
+    sign_neg = F.shiftright(F.col("u"), 5) % 2 == 1
+    b = h.groupBy((F.col("u") % _FHASH_B).alias("bucket")).agg(
+        F.sum("n").cast("bigint").alias("n_hits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_feature_values"),
+        F.sum(F.when(sign_neg, -F.col("n")).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("signed_sum"),
+    )
+    spine = spark.range(_FHASH_B).select(F.col("id").alias("bucket"))
+    return spine.join(F.broadcast(b), "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce("n_feature_values", F.lit(0))
+        .cast("bigint")
+        .alias("n_feature_values"),
+        F.coalesce("signed_sum", F.lit(0)).cast("bigint").alias("signed_sum"),
+        (F.coalesce("n_feature_values", F.lit(0)) > 1).alias("collision"),
+    )
+
+
+# q_sketch_set_ops reuses the KMV device (_KMV_K, _KMV_SPACE, md5
+# 12-hex) — same sketch, different algebra: union via merged bottom-k,
+# intersection via inclusion-exclusion on the ROUNDED estimates.
+_SKO_U = "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT)"
+_SKO_EST = f"COALESCE(({_KMV_K} - 1) * {_KMV_SPACE!r} / uk, n_exact * 1.0)"
+
+
+@register(
+    "q_sketch_set_ops",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT o_orderstatus AS st, o_custkey, {_SKO_U} AS u
+      FROM orders
+    ), per AS (
+      SELECT st, CAST(COUNT(*) AS BIGINT) AS n_exact FROM d GROUP BY st
+    ), kth AS (
+      SELECT st, u AS uk FROM (
+        SELECT st, u, row_number() OVER (PARTITION BY st
+          ORDER BY u, o_custkey) AS rn FROM d
+      ) WHERE rn = {_KMV_K}
+    ), leg AS (
+      SELECT per.st, n_exact, uk, {R4(_SKO_EST)} AS est
+      FROM per LEFT JOIN kth USING (st)
+    ), pairs AS (
+      SELECT a.st AS sa, b.st AS sb, a.n_exact AS exact_a,
+             b.n_exact AS exact_b, a.est AS est_a, b.est AS est_b
+      FROM leg a JOIN leg b ON a.st < b.st
+    ), ud AS (
+      SELECT p.sa, p.sb, d.o_custkey, d.u
+      FROM pairs p JOIN d ON d.st IN (p.sa, p.sb)
+      GROUP BY 1, 2, 3, 4
+    ), uper AS (
+      SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM ud GROUP BY 1, 2
+    ), ukth AS (
+      SELECT sa, sb, u AS uk FROM (
+        SELECT sa, sb, u, row_number() OVER (PARTITION BY sa, sb
+          ORDER BY u, o_custkey) AS rn FROM ud
+      ) WHERE rn = {_KMV_K}
+    ), un AS (
+      SELECT uper.sa, uper.sb, n_exact AS exact_union,
+             {R4(_SKO_EST)} AS est_union
+      FROM uper LEFT JOIN ukth USING (sa, sb)
+    ), inter AS (
+      SELECT a.st AS sa, b.st AS sb, CAST(COUNT(*) AS BIGINT)
+        AS exact_intersect
+      FROM d a JOIN d b
+        ON a.o_custkey = b.o_custkey AND a.st < b.st
+      GROUP BY 1, 2
+    )
+    SELECT p.sa || '&' || p.sb AS pair,
+           exact_a, exact_b, exact_union,
+           COALESCE(exact_intersect, 0) AS exact_intersect,
+           est_a, est_b, est_union,
+           {R4('est_a + est_b - est_union')} AS est_intersect
+    FROM pairs p
+    JOIN un ON un.sa = p.sa AND un.sb = p.sb
+    LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+    """,
+    priority="P2",
+    tags=("aggregate", "sketch", "setops"),
+)
+def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on KMV distinct sketches: for every pair of order
+    statuses, the estimated distinct-customer size of each side, of
+    their UNION (bottom-k of the pooled sketch — the mergeability that
+    makes KMV a one-pass distributed structure), and of their
+    INTERSECTION via inclusion–exclusion on the rounded estimates —
+    each beside its exact truth. The exact legs double as the oracle
+    for the estimator's accuracy; the sub-k regime null-guards `uk`
+    and falls back to the exact count (same review-hardened rule as
+    `q_agg_kmv_distinct`, pinned by a tiny-parquet law test).
+
+    Scale: one distinct shuffle to (status, custkey) grain feeds
+    every leg off a checkpoint; per-set and per-pair kth-minima are
+    windows over STATUS-bounded groups (3 statuses / 3 pairs); the
+    exact-intersection self-join runs on the deduplicated key grain.
+    At 100 TB only k hashes per set cross the wire for the sketch
+    legs — the point of the sketch; the exact legs are the audit.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    d = (
+        o.select(F.col("o_orderstatus").alias("st"), "o_custkey")
+        .distinct()
+        .select("st", "o_custkey", u.alias("u"))
+        .localCheckpoint(eager=False)  # per-set, union, intersect legs
+    )
+    per = d.groupBy("st").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    w = Window.partitionBy("st").orderBy("u", "o_custkey")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == _KMV_K)
+        .select("st", F.col("u").alias("uk"))
+    )
+    est = r4(
+        F.coalesce(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SPACE) / F.col("uk"),
+            F.col("n_exact") * 1.0,
+        )
+    )
+    leg = per.join(kth, "st", "left").select("st", "n_exact", est.alias("est"))
+    a, b = leg.alias("a"), leg.alias("b")
+    pairs = a.join(b, F.col("a.st") < F.col("b.st")).select(
+        F.col("a.st").alias("sa"),
+        F.col("b.st").alias("sb"),
+        F.col("a.n_exact").alias("exact_a"),
+        F.col("b.n_exact").alias("exact_b"),
+        F.col("a.est").alias("est_a"),
+        F.col("b.est").alias("est_b"),
+    )
+    ud = (
+        F.broadcast(pairs.select("sa", "sb"))
+        .join(d, (d["st"] == F.col("sa")) | (d["st"] == F.col("sb")))
+        .select("sa", "sb", "o_custkey", "u")
+        .distinct()
+    )
+    uper = ud.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    wu = Window.partitionBy("sa", "sb").orderBy("u", "o_custkey")
+    ukth = (
+        ud.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") == _KMV_K)
+        .select("sa", "sb", F.col("u").alias("uk"))
+    )
+    un = (
+        uper.join(ukth, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            F.col("n_exact").alias("exact_union"),
+            est.alias("est_union"),
+        )
+    )
+    da, db = d.alias("da"), d.alias("db")
+    inter = (
+        da.join(
+            db,
+            (F.col("da.o_custkey") == F.col("db.o_custkey"))
+            & (F.col("da.st") < F.col("db.st")),
+        )
+        .groupBy(F.col("da.st").alias("sa"), F.col("db.st").alias("sb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersect"))
+    )
+    out = (
+        pairs.join(un, ["sa", "sb"])
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.concat_ws("&", "sa", "sb").alias("pair"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            F.coalesce("exact_intersect", F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersect"),
+            "est_a",
+            "est_b",
+            "est_union",
+            r4(F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersect"
+            ),
+        )
+    )
+    return out

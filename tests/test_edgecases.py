@@ -583,3 +583,38 @@ def test_anneal_mix_budgets_exact(spark):
     assert all(
         r["anneal_alloc"] == 0 for r in rows if not r["is_anneal_source"]
     )
+
+
+def test_sketch_set_ops_sub_k_is_exact(spark, tmp_path):
+    """With every status set below k=32 distinct customers, all three
+    KMV legs (per-set, union) must enter the exact regime, so the
+    inclusion-exclusion estimate equals the exact intersection — the
+    same null-guarded sub-k rule as q_agg_kmv_distinct, here exercised
+    across the set-algebra path."""
+    import datetime
+
+    from modforms_db_spark.operators.aggregates import q_sketch_set_ops
+
+    rows = [
+        (i, i, "F", 100.0, datetime.date(1995, 1, 1), "1-URGENT")
+        for i in range(10)
+    ] + [
+        (100 + i, 5 + i, "O", 100.0, datetime.date(1995, 2, 1), "1-URGENT")
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = q_sketch_set_ops(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pair"] == "F&O"
+    assert (r["exact_a"], r["exact_b"]) == (10, 10)
+    assert r["exact_union"] == 15
+    assert r["exact_intersect"] == 5
+    assert r["est_a"] == 10.0 and r["est_b"] == 10.0
+    assert r["est_union"] == 15.0
+    assert r["est_intersect"] == 5.0
