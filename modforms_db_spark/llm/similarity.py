@@ -1697,3 +1697,297 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.coalesce(1.0 / F.col("first_rel_rank"), F.lit(0.0))).alias("rr"),
         r4(F.col("n_rel_at_k") / 5.0).alias("p_at_k"),
     )
+
+
+_RC_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "q_ivf_recall_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+    cc AS (
+      SELECT e.vec_id, c.cid, {_IVF_COS} AS cs,
+             row_number() OVER (
+               PARTITION BY e.vec_id ORDER BY {_IVF_COS} DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN c
+    ),
+    asg AS (SELECT vec_id, cid FROM cc WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS q_id, cid, rn AS rcell FROM cc
+      WHERE vec_id < 20 AND rn <= {max(_RC_NPROBES)}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id AS nb_id, p.rcell
+      FROM probe p JOIN asg a ON p.cid = a.cid
+      WHERE a.vec_id != p.q_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.nb_id, cand.rcell,
+             round(list_cosine_similarity(q.emb, n.emb), 4) AS cos4
+      FROM cand
+      JOIN e q ON cand.q_id = q.vec_id
+      JOIN e n ON cand.nb_id = n.vec_id
+    ),
+    nps AS (SELECT UNNEST({list(_RC_NPROBES)}) AS nprobe),
+    ivf5 AS (
+      SELECT nprobe, q_id, nb_id FROM (
+        SELECT n.nprobe, s.q_id, s.nb_id, row_number() OVER (
+          PARTITION BY n.nprobe, s.q_id ORDER BY s.cos4 DESC, s.nb_id
+        ) AS rn
+        FROM scored s JOIN nps n ON s.rcell <= n.nprobe
+      ) WHERE rn <= 5
+    ),
+    ex AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+             round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4
+      FROM (SELECT * FROM e WHERE vec_id < 20) a
+      JOIN e b ON a.vec_id != b.vec_id
+    ),
+    exact5 AS (
+      SELECT q_id, nb_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos4 DESC, nb_id
+        ) AS rn FROM ex
+      ) WHERE rn <= 5
+    ),
+    m AS (
+      SELECT nprobe, q_id, CAST(COUNT(*) AS BIGINT) AS matched
+      FROM ivf5 JOIN exact5 USING (q_id, nb_id) GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT n.nprobe, q.q_id
+      FROM nps n CROSS JOIN (SELECT DISTINCT q_id FROM probe) q
+    )
+    SELECT CAST(g.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           {R4('SUM(COALESCE(matched, 0)) / (5.0 * COUNT(*))')}
+             AS mean_recall,
+           CAST(MIN(COALESCE(matched, 0)) AS BIGINT) AS min_matched,
+           CAST(SUM(CASE WHEN COALESCE(matched, 0) = 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS full_recall_queries
+    FROM g LEFT JOIN m ON g.nprobe = m.nprobe AND g.q_id = m.q_id
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "ivf", "evaluation"),
+)
+def q_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5-vs-nprobe curve for the IVF index: the tuning report an
+    ANN deployment reads to pick its probe budget — per nprobe ∈
+    {_RC_NPROBES}, mean recall of IVF top-5 against the exact top-5,
+    the worst query's match count, and how many queries achieve full
+    recall (`q_lsh_pr_curve`'s role for the IVF scale path; recall is
+    monotone in nprobe by construction — law-test pinned). Candidates
+    are generated ONCE at the largest nprobe with their cell rank
+    attached; each curve point is a filter, not a re-probe.
+
+    Scale: embeddings scanned once into a checkpoint that feeds the
+    quantizer, assignment, probe, candidate, and exact legs;
+    assignment is the grouped `max_by` over the narrow
+    :func:`ivf_cell_cs` frame (`q_sim_ivf_topk` discipline); the
+    exact-baseline leg broadcasts the 20-query batch; every window
+    partitions per (nprobe, query). The curve frame is bounded by
+    nprobes × queries, not corpus size.
+    """
+    prep(spark)
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("nrm", _norm("emb"))
+        .localCheckpoint(eager=False)  # quantizer + asg + probe + exact legs
+    )
+    c = ivf_centroids(e)
+    asg_ids = (
+        ivf_cell_cs(e, c)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cid", F.struct(F.col("cs"), (-F.col("cid")).alias("nc"))
+            ).alias("cid")
+        )
+    )
+    asg = e.join(asg_ids, "vec_id")
+    eq = e.where(F.col("vec_id") < 20)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
+    probe = (
+        ivf_cell_cs(eq, c)
+        .withColumn("rcell", F.row_number().over(wq))
+        .where(F.col("rcell") <= max(_RC_NPROBES))
+        .select(F.col("vec_id").alias("q_id"), "cid", "rcell")
+    )
+    cand = asg.join(F.broadcast(probe), "cid").where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    qe = eq.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            "rcell",
+            F.round(
+                _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+            ).alias("cos4"),
+        )
+        .localCheckpoint(eager=False)  # one probe pass, four curve points
+    )
+    nps = F.explode(
+        F.array(*[F.lit(p) for p in _RC_NPROBES])
+    ).alias("nprobe")
+    wr = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos4"), F.asc("nb_id")
+    )
+    ivf5 = (
+        scored.select("q_id", "nb_id", "cos4", "rcell", nps)
+        .where(F.col("rcell") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 5)
+        .select("nprobe", "q_id", "nb_id")
+    )
+    ex = e.crossJoin(F.broadcast(qe)).where(F.col("vec_id") != F.col("q_id"))
+    wx = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    exact5 = (
+        ex.select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            F.round(
+                _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+            ).alias("cos4"),
+        )
+        .withColumn("rn", F.row_number().over(wx))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id")
+    )
+    m = ivf5.join(exact5, ["q_id", "nb_id"]).groupBy("nprobe", "q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("matched")
+    )
+    grid = (
+        probe.select("q_id")
+        .distinct()
+        .select("q_id", nps)
+        .join(m, ["nprobe", "q_id"], "left")
+        .select(
+            "nprobe",
+            "q_id",
+            F.coalesce("matched", F.lit(0)).alias("matched"),
+        )
+    )
+    return grid.groupBy(F.col("nprobe").cast("bigint").alias("nprobe")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        r4(F.sum("matched") / (5.0 * F.count(F.lit(1)))).alias("mean_recall"),
+        F.min("matched").cast("bigint").alias("min_matched"),
+        F.sum(F.when(F.col("matched") == 5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("full_recall_queries"),
+    )
+
+
+_HUB_Q = 200  # query batch: vec_id < 200
+_HUB_K = 5  # top-k lists whose membership is counted
+_HUB_CAP = 6  # histogram overflow bucket: occurrences >= cap pool here
+
+
+@register(
+    "q_hubness_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+             round(list_cosine_similarity(a.emb, b.emb), 4) AS cos4
+      FROM (SELECT * FROM e WHERE vec_id < {_HUB_Q}) a
+      JOIN e b ON a.vec_id != b.vec_id
+    ),
+    top5 AS (
+      SELECT nb_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY cos4 DESC, nb_id
+        ) AS rn FROM p
+      ) WHERE rn <= {_HUB_K}
+    ),
+    occ AS (
+      SELECT e.vec_id,
+             CAST(COALESCE(o.n, 0) AS BIGINT) AS n_occ
+      FROM e LEFT JOIN (
+        SELECT nb_id, COUNT(*) AS n FROM top5 GROUP BY 1
+      ) o ON e.vec_id = o.nb_id
+    ),
+    hist AS (
+      SELECT CASE WHEN n_occ >= {_HUB_CAP} THEN {_HUB_CAP}
+                  ELSE n_occ END AS occ_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(MAX(n_occ) AS BIGINT) AS max_occ
+      FROM occ GROUP BY 1
+    )
+    SELECT CAST(s.occ_bucket AS BIGINT) AS occ_bucket,
+           COALESCE(n_vectors, 0) AS n_vectors,
+           COALESCE(max_occ, 0) AS max_occ
+    FROM (SELECT UNNEST(generate_series(0, {_HUB_CAP})) AS occ_bucket) s
+    LEFT JOIN hist ON hist.occ_bucket = s.occ_bucket
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "evaluation"),
+)
+def q_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al. 2010): the k-occurrence
+    distribution of the embedding space — for each vector, how many of
+    the {_HUB_Q}-query exact top-{_HUB_K} lists it appears in, bucketed
+    into a dense 0..{_HUB_CAP}+ histogram (max occurrence per bucket
+    rides along). High-dimensional spaces grow "hubs" that appear in
+    a disproportionate share of neighbor lists and antihubs that never
+    do — skew here predicts degraded retrieval quality and biased
+    kNN labels, which is why the audit runs before shipping an
+    embedding version (`q_retrieval_metrics`' geometric sibling).
+
+    Scale: the query batch broadcasts against a single corpus scan
+    (`q_sim_cosine_topk` contract); occurrence counting is a map-side
+    combinable aggregate on the top-k lists (n_queries × k rows); the
+    spine join is a {_HUB_CAP + 1}-row broadcast. The corpus-side left
+    join keeps antihubs (occurrence 0) visible — the bucket the audit
+    exists to find.
+    """
+    prep(spark)
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("nrm", _norm("emb"))
+        .localCheckpoint(eager=False)  # query batch + corpus + antihub legs
+    )
+    q = e.where(F.col("vec_id") < _HUB_Q).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    top5 = (
+        pairs.select("q_id", F.col("vec_id").alias("nb_id"), cos4)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HUB_K)
+    )
+    occ_counts = top5.groupBy("nb_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    occ = e.select("vec_id").join(occ_counts, e["vec_id"] == occ_counts["nb_id"], "left").select(
+        "vec_id", F.coalesce("n", F.lit(0)).cast("bigint").alias("n_occ")
+    )
+    bucket = F.when(
+        F.col("n_occ") >= _HUB_CAP, F.lit(_HUB_CAP)
+    ).otherwise(F.col("n_occ"))
+    hist = occ.groupBy(bucket.alias("occ_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.max("n_occ").cast("bigint").alias("max_occ"),
+    )
+    spine = spark.range(_HUB_CAP + 1).select(F.col("id").alias("occ_bucket"))
+    return spine.join(F.broadcast(hist), "occ_bucket", "left").select(
+        F.col("occ_bucket").cast("bigint").alias("occ_bucket"),
+        F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
+        F.coalesce("max_occ", F.lit(0)).cast("bigint").alias("max_occ"),
+    )

@@ -756,3 +756,49 @@ def test_semantic_dedup_laws(spark):
     assert same_cluster, "no exact pair co-clustered — soundness check vacuous"
     for a, b in same_cluster:
         assert keeper[a] == keeper[b], (a, b, keeper[a], keeper[b])
+
+
+def test_ivf_recall_curve_monotone_and_bounded(spark):
+    """Recall@5 must be monotone non-decreasing in nprobe (each curve
+    point's candidate set contains the previous one's) and every mean
+    recall sits in [0, 1]; the largest probe budget must beat the
+    smallest unless the smallest is already perfect."""
+    rows = {
+        r.nprobe: r
+        for r in get_registry()["q_ivf_recall_curve"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8]
+    prev = -1.0
+    for p in [1, 2, 4, 8]:
+        r = rows[p]
+        assert 0.0 <= r.mean_recall <= 1.0
+        assert r.mean_recall >= prev
+        assert 0 <= r.min_matched <= 5
+        assert 0 <= r.full_recall_queries <= r.n_queries
+        prev = r.mean_recall
+    if rows[1].mean_recall < 1.0:
+        assert rows[8].mean_recall > rows[1].mean_recall
+
+
+def test_hubness_mass_conservation(spark):
+    """The k-occurrence histogram must partition the corpus: bucket
+    populations sum to the vector count, bucket 0 counts the antihubs,
+    and every bucket's max occurrence is consistent with its label."""
+    rows = {
+        r.occ_bucket: r
+        for r in get_registry()["q_hubness_audit"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert sorted(rows) == list(range(7))
+    from modforms_db_spark.io import load
+
+    n_vecs = load(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vectors for r in rows.values()) == n_vecs
+    for b, r in rows.items():
+        if b < 6 and r.n_vectors > 0:
+            assert r.max_occ == b
+        if b == 6 and r.n_vectors > 0:
+            assert r.max_occ >= 6
