@@ -1954,3 +1954,78 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("distinct_sensitive")
     )
     return agg.crossJoin(F.broadcast(gl))
+
+
+_DP_B = 1.0  # Laplace scale b = sensitivity/epsilon = 1/1 for counts
+_DP_SPACE = float(1 << 48)  # md5 12-hex hash space, the KMV device
+
+
+@register(
+    "q_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT {_QI_COLS[0]}, {_QI_COLS[1]},
+             CAST(COUNT(*) AS BIGINT) AS true_n
+      FROM customer GROUP BY 1, 2
+    ), h AS (
+      SELECT {_QI_COLS[0]}, {_QI_COLS[1]}, true_n,
+             (CAST(('0x' || substr(md5(CAST({_QI_COLS[0]} AS VARCHAR)
+                 || '|' || {_QI_COLS[1]}), 1, 12)) AS BIGINT) + 0.5)
+               / {_DP_SPACE!r} AS u
+      FROM g
+    ), n AS (
+      SELECT {_QI_COLS[0]}, {_QI_COLS[1]}, true_n,
+             {R4(f'-{_DP_B!r} * LN(1.0 - 2.0 * ABS(u - 0.5))'
+                 ' * CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END')} AS noise
+      FROM h
+    )
+    SELECT {_QI_COLS[0]}, {_QI_COLS[1]}, true_n, noise,
+           {R4('true_n + noise')} AS noisy_n,
+           ABS(noise) <= {_DP_B!r} * LN(20.0) AS within_eps_bound
+    FROM n
+    """,
+    priority="P2",
+    tags=("curation", "privacy", "audit"),
+)
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the quasi-identifier class
+    counts (same `_QI_COLS` grain as `q_k_anonymity`/`q_l_diversity`):
+    each count carries Laplace(b = {_DP_B}) noise — sensitivity 1,
+    ε = 1 — via the inverse-CDF transform x = −b·sgn(u−½)·ln(1−2|u−½|).
+    The house determinism contract applies: u is a pure function of
+    the class key (md5 12-hex → (0,1), the KMV device), so the release
+    is reproducible cross-engine — a production release swaps in a
+    sealed random seed, same plan. `within_eps_bound` marks noise
+    inside the 95% Laplace envelope b·ln(20) (tail draws surface as
+    FALSE — 4–5 classes at every shipped SF, so the magnitude audit a
+    DP release logs stays live in both directions).
+
+    Scale: one map-side-combined aggregate to the bounded QI grain,
+    then per-row scalar math — noise injection costs nothing at any
+    corpus size; the release table is bounded by the QI domain.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy(*_QI_COLS).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    key = F.concat_ws(
+        "|", F.col(_QI_COLS[0]).cast("string"), F.col(_QI_COLS[1])
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("bigint") + 0.5
+    ) / _DP_SPACE
+    noise = r4(
+        -_DP_B
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+    )
+    import math
+
+    return g.select(
+        *_QI_COLS,
+        "true_n",
+        noise.alias("noise"),
+        r4(F.col("true_n") + noise).alias("noisy_n"),
+        (F.abs(noise) <= _DP_B * math.log(20.0)).alias("within_eps_bound"),
+    )

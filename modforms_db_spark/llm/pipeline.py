@@ -1242,3 +1242,176 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wall)
         ).alias("ece"),
     )
+
+
+# q_filter_ensemble treats five shipped filter rules as independent
+# raters and reports their agreement. The rules import the SAME
+# constants as their source operators (_GOPHER_*, _BADWORDS) — an
+# inline copy would silently ensemble a stale rule (house shared-rule
+# discipline).
+_ENS_RATERS = 5
+_ENS_MAJORITY = 3
+
+
+@register(
+    "q_filter_ensemble",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS BIGINT) AS n_words,
+             {R4("list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)")}
+               AS mwl,
+             CAST(len(list_filter(w, x -> x IN ({_GOPHER_STOP_SQL})))
+               AS BIGINT) AS n_stop,
+             {R4("len(list_distinct(w)) * 1.0 / len(w)")} AS uniq_frac,
+             CAST(len(list_filter(w, x -> x IN ('slow', 'big')))
+               AS BIGINT) AS n_bad
+      FROM t
+    ), v AS (
+      SELECT source,
+             CASE WHEN n_words BETWEEN {_GOPHER_WC_LO} AND {_GOPHER_WC_HI}
+                  THEN 1 ELSE 0 END AS p1,
+             CASE WHEN mwl BETWEEN {_GOPHER_MWL_LO} AND {_GOPHER_MWL_HI}
+                  THEN 1 ELSE 0 END AS p2,
+             CASE WHEN n_stop >= {_GOPHER_MIN_STOP} THEN 1 ELSE 0 END AS p3,
+             CASE WHEN uniq_frac >= {_GOPHER_MIN_UNIQ} THEN 1 ELSE 0 END AS p4,
+             CASE WHEN n_bad = 0 THEN 1 ELSE 0 END AS p5
+      FROM s
+    ), d AS (
+      SELECT source, p1, p2, p3, p4, p5,
+             p1 + p2 + p3 + p4 + p5 AS votes
+      FROM v
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(p1) AS BIGINT) AS pass_word_count,
+             CAST(SUM(p2) AS BIGINT) AS pass_word_len,
+             CAST(SUM(p3) AS BIGINT) AS pass_stopwords,
+             CAST(SUM(p4) AS BIGINT) AS pass_uniq,
+             CAST(SUM(p5) AS BIGINT) AS pass_badwords,
+             CAST(SUM(CASE WHEN votes = {_ENS_RATERS} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pass_all_docs,
+             CAST(SUM(CASE WHEN votes >= {_ENS_MAJORITY} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pass_majority_docs,
+             CAST(SUM(votes) AS BIGINT) AS sum_v,
+             CAST(SUM(votes * votes) AS BIGINT) AS sum_v2
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, pass_word_count, pass_word_len, pass_stopwords,
+           pass_uniq, pass_badwords, pass_all_docs, pass_majority_docs,
+           {R4(f'sum_v / ({_ENS_RATERS}.0 * n_docs) * {_ENS_RATERS}')}
+             AS mean_votes,
+           CASE WHEN POW(sum_v / ({_ENS_RATERS}.0 * n_docs), 2)
+                     + POW(1.0 - sum_v / ({_ENS_RATERS}.0 * n_docs), 2) = 1.0
+                THEN NULL
+                ELSE {R4(
+                    f'((2.0 * sum_v2 - 10.0 * sum_v + 20.0 * n_docs)'
+                    f' / (20.0 * n_docs)'
+                    f' - (POW(sum_v / ({_ENS_RATERS}.0 * n_docs), 2)'
+                    f'    + POW(1.0 - sum_v / ({_ENS_RATERS}.0 * n_docs), 2)))'
+                    f' / (1.0 - (POW(sum_v / ({_ENS_RATERS}.0 * n_docs), 2)'
+                    f'    + POW(1.0 - sum_v / ({_ENS_RATERS}.0 * n_docs), 2)))'
+                )} END AS fleiss_kappa
+    FROM agg
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "filter", "quality"),
+)
+def q_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble agreement report: five shipped quality rules —
+    Gopher's four (word count, mean word length, stopwords, distinct
+    fraction; SAME `_GOPHER_*` constants as `q_gopher_rules`) plus the
+    strict badwords rule (SAME `_BADWORDS` as `q_badwords_filter`) —
+    treated as independent raters per document. Per source: each
+    rule's pass count, unanimous and majority-vote keep counts, mean
+    votes, and Fleiss' kappa (1971) over the five raters — the
+    filter-disagreement diagnostic a curation pipeline reads before
+    deciding whether to AND its rules (unanimity) or vote them
+    (majority): kappa near 0 means the rules cut along independent
+    axes and AND-ing multiplies their losses.
+
+    Kappa is computed from three exact BIGINT scalars (n, Σv, Σv²):
+    P̄ = (2Σv² − 10Σv + 20n)/(20n) for 5 raters × 2 categories, with
+    the Pe = 1 degenerate case (all raters unanimous on every doc)
+    null-guarded. r4 rounds only the final statistic.
+
+    Scale: one scan-side pass computes every rule (array folds, no
+    explode), then ONE map-side-combined aggregation to the source
+    grain — the ensemble costs the same single pass as its cheapest
+    member; adding raters adds columns, not shuffles.
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    w = F.split("text", " ")
+    s = d.select(
+        "source",
+        F.size(w).cast("bigint").alias("n_words"),
+        r4(
+            F.aggregate(
+                F.transform(w, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            * 1.0
+            / F.size(w)
+        ).alias("mwl"),
+        F.size(F.filter(w, lambda x: x.isin(*_GOPHER_STOPWORDS)))
+        .cast("bigint")
+        .alias("n_stop"),
+        r4(F.size(F.array_distinct(w)) * 1.0 / F.size(w)).alias("uniq_frac"),
+        F.size(F.filter(w, lambda x: x.isin(*_BADWORDS)))
+        .cast("bigint")
+        .alias("n_bad"),
+    )
+    p1 = F.col("n_words").between(_GOPHER_WC_LO, _GOPHER_WC_HI).cast("int")
+    p2 = F.col("mwl").between(_GOPHER_MWL_LO, _GOPHER_MWL_HI).cast("int")
+    p3 = (F.col("n_stop") >= _GOPHER_MIN_STOP).cast("int")
+    p4 = (F.col("uniq_frac") >= _GOPHER_MIN_UNIQ).cast("int")
+    p5 = (F.col("n_bad") == 0).cast("int")
+    v = s.select(
+        "source",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        p3.alias("p3"),
+        p4.alias("p4"),
+        p5.alias("p5"),
+        (p1 + p2 + p3 + p4 + p5).alias("votes"),
+    )
+    agg = v.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p1").cast("bigint").alias("pass_word_count"),
+        F.sum("p2").cast("bigint").alias("pass_word_len"),
+        F.sum("p3").cast("bigint").alias("pass_stopwords"),
+        F.sum("p4").cast("bigint").alias("pass_uniq"),
+        F.sum("p5").cast("bigint").alias("pass_badwords"),
+        F.sum(F.when(F.col("votes") == _ENS_RATERS, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pass_all_docs"),
+        F.sum(F.when(F.col("votes") >= _ENS_MAJORITY, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pass_majority_docs"),
+        F.sum("votes").cast("bigint").alias("sum_v"),
+        F.sum(F.col("votes") * F.col("votes")).cast("bigint").alias("sum_v2"),
+    )
+    p = F.col("sum_v") / (float(_ENS_RATERS) * F.col("n_docs"))
+    pe = F.pow(p, 2) + F.pow(1.0 - p, 2)
+    pbar = (
+        2.0 * F.col("sum_v2") - 10.0 * F.col("sum_v") + 20.0 * F.col("n_docs")
+    ) / (20.0 * F.col("n_docs"))
+    return agg.select(
+        "source",
+        "n_docs",
+        "pass_word_count",
+        "pass_word_len",
+        "pass_stopwords",
+        "pass_uniq",
+        "pass_badwords",
+        "pass_all_docs",
+        "pass_majority_docs",
+        r4(p * _ENS_RATERS).alias("mean_votes"),
+        F.when(pe == 1.0, F.lit(None).cast("double"))
+        .otherwise(r4((pbar - pe) / (1.0 - pe)))
+        .alias("fleiss_kappa"),
+    )
