@@ -594,3 +594,264 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.desc("jaccard"), "x", "y"))
     )
+
+
+_HITS_ITERS = 3
+_HITS_TOP = 20
+
+
+def _hits_oracle_iteration(prev_hub: str, k: int) -> str:
+    """One unrolled HITS round: authority update from the previous hub
+    vector, L1 normalization, then the hub update from the new
+    authorities — every sum and quotient rounded at 10 dp (module
+    determinism rule)."""
+    return f"""
+    authraw{k} AS (
+      SELECT e.dst AS node, {R("SUM(h.score * e.w)", 10)} AS raw
+      FROM edges e JOIN {prev_hub} h ON e.src = h.node
+      GROUP BY e.dst
+    ),
+    authsum{k} AS (SELECT {R("SUM(raw)", 10)} AS s FROM authraw{k}),
+    auth{k} AS (
+      SELECT node, {R("raw / s", 10)} AS score
+      FROM authraw{k} CROSS JOIN authsum{k}
+    ),
+    hubraw{k} AS (
+      SELECT e.src AS node, {R("SUM(a.score * e.w)", 10)} AS raw
+      FROM edges e JOIN auth{k} a ON e.dst = a.node
+      GROUP BY e.src
+    ),
+    hubsum{k} AS (SELECT {R("SUM(raw)", 10)} AS s FROM hubraw{k}),
+    hub{k} AS (
+      SELECT node, {R("raw / s", 10)} AS score
+      FROM hubraw{k} CROSS JOIN hubsum{k}
+    )"""
+
+
+_HITS_ORACLE = (
+    """
+    WITH edges AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst,
+             COUNT(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ),
+    hub0 AS (SELECT DISTINCT src AS node, 1.0 AS score FROM edges),"""
+    + ",".join(
+        _hits_oracle_iteration(f"hub{k - 1}" if k > 1 else "hub0", k)
+        for k in range(1, _HITS_ITERS + 1)
+    )
+    + f"""
+    SELECT role, node, score, rn FROM (
+      SELECT 'hub' AS role, node, score,
+             row_number() OVER (ORDER BY score DESC, node) AS rn
+      FROM hub{_HITS_ITERS}
+    ) WHERE rn <= {_HITS_TOP}
+    UNION ALL
+    SELECT role, node, score, rn FROM (
+      SELECT 'authority' AS role, node, score,
+             row_number() OVER (ORDER BY score DESC, node) AS rn
+      FROM auth{_HITS_ITERS}
+    ) WHERE rn <= {_HITS_TOP}
+    """
+)
+
+
+@register(
+    "q_hits_scores",
+    oracle=_HITS_ORACLE,
+    priority="P2",
+    tags=("graph", "iterative", "hits"),
+)
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the customer→supplier purchase graph:
+    {_HITS_ITERS} rounds of the mutual hub/authority reinforcement —
+    auth(d) = Σ hub(src)·w then hub(s) = Σ auth(dst)·w, each vector
+    L1-normalized per half-round — returning the top-{_HITS_TOP} hubs
+    (customers whose purchases concentrate on authoritative suppliers)
+    and authorities (suppliers drawing the heaviest hub flow). The
+    second eigen-flavored ranking next to `q_pagerank` on the same
+    edge list: PageRank mixes a teleport term, HITS is the pure
+    bipartite power iteration, so the two orderings disagree exactly
+    where purchase concentration and breadth diverge.
+
+    Determinism: every sum and quotient r10-rounded per half-round on
+    both engines (module rule); the oracle unrolls the iterations as
+    chained CTEs.
+
+    Scale: the edge build is ONE shuffle (same checkpointed frame
+    pattern as `q_pagerank`); each half-round is an edges⋈scores join
+    on one side's key + a groupBy on the other — the Pregel exchange —
+    with 1-row broadcast normalizers; score state stays distributed,
+    lineage cut per round. Top lists are two `orderBy().limit()`
+    TakeOrdered legs, never a data-sized window.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    ).localCheckpoint(eager=False)  # reused every half-round
+    hub = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(1.0).alias("score"))
+    ).localCheckpoint(eager=False)
+    auth = None
+    for _ in range(_HITS_ITERS):
+        authraw = (
+            edges.join(hub, edges.src == hub.node)
+            .groupBy(F.col("dst").alias("anode"))
+            .agg(F.round(F.sum(F.col("score") * F.col("w")), 10).alias("raw"))
+        )
+        asum = authraw.agg(F.round(F.sum("raw"), 10).alias("s"))
+        auth = authraw.crossJoin(F.broadcast(asum)).select(
+            F.col("anode").alias("node"),
+            F.round(F.col("raw") / F.col("s"), 10).alias("score"),
+        ).localCheckpoint(eager=False)
+        hubraw = (
+            edges.join(auth, edges.dst == auth.node)
+            .groupBy(F.col("src").alias("hnode"))
+            .agg(F.round(F.sum(F.col("score") * F.col("w")), 10).alias("raw"))
+        )
+        hsum = hubraw.agg(F.round(F.sum("raw"), 10).alias("s"))
+        hub = hubraw.crossJoin(F.broadcast(hsum)).select(
+            F.col("hnode").alias("node"),
+            F.round(F.col("raw") / F.col("s"), 10).alias("score"),
+        ).localCheckpoint(eager=False)
+    def topleg(df: DataFrame, role: str) -> DataFrame:
+        w = Window.orderBy(F.desc("score"), F.asc("node"))
+        return (
+            df.orderBy(F.desc("score"), F.asc("node"))
+            .limit(_HITS_TOP)
+            .withColumn("rn", F.row_number().over(w))
+            .select(F.lit(role).alias("role"), "node", "score", "rn")
+        )
+    return topleg(hub, "hub").unionByName(topleg(auth, "authority"))
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH edges AS (
+      SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+             's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), od AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS xd FROM edges GROUP BY src
+    ), idg AS (
+      SELECT dst, CAST(COUNT(*) AS BIGINT) AS yd FROM edges GROUP BY dst
+    ), ed AS (
+      SELECT od.xd AS x, idg.yd AS y
+      FROM edges JOIN od USING (src) JOIN idg USING (dst)
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT n AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM od) AS n_srcs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM idg) AS n_dsts,
+           {R4('sx * 1.0 / n')} AS mean_out_deg,
+           {R4('sy * 1.0 / n')} AS mean_in_deg,
+           CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+                THEN NULL
+                ELSE {R4('(n * sxy - sx * sy) / '
+                         '(SQRT((n * sxx - sx * sx) * 1.0)'
+                         ' * SQRT((n * syy - sy * sy) * 1.0))')}
+           END AS assortativity
+    FROM s
+    """,
+    priority="P2",
+    tags=("graph", "statistics", "audit"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the purchase graph (Newman 2002): the
+    Pearson correlation, over EDGES, between the source's out-degree
+    and the destination's in-degree — positive means high-degree
+    customers concentrate on high-degree suppliers (rich-club mixing),
+    negative means hub customers spread across niche suppliers. The
+    one-number structural audit read before trusting degree-based
+    sampling or hub-pruning heuristics on the graph.
+
+    All six moments are EXACT BIGINT sums over the edge list; the
+    correlation is one double formula over those scalars (identical on
+    both engines), r4-rounded, with zero-variance degenerate graphs
+    null-guarded.
+
+    Scale: degree tables are map-side-combined aggregates of the edge
+    list; the moment pass is one re-join of edges to two narrow degree
+    frames + a single 1-row combine — no window, no all-pairs. The
+    edge frame is checkpointed once and feeds both degree legs and
+    the moment join.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    ).localCheckpoint(eager=False)  # degree legs + moment join
+    od = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("xd")
+    )
+    idg = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("yd")
+    )
+    ed = (
+        edges.join(od, "src")
+        .join(idg, "dst")
+        .select(F.col("xd").alias("x"), F.col("yd").alias("y"))
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nsrc = od.agg(F.count(F.lit(1)).cast("bigint").alias("n_srcs"))
+    ndst = idg.agg(F.count(F.lit(1)).cast("bigint").alias("n_dsts"))
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(varx * 1.0) * F.sqrt(vary * 1.0)
+    )
+    return (
+        s.crossJoin(F.broadcast(nsrc))
+        .crossJoin(F.broadcast(ndst))
+        .select(
+            F.col("n").alias("n_edges"),
+            "n_srcs",
+            "n_dsts",
+            r4(F.col("sx") * 1.0 / F.col("n")).alias("mean_out_deg"),
+            r4(F.col("sy") * 1.0 / F.col("n")).alias("mean_in_deg"),
+            F.when((varx == 0) | (vary == 0), F.lit(None).cast("double"))
+            .otherwise(r4(corr))
+            .alias("assortativity"),
+        )
+    )

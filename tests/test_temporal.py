@@ -443,3 +443,43 @@ def test_ivm_merge_equals_full_recompute(spark):
     for u in merged:
         assert merged[u][0] == full[u][0], u
         assert abs(merged[u][1] - full[u][1]) <= 2e-4, (u, merged[u], full[u])
+
+
+def test_hits_normalized_and_ranked(spark):
+    """Each HITS role's top list is rank-consecutive, score-descending,
+    and L1-normalized scores are positive and bounded by 1; hubs are
+    customers, authorities suppliers (bipartite edge direction)."""
+    from tests.conftest import SF_DIR
+
+    rows = (
+        get_registry()["q_hits_scores"].builder(spark, SF_DIR).collect()
+    )
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert set(by_role) == {"hub", "authority"}
+    for role, rs in by_role.items():
+        rs = sorted(rs, key=lambda r: r.rn)
+        assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(0.0 < s <= 1.0 for s in scores)
+        prefix = "c" if role == "hub" else "s"
+        assert all(r.node.startswith(prefix) for r in rs)
+
+
+def test_assortativity_bounded(spark):
+    """Degree assortativity is a Pearson correlation: within [-1, 1]
+    (or NULL on a degenerate graph), with positive degree means and
+    edge count consistent with the node counts."""
+    from tests.conftest import SF_DIR
+
+    r = (
+        get_registry()["q_graph_assortativity"]
+        .builder(spark, SF_DIR)
+        .collect()[0]
+    )
+    assert r.n_edges >= max(r.n_srcs, r.n_dsts)
+    assert r.mean_out_deg > 0 and r.mean_in_deg > 0
+    if r.assortativity is not None:
+        assert -1.0 <= r.assortativity <= 1.0
