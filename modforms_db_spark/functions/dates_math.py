@@ -175,3 +175,56 @@ def q_bit_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("popcount_sum"),
     )
+
+
+@register(
+    "q_date_parts_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           CAST(isodow(o_orderdate) AS INTEGER) AS iso_dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+             AS month_end,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP)
+             AS plus_3m,
+           CAST(last_day(o_orderdate) AS DATE)
+             = CAST(o_orderdate AS DATE) AS is_month_end
+    FROM orders
+    WHERE o_orderkey % 37 = 0
+    """,
+    priority="P2",
+    tags=("date", "functions"),
+)
+def q_date_parts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar-part bundle beside `q_date_funcs`: ISO week
+    and ISO weekday, quarter, day-of-year, month-end (`last_day`), and
+    saturating month arithmetic (`add_months` — Jan 31 + 1 month is
+    Feb 28 in BOTH engines, the semantic the oracle pins since naive
+    day-count arithmetic gets it wrong). The fiscal-calendar
+    projection layer every reporting rollup sits on.
+
+    Dialect notes: Spark `weekofyear` and DuckDB `weekofyear` are both
+    ISO weeks; Spark's ISO weekday comes from
+    `extract(dayofweek_iso)` ↔ DuckDB `isodow`; Spark `add_months` ↔
+    DuckDB `+ INTERVAL n MONTH` (both saturate at month end).
+
+    Scale: pure scan-side projection with a pushed modulo filter —
+    zero shuffles; calendar parts cost nothing at any size.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderkey") % 37 == 0)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).cast("int").alias("qtr"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.expr("CAST(extract(dayofweek_iso FROM CAST(o_orderdate AS DATE)) AS INT)").alias(
+            "iso_dow"
+        ),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
+        (F.last_day(d) == d).alias("is_month_end"),
+    )

@@ -157,3 +157,54 @@ def q_str_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(runs).cast("bigint").alias("n_runs"),
         F.element_at(runs, 1).alias("first_run"),
     )
+
+
+@register(
+    "q_str_collation",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT min(seg) AS canon,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_variants
+    FROM m GROUP BY lower(seg)
+    """,
+    priority="P2",
+    tags=("string", "collation", "spark4"),
+)
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4.0 `collate`/UTF8_LCASE): a
+    deterministically case-mangled segment column (even keys
+    lowercased) groups under the case-insensitive collation, merging
+    both case variants of every segment — the API row for Spark 4's
+    first-class collation support, pinned against a `lower()`-grouping
+    oracle (for ASCII the two are semantically identical, which is
+    exactly what the hash match proves). The group key itself is
+    collation-dependent in Spark, so the output reports the BINARY
+    min of the variants as the deterministic canonical label plus the
+    row and variant counts.
+
+    Scale: one scan, one map-side-combined aggregate on the collated
+    key — collation changes the grouping comparator, not the plan
+    shape; variant counting is a count_distinct partial.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    m = c.select(seg.alias("seg"))
+    return (
+        m.groupBy(F.collate("seg", "UTF8_LCASE").alias("k"))
+        .agg(
+            F.min(F.collate("seg", "UTF8_BINARY")).alias("canon"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(F.collate("seg", "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_variants"),
+        )
+        .drop("k")
+    )

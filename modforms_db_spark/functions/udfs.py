@@ -550,3 +550,49 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) s
         """
     )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           (c_custkey * 31 + CAST(length(c_name) AS BIGINT)) % 1000
+             AS name_slot
+    FROM customer
+    """,
+    priority="P2",
+    tags=("udf", "arrow", "spark4"),
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (`useArrow=True`, first-class in
+    Spark 4): the same scalar signature as the pickle-path
+    `q_udf_python` contract row, but serialized over Arrow batches —
+    plans as ArrowEvalPython instead of BatchEvalPython, which is the
+    entire point: the row pins that the opt-in keeps identical
+    semantics while moving the Python exchange onto the columnar
+    path (~2-5× on string-heavy rows, no @pandas_udf rewrite needed).
+
+    Scale: still a Python exchange — the hot-path rule stands (bulk
+    transforms belong in built-ins or pandas_udf); this is the API
+    surface row for the gradual-migration story, with the arithmetic
+    chosen oracle-checkable.
+    """
+    prep(spark)
+
+    @F.udf("string", useArrow=True)
+    def name_upper(s: str) -> str:
+        return s.upper()
+
+    @F.udf("long", useArrow=True)
+    def name_slot(k: int, s: str) -> int:
+        return (k * 31 + len(s)) % 1000
+
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        name_upper("c_name").alias("name_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        name_slot("c_custkey", "c_name").alias("name_slot"),
+    )
