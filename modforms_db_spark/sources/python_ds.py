@@ -226,3 +226,100 @@ def q_source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").alias("total_val"),
         F.max("tick").alias("last_tick"),
     )
+
+
+_PUSH_MONTH = 2  # the EqualTo the planner pushes into the reader
+
+
+def _year_calendar_source():
+    """Factory returning the filter-pushdown calendar DataSource CLASS
+    (nested for by-value pickling, same rule as `_calendar_source`).
+    The reader implements `pushFilters` (Spark 4.1): an EqualTo on the
+    month column prunes InputPartitions BEFORE planning, so a month
+    query schedules 1 task instead of 12 — the partition-pruning
+    contract every real connector (JDBC ranges, API pages, shard
+    manifests) implements."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    class _YearCalendarReader(DataSourceReader):
+        def __init__(self) -> None:
+            self.months = list(range(1, 13))
+
+        def pushFilters(self, filters):
+            kept = []
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("m",):
+                    self.months = [m for m in self.months if m == f.value]
+                else:
+                    kept.append(f)  # unconsumed → Spark re-applies post-scan
+            return kept
+
+        def partitions(self):
+            return [InputPartition(m) for m in self.months]
+
+        def read(self, partition):
+            import datetime as dt
+
+            d = dt.date(2024, partition.value, 1)
+            while d.month == partition.value:
+                yield (partition.value, d, d.isoweekday())
+                d += dt.timedelta(days=1)
+
+    class YearCalendarDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mfdb_calendar_year"
+
+        def schema(self) -> str:
+            return "m int, d date, dow int"
+
+        def reader(self, schema):
+            return _YearCalendarReader()
+
+    return YearCalendarDataSource
+
+
+@register(
+    "q_source_python_pushdown",
+    oracle=f"""
+    SELECT CAST(m AS INT) AS m, CAST(d AS TIMESTAMP) AS d,
+           CAST(isodow(d) AS INT) AS dow
+    FROM (SELECT {_PUSH_MONTH} AS m,
+                 CAST(unnest(generate_series(DATE '2024-0{_PUSH_MONTH}-01',
+                                             DATE '2024-0{_PUSH_MONTH + 1}-01'
+                                               - INTERVAL 1 DAY,
+                                             INTERVAL 1 DAY)) AS DATE) AS d)
+    """,
+    priority="P2",
+    tags=("source", "python-datasource", "pushdown", "spark4"),
+)
+def q_source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown into a Python DataSource (Spark 4.1
+    `pushFilters`): the month EqualTo is CONSUMED by the reader, which
+    prunes its InputPartitions from 12 to 1 before task planning — the
+    executed plan's post-scan Filter keeps only the isnotnull residue,
+    and the scan schedules one task (law-test pinned: 1 partition
+    filtered vs 12 unfiltered). This is the partition-pruning contract
+    a real connector implements for JDBC ranges / API pages / shard
+    manifests; requires `spark.sql.python.filterPushdown.enabled`
+    (set here — reader init fails fast without it).
+
+    Scale: pruning happens on the DRIVER before any task launches, so
+    a selective query against a 10k-partition source costs its match
+    set, not the catalog; unconsumed predicates are re-applied by
+    Spark post-scan, so partial pushdown stays correct.
+    """
+    if not _HAVE_PYDS:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark 4+")
+    prep(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_year_calendar_source())
+    cal = spark.read.format("mfdb_calendar_year").load()
+    return cal.where(F.col("m") == _PUSH_MONTH).select(
+        "m", F.col("d").cast("timestamp").alias("d"), "dow"
+    )

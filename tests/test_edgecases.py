@@ -618,3 +618,23 @@ def test_sketch_set_ops_sub_k_is_exact(spark, tmp_path):
     assert r["est_a"] == 10.0 and r["est_b"] == 10.0
     assert r["est_union"] == 15.0
     assert r["est_intersect"] == 5.0
+
+
+def test_python_ds_pushdown_prunes_partitions(spark):
+    """The pushFilters month EqualTo must prune InputPartitions before
+    planning: the filtered read schedules 1 partition, the unfiltered
+    read 12 — driver-side pruning, not post-scan filtering."""
+    from pyspark.sql import functions as F
+
+    from modforms_db_spark.sources.python_ds import (
+        _PUSH_MONTH,
+        _year_calendar_source,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_year_calendar_source())
+    cal = spark.read.format("mfdb_calendar_year").load()
+    assert cal.rdd.getNumPartitions() == 12
+    filtered = cal.where(F.col("m") == _PUSH_MONTH)
+    assert filtered.rdd.getNumPartitions() == 1
+    assert filtered.count() == 29  # Feb 2024 is a leap month
