@@ -2820,3 +2820,257 @@ def q_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_CHI2_CRIT_DF8 = 15.507  # chi-square 0.95 quantile, df = 8
+_CHI2_DEP_SEGS = ("AUTOMOBILE", "BUILDING")  # planted-dependence slice
+
+
+@register(
+    "q_chi2_independence",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), t AS (
+      SELECT 'organic' AS test, seg, st FROM j
+      UNION ALL
+      SELECT 'planted', seg,
+             CASE WHEN seg IN ('AUTOMOBILE', 'BUILDING') THEN 'F'
+                  ELSE st END
+      FROM j
+    ), cell AS (
+      SELECT test, seg, st, CAST(COUNT(*) AS BIGINT) AS o
+      FROM t GROUP BY 1, 2, 3
+    ), rm AS (
+      SELECT test, seg, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY 1, 2
+    ), cm AS (
+      SELECT test, st, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY 1, 2
+    ), nn AS (
+      SELECT test, CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+             CAST(COUNT(DISTINCT st) AS BIGINT) AS nc
+      FROM cell GROUP BY 1
+    ), grid AS (
+      SELECT rm.test, rm.seg, cm.st, rm.r, cm.c, nn.n, nn.nr, nn.nc,
+             COALESCE(cell.o, 0) AS o
+      FROM rm JOIN cm ON rm.test = cm.test
+      JOIN nn ON rm.test = nn.test
+      LEFT JOIN cell ON cell.test = rm.test AND cell.seg = rm.seg
+                    AND cell.st = cm.st
+    ), stat AS (
+      SELECT test, MAX(n) AS n, MAX(nr) AS nr, MAX(nc) AS nc,
+             {R4('SUM(POW(o - r * 1.0 * c / n, 2) / (r * 1.0 * c / n))')}
+               AS chi2
+      FROM grid GROUP BY test
+    )
+    SELECT test, n,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+           chi2,
+           chi2 > {_CHI2_CRIT_DF8!r} AS reject,
+           {R4(f'SQRT(chi2 / (n * LEAST(nr - 1, nc - 1)))')} AS cramers_v
+    FROM stat
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "test"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence on the market-segment ×
+    order-status contingency table, with Cramér's V effect size —
+    the categorical-association sibling of `q_ab_proportions` (2×2
+    z-test) and `q_feature_mi` (information-theoretic): observed cell
+    counts vs expected row·col/n margins, df = (r−1)(c−1) = 8,
+    α = 0.05 critical value {_CHI2_CRIT_DF8}. The organic table is
+    independent by fixture construction (accept); a planted test
+    collapses two segments' status onto 'F' (reject) — both verdict
+    directions live at every SF by construction, the `q_ks_test`
+    device. Dense expected grid: absent cells enter as o = 0 (a
+    missing cell is evidence AGAINST independence, not missing data).
+
+    All counts are exact BIGINTs off ONE joined pass; the statistic is
+    a fixed double formula over them, r4-rounded before the threshold.
+
+    Scale: one broadcast-dim join + map-side-combined cell counts
+    (bounded by the category domain product); margins and the
+    statistic run on the bounded cell frame — rows never re-shuffle.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderstatus").alias("st")
+    )
+    planted = j.select(
+        "seg",
+        F.when(F.col("seg").isin(*_CHI2_DEP_SEGS), F.lit("F"))
+        .otherwise(F.col("st"))
+        .alias("st"),
+    )
+    t = j.select(F.lit("organic").alias("test"), "seg", "st").unionByName(
+        planted.select(F.lit("planted").alias("test"), "seg", "st")
+    )
+    cell = (
+        t.groupBy("test", "seg", "st")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)  # margins + grid legs
+    )
+    rm = cell.groupBy("test", "seg").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    cm = cell.groupBy("test", "st").agg(F.sum("o").cast("bigint").alias("c"))
+    nn = cell.groupBy("test").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("seg").cast("bigint").alias("nr"),
+        F.countDistinct("st").cast("bigint").alias("nc"),
+    )
+    grid = (
+        rm.join(cm, "test")
+        .join(F.broadcast(nn), "test")
+        .join(cell, ["test", "seg", "st"], "left")
+        .select(
+            "test",
+            "r",
+            "c",
+            "n",
+            "nr",
+            "nc",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("r") * 1.0 * F.col("c") / F.col("n")
+    stat = grid.groupBy("test").agg(
+        F.max("n").alias("n"),
+        F.max("nr").alias("nr"),
+        F.max("nc").alias("nc"),
+        r4(F.sum(F.pow(F.col("o") - e, 2) / e)).alias("chi2"),
+    )
+    return stat.select(
+        "test",
+        "n",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("df"),
+        "chi2",
+        (F.col("chi2") > _CHI2_CRIT_DF8).alias("reject"),
+        r4(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            )
+        ).alias("cramers_v"),
+    )
+
+
+_ANOVA_CRIT = {4: 2.3719, 5: 2.2141}  # F(df1, inf) 0.95 quantiles
+_ANOVA_CRIT_SQL = (
+    "CASE k - 1 WHEN 4 THEN 2.3719 WHEN 5 THEN 2.2141 END"
+)
+_ANOVA_SHIFT_SEG = "MACHINERY"  # planted +3000.00 copy of this segment
+
+
+@register(
+    "q_anova_oneway",
+    oracle=f"""
+    WITH y AS (
+      SELECT 'organic' AS test, c_mktsegment AS grp,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT 'planted', grp, cents FROM (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        UNION ALL
+        SELECT 'zz-shift', CAST(ROUND(c_acctbal * 100) AS BIGINT) + 300000
+        FROM customer WHERE c_mktsegment = '{_ANOVA_SHIFT_SEG}'
+      )
+    ), g AS (
+      SELECT test, grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g,
+             CAST(SUM(cents * cents) AS BIGINT) AS ss_g
+      FROM y GROUP BY 1, 2
+    ), tot AS (
+      SELECT test, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(ss_g) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(POW(s_g * 1.0, 2) / n_g) AS sum_sq_means
+      FROM g GROUP BY 1
+    ), stat AS (
+      SELECT test, n, k,
+             sum_sq_means - POW(s * 1.0, 2) / n AS ssb,
+             ss - sum_sq_means AS ssw
+      FROM tot
+    )
+    SELECT test, n, CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           {R4('(ssb / (k - 1)) / (ssw / (n - k))')} AS f_stat,
+           {R4('(ssb / (k - 1)) / (ssw / (n - k))')} > {_ANOVA_CRIT_SQL}
+             AS reject
+    FROM stat
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "test"),
+)
+def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of account balance across market segments —
+    the k-group generalization of `q_ab_ttest`: between/within sum of
+    squares from EXACT integer-cent moments (n, Σy, Σy² per group),
+    F = (SSB/df1)/(SSW/df2) against the asymptotic α = 0.05 critical
+    value for the test's df1 ({_ANOVA_CRIT}; df2 ≥ 145 at every
+    shipped SF so the ∞ asymptote is safe — observed F sits well off
+    the boundary). Fixture balances are iid across segments, so the
+    organic test accepts; a planted +3000.00 (≈1 sd) copy of one
+    segment rides along as group 'zz-shift'
+    (reject) — both verdict directions live at every SF (the
+    `q_ks_test` device).
+
+    Scale: one pass to the (test, group) moment grain — three
+    map-side-combinable integer sums per group — then a k-row combine;
+    the F statistic is one double formula over exact scalars,
+    r4-rounded before the threshold. The same shape tests billions of
+    rows because only k moment triples ever cross the wire.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    base = c.select(
+        F.col("c_mktsegment").alias("grp"), cents.alias("cents")
+    ).localCheckpoint(eager=False)  # organic + planted + shifted legs
+    shifted = base.where(F.col("grp") == _ANOVA_SHIFT_SEG).select(
+        F.lit("zz-shift").alias("grp"),
+        (F.col("cents") + 300000).alias("cents"),
+    )
+    y = base.select(F.lit("organic").alias("test"), "grp", "cents").unionByName(
+        base.unionByName(shifted).select(
+            F.lit("planted").alias("test"), "grp", "cents"
+        )
+    )
+    g = y.groupBy("test", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss_g"),
+    )
+    tot = g.groupBy("test").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.pow(F.col("s_g") * 1.0, 2) / F.col("n_g")).alias(
+            "sum_sq_means"
+        ),
+    )
+    ssb = F.col("sum_sq_means") - F.pow(F.col("s") * 1.0, 2) / F.col("n")
+    ssw = F.col("ss") - F.col("sum_sq_means")
+    f_stat = r4((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))))
+    return tot.select(
+        "test",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        f_stat.alias("f_stat"),
+        (
+            f_stat
+            > F.when(F.col("k") - 1 == 4, F.lit(_ANOVA_CRIT[4])).when(
+                F.col("k") - 1 == 5, F.lit(_ANOVA_CRIT[5])
+            )
+        ).alias("reject"),
+    )
