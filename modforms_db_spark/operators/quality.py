@@ -918,3 +918,163 @@ def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ndv").cast("bigint").alias("max_rhs_per_group"),
         (violating == 0).alias("holds"),
     )
+
+
+_MW_Z_CRIT = 1.96  # two-sided alpha = 0.05
+
+
+@register(
+    "q_mann_whitney",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, n_chars FROM documents
+      UNION ALL
+      SELECT 'zz-shift' AS lang, n_chars + 150 AS n_chars
+      FROM documents WHERE lang = 'en'
+    ), cnts AS (
+      SELECT lang, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY lang, n_chars
+    ), nl AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM cnts GROUP BY lang
+    ), pairs AS (
+      SELECT a.lang AS la, b.lang AS lb, a.n AS n_a, b.n AS n_b
+      FROM nl a JOIN nl b ON a.lang < b.lang
+    ), vals AS (SELECT DISTINCT v FROM cnts
+    ), grid AS (
+      SELECT la, lb, n_a, n_b, vals.v AS v,
+             COALESCE(ca.c, 0) AS c_a, COALESCE(cb.c, 0) AS c_b
+      FROM pairs CROSS JOIN vals
+      LEFT JOIN cnts ca ON ca.lang = la AND ca.v = vals.v
+      LEFT JOIN cnts cb ON cb.lang = lb AND cb.v = vals.v
+    ), cum AS (
+      SELECT la, lb, n_a, n_b, c_a, c_b,
+             SUM(c_b) OVER (PARTITION BY la, lb ORDER BY v) AS cum_b
+      FROM grid
+    ), s AS (
+      SELECT la, lb, n_a, n_b,
+             CAST(SUM(c_a * (2 * (cum_b - c_b) + c_b)) AS BIGINT) AS u2,
+             CAST(SUM((c_a + c_b) * (c_a + c_b) * (c_a + c_b)
+                      - (c_a + c_b)) AS BIGINT) AS tie3
+      FROM cum GROUP BY 1, 2, 3, 4
+    )
+    SELECT la, lb, n_a, n_b,
+           {R4('u2 / 2.0')} AS u_stat,
+           {R4(
+               '(u2 / 2.0 - n_a * 1.0 * n_b / 2) / '
+               'SQRT(n_a * 1.0 * n_b / 12.0 * ((n_a + n_b + 1)'
+               ' - tie3 * 1.0 / ((n_a + n_b) * 1.0 * (n_a + n_b - 1))))'
+           )} AS z_stat,
+           ABS({R4(
+               '(u2 / 2.0 - n_a * 1.0 * n_b / 2) / '
+               'SQRT(n_a * 1.0 * n_b / 12.0 * ((n_a + n_b + 1)'
+               ' - tie3 * 1.0 / ((n_a + n_b) * 1.0 * (n_a + n_b - 1))))'
+           )}) > {_MW_Z_CRIT!r} AS reject
+    FROM s
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "drift"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between every pair of
+    language slices over document lengths — the rank-based location
+    test beside `q_ks_test`'s full-distribution D (U sees median
+    shifts through heavy tails that distort the t-test): U computed
+    EXACTLY on the value grain as Σ c_a·(2·cumB(<v) + c_b)/2 (the ×2
+    device keeps half-counts integer), tie-corrected normal
+    approximation z with Σ(t³−t) from exact tie-group sizes, two-sided
+    α = 0.05. The same planted +150-shifted en slice as `q_ks_test`
+    rides along ('zz-shift'): organic pairs accept, planted pairs
+    reject — both directions live at every SF.
+
+    Scale: identical shape to `q_ks_test` — one pass to the
+    (lang, value) grain (map-side combined), a langs²/2 × |support|
+    grid bounded by the VALUE domain, cumulative windows partitioned
+    per pair, then exact-integer pair sums; billions of rows enter
+    only through the quantized support.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("lang", "n_chars")
+    shifted = d.where(F.col("lang") == "en").select(
+        F.lit("zz-shift").alias("lang"),
+        (F.col("n_chars") + 150).alias("n_chars"),
+    )
+    t = d.unionByName(shifted)
+    cnts = (
+        t.groupBy("lang", F.col("n_chars").alias("v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # totals + both grid legs + support
+    )
+    nl = cnts.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n"))
+    a, b = nl.alias("a"), nl.alias("b")
+    pairs = a.join(b, F.col("a.lang") < F.col("b.lang")).select(
+        F.col("a.lang").alias("la"),
+        F.col("b.lang").alias("lb"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    )
+    vals = cnts.select("v").distinct()
+    ca = cnts.select(
+        F.col("lang").alias("la"), "v", F.col("c").alias("c_a")
+    )
+    cb = cnts.select(
+        F.col("lang").alias("lb"), "v", F.col("c").alias("c_b")
+    )
+    grid = (
+        pairs.crossJoin(F.broadcast(vals))
+        .join(F.broadcast(ca), ["la", "v"], "left")
+        .join(F.broadcast(cb), ["lb", "v"], "left")
+        .select(
+            "la",
+            "lb",
+            "n_a",
+            "n_b",
+            "v",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wc = (
+        Window.partitionBy("la", "lb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "la",
+        "lb",
+        "n_a",
+        "n_b",
+        "c_a",
+        "c_b",
+        F.sum("c_b").over(wc).alias("cum_b"),
+    )
+    tg = F.col("c_a") + F.col("c_b")
+    s = cum.groupBy("la", "lb", "n_a", "n_b").agg(
+        F.sum(
+            F.col("c_a") * (2 * (F.col("cum_b") - F.col("c_b")) + F.col("c_b"))
+        )
+        .cast("bigint")
+        .alias("u2"),
+        F.sum(tg * tg * tg - tg).cast("bigint").alias("tie3"),
+    )
+    nn = F.col("n_a") + F.col("n_b")
+    z = r4(
+        (F.col("u2") / 2.0 - F.col("n_a") * 1.0 * F.col("n_b") / 2)
+        / F.sqrt(
+            F.col("n_a")
+            * 1.0
+            * F.col("n_b")
+            / 12.0
+            * ((nn + 1) - F.col("tie3") * 1.0 / (nn * 1.0 * (nn - 1)))
+        )
+    )
+    return s.select(
+        "la",
+        "lb",
+        "n_a",
+        "n_b",
+        r4(F.col("u2") / 2.0).alias("u_stat"),
+        z.alias("z_stat"),
+        (F.abs(z) > _MW_Z_CRIT).alias("reject"),
+    )

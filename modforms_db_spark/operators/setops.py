@@ -196,3 +196,44 @@ def q_set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s, allowMissingColumns=True).select(
         "key", "name", "acctbal", "segment"
     )
+
+
+@register(
+    "q_set_symmetric_diff",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'F'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderstatus = 'O')
+    SELECT 'only_F' AS side, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+    UNION ALL
+    SELECT 'only_O' AS side, k FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+    """,
+    priority="P2",
+    tags=("setops",),
+)
+def q_set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with side attribution: customers who placed
+    orders in exactly one of the two statuses, tagged with which — the
+    two-way sync diff the reference's store reconciliation [R] reports
+    (EXCEPT each way, union'd), completing the setops family's algebra
+    beside intersect/except/union.
+
+    Scale: both legs come off ONE checkpointed (status, key) distinct
+    grain — a single orders scan and one distinct shuffle; each EXCEPT
+    is a null-safe anti join on the deduplicated key frames, never the
+    raw fact rows.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.where(F.col("o_orderstatus").isin("F", "O"))
+        .select(F.col("o_orderstatus").alias("st"), F.col("o_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)  # both EXCEPT legs
+    )
+    a = d.where(F.col("st") == "F").select("k")
+    b = d.where(F.col("st") == "O").select("k")
+    only_a = a.exceptAll(b).select(F.lit("only_F").alias("side"), "k")
+    only_b = b.exceptAll(a).select(F.lit("only_O").alias("side"), "k")
+    return only_a.unionByName(only_b)
