@@ -2029,3 +2029,101 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("true_n") + noise).alias("noisy_n"),
         (F.abs(noise) <= _DP_B * math.log(20.0)).alias("within_eps_bound"),
     )
+
+
+_HU_BUCKETS = 100
+_HU_CHI2_CRIT_DF99 = 123.225  # chi-square 0.95 quantile, df = 99
+
+
+@register(
+    "q_hash_uniformity",
+    oracle=f"""
+    WITH t AS (
+      SELECT 'knuth_doc_id' AS test,
+             (doc_id * {_KNUTH}) % {_MOD} % {_HU_BUCKETS} AS bucket
+      FROM documents
+      UNION ALL
+      SELECT 'lang_proxy',
+             (ord(substr(lang, 1, 1)) * {_KNUTH}) % {_MOD} % {_HU_BUCKETS}
+      FROM documents
+    ), o AS (
+      SELECT test, bucket, CAST(COUNT(*) AS BIGINT) AS o
+      FROM t GROUP BY 1, 2
+    ), nn AS (
+      SELECT test, CAST(SUM(o) AS BIGINT) AS n FROM o GROUP BY 1
+    ), grid AS (
+      SELECT nn.test, s.bucket, nn.n, COALESCE(o.o, 0) AS o
+      FROM nn CROSS JOIN
+           (SELECT UNNEST(generate_series(0, {_HU_BUCKETS - 1})) AS bucket) s
+      LEFT JOIN o ON o.test = nn.test AND o.bucket = s.bucket
+    )
+    SELECT test, MAX(n) AS n,
+           CAST(SUM(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_hit,
+           {R4(f'SUM(POW(o - n * 1.0 / {_HU_BUCKETS}, 2)'
+               f' / (n * 1.0 / {_HU_BUCKETS}))')} AS chi2,
+           {R4(f'SUM(POW(o - n * 1.0 / {_HU_BUCKETS}, 2)'
+               f' / (n * 1.0 / {_HU_BUCKETS}))')} > {_HU_CHI2_CRIT_DF99!r}
+             AS reject
+    FROM grid GROUP BY test
+    """,
+    priority="P2",
+    tags=("curation", "sampling", "audit"),
+)
+def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared goodness-of-fit audit of the house sampling device
+    itself: the Knuth multiplicative hash behind `q_split_assign` /
+    `q_sample` (SAME `_KNUTH`/`_MOD` constants — an inline copy would
+    audit a stale rule) must spread doc_ids uniformly over
+    {_HU_BUCKETS} split buckets, and the audit proves it: observed
+    bucket counts vs n/{_HU_BUCKETS} expected, df = 99, α = 0.05
+    critical {_HU_CHI2_CRIT_DF99}. A deliberately broken hash (keyed
+    on the first language letter — ≤7 distinct inputs) rides along as
+    the reject direction: every split pipeline should run this before
+    trusting its train/val/test assignment, because a clustered key
+    (timestamp prefixes, tenant ids) silently turns "random" splits
+    into systematic ones (`q_srm_check`'s finer-grained sibling).
+
+    Dense spine: all {_HU_BUCKETS} buckets enter the statistic — an
+    EMPTY bucket is (0−e)²/e of evidence, not missing data.
+
+    Scale: one pass to the (test, bucket) grain (map-side combined,
+    bounded by 2×{_HU_BUCKETS} rows), spine join + 2-row combine; the
+    audit costs one projection whatever the corpus size.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    good = d.select(
+        F.lit("knuth_doc_id").alias("test"),
+        _hash_bucket("doc_id", _HU_BUCKETS).alias("bucket"),
+    )
+    lang_code = F.ascii(F.substring("lang", 1, 1)).cast("bigint")
+    bad = d.select(
+        F.lit("lang_proxy").alias("test"),
+        (lang_code * F.lit(_KNUTH) % F.lit(_MOD) % F.lit(_HU_BUCKETS)).alias(
+            "bucket"
+        ),
+    )
+    o = (
+        good.unionByName(bad)
+        .groupBy("test", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)  # totals + grid legs
+    )
+    nn = o.groupBy("test").agg(F.sum("o").cast("bigint").alias("n"))
+    spine = spark.range(_HU_BUCKETS).select(F.col("id").alias("bucket"))
+    grid = (
+        nn.crossJoin(F.broadcast(spine))
+        .join(o, ["test", "bucket"], "left")
+        .select("test", "n", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    e = F.col("n") * 1.0 / _HU_BUCKETS
+    chi2 = r4(F.sum(F.pow(F.col("o") - e, 2) / e))
+    return grid.groupBy("test").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("o") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("buckets_hit"),
+        chi2.alias("chi2"),
+        (chi2 > _HU_CHI2_CRIT_DF99).alias("reject"),
+    )

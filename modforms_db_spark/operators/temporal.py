@@ -2001,3 +2001,126 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.percentile("gap_days", F.lit(0.5))).alias("p50_gap_days"),
         r4(F.percentile("gap_days", F.lit(0.9))).alias("p90_gap_days"),
     )
+
+
+_MKV_ITERS = 3
+
+
+def _mkv_oracle_iteration(prev: str, k: int) -> str:
+    """One unrolled power-iteration round: π_k = π_{k-1}·P on the
+    r10-rounded transition matrix, each entry re-rounded at 10 dp
+    (the `q_pagerank` determinism rule)."""
+    return f"""
+    pi{k} AS (
+      SELECT st.state,
+             {R("COALESCE(SUM(p.pi * tp.p), 0)", 10)} AS pi
+      FROM states st
+      LEFT JOIN tp ON tp.t = st.state
+      LEFT JOIN {prev} p ON p.state = tp.s
+      GROUP BY st.state
+    )"""
+
+
+_MKV_ORACLE = (
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS s, event_type AS t, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ), tp AS (
+      SELECT s, t, {R("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY s)", 10)}
+        AS p
+      FROM pairs
+    ), states AS (
+      SELECT DISTINCT s AS state FROM tp
+      UNION
+      SELECT DISTINCT t FROM tp
+    ), nn AS (SELECT COUNT(*) AS k FROM states),
+    pi0 AS (
+      SELECT state, {R("1.0 / nn.k", 10)} AS pi FROM states CROSS JOIN nn
+    ),"""
+    + ",".join(
+        _mkv_oracle_iteration(f"pi{k - 1}" if k > 1 else "pi0", k)
+        for k in range(1, _MKV_ITERS + 1)
+    )
+    + f"""
+    SELECT state, pi FROM pi{_MKV_ITERS}
+    """
+)
+
+
+@register(
+    "q_markov_stationary",
+    oracle=_MKV_ORACLE,
+    priority="P2",
+    tags=("events", "markov", "iterative"),
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary-distribution estimate of the event-type Markov chain:
+    {_MKV_ITERS} rounds of the power iteration π ← π·P over the SAME
+    row-normalized transition matrix as `q_markov_transitions` (same
+    lag window, same grain) from a uniform start — where user behavior
+    settles if the observed dynamics persist, the steady-state forecast
+    read against the current type mix to spot regimes still in
+    transient. States missing an outgoing row (none at shipped SFs —
+    every type follows every type) would truncate sub-stochastically;
+    the COALESCE keeps them at exact 0 rather than dropping rows.
+
+    Determinism: matrix entries and every π component r10-rounded per
+    round on both engines; the oracle unrolls the rounds as chained
+    CTEs (`q_pagerank` device).
+
+    Scale: the transition matrix is bounded by the TYPE domain
+    (25 cells), so after one lag-window pass over events the whole
+    iteration runs on broadcast-sized frames — the degenerate-easy end
+    of the same Pregel shape `q_pagerank` runs on O(|V|) state.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("s"), F.col("event_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ws = Window.partitionBy("s")
+    tp = pairs.select(
+        "s",
+        "t",
+        F.round(F.col("n").cast("double") / F.sum("n").over(ws), 10).alias(
+            "p"
+        ),
+    ).localCheckpoint(eager=False)  # reused every round
+    states = (
+        tp.select(F.col("s").alias("state"))
+        .union(tp.select(F.col("t").alias("state")))
+        .distinct()
+    ).localCheckpoint(eager=False)
+    nn = states.agg(F.count(F.lit(1)).alias("k"))
+    pi = states.crossJoin(F.broadcast(nn)).select(
+        "state", F.round(F.lit(1.0) / F.col("k"), 10).alias("pi")
+    )
+    for _ in range(_MKV_ITERS):
+        flow = (
+            tp.join(pi, tp.s == pi.state)
+            .groupBy(F.col("t").alias("state"))
+            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 10).alias("pi_new"))
+        )
+        pi = (
+            states.join(flow, "state", "left")
+            .select(
+                "state",
+                F.round(F.coalesce("pi_new", F.lit(0.0)), 10).alias("pi"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pi
