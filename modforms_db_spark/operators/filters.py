@@ -440,3 +440,81 @@ def q_sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT pri, CAST(n AS BIGINT) AS n, revenue
         """
     )
+
+
+@register(
+    "q_sql_group_by_all",
+    oracle=f"""
+    SELECT c_mktsegment,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R2('SUM(o_totalprice)')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY ALL
+    """,
+    priority="P2",
+    tags=("sql", "surface", "spark4"),
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`GROUP BY ALL` (Spark 4.0, same spelling DuckDB pioneered):
+    every non-aggregate select item becomes a grouping key implicitly —
+    the resolution happens in the analyzer, so the physical plan is
+    the identical partial+final hash aggregate as the explicit form
+    (which is what the hash match against DuckDB's own GROUP BY ALL
+    pins). The ergonomic surface row beside `q_sql_pipe`.
+
+    Scale: one broadcast-dim join + map-side-combined aggregate —
+    syntax sugar, zero plan difference.
+    """
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_gba_o")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("mfdb_gba_c")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM mfdb_gba_o JOIN mfdb_gba_c ON o_custkey = c_custkey
+        GROUP BY ALL
+        """
+    )
+
+
+@register(
+    "q_sql_lateral_alias",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000 AS price_band,
+           (CAST(ROUND(o_totalprice * 100) AS BIGINT) // 100000) * 100000
+             AS band_floor_cents
+    FROM orders WHERE o_orderkey % 53 = 0
+    """,
+    priority="P2",
+    tags=("sql", "surface", "spark4"),
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias references (Spark 3.4+/4.0 default): a
+    SELECT item refers to an alias defined EARLIER IN THE SAME LIST
+    (`cents` → `price_band` → `band_floor_cents`), letting a derived
+    chain read top-to-bottom instead of nesting subqueries. DuckDB has
+    no lateral aliasing, so the oracle writes the expanded expressions
+    — the hash match proves the sugar resolves to exactly that
+    expansion (each reference inlines its definition; floor-division
+    semantics via Spark DIV ↔ DuckDB `//` on the non-negative cents).
+
+    Scale: pure scan-side projection with a pushed filter; analyzer
+    sugar, zero plan difference.
+    """
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_lca_o")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               cents DIV 100000 AS price_band,
+               price_band * 100000 AS band_floor_cents
+        FROM mfdb_lca_o WHERE o_orderkey % 53 = 0
+        """
+    )
