@@ -1991,3 +1991,106 @@ def q_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_vectors", F.lit(0)).cast("bigint").alias("n_vectors"),
         F.coalesce("max_occ", F.lit(0)).cast("bigint").alias("max_occ"),
     )
+
+
+_PQ_M = 8  # subspaces (64 dims -> 8 x 8)
+_PQ_D = 8  # dims per subspace
+_PQ_K = 16  # codewords per subspace (vec_id < 16, the IVF seed device)
+
+
+@register(
+    "q_vec_product_quantize",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sub AS (
+      SELECT vec_id, s.s AS s,
+             emb[s.s * {_PQ_D} + 1 : s.s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e CROSS JOIN
+           (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS s) s
+    ),
+    cb AS (SELECT s, vec_id AS cid, sv AS cv FROM sub
+           WHERE vec_id < {_PQ_K}),
+    pair AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             {R4('list_inner_product(sub.sv, sub.sv)'
+                 ' + list_inner_product(cb.cv, cb.cv)'
+                 ' - 2 * list_inner_product(sub.sv, cb.cv)')} AS d4
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    enc AS (
+      SELECT vec_id, s, cid, d4 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d4, cid
+        ) AS rn FROM pair
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT s, cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+             {R4('AVG(d4)')} AS mean_dist
+      FROM enc GROUP BY 1, 2
+    )
+    SELECT cb.s, cb.cid,
+           COALESCE(n_assigned, 0) AS n_assigned,
+           mean_dist
+    FROM (SELECT DISTINCT s, cid FROM cb) cb
+    LEFT JOIN agg ON agg.s = cb.s AND agg.cid = cb.cid
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "quantization", "scale-path"),
+)
+def q_vec_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization codebook audit (Jégou et al. 2011 — the
+    memory layout under every large-scale ANN index): embeddings split
+    into {_PQ_M} subspaces of {_PQ_D} dims; each subvector encodes to
+    its nearest of {_PQ_K} codewords (the deterministic vec_id < 16
+    seed device `ivf_centroids` uses) by squared L2, r4-rounded BEFORE
+    the argmin with a codeword-id tiebreak. Output: per (subspace,
+    codeword) — assignment count and mean residual distance, codebook
+    rows with ZERO assignments kept visible (dead codewords are what
+    the audit exists to find: they waste a code point and signal a
+    bad codebook). PQ compresses 64 floats to {_PQ_M} bytes — 32× —
+    which is why `q_vec_quantize` (int8, 4×) is the mild sibling.
+
+    Distance identity |a−b|² = |a|²+|b|²−2a·b is used on BOTH sides so
+    the engines share the three-inner-product shape (Spark folds ↔
+    DuckDB list_inner_product — the established `_COS` pairing).
+
+    Scale: one embeddings scan exploded to the (vector, subspace)
+    grain; the codebook ({_PQ_M}×{_PQ_K} rows) broadcasts into the
+    scoring join; encode is a grouped min over {_PQ_K} candidates —
+    map-side combinable; the audit output is bounded by the codebook.
+    """
+    prep(spark)
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    s_ids = F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("s")
+    sub = e.select("vec_id", "emb", s_ids).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(emb, s * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+    ).localCheckpoint(eager=False)  # codebook + scoring legs
+    cb = sub.where(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    d4 = F.round(
+        _dot("sv", "sv") + _dot("cv", "cv") - 2 * _dot("sv", "cv"), 4
+    )
+    pair = sub.join(F.broadcast(cb), sub["s"] == cb["cs"]).select(
+        "vec_id", "s", "cid", d4.alias("d4")
+    )
+    enc = pair.groupBy("vec_id", "s").agg(
+        F.min(F.struct("d4", "cid")).alias("best")
+    ).select("vec_id", "s", F.col("best.cid").alias("cid"),
+             F.col("best.d4").alias("d4"))
+    agg = enc.groupBy("s", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        r4(F.avg("d4")).alias("mean_dist"),
+    )
+    spine = cb.select(F.col("cs").alias("s"), "cid").distinct()
+    return spine.join(agg, ["s", "cid"], "left").select(
+        "s",
+        "cid",
+        F.coalesce("n_assigned", F.lit(0)).cast("bigint").alias("n_assigned"),
+        "mean_dist",
+    )
