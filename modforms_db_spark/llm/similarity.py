@@ -2094,3 +2094,115 @@ def q_vec_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_assigned", F.lit(0)).cast("bigint").alias("n_assigned"),
         "mean_dist",
     )
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    sub AS (
+      SELECT vec_id, s.s AS s,
+             emb[s.s * {_PQ_D} + 1 : s.s * {_PQ_D} + {_PQ_D}] AS sv
+      FROM e CROSS JOIN
+           (SELECT UNNEST(generate_series(0, {_PQ_M - 1})) AS s) s
+    ),
+    cb AS (SELECT s, vec_id AS cid, sv AS cv FROM sub
+           WHERE vec_id < {_PQ_K}),
+    enc AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT sub.vec_id, sub.s, cb.cid,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY {R4('list_inner_product(sub.sv, sub.sv)'
+                              ' + list_inner_product(cb.cv, cb.cv)'
+                              ' - 2 * list_inner_product(sub.sv, cb.cv)')},
+                          cb.cid
+               ) AS rn
+        FROM sub JOIN cb ON sub.s = cb.s
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS q_id, cb.s, cb.cid,
+             {R4('list_inner_product(q.sv, q.sv)'
+                 ' + list_inner_product(cb.cv, cb.cv)'
+                 ' - 2 * list_inner_product(q.sv, cb.cv)')} AS d4
+      FROM (SELECT * FROM sub WHERE vec_id < 20) q
+      JOIN cb ON q.s = cb.s
+    ),
+    adc AS (
+      SELECT lut.q_id, enc.vec_id AS nb_id,
+             {R4('SUM(lut.d4)')} AS adc_d4
+      FROM enc JOIN lut ON enc.s = lut.s AND enc.cid = lut.cid
+      WHERE enc.vec_id != lut.q_id
+      GROUP BY 1, 2
+    )
+    SELECT q_id, nb_id, adc_d4, rn FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY adc_d4, nb_id
+      ) AS rn FROM adc
+    ) WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "quantization", "scale-path"),
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric distance computation (ADC) top-5: the query side
+    of `q_vec_product_quantize` — each query (vec_id < 20) builds its
+    {_PQ_M}×{_PQ_K} lookup table of exact subspace distances to every
+    codeword, and each database vector's distance is the SUM of table
+    entries at its stored code (Jégou et al. 2011, Eq. 13: queries
+    stay full-precision, the database stays {_PQ_M} bytes/vector —
+    asymmetric). Distances r4-rounded per subspace BEFORE the sum and
+    the argmin, id tiebreaks everywhere, so the ranking is
+    engine-exact.
+
+    Scale: THE reason PQ exists — scoring a database vector costs
+    {_PQ_M} table lookups instead of a 64-dim product, and the scan
+    side never touches raw floats: codes join the broadcast LUT
+    (queries × {_PQ_M} × {_PQ_K} rows) on (subspace, codeword) and
+    partial-sum map-side. The encode reuses the `q_vec_product_quantize`
+    shape; per-query windows rank the bounded candidate frame.
+    """
+    prep(spark)
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    s_ids = F.explode(F.array(*[F.lit(i) for i in range(_PQ_M)])).alias("s")
+    sub = e.select("vec_id", "emb", s_ids).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(emb, s * {_PQ_D} + 1, {_PQ_D})").alias("sv"),
+    ).localCheckpoint(eager=False)  # codebook + encode + query LUT legs
+    cb = sub.where(F.col("vec_id") < _PQ_K).select(
+        F.col("s").alias("cs"),
+        F.col("vec_id").alias("cid"),
+        F.col("sv").alias("cv"),
+    )
+    d4 = F.round(
+        _dot("sv", "sv") + _dot("cv", "cv") - 2 * _dot("sv", "cv"), 4
+    )
+    enc = (
+        sub.join(F.broadcast(cb), sub["s"] == cb["cs"])
+        .select("vec_id", "s", "cid", d4.alias("d4"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d4", "cid")).alias("best"))
+        .select("vec_id", "s", F.col("best.cid").alias("cid"))
+    )
+    lut = (
+        sub.where(F.col("vec_id") < 20)
+        .join(F.broadcast(cb), F.col("s") == cb["cs"])
+        .select(
+            F.col("vec_id").alias("q_id"), "s", "cid", d4.alias("d4")
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", F.col("vec_id").alias("nb_id"))
+        .agg(r4(F.sum("d4")).alias("adc_d4"))
+    )
+    w = Window.partitionBy("q_id").orderBy("adc_d4", "nb_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "adc_d4", "rn")
+    )

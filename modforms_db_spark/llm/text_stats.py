@@ -2240,3 +2240,77 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k_coef"
         ),
     )
+
+
+_BURST_TOP = 20
+
+
+@register(
+    "q_text_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pc AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ), ts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(c) AS BIGINT) AS cf,
+             CAST(SUM(c * c) AS BIGINT) AS ss
+      FROM pc GROUP BY 1
+    ), top AS (
+      SELECT * FROM ts ORDER BY cf DESC, tok LIMIT {_BURST_TOP}
+    )
+    SELECT tok, df, cf,
+           {R4('cf * 1.0 / df')} AS burstiness,
+           {R4('((ss - cf * 1.0 * cf / df) / df) / (cf * 1.0 / df)')} AS vmr
+    FROM top
+    """,
+    priority="P2",
+    tags=("llm", "text", "statistics"),
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness profile (Church & Gale 1995): for the
+    {_BURST_TOP} highest-frequency terms — document frequency,
+    collection frequency, burstiness cf/df (mean occurrences in the
+    docs that contain the term — content words recur within a
+    document, function words spread evenly), and the variance-to-mean
+    ratio of per-doc counts (VMR > 1 = over-dispersed vs Poisson).
+    The corpus statistic that separates topical from glue vocabulary
+    when a stopword list is unavailable — e.g. picking tf-idf
+    candidates or spotting template-stamped boilerplate (uniform
+    high-cf, low-VMR terms).
+
+    All moments (df, cf, Σc²) are exact BIGINTs; the two ratios are
+    fixed double formulas over them, r4-rounded.
+
+    Scale: explode to the (term, doc) grain with map-side count
+    combine, one term-grain moment aggregate, then
+    `orderBy().limit()` TakeOrdered for the top slice — never a
+    vocabulary-wide window; the ratio math runs on {_BURST_TOP} rows.
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    pc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ts = pc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    top = ts.orderBy(F.desc("cf"), "tok").limit(_BURST_TOP)
+    mean = F.col("cf") * 1.0 / F.col("df")
+    return top.select(
+        "tok",
+        "df",
+        "cf",
+        r4(mean).alias("burstiness"),
+        r4(
+            ((F.col("ss") - F.col("cf") * 1.0 * F.col("cf") / F.col("df"))
+             / F.col("df"))
+            / mean
+        ).alias("vmr"),
+    )
