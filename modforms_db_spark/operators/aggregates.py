@@ -3172,3 +3172,163 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BLOOM_M = 8192  # filter bits (256 x 32-bit words)
+_BLOOM_W = 32  # bits per word — shifts stay < 32 (DuckDB << overflows at 63)
+_BLOOM_K = 3  # hash functions
+_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' "
+    "|| CAST(k AS VARCHAR)), 1, 12)) AS BIGINT) % 8192"
+)
+
+
+@register(
+    "q_bloom_fpr_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ), queries AS (
+      SELECT k + 10000000 AS k FROM members
+    ), mpos AS (
+      SELECT DISTINCT {_BLOOM_POS} AS pos
+      FROM members CROSS JOIN
+           (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS seed)
+    ), words AS (
+      SELECT pos // {_BLOOM_W} AS word,
+             CAST(bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_W}))
+                  AS BIGINT) AS w
+      FROM mpos GROUP BY 1
+    ), qpos AS (
+      SELECT q.k, {_BLOOM_POS} AS pos
+      FROM queries q CROSS JOIN
+           (SELECT UNNEST(generate_series(0, {_BLOOM_K - 1})) AS seed)
+    ), qtest AS (
+      SELECT qpos.k,
+             MIN(CASE WHEN w.w IS NULL THEN 0
+                      ELSE (w.w >> (qpos.pos % {_BLOOM_W})) & 1 END) AS hit
+      FROM qpos LEFT JOIN words w ON qpos.pos // {_BLOOM_W} = w.word
+      GROUP BY qpos.k
+    ), s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM qtest) AS n_queries,
+             (SELECT CAST(SUM(bit_count(w)) AS BIGINT) FROM words)
+               AS bits_set,
+             (SELECT CAST(SUM(hit) AS BIGINT) FROM qtest) AS false_pos
+    )
+    SELECT n_members, n_queries, bits_set, false_pos,
+           {R4('false_pos * 1.0 / n_queries')} AS observed_fpr,
+           {R4(f'POW(1.0 - POW(1.0 - 1.0 / {_BLOOM_M}, '
+               f'{_BLOOM_K}.0 * n_members), {_BLOOM_K})')}
+             AS theoretical_fpr
+    FROM s
+    """,
+    priority="P2",
+    tags=("aggregate", "sketch", "bloom"),
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit: build an
+    m = {_BLOOM_M}-bit, k = {_BLOOM_K}-hash filter over the 'F'-status
+    customer keys as {_BLOOM_M // _BLOOM_W} bit-or'd 32-bit words
+    (exact integer bit algebra — 32-bit shifts keep both engines in
+    range), probe it with guaranteed non-members (the same keys offset
+    by 10⁷), and report observed vs theoretical FPR
+    (1 − (1 − 1/m)^kn)^k. The capacity audit behind
+    `q_join_bloom_prefilter`: at sf0.001 the filter is generously
+    sized (FPR ≈ 0), at sf0.01 it operates near design load, at sf0.1
+    it saturates (FPR → 1) — the audit EXISTS to catch that third
+    regime before a prefilter silently stops filtering.
+
+    Scale: the filter is a {_BLOOM_M // _BLOOM_W}-row aggregate
+    (map-side bit_or partials — the mergeability that makes Bloom
+    filters distributed-friendly) broadcast to the probe side; probes
+    are a per-row hash + 3-row min — one linear pass each side.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    members = (
+        o.where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=False)  # build + query-derivation legs
+    )
+    seeds = F.explode(
+        F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    ).alias("seed")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("seed").cast("string"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    )
+    mpos = members.select("k", seeds).select(pos.alias("pos")).distinct()
+    words = mpos.groupBy(
+        (F.col("pos") / _BLOOM_W).cast("bigint").alias("word")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(CAST(1 AS BIGINT), pos % {_BLOOM_W}))")
+        .cast("bigint")
+        .alias("w")
+    )
+    queries = members.select((F.col("k") + 10000000).alias("k"))
+    qpos = queries.select("k", seeds).select("k", pos.alias("pos"))
+    qtest = (
+        qpos.join(
+            F.broadcast(words),
+            (F.col("pos") / _BLOOM_W).cast("bigint") == F.col("word"),
+            "left",
+        )
+        .select(
+            "k",
+            F.when(F.col("w").isNull(), 0)
+            .otherwise(
+                F.expr(f"(w >> (pos % {_BLOOM_W})) & 1").cast("int")
+            )
+            .alias("bit"),
+        )
+        .groupBy("k")
+        .agg(F.min("bit").alias("hit"))
+    )
+    nm = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    bs = words.agg(
+        F.sum(F.bit_count("w")).cast("bigint").alias("bits_set")
+    )
+    qs = qtest.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum("hit").cast("bigint").alias("false_pos"),
+    )
+    theo = r4(
+        F.pow(
+            1.0
+            - F.pow(
+                F.lit(1.0 - 1.0 / _BLOOM_M),
+                float(_BLOOM_K) * F.col("n_members"),
+            ),
+            float(_BLOOM_K),
+        )
+    )
+    return (
+        nm.crossJoin(F.broadcast(qs))
+        .crossJoin(F.broadcast(bs))
+        .select(
+            "n_members",
+            "n_queries",
+            "bits_set",
+            "false_pos",
+            r4(F.col("false_pos") * 1.0 / F.col("n_queries")).alias(
+                "observed_fpr"
+            ),
+            theo.alias("theoretical_fpr"),
+        )
+    )

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R, R2
+from modforms_db_spark.oracle_dialect import R, R2, R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -1009,4 +1010,119 @@ def q_source_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(F.col("_bad").isNull(), F.col("total"))), 2
         ).alias("good_total"),
+    )
+
+
+_ENC_BLOCK = 1024  # values per encoding block (parquet-page analogue)
+
+
+@register(
+    "q_encoding_efficiency",
+    oracle=f"""
+    WITH ids AS (SELECT event_id FROM events),
+    sorted_lay AS (
+      SELECT 'sorted' AS layout,
+             event_id // {_ENC_BLOCK} AS block,
+             event_id AS ord_key, event_id
+      FROM ids
+    ),
+    shuffled_lay AS (
+      SELECT 'shuffled' AS layout,
+             ((event_id * 2654435761) % 4294967296) % 512 AS block,
+             (event_id * 2654435761) % 4294967296 AS ord_key, event_id
+      FROM ids
+    ),
+    lay AS (SELECT * FROM sorted_lay UNION ALL SELECT * FROM shuffled_lay),
+    d AS (
+      SELECT layout, block, event_id,
+             event_id - lag(event_id) OVER (
+               PARTITION BY layout, block ORDER BY ord_key, event_id
+             ) AS delta
+      FROM lay
+    ),
+    bits AS (
+      SELECT layout,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(COUNT(DISTINCT block) AS BIGINT) AS n_blocks,
+             CAST(SUM(CASE WHEN delta IS NULL THEN 64
+                           WHEN delta = 0 THEN 1
+                           ELSE length(bin(ABS(delta)))
+                               + 1 END) AS BIGINT) AS payload_bits
+      FROM d GROUP BY layout
+    )
+    SELECT layout, n_values, n_blocks, payload_bits,
+           {R4('payload_bits * 1.0 / n_values')} AS bits_per_value,
+           {R4('64.0 * n_values / payload_bits')} AS compression_x
+    FROM bits
+    """,
+    priority="P2",
+    tags=("sink", "layout", "audit"),
+)
+def q_encoding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding efficiency audit of two physical layouts — the
+    quantified WHY behind `q_sink_sorted_pruning`/`q_sink_zorder`: the
+    event-id column is blocked into {_ENC_BLOCK}-value pages (the
+    parquet-page analogue — encoders reset per page, so the first
+    value of each block pays full 64-bit width) and the per-page
+    delta stream is costed at minimal binary width + sign bit
+    (`length(bin(|δ|))`, EXACT integer arithmetic — no fp log2).
+    Sorted layout → unit deltas → ~2 bits/value; hash-shuffled layout
+    → deltas spanning the id range → ~20+ bits/value. The ~10×
+    compression gap is the storage cost of ignoring sort order at
+    write time, before any scan-pruning benefit.
+
+    Scale: both layouts derive from ONE scan; each delta window
+    partitions by (layout, block) — thousands of small independent
+    groups, the opposite of a global sort; the report is a 2-row
+    combine. At 100 TB this audit reads the column once and writes
+    nothing.
+    """
+    prep(spark)
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_id")
+        .localCheckpoint(eager=False)  # both layout legs
+    )
+    knuth = (F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)
+    sorted_lay = e.select(
+        F.lit("sorted").alias("layout"),
+        (F.col("event_id") / _ENC_BLOCK).cast("bigint").alias("block"),
+        F.col("event_id").alias("ord_key"),
+        "event_id",
+    )
+    shuffled_lay = e.select(
+        F.lit("shuffled").alias("layout"),
+        (knuth % 512).alias("block"),
+        knuth.alias("ord_key"),
+        "event_id",
+    )
+    lay = sorted_lay.unionByName(shuffled_lay)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("layout", "block").orderBy("ord_key", "event_id")
+    d = lay.select(
+        "layout",
+        "block",
+        "event_id",
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("delta"),
+    )
+    bits = F.when(F.col("delta").isNull(), 64).when(
+        F.col("delta") == 0, 1
+    ).otherwise(F.length(F.bin(F.abs(F.col("delta")))) + 1)
+    b = d.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        F.countDistinct("block").cast("bigint").alias("n_blocks"),
+        F.sum(bits).cast("bigint").alias("payload_bits"),
+    )
+    return b.select(
+        "layout",
+        "n_values",
+        "n_blocks",
+        "payload_bits",
+        r4(F.col("payload_bits") * 1.0 / F.col("n_values")).alias(
+            "bits_per_value"
+        ),
+        r4(64.0 * F.col("n_values") / F.col("payload_bits")).alias(
+            "compression_x"
+        ),
     )
