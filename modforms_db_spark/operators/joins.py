@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -1157,4 +1158,134 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("signup_ts"),
         nearest.alias("nearest_purchase_ts"),
         gap.alias("gap_us"),
+    )
+
+
+# Fellegi-Sunter m-probabilities: P(field agrees | records match).
+# Documented priors (a production linker EM-fits these); u-probabilities
+# are estimated from the candidate pairs themselves — blocked random
+# pairs are almost all non-matches, the standard u-estimation shortcut.
+_FS_M = (0.95, 0.90, 0.98)
+_FS_TAU = 2.0  # classify as match above this total log2 weight
+
+
+@register(
+    "q_fellegi_sunter",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+    ), pairs AS (
+      SELECT CASE WHEN a.c_mktsegment = b.c_mktsegment
+                  THEN 1 ELSE 0 END AS g1,
+             CASE WHEN ABS(a.cents - b.cents) < 10000
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN (a.cents >= 0) = (b.cents >= 0)
+                  THEN 1 ELSE 0 END AS g3
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    ), u AS (
+      SELECT {R4('AVG(g1 * 1.0)')} AS u1,
+             {R4('AVG(g2 * 1.0)')} AS u2,
+             {R4('AVG(g3 * 1.0)')} AS u3
+      FROM pairs
+    ), scored AS (
+      SELECT CASE WHEN g1 = 1 THEN LOG2({_FS_M[0]!r} / u1)
+                  ELSE LOG2({1 - _FS_M[0]!r} / (1.0 - u1)) END
+           + CASE WHEN g2 = 1 THEN LOG2({_FS_M[1]!r} / u2)
+                  ELSE LOG2({1 - _FS_M[1]!r} / (1.0 - u2)) END
+           + CASE WHEN g3 = 1 THEN LOG2({_FS_M[2]!r} / u3)
+                  ELSE LOG2({1 - _FS_M[2]!r} / (1.0 - u3)) END AS score
+      FROM pairs CROSS JOIN u
+    )
+    SELECT CAST(FLOOR(score) AS BIGINT) AS score_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN score > {_FS_TAU!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_match,
+           {R4('MIN(score)')} AS band_min,
+           {R4('MAX(score)')} AS band_max
+    FROM scored GROUP BY 1
+    """,
+    priority="P2",
+    tags=("join", "entity-resolution", "statistics"),
+)
+def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969) over
+    nation-blocked customer pairs: three comparison fields (segment
+    agreement, balance within 100.00, balance-sign agreement) score
+    log₂(m/u) on agreement and log₂((1−m)/(1−u)) on disagreement;
+    the m-priors are documented constants, the u-probabilities are
+    ESTIMATED from the candidate pairs themselves (blocked random
+    pairs ≈ all non-matches — the standard shortcut an EM fit
+    refines). Output: the match-weight distribution as integer score
+    bands with pair counts and the τ = {_FS_TAU} classification tally
+    — the histogram a linkage review reads to place its upper/lower
+    thresholds. The theory layer OVER `q_fuzzy_name_join`'s string
+    mechanics and `q_entity_clusters`' transitive closure.
+
+    u-probabilities are r4-rounded before the logs so every weight is
+    a fixed double formula of engine-identical scalars.
+
+    Scale: blocking bounds the candidate join (nation blocks, the
+    `q_fuzzy_name_join` discipline — never all-pairs); the u
+    estimation is a 1-row aggregate off the CHECKPOINTED pair frame
+    that the scoring pass reuses; the report is bounded by the score
+    bands. A production run swaps blocks and fields, same shape.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            .cast("int")
+            .alias("g1"),
+            (
+                F.abs(F.col("a.cents") - F.col("b.cents")) < 10000
+            )
+            .cast("int")
+            .alias("g2"),
+            (
+                (F.col("a.cents") >= 0) == (F.col("b.cents") >= 0)
+            )
+            .cast("int")
+            .alias("g3"),
+        )
+        .localCheckpoint(eager=False)  # u estimation + scoring pass
+    )
+    u = pairs.agg(
+        r4(F.avg(F.col("g1") * 1.0)).alias("u1"),
+        r4(F.avg(F.col("g2") * 1.0)).alias("u2"),
+        r4(F.avg(F.col("g3") * 1.0)).alias("u3"),
+    )
+    def w(g: str, m: float, uc: str):
+        return F.when(
+            F.col(g) == 1, F.log2(F.lit(m) / F.col(uc))
+        ).otherwise(F.log2(F.lit(1 - m) / (1.0 - F.col(uc))))
+    score = (
+        w("g1", _FS_M[0], "u1")
+        + w("g2", _FS_M[1], "u2")
+        + w("g3", _FS_M[2], "u3")
+    )
+    scored = pairs.crossJoin(F.broadcast(u)).select(score.alias("score"))
+    return scored.groupBy(
+        F.floor(F.col("score")).cast("bigint").alias("score_band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("score") > _FS_TAU, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match"),
+        r4(F.min("score")).alias("band_min"),
+        r4(F.max("score")).alias("band_max"),
     )
