@@ -2314,3 +2314,75 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / mean
         ).alias("vmr"),
     )
+
+
+_NEG_POW = 0.75  # Mikolov et al. 2013 unigram damping exponent
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1
+    ), w AS (
+      SELECT tok, cf, POW(cf, {_NEG_POW!r}) AS w FROM cf
+    ), tot AS (SELECT SUM(w) AS sw FROM w
+    ), r AS (
+      SELECT tok, cf, w,
+             SUM(w) OVER (ORDER BY w DESC, tok) AS cum_w
+      FROM w
+    )
+    SELECT tok, cf,
+           {R("w / sw", 6)} AS p,
+           {R("cum_w / sw", 6)} AS cum_p
+    FROM r CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("llm", "text", "sampling"),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling distribution (word2vec, Mikolov et al. 2013):
+    the unigram distribution damped to the ¾ power — p ∝ cf^0.75 — so
+    frequent glue words are down-weighted and rare words up-weighted
+    as contrastive negatives, with the cumulative mass in sampling
+    order (the inverse-CDF table a sampler binary-searches). The
+    contrastive-training sibling of `q_sample_temperature`'s
+    corpus-level damping and `q_hard_negatives`' model-based mining.
+
+    Scale: one explode to the token grain with map-side count combine;
+    the cumulative mass runs through the banded-order device
+    (`operators/banded.py`, bands on ln w — the variance-stabilizing
+    transform for Zipf-shaped weights) so a 10M-term vocabulary never
+    meets a single-task window; the normalizer is a 1-row broadcast.
+    """
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    cf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
+    )
+    w = cf.select(
+        "tok", "cf", F.pow(F.col("cf"), _NEG_POW).alias("w"),
+        F.log(F.pow(F.col("cf"), _NEG_POW)).alias("lnw"),
+    )
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    r = with_banded_order(
+        w,
+        "lnw",
+        ["tok"],
+        descending=True,
+        cumsum_col="w",
+        rn_name="rn",
+        cum_name="cum_w",
+    )
+    tot = r.agg(F.sum("w").alias("sw"))
+    return r.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "cf",
+        F.round(F.col("w") / F.col("sw"), 6).alias("p"),
+        F.round(F.col("cum_w") / F.col("sw"), 6).alias("cum_p"),
+    )

@@ -3332,3 +3332,128 @@ def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             theo.alias("theoretical_fpr"),
         )
     )
+
+
+_DID_SPLIT_TS = "2024-01-16 00:00:00"  # pre/post boundary (events midpoint)
+_DID_EFFECT = 25.0  # planted treatment effect on the treated-post cell
+_DID_Z = 1.96  # two-sided alpha = 0.05
+
+
+@register(
+    "q_diff_in_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT (user_id % 2 = 0) AS treated,
+             (ts >= TIMESTAMP '{_DID_SPLIT_TS}') AS post,
+             value
+      FROM events
+    ), y AS (
+      SELECT 'organic' AS test, treated, post, value FROM base
+      UNION ALL
+      SELECT 'planted', treated, post,
+             CASE WHEN treated AND post THEN value + {_DID_EFFECT!r}
+                  ELSE value END
+      FROM base
+    ), cell AS (
+      SELECT test, treated, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {R4('AVG(value)')} AS m,
+             {R4('VAR_SAMP(value)')} AS v
+      FROM y GROUP BY 1, 2, 3
+    ), wide AS (
+      SELECT test,
+             MAX(CASE WHEN treated AND post THEN m END) AS tp,
+             MAX(CASE WHEN treated AND NOT post THEN m END) AS ta,
+             MAX(CASE WHEN NOT treated AND post THEN m END) AS cp,
+             MAX(CASE WHEN NOT treated AND NOT post THEN m END) AS ca,
+             MAX(CASE WHEN treated AND post THEN v / n END) AS se_tp,
+             MAX(CASE WHEN treated AND NOT post THEN v / n END) AS se_ta,
+             MAX(CASE WHEN NOT treated AND post THEN v / n END) AS se_cp,
+             MAX(CASE WHEN NOT treated AND NOT post THEN v / n END) AS se_ca
+      FROM cell GROUP BY test
+    )
+    SELECT test,
+           {R4('(tp - ta) - (cp - ca)')} AS did,
+           {R4('SQRT(se_tp + se_ta + se_cp + se_ca)')} AS se,
+           ABS({R4('(tp - ta) - (cp - ca)')})
+             > {_DID_Z!r} * {R4('SQRT(se_tp + se_ta + se_cp + se_ca)')}
+             AS significant
+    FROM wide
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "causal"),
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (the 2×2 causal design):
+    treated = even user ids, post = second half of the event window —
+    DiD = (T̄post − T̄pre) − (C̄post − C̄pre) with the four-cell
+    standard error √(Σ s²ᵢ/nᵢ) and a z-test at α = 0.05. The
+    parallel-trends causal layer beside `q_ab_ttest` (which compares
+    groups at one time) and `q_period_over_period` (which compares
+    times for one group): DiD nets out both the group baseline and
+    the common time shock. Fixture values are iid, so the organic
+    estimate is null (accept); a planted +{_DID_EFFECT} effect on the
+    treated-post cell rejects — both directions at every SF (the
+    `q_ks_test` device).
+
+    Cell means/variances r4-rounded before the estimator; the
+    estimator and SE are fixed formulas over the four rounded cells.
+
+    Scale: ONE pass to the 2×2×2 cell grain (map-side combined — the
+    whole design is eight aggregate rows), then scalar math. Billions
+    of events cost one scan.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit(_DID_SPLIT_TS).cast("timestamp")).alias(
+            "post"
+        ),
+        "value",
+    ).localCheckpoint(eager=False)  # organic + planted legs
+    planted = base.select(
+        "treated",
+        "post",
+        F.when(
+            F.col("treated") & F.col("post"), F.col("value") + _DID_EFFECT
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    y = base.select(F.lit("organic").alias("test"), "*").unionByName(
+        planted.select(F.lit("planted").alias("test"), "*")
+    )
+    cell = y.groupBy("test", "treated", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.avg("value")).alias("m"),
+        r4(F.var_samp("value")).alias("v"),
+    )
+    def pick(tr: bool, po: bool, col: str):
+        return F.max(
+            F.when((F.col("treated") == tr) & (F.col("post") == po), F.col(col))
+        )
+    wide = cell.groupBy("test").agg(
+        pick(True, True, "m").alias("tp"),
+        pick(True, False, "m").alias("ta"),
+        pick(False, True, "m").alias("cp"),
+        pick(False, False, "m").alias("ca"),
+        (pick(True, True, "v") / pick(True, True, "n")).alias("se_tp"),
+        (pick(True, False, "v") / pick(True, False, "n")).alias("se_ta"),
+        (pick(False, True, "v") / pick(False, True, "n")).alias("se_cp"),
+        (pick(False, False, "v") / pick(False, False, "n")).alias("se_ca"),
+    )
+    did = r4(
+        (F.col("tp") - F.col("ta")) - (F.col("cp") - F.col("ca"))
+    )
+    se = r4(
+        F.sqrt(
+            F.col("se_tp") + F.col("se_ta") + F.col("se_cp") + F.col("se_ca")
+        )
+    )
+    return wide.select(
+        "test",
+        did.alias("did"),
+        se.alias("se"),
+        (F.abs(did) > _DID_Z * se).alias("significant"),
+    )
