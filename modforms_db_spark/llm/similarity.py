@@ -2019,7 +2019,9 @@ _PQ_K = 16  # codewords per subspace (vec_id < 16, the IVF seed device)
       FROM sub JOIN cb ON sub.s = cb.s
     ),
     enc AS (
-      SELECT vec_id, s, cid, d4 FROM (
+      SELECT vec_id, s, cid,
+             CAST(ROUND(d4 * 10000) AS BIGINT) AS q4
+      FROM (
         SELECT *, row_number() OVER (
           PARTITION BY vec_id, s ORDER BY d4, cid
         ) AS rn FROM pair
@@ -2027,7 +2029,7 @@ _PQ_K = 16  # codewords per subspace (vec_id < 16, the IVF seed device)
     ),
     agg AS (
       SELECT s, cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
-             {R4('AVG(d4)')} AS mean_dist
+             (CAST(SUM(q4) AS BIGINT) // COUNT(*)) / 10000.0 AS mean_dist
       FROM enc GROUP BY 1, 2
     )
     SELECT cb.s, cb.cid,
@@ -2081,11 +2083,17 @@ def q_vec_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = pair.groupBy("vec_id", "s").agg(
         F.min(F.struct("d4", "cid")).alias("best")
-    ).select("vec_id", "s", F.col("best.cid").alias("cid"),
-             F.col("best.d4").alias("d4"))
+    ).select(
+        "vec_id",
+        "s",
+        F.col("best.cid").alias("cid"),
+        F.round(F.col("best.d4") * 10000, 0).cast("bigint").alias("q4"),
+    )
     agg = enc.groupBy("s", "cid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
-        r4(F.avg("d4")).alias("mean_dist"),
+        (
+            F.expr("CAST(sum(q4) AS BIGINT) div count(1)") / 10000.0
+        ).alias("mean_dist"),
     )
     spine = cb.select(F.col("cs").alias("s"), "cid").distinct()
     return spine.join(agg, ["s", "cid"], "left").select(
@@ -2132,7 +2140,8 @@ def q_vec_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     adc AS (
       SELECT lut.q_id, enc.vec_id AS nb_id,
-             {R4('SUM(lut.d4)')} AS adc_d4
+             {R4('SUM(CAST(ROUND(lut.d4 * 10000) AS BIGINT)) / 10000.0')}
+               AS adc_d4
       FROM enc JOIN lut ON enc.s = lut.s AND enc.cid = lut.cid
       WHERE enc.vec_id != lut.q_id
       GROUP BY 1, 2
@@ -2198,7 +2207,12 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc.join(F.broadcast(lut), ["s", "cid"])
         .where(F.col("vec_id") != F.col("q_id"))
         .groupBy("q_id", F.col("vec_id").alias("nb_id"))
-        .agg(r4(F.sum("d4")).alias("adc_d4"))
+        .agg(
+            r4(
+                F.sum(F.round(F.col("d4") * 10000, 0).cast("bigint"))
+                / 10000.0
+            ).alias("adc_d4")
+        )
     )
     w = Window.partitionBy("q_id").orderBy("adc_d4", "nb_id")
     return (

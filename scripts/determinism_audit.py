@@ -10,7 +10,7 @@ top-k with an incomplete tiebreak, time-dependent expressions — would
 hash-mismatch there while passing the local suite. This audit is the
 Spark-vs-Spark complement of the Spark-vs-DuckDB parity sweep.
 
-    python scripts/determinism_audit.py [sf_dir] [partsA] [partsB]
+    python scripts/determinism_audit.py [sf_dir] [partsA] [partsB] [--only regex]
 
 Exit 0 iff every query hashes identically under both layouts.
 (Round-4 baseline: 308/308 identical under 32 vs 7 partitions.)
@@ -25,7 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run_all(sf_dir: str, parts: int) -> dict[str, str]:
+def _run_all(sf_dir: str, parts: int, only=None) -> dict[str, str]:
     from pyspark.sql import SparkSession
 
     from modforms_db_spark.registry import get_registry
@@ -40,6 +40,8 @@ def _run_all(sf_dir: str, parts: int) -> dict[str, str]:
     spark.conf.set("spark.sql.shuffle.partitions", str(parts))
     out: dict[str, str] = {}
     for name, q in get_registry().items():
+        if only is not None and not only.search(name):
+            continue
         try:
             pdf = q.builder(spark, sf_dir).toPandas()
             pdf = pdf.reindex(sorted(pdf.columns), axis=1)
@@ -58,11 +60,17 @@ def _run_all(sf_dir: str, parts: int) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    pa = int(sys.argv[2]) if len(sys.argv) > 2 else 32
-    pb = int(sys.argv[3]) if len(sys.argv) > 3 else 7
-    a = _run_all(sf_dir, pa)
-    b = _run_all(sf_dir, pb)
+    import re
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    pa = int(args[1]) if len(args) > 1 else 32
+    pb = int(args[2]) if len(args) > 2 else 7
+    only = None
+    if "--only" in sys.argv:  # re-check a few names in isolation
+        only = re.compile(sys.argv[sys.argv.index("--only") + 1])
+    a = _run_all(sf_dir, pa, only)
+    b = _run_all(sf_dir, pb, only)
     diffs = sorted(n for n in a if a[n] != b.get(n))
     for n in diffs:
         print(f"LAYOUT-DEPENDENT: {n}")
