@@ -1321,3 +1321,111 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name")
     )
+
+
+# --- synthesized shipping columns -----------------------------------------
+#
+# The driver schema ships no l_shipmode / l_commitdate / l_receiptdate,
+# which blocked TPC-H Q12 (the one classic still missing after the
+# partsupp synthesis above unblocked Q2/Q9/Q11/Q16/Q20). Same precedent,
+# same device: the three columns are SYNTHESIZED deterministically from
+# pure key arithmetic — one Knuth hash of (orderkey, linenumber) drives
+# the mode pick and both lag offsets, so both engines derive identical
+# shipping data from the same parquet keys and Q12's canonical
+# late-delivery semantics (commit < receipt, shipped before commit,
+# receipt-year window) stay fully exercised.
+
+_Q12_MODES = ("MAIL", "SHIP", "RAIL", "TRUCK", "AIR", "REG AIR", "FOB")
+_Q12_MODES_SQL = ", ".join(f"'{m}'" for m in _Q12_MODES)
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey, CAST(l_shipdate AS DATE) AS sd,
+             ((l_orderkey * 31 + l_linenumber) * 2654435761) % 4294967296
+               AS h
+      FROM lineitem
+    ), x AS (
+      SELECT l_orderkey,
+             [{_Q12_MODES_SQL}][CAST(h % 7 AS INTEGER) + 1] AS l_shipmode,
+             sd + CAST(1 + (h // 7) % 60 AS INTEGER) AS l_commitdate,
+             sd + CAST(1 + (h // 420) % 90 AS INTEGER) AS l_receiptdate,
+             sd
+      FROM li
+    )
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM x JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND sd < l_commitdate
+      AND l_receiptdate >= DATE '1997-01-01'
+      AND l_receiptdate < DATE '1998-01-01'
+    GROUP BY l_shipmode
+    """,
+    priority="P2",
+    tags=("tpch", "join", "synthesized-shipmode"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) over SYNTHESIZED
+    shipping columns (module comment above — the partsupp precedent):
+    for MAIL/SHIP lineitems received in 1997 that were shipped before
+    their commit date and committed before receipt (the late-delivery
+    chain), count high- vs low-priority orders per mode. Completes the
+    buildable classic set: all 22 TPC-H shapes now carried (Q1 as
+    `q_agg_flagship`).
+
+    Scale: the synthesis is three scan-side integer expressions — no
+    extra table, no shuffle; then the canonical Q12 plan: pushed
+    disjunctive mode filter, date-range filter, one equi-join to
+    orders (AQE picks broadcast vs SMJ by orders' size), map-side
+    combined conditional counts to a 2-row result.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    h = (
+        (F.col("l_orderkey") * 31 + F.col("l_linenumber"))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    modes = F.array(*[F.lit(m) for m in _Q12_MODES])
+    x = li.select(
+        "l_orderkey",
+        "sd",
+        F.element_at(modes, (h % 7).cast("int") + 1).alias("l_shipmode"),
+        F.expr(
+            "date_add(sd, CAST(1 + ((((l_orderkey * 31 + l_linenumber)"
+            " * 2654435761) % 4294967296) DIV 7) % 60 AS INT))"
+        ).alias("l_commitdate"),
+        F.expr(
+            "date_add(sd, CAST(1 + ((((l_orderkey * 31 + l_linenumber)"
+            " * 2654435761) % 4294967296) DIV 420) % 90 AS INT))"
+        ).alias("l_receiptdate"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    f = x.where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("sd") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1998-01-01").cast("date"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        f.join(o, f.l_orderkey == o.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
