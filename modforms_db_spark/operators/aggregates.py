@@ -3457,3 +3457,107 @@ def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.alias("se"),
         (F.abs(did) > _DID_Z * se).alias("significant"),
     )
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, (user_id % 2 = 0) AS grp,
+             {R4(f"AVG(CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'"
+                 " THEN value END)")} AS pre,
+             {R4(f"AVG(CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT_TS}'"
+                 " THEN value END)")} AS post
+      FROM events GROUP BY 1, 2
+    ), both_u AS (
+      SELECT * FROM u WHERE pre IS NOT NULL AND post IS NOT NULL
+    ), th AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+             {R4('(SUM(pre * post) - SUM(pre) * SUM(post) / COUNT(*))'
+                 ' / (SUM(pre * pre) - SUM(pre) * SUM(pre) / COUNT(*))')}
+               AS theta,
+             {R4('AVG(pre)')} AS mean_pre
+      FROM both_u
+    ), adj AS (
+      SELECT grp, post,
+             post - theta * (pre - mean_pre) AS post_adj, theta, n_all
+      FROM both_u CROSS JOIN th
+    )
+    SELECT grp,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {R4('AVG(post)')} AS mean_post,
+           {R4('AVG(post_adj)')} AS mean_post_adj,
+           {R4('VAR_SAMP(post)')} AS var_post,
+           {R4('VAR_SAMP(post_adj)')} AS var_post_adj,
+           {R4('1.0 - VAR_SAMP(post_adj) / VAR_SAMP(post)')}
+             AS var_reduction,
+           MAX(theta) AS theta
+    FROM adj GROUP BY grp
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the standard
+    pre-experiment covariate adjustment every large A/B platform
+    applies): per user, the pre-period mean is the covariate for the
+    post-period metric; θ = cov(pre, post)/var(pre) is fit POOLED
+    across both arms (assignment-independent, so the adjustment is
+    unbiased), and each arm reports its raw and adjusted post means,
+    variances, and the realized variance-reduction fraction — the
+    sensitivity gain that lets the same experiment detect a smaller
+    effect (`q_ab_ttest`'s power upgrade; split boundary and arm rule
+    shared with `q_diff_in_diff`).
+
+    Per-user pre/post means are r4-rounded BEFORE the θ fit, so every
+    downstream moment is arithmetic on engine-identical doubles; the
+    θ ratio itself is r4-rounded before adjustment.
+
+    Scale: one pass to the user grain (conditional means, map-side
+    combined), a 1-row pooled θ broadcast back onto the bounded user
+    frame, then per-arm moment aggregates — the covariate fit costs
+    one extra 1-row aggregate over the same user-grain frame (kept to
+    a single scan by the checkpoint).
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    post_f = F.col("ts") >= F.lit(_DID_SPLIT_TS).cast("timestamp")
+    u = (
+        e.groupBy(
+            "user_id", (F.col("user_id") % 2 == 0).alias("grp")
+        )
+        .agg(
+            r4(F.avg(F.when(~post_f, F.col("value")))).alias("pre"),
+            r4(F.avg(F.when(post_f, F.col("value")))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+        .localCheckpoint(eager=False)  # theta fit + per-arm aggregates
+    )
+    n = F.count(F.lit(1))
+    th = u.agg(
+        n.cast("bigint").alias("n_all"),
+        r4(
+            (F.sum(F.col("pre") * F.col("post")) - F.sum("pre") * F.sum("post") / n)
+            / (F.sum(F.col("pre") * F.col("pre")) - F.sum("pre") * F.sum("pre") / n)
+        ).alias("theta"),
+        r4(F.avg("pre")).alias("mean_pre"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "grp",
+        "post",
+        (
+            F.col("post") - F.col("theta") * (F.col("pre") - F.col("mean_pre"))
+        ).alias("post_adj"),
+        "theta",
+    )
+    return adj.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        r4(F.avg("post")).alias("mean_post"),
+        r4(F.avg("post_adj")).alias("mean_post_adj"),
+        r4(F.var_samp("post")).alias("var_post"),
+        r4(F.var_samp("post_adj")).alias("var_post_adj"),
+        r4(1.0 - F.var_samp("post_adj") / F.var_samp("post")).alias(
+            "var_reduction"
+        ),
+        F.max("theta").alias("theta"),
+    )
