@@ -3561,3 +3561,91 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("theta").alias("theta"),
     )
+
+
+_MDE_Z_ALPHA = 1.96  # two-sided alpha = 0.05
+_MDE_Z_BETA = 0.8416  # 80% power
+_MDE_TARGET = 0.20  # fixture-calibrated relative target effect
+
+
+@register(
+    "q_mde_power",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, value FROM events
+      UNION ALL
+      SELECT 'zz-sparse', value FROM events
+      WHERE event_type = 'purchase' AND event_id % 41 = 0
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {R4('AVG(value)')} AS mean_v,
+             {R4('VAR_SAMP(value)')} AS var_v
+      FROM t GROUP BY 1
+    )
+    SELECT event_type, n, mean_v, var_v,
+           {R4(f'({_MDE_Z_ALPHA!r} + {_MDE_Z_BETA!r})'
+               ' * SQRT(2.0 * var_v / (n / 2.0))')} AS mde_abs,
+           {R4(f'({_MDE_Z_ALPHA!r} + {_MDE_Z_BETA!r})'
+               ' * SQRT(2.0 * var_v / (n / 2.0)) / mean_v')} AS mde_rel,
+           {R4(f'({_MDE_Z_ALPHA!r} + {_MDE_Z_BETA!r})'
+               ' * SQRT(2.0 * var_v / (n / 2.0)) / mean_v')}
+             <= {_MDE_TARGET!r} AS powered_for_target
+    FROM s
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect / power planning per metric stream:
+    with the observed variance and an even 50/50 split of the
+    available n, the smallest true difference a two-sided α = 0.05
+    test detects with 80% power is (z_{{α/2}} + z_β)·√(2σ²/(n/2)) —
+    reported absolute and relative, plus the go/no-go flag against the
+    fixture-calibrated {_MDE_TARGET:.0%} relative target. The
+    pre-experiment sizing read BEFORE `q_ab_ttest` runs and the reason
+    `q_cuped` exists (variance reduction shrinks the MDE at fixed n).
+    A planted 1-in-41 'zz-sparse' slice of the purchase stream rides
+    along so an underpowered stream exists beside the powered organic
+    ones at the sf0.01 gate scale and above (the `q_ks_test` device —
+    fixture streams are volume-uniform, so organic verdicts never
+    split within one SF); at sf0.001 every stream is honestly
+    underpowered for a 20% effect (~200 events each).
+
+    Variance and mean are r4-rounded before the closed-form, which is
+    then one fixed double formula per 5-row group.
+
+    Scale: one map-side-combined moment pass to the TYPE grain; the
+    sizing math is free at any corpus size.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).localCheckpoint(eager=False)  # organic + planted-sparse legs
+    sparse = e.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 41 == 0)
+    ).select(F.lit("zz-sparse").alias("event_type"), "value")
+    t = e.select("event_type", "value").unionByName(sparse)
+    s = t.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        r4(F.avg("value")).alias("mean_v"),
+        r4(F.var_samp("value")).alias("var_v"),
+    )
+    mde = r4(
+        (_MDE_Z_ALPHA + _MDE_Z_BETA)
+        * F.sqrt(2.0 * F.col("var_v") / (F.col("n") / 2.0))
+    )
+    mde_rel = r4(
+        (_MDE_Z_ALPHA + _MDE_Z_BETA)
+        * F.sqrt(2.0 * F.col("var_v") / (F.col("n") / 2.0))
+        / F.col("mean_v")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "mean_v",
+        "var_v",
+        mde.alias("mde_abs"),
+        mde_rel.alias("mde_rel"),
+        (mde_rel <= _MDE_TARGET).alias("powered_for_target"),
+    )
