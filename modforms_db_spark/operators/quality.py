@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -1077,4 +1077,105 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("u2") / 2.0).alias("u_stat"),
         z.alias("z_stat"),
         (F.abs(z) > _MW_Z_CRIT).alias("reject"),
+    )
+
+
+@register(
+    "q_reconciliation_audit",
+    oracle=f"""
+    WITH l AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST({R('(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)', 0)}
+                           AS BIGINT)) AS BIGINT) AS calc_cents
+      FROM lineitem GROUP BY 1
+    ), j0 AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST({R('(o.o_totalprice * 100)', 0)} AS BIGINT) AS stated_cents,
+             COALESCE(l.calc_cents, 0) AS calc_cents
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+    ), j AS (
+      SELECT o_orderpriority, stated_cents, calc_cents FROM j0
+      UNION ALL
+      SELECT 'zz-repaired', calc_cents, calc_cents
+      FROM j0 WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN calc_cents = stated_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN ABS(calc_cents - stated_cents) <= 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dollar,
+           CAST(MAX(ABS(calc_cents - stated_cents)) AS BIGINT)
+             AS max_abs_diff_cents
+    FROM j GROUP BY 1
+    """,
+    priority="P2",
+    tags=("quality", "audit", "reconciliation"),
+)
+def q_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: recompute each order's
+    total from its line items (sum of extendedprice x (1-discount) x
+    (1+tax)) and audit it against the order header's stated total —
+    the referential-CONSISTENCY check beside `q_fk_discovery`'s
+    referential-EXISTENCE check (a key can resolve while the money
+    still disagrees). Reports, per priority band: order count, exact
+    matches, within-a-dollar matches, and the worst absolute gap.
+    Headerless orders reconcile against 0 (a missing-detail gap is a
+    mismatch, not a skip). The fixture's headers are synthetic (no
+    order reconciles organically), so a planted 'zz-repaired' band —
+    every 13th order with its stated total overwritten by the
+    recomputed one — keeps the PASS verdict live at every SF (the
+    `q_ks_test` planted-ground-truth device).
+
+    All money rides as EXACT integer cents — per-line charge is
+    Spark-rounded to 2 dp (engine-identical), x100 is then exact, and
+    every comparison/aggregate is integer — so no float summation
+    order can flip a verdict.
+
+    Scale: one map-side-combined pass to the ORDER grain on the
+    lineitem side, one shuffle join on the order key (high-cardinality,
+    unskewed), then a tiny grouped audit; both scans prune to the
+    money columns.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    line_cents = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 100,
+        0,
+    ).cast("bigint")
+    l = li.select(
+        "l_orderkey", line_cents.alias("line_cents")
+    ).groupBy("l_orderkey").agg(
+        F.sum("line_cents").cast("bigint").alias("calc_cents")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("stated_cents"),
+    )
+    j0 = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "stated_cents",
+        F.coalesce("calc_cents", F.lit(0)).alias("calc_cents"),
+    ).localCheckpoint(eager=False)  # organic + planted-repaired legs
+    repaired = j0.where(F.col("o_orderkey") % 13 == 0).select(
+        F.lit("zz-repaired").alias("o_orderpriority"),
+        F.col("calc_cents").alias("stated_cents"),
+        "calc_cents",
+    )
+    j = j0.select(
+        "o_orderpriority", "stated_cents", "calc_cents"
+    ).unionByName(repaired)
+    diff = F.col("calc_cents") - F.col("stated_cents")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(diff == 0, 1).otherwise(0)).cast("bigint").alias("n_exact"),
+        F.sum(F.when(F.abs(diff) <= 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within_dollar"),
+        F.max(F.abs(diff)).cast("bigint").alias("max_abs_diff_cents"),
     )

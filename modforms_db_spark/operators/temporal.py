@@ -2124,3 +2124,159 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return pi
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_autocorrelation",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {R4('SUM(value)')} AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           CAST(date_diff('day', b.day, a.day) AS BIGINT) AS lag_d,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {R4('CORR(a.v, b.v)')} AS acf
+    FROM d a JOIN d b
+      ON a.event_type = b.event_type
+     AND date_diff('day', b.day, a.day) BETWEEN 1 AND {_ACF_MAX_LAG}
+    GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "corr"),
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function of each metric stream: Pearson
+    correlation of the daily value-sum series against itself at lags
+    1..{_ACF_MAX_LAG} days — the seasonality/persistence read beside
+    `q_seasonality_profile`'s hour-of-week means and `q_ewma`'s level
+    (a flat ACF says yesterday predicts nothing; a 7-day spike says
+    weekly cycle). Lagged pairs come from a self-join of the DAILY
+    grain on exact calendar distance, so every lag column shares one
+    aggregation.
+
+    Daily sums are r4-rounded at the grain (summation order never
+    reaches the corr inputs); corr itself is r4-rounded output.
+
+    Scale: the fact scan reduces map-side to the (type, day) grain —
+    bounded by calendar span x stream count, independent of event
+    cardinality — and is checkpointed once; the lag self-join and the
+    (type, lag) corr run on that tiny frame. At 100 TB the only big
+    stage is the first combine.
+    """
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(r4(F.sum("value")).alias("v"))
+        .localCheckpoint(eager=False)  # both sides of the lag self-join
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lag_d = F.datediff(F.col("a.day"), F.col("b.day"))
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & lag_d.between(1, _ACF_MAX_LAG),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            lag_d.cast("bigint").alias("lag_d"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            r4(F.corr(F.col("a.v"), F.col("b.v"))).alias("acf"),
+        )
+    )
+
+
+@register(
+    "q_theil_sen",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             CAST(SUM(CAST({R('(o_totalprice * 100)', 0)} AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT a.o_orderpriority,
+             (b.cents - a.cents) / ((b.mi - a.mi) * 100.0) AS slope
+      FROM m a JOIN m b
+        ON a.o_orderpriority = b.o_orderpriority AND b.mi > a.mi
+    ), med AS (
+      SELECT o_orderpriority, {R4('quantile_cont(slope, 0.5)')} AS ts_slope
+      FROM s GROUP BY 1
+    )
+    SELECT m.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_months,
+           MAX(med.ts_slope) AS ts_slope,
+           {R4('quantile_cont(m.cents / 100.0 - med.ts_slope * m.mi, 0.5)')}
+             AS ts_intercept
+    FROM m JOIN med ON m.o_orderpriority = med.o_orderpriority
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "robust"),
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per order-priority stream: the median of
+    all pairwise slopes of the monthly-revenue series, plus the
+    matching median-residual intercept — the outlier-immune answer to
+    `q_grouped_ols`'s least-squares fit (one wild month moves OLS,
+    not the pairwise-slope median; breakdown point 29%).
+
+    Monthly revenue rides as EXACT integer cents (Spark-round per
+    order, summed as BIGINT), so every slope is one identical double
+    division on both engines; the median (engine-identical
+    interpolation, `q_agg_percentile` precedent) is r4-rounded, and
+    the intercept is the median residual against that already-rounded
+    slope.
+
+    Scale: the fact scan reduces to the (priority, month) grain —
+    bounded by calendar span x group count — checkpointed once; the
+    O(months^2) pair join (3.2k pairs/group at an 80-month span) and
+    both medians run on that frame, cost independent of row count.
+    """
+    prep(spark)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    m = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", mi.alias("mi"), cents.alias("cents"))
+        .groupBy("o_orderpriority", "mi")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .localCheckpoint(eager=False)  # pair join + intercept residuals
+    )
+    a, b = m.alias("a"), m.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.o_orderpriority") == F.col("b.o_orderpriority"))
+        & (F.col("b.mi") > F.col("a.mi")),
+    ).select(
+        F.col("a.o_orderpriority").alias("o_orderpriority"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            / ((F.col("b.mi") - F.col("a.mi")) * 100.0)
+        ).alias("slope"),
+    )
+    med = slopes.groupBy("o_orderpriority").agg(
+        r4(F.percentile("slope", F.lit(0.5))).alias("ts_slope")
+    )
+    return (
+        m.join(med, "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.max("ts_slope").alias("ts_slope"),
+            r4(
+                F.percentile(
+                    F.col("cents") / 100.0 - F.col("ts_slope") * F.col("mi"),
+                    F.lit(0.5),
+                )
+            ).alias("ts_intercept"),
+        )
+    )

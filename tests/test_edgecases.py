@@ -638,3 +638,72 @@ def test_python_ds_pushdown_prunes_partitions(spark):
     filtered = cal.where(F.col("m") == _PUSH_MONTH)
     assert filtered.rdd.getNumPartitions() == 1
     assert filtered.count() == 29  # Feb 2024 is a leap month
+
+
+def test_reconciliation_audit_verdicts_split(spark):
+    """Both audit verdicts must be live: the planted zz-repaired band
+    reconciles exactly, the organic bands (synthetic fixture headers)
+    do not — and the planted band's gap is structurally zero."""
+    from modforms_db_spark.operators.quality import q_reconciliation_audit
+
+    rows = {r["o_orderpriority"]: r
+            for r in q_reconciliation_audit(spark, SF_DIR).collect()}
+    rep = rows.pop("zz-repaired")
+    assert rep["n_exact"] == rep["n_orders"] > 0
+    assert rep["max_abs_diff_cents"] == 0
+    assert rows  # organic bands exist
+    for r in rows.values():
+        assert r["n_exact"] < r["n_orders"]
+
+
+def test_autocorrelation_laws(spark):
+    """ACF is a correlation (|acf| <= 1), lags span exactly 1..7, and
+    the pair count can only shrink as the lag grows (daily grain)."""
+    from collections import defaultdict
+
+    from modforms_db_spark.operators.temporal import q_autocorrelation
+
+    out = q_autocorrelation(spark, SF_DIR).collect()
+    bytype = defaultdict(dict)
+    for r in out:
+        assert 1 <= r["lag_d"] <= 7
+        assert r["acf"] is None or abs(r["acf"]) <= 1.0 + 1e-9
+        bytype[r["event_type"]][r["lag_d"]] = r["n_pairs"]
+    for lags in bytype.values():
+        assert sorted(lags) == list(range(1, 8))
+        seq = [lags[k] for k in range(1, 8)]
+        assert all(a >= b for a, b in zip(seq, seq[1:]))
+
+
+def test_theil_sen_recovers_planted_line_despite_outlier(spark, tmp_path):
+    """On an exact linear monthly series with ONE wild outlier month,
+    the pairwise-slope median must recover the true slope (the
+    breakdown-point property that separates it from OLS)."""
+    import datetime
+
+    from modforms_db_spark.operators.temporal import q_theil_sen
+
+    rows = []
+    for m in range(24):  # 1995-01 .. 1996-12, one order per month
+        price = 1000.0 + 50.0 * m if m != 7 else 990000.0  # planted spike
+        rows.append(
+            (
+                m,
+                1,
+                "O",
+                price,
+                datetime.datetime(1995 + m // 12, 1 + m % 12, 3),
+                "1-URGENT",
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    out = q_theil_sen(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_months"] == 24
+    assert abs(r["ts_slope"] - 50.0) < 1e-6  # outlier-immune
