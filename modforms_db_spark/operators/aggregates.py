@@ -3649,3 +3649,241 @@ def q_mde_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         mde_rel.alias("mde_rel"),
         (mde_rel <= _MDE_TARGET).alias("powered_for_target"),
     )
+
+
+@register(
+    "q_levene_test",
+    oracle=f"""
+    WITH y AS (
+      SELECT 'organic' AS test, c_mktsegment AS grp,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+      FROM customer
+      UNION ALL
+      SELECT 'planted', grp, cents FROM (
+        SELECT c_mktsegment AS grp,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        UNION ALL
+        SELECT 'zz-spread', CAST(ROUND(c_acctbal * 100) AS BIGINT) * 3
+        FROM customer WHERE c_mktsegment = '{_ANOVA_SHIFT_SEG}'
+      )
+    ), med AS (
+      SELECT test, grp,
+             CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS m2
+      FROM y GROUP BY 1, 2
+    ), z AS (
+      SELECT y.test, y.grp, ABS(2 * y.cents - med.m2) AS z
+      FROM y JOIN med ON y.test = med.test AND y.grp = med.grp
+    ), g AS (
+      SELECT test, grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z) AS BIGINT) AS s_g,
+             CAST(SUM(z * z) AS BIGINT) AS ss_g
+      FROM z GROUP BY 1, 2
+    ), tot AS (
+      SELECT test, CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(ss_g) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(POW(s_g * 1.0, 2) / n_g) AS sum_sq_means
+      FROM g GROUP BY 1
+    ), stat AS (
+      SELECT test, n, k,
+             sum_sq_means - POW(s * 1.0, 2) / n AS ssb,
+             ss - sum_sq_means AS ssw
+      FROM tot
+    )
+    SELECT test, n, CAST(k - 1 AS BIGINT) AS df1,
+           CAST(n - k AS BIGINT) AS df2,
+           {R4('(ssb / (k - 1)) / (ssw / (n - k))')} AS w_stat,
+           {R4('(ssb / (k - 1)) / (ssw / (n - k))')} > {_ANOVA_CRIT_SQL}
+             AS reject
+    FROM stat
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "test"),
+)
+def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) test of variance
+    homogeneity across market segments — the dispersion sibling of
+    `q_anova_oneway` (equal-variance is that test's standing
+    assumption; this is the test OF the assumption): W = the one-way
+    ANOVA F statistic applied to absolute deviations from each
+    group's MEDIAN, against the same asymptotic F(df1, inf) critical
+    values. Fixture balances are iid across segments (organic
+    accepts); a x3-scaled copy of one segment rides along as
+    'zz-spread' (spread x3 -> reject), keeping both verdicts live at
+    every SF (the `q_ks_test` device).
+
+    Exactness: deviations ride in integer HALF-cents — 2x the group
+    median of integer cents is itself an exact integer (either
+    middle-value or middle-pair sum), so z = |2·cents − 2·med| is
+    integer and the W statistic is one double formula over exact
+    integer moments (n, Σz, Σz² per group), r4-rounded before the
+    threshold.
+
+    Scale: one pass to the (test, group) median grain (exact
+    percentile over ≤11 groups), medians broadcast back onto the
+    checkpointed base, then three map-side-combinable integer sums
+    per group — only k moment triples cross the wire.
+    """
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    base = c.select(
+        F.col("c_mktsegment").alias("grp"), cents.alias("cents")
+    ).localCheckpoint(eager=False)  # organic + planted + scaled legs
+    spread = base.where(F.col("grp") == _ANOVA_SHIFT_SEG).select(
+        F.lit("zz-spread").alias("grp"),
+        (F.col("cents") * 3).alias("cents"),
+    )
+    y = base.select(F.lit("organic").alias("test"), "grp", "cents").unionByName(
+        base.unionByName(spread).select(
+            F.lit("planted").alias("test"), "grp", "cents"
+        )
+    ).localCheckpoint(eager=False)  # median grain + deviation pass
+    med = y.groupBy("test", "grp").agg(
+        (2 * F.percentile("cents", F.lit(0.5))).cast("bigint").alias("m2")
+    )
+    z = y.join(F.broadcast(med), ["test", "grp"]).select(
+        "test", "grp", F.abs(2 * F.col("cents") - F.col("m2")).alias("z")
+    )
+    g = z.groupBy("test", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_g"),
+    )
+    tot = g.groupBy("test").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.pow(F.col("s_g") * 1.0, 2) / F.col("n_g")).alias(
+            "sum_sq_means"
+        ),
+    )
+    stat = tot.select(
+        "test",
+        "n",
+        "k",
+        (F.col("sum_sq_means") - F.pow(F.col("s") * 1.0, 2) / F.col("n")).alias(
+            "ssb"
+        ),
+        (F.col("ss") - F.col("sum_sq_means")).alias("ssw"),
+    )
+    w = r4(
+        (F.col("ssb") / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n") - F.col("k")))
+    )
+    crit = F.when(F.col("k") - 1 == 4, F.lit(_ANOVA_CRIT[4])).when(
+        F.col("k") - 1 == 5, F.lit(_ANOVA_CRIT[5])
+    )
+    return stat.select(
+        "test",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df2"),
+        w.alias("w_stat"),
+        (w > crit).alias("reject"),
+    )
+
+
+_PAIRED_EFFECT = 20.0  # planted per-user shift (t >= 6 at every SF)
+
+
+@register(
+    "q_ttest_paired",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             {R4(f"AVG(CASE WHEN ts < TIMESTAMP '{_DID_SPLIT_TS}'"
+                 " THEN value END)")} AS pre,
+             {R4(f"AVG(CASE WHEN ts >= TIMESTAMP '{_DID_SPLIT_TS}'"
+                 " THEN value END)")} AS post
+      FROM events GROUP BY 1
+    ), d0 AS (
+      SELECT CAST(ROUND((post - pre) * 10000) AS BIGINT) AS d4
+      FROM u WHERE pre IS NOT NULL AND post IS NOT NULL
+    ), d AS (
+      SELECT 'organic' AS test, d4 FROM d0
+      UNION ALL
+      SELECT 'planted', d4 + {int(_PAIRED_EFFECT * 10000)} FROM d0
+    ), s AS (
+      SELECT test, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d4) AS BIGINT) AS sd4,
+             CAST(SUM(d4 * d4) AS BIGINT) AS ssq4
+      FROM d GROUP BY 1
+    )
+    SELECT test, n,
+           {R4('sd4 / (n * 10000.0)')} AS mean_d,
+           {R4('SQRT((ssq4 - 1.0 * sd4 * sd4 / n) / (n - 1)) / 10000.0')}
+             AS sd_d,
+           {R4('(1.0 * sd4 / n)'
+               ' / SQRT(((ssq4 - 1.0 * sd4 * sd4 / n) / (n - 1)) / n)')}
+             AS t_stat,
+           ABS({R4('(1.0 * sd4 / n)'
+               ' / SQRT(((ssq4 - 1.0 * sd4 * sd4 / n) / (n - 1)) / n)')})
+             > {_DID_Z!r} AS reject
+    FROM s
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def q_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test on per-user pre/post metric means — the
+    within-subject sibling of `q_ab_ttest` (pairing removes
+    between-user variance, so the same effect needs far fewer users)
+    and the significance test on exactly the deltas `q_diff_in_diff`
+    and `q_cuped` model; split boundary shared with both. Users with
+    activity in only one window drop out (no pair). Fixture windows
+    are iid (organic accepts); a +{_PAIRED_EFFECT} per-user shifted
+    copy rides as test 'planted' (t >= 6 at every SF — reject),
+    keeping both verdicts live (the `q_ks_test` device).
+
+    Exactness: per-user means are r4-rounded, so each delta is a
+    4-dp-quantized double carried as EXACT integer ten-thousandths
+    (the `q_vec_product_quantize` rule — aggregates OF rounded
+    doubles ride integer-quantized units); mean, sd, and t are each
+    one fixed double formula over the integer moments (n, Σd, Σd²),
+    r4-rounded before the {_DID_Z} threshold.
+
+    Scale: one map-side-combined pass to the user grain, one 2-row
+    moment combine; nothing but moment triples crosses the wire.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    post_f = F.col("ts") >= F.lit(_DID_SPLIT_TS).cast("timestamp")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            r4(F.avg(F.when(~post_f, F.col("value")))).alias("pre"),
+            r4(F.avg(F.when(post_f, F.col("value")))).alias("post"),
+        )
+        .where(F.col("pre").isNotNull() & F.col("post").isNotNull())
+    )
+    d0 = u.select(
+        F.round((F.col("post") - F.col("pre")) * 10000, 0)
+        .cast("bigint")
+        .alias("d4")
+    ).localCheckpoint(eager=False)  # organic + planted legs
+    d = d0.select(F.lit("organic").alias("test"), "d4").unionByName(
+        d0.select(
+            F.lit("planted").alias("test"),
+            (F.col("d4") + int(_PAIRED_EFFECT * 10000)).alias("d4"),
+        )
+    )
+    s = d.groupBy("test").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d4").cast("bigint").alias("sd4"),
+        F.sum(F.col("d4") * F.col("d4")).cast("bigint").alias("ssq4"),
+    )
+    var_units = (
+        F.col("ssq4") - 1.0 * F.col("sd4") * F.col("sd4") / F.col("n")
+    ) / (F.col("n") - 1)
+    t = r4((1.0 * F.col("sd4") / F.col("n")) / F.sqrt(var_units / F.col("n")))
+    return s.select(
+        "test",
+        "n",
+        r4(F.col("sd4") / (F.col("n") * 10000.0)).alias("mean_d"),
+        r4(F.sqrt(var_units) / 10000.0).alias("sd_d"),
+        t.alias("t_stat"),
+        (F.abs(t) > _DID_Z).alias("reject"),
+    )

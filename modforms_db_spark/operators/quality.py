@@ -1179,3 +1179,148 @@ def q_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_within_dollar"),
         F.max(F.abs(diff)).cast("bigint").alias("max_abs_diff_cents"),
     )
+
+
+_BH_ALPHA = 0.05
+
+
+@register(
+    "q_fdr_bh",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type, day(ts) AS d FROM events
+      UNION ALL
+      SELECT 'zz-burst', day(ts) FROM events
+      WHERE event_type = 'purchase' AND day(ts) <= 6
+    ), b AS (
+      SELECT event_type, (d - 1) // 6 AS bin, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS ssq
+      FROM b GROUP BY 1
+    ), x AS (
+      SELECT event_type, n,
+             {R4('5.0 * ssq / n - n')} AS chi2
+      FROM s
+    ), p AS (
+      SELECT event_type, n, chi2,
+             {R('(EXP(-chi2 / 2) * (1 + chi2 / 2))', 6)} AS p_raw
+      FROM x
+    ), ranked AS (
+      SELECT a.event_type, a.n, a.chi2, a.p_raw,
+             CAST(1 + COUNT(CASE WHEN b.p_raw < a.p_raw
+                       OR (b.p_raw = a.p_raw
+                           AND b.event_type < a.event_type)
+                       THEN 1 END) AS BIGINT) AS rnk
+      FROM p a CROSS JOIN p b
+      GROUP BY a.event_type, a.n, a.chi2, a.p_raw
+    ), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p
+    ), kstar AS (
+      SELECT MAX(CASE WHEN r.p_raw <= {_BH_ALPHA!r} * r.rnk / m.m
+                      THEN r.rnk END) AS k
+      FROM ranked r CROSS JOIN m
+    )
+    SELECT r.event_type, r.n, r.chi2, r.p_raw, r.rnk,
+           {R4(f'{_BH_ALPHA!r} * r.rnk / m.m')} AS bh_thresh,
+           r.p_raw <= {_BH_ALPHA!r} AS reject_raw,
+           r.rnk <= COALESCE(kstar.k, 0) AS reject_bh
+    FROM ranked r CROSS JOIN m CROSS JOIN kstar
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "multiple-testing"),
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction over a battery of per-stream
+    uniformity tests — the multiple-testing layer every monitoring
+    suite needs on top of single tests (`q_ks_test`, `q_chi2_*`): run
+    one chi-squared goodness-of-fit per event stream (volume across
+    five 6-day bins, df = 4, closed-form p = e^(-x/2)(1 + x/2)), then
+    rank the p-values and reject only up to the largest k with
+    p_(k) <= alpha*k/m. Reports raw vs BH verdicts side by side — at
+    sf0.001 the 'error' stream raw-rejects (p ~ 0.04) but BH saves
+    it, the exact false-alarm BH exists to suppress. A planted
+    'zz-burst' stream (the purchase rows of days 1-6 only, so its
+    volume sits entirely in bin 0) rejects under both at every SF.
+
+    Exactness: chi2 = 5*(sum of c^2)/n - n from exact integer bin
+    counts (zero bins absorbed by the identity), r4-rounded before
+    the closed-form p (r6-rounded); ranks come from a join-count over
+    the m-row battery — no global window — with the stream name as
+    tie-break, so the BH staircase is engine-identical.
+
+    Scale: one map-side-combined pass to the (stream, bin) grain,
+    then all ranking/threshold work happens on the m-row battery
+    frame (m = streams under test), free at any corpus size.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").alias("d")
+    ).localCheckpoint(eager=False)  # organic + planted-burst legs
+    burst = e.where(
+        (F.col("event_type") == "purchase") & (F.col("d") <= 6)
+    ).select(F.lit("zz-burst").alias("event_type"), "d")
+    t = e.unionByName(burst)
+    b = t.groupBy(
+        "event_type", ((F.col("d") - 1) / 6).cast("bigint").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    s = b.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    chi2 = r4(5.0 * F.col("ssq") / F.col("n") - F.col("n"))
+    p = s.select(
+        "event_type",
+        "n",
+        chi2.alias("chi2"),
+        F.round(
+            F.exp(-chi2 / 2) * (1 + chi2 / 2), 6
+        ).alias("p_raw"),
+    ).localCheckpoint(eager=False)  # self-join rank + m + kstar reads
+    a, bb = p.alias("a"), p.alias("b")
+    ranked = (
+        a.crossJoin(bb)
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.col("a.chi2").alias("chi2"),
+            F.col("a.p_raw").alias("p_raw"),
+        )
+        .agg(
+            (
+                1
+                + F.count(
+                    F.when(
+                        (F.col("b.p_raw") < F.col("a.p_raw"))
+                        | (
+                            (F.col("b.p_raw") == F.col("a.p_raw"))
+                            & (F.col("b.event_type") < F.col("a.event_type"))
+                        ),
+                        1,
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("rnk")
+        )
+    )
+    m = p.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    withm = ranked.crossJoin(F.broadcast(m))
+    kstar = withm.agg(
+        F.max(
+            F.when(
+                F.col("p_raw") <= _BH_ALPHA * F.col("rnk") / F.col("m"),
+                F.col("rnk"),
+            )
+        ).alias("k")
+    )
+    return withm.crossJoin(F.broadcast(kstar)).select(
+        "event_type",
+        "n",
+        "chi2",
+        "p_raw",
+        "rnk",
+        r4(_BH_ALPHA * F.col("rnk") / F.col("m")).alias("bh_thresh"),
+        (F.col("p_raw") <= _BH_ALPHA).alias("reject_raw"),
+        (F.col("rnk") <= F.coalesce(F.col("k"), F.lit(0))).alias("reject_bh"),
+    )

@@ -707,3 +707,49 @@ def test_theil_sen_recovers_planted_line_despite_outlier(spark, tmp_path):
     r = out[0]
     assert r["n_months"] == 24
     assert abs(r["ts_slope"] - 50.0) < 1e-6  # outlier-immune
+
+
+def test_levene_planted_spread_rejects_organic_accepts(spark):
+    """Brown-Forsythe must accept on iid fixture segments and reject
+    once the x3-spread planted group joins; W and dfs sane."""
+    from modforms_db_spark.operators.aggregates import q_levene_test
+
+    rows = {r["test"]: r for r in q_levene_test(spark, SF_DIR).collect()}
+    assert rows["organic"]["reject"] is False
+    assert rows["planted"]["reject"] is True
+    assert rows["organic"]["df1"] == 4 and rows["planted"]["df1"] == 5
+    assert rows["planted"]["w_stat"] > rows["organic"]["w_stat"] > 0
+
+
+def test_fdr_bh_staircase_laws(spark):
+    """BH must (a) reject the planted burst, (b) never reject a
+    stream a raw alpha-test accepts (BH is conservative), and (c)
+    produce a contiguous reject prefix of the p-value ranking."""
+    from modforms_db_spark.operators.quality import q_fdr_bh
+
+    out = sorted(q_fdr_bh(spark, SF_DIR).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in out] == list(range(1, len(out) + 1))
+    burst = [r for r in out if r["event_type"] == "zz-burst"]
+    assert len(burst) == 1 and burst[0]["reject_bh"] is True
+    rejected = [r["reject_bh"] for r in out]
+    # contiguous prefix: no True after the first False
+    assert rejected == sorted(rejected, reverse=True)
+    for r in out:
+        if r["reject_bh"]:
+            assert any(
+                s["p_raw"] <= s["bh_thresh"] for s in out if s["rnk"] >= r["rnk"]
+            )
+
+
+def test_ttest_paired_verdict_split(spark):
+    """Organic pre/post deltas accept H0; the +20-shifted planted copy
+    rejects, with the same n (pairing preserved)."""
+    from modforms_db_spark.operators.aggregates import q_ttest_paired
+
+    rows = {r["test"]: r for r in q_ttest_paired(spark, SF_DIR).collect()}
+    assert rows["organic"]["reject"] is False
+    assert rows["planted"]["reject"] is True
+    assert rows["organic"]["n"] == rows["planted"]["n"] > 1
+    assert abs(
+        rows["planted"]["mean_d"] - rows["organic"]["mean_d"] - 20.0
+    ) < 1e-6
