@@ -2220,3 +2220,239 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("q_id", "nb_id", "adc_d4", "rn")
     )
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+_MATRYOSHKA_K = 5
+
+
+def _prefix_cos_sql(d: int) -> str:
+    """DuckDB prefix-cosine between a.emb and b.emb over the first d dims."""
+    return (
+        f"list_inner_product(a.emb[1:{d}], b.emb[1:{d}]) / "
+        f"(sqrt(list_inner_product(a.emb[1:{d}], a.emb[1:{d}])) * "
+        f"sqrt(list_inner_product(b.emb[1:{d}], b.emb[1:{d}])))"
+    )
+
+
+@register(
+    "q_matryoshka_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+             {', '.join(f'{R4(_prefix_cos_sql(d))} AS cos{d}' for d in _MATRYOSHKA_DIMS)}
+      FROM (SELECT * FROM e WHERE vec_id < 20) a
+      JOIN e b ON a.vec_id != b.vec_id
+    ), tops AS (
+      {' UNION ALL '.join(
+        f'''SELECT CAST({d} AS BIGINT) AS dims, q_id, nb_id FROM (
+              SELECT q_id, nb_id, row_number() OVER
+                (PARTITION BY q_id ORDER BY cos{d} DESC, nb_id) AS rn
+              FROM pairs) WHERE rn <= {_MATRYOSHKA_K}'''
+        for d in _MATRYOSHKA_DIMS)}
+    ), full_top AS (
+      SELECT q_id, nb_id FROM tops WHERE dims = {_MATRYOSHKA_DIMS[-1]}
+    ), hits AS (
+      SELECT t.dims, CAST(COUNT(f.nb_id) AS BIGINT) AS matched
+      FROM tops t LEFT JOIN full_top f
+        ON t.q_id = f.q_id AND t.nb_id = f.nb_id
+      GROUP BY t.dims
+    )
+    SELECT dims,
+           CAST({_MATRYOSHKA_K} AS BIGINT) AS k,
+           matched,
+           {R4(f'matched / (20.0 * {_MATRYOSHKA_K})')} AS recall_at_k
+    FROM hits
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "evaluation"),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / truncated-embedding retrieval audit: for each
+    prefix length d in {_MATRYOSHKA_DIMS}, run the exact top-{_MATRYOSHKA_K}
+    cosine retrieval using only the first d dimensions and report
+    recall@{_MATRYOSHKA_K} against the full-dimension ranking — the
+    capacity-vs-cost curve that tells you how many dimensions the
+    index actually needs (Kusupati et al. 2022's evaluation, on the
+    engine): ship d=16 if its recall holds, and the vector store
+    shrinks 4x. The d=64 row is the 1.0 anchor by construction.
+
+    Determinism: every prefix cosine is an element-order fold over
+    the same slice on both engines, r4-rounded BEFORE ranking with
+    the neighbor id as tiebreak (house similarity discipline); recall
+    is an exact integer ratio, r4 at the end.
+
+    Scale: one broadcast crossJoin of the 20-probe frame against the
+    corpus computes ALL four prefix cosines in a single pass (the
+    slices share the scan); per-d rankings are per-query
+    WindowGroupLimit top-k; the recall join runs on the 20x{_MATRYOSHKA_K}x4
+    result rows. At 100 TB the probe batch stays the broadcast side.
+    """
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    for d in _MATRYOSHKA_DIMS:
+        e = e.withColumn(f"nrm{d}", _norm(F.slice("emb", 1, d)))
+    q = e.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        *[F.col(f"nrm{d}").alias(f"q_nrm{d}") for d in _MATRYOSHKA_DIMS],
+    )
+    pairs = e.crossJoin(F.broadcast(q)).where(F.col("vec_id") != F.col("q_id"))
+    scored = pairs.select(
+        "q_id",
+        F.col("vec_id").alias("nb_id"),
+        *[
+            F.round(
+                _dot(F.slice("q_emb", 1, d), F.slice("emb", 1, d))
+                / (F.col(f"q_nrm{d}") * F.col(f"nrm{d}")),
+                4,
+            ).alias(f"cos{d}")
+            for d in _MATRYOSHKA_DIMS
+        ],
+    ).localCheckpoint(eager=False)  # one pair pass feeds all 4 rankings
+    tops = None
+    for d in _MATRYOSHKA_DIMS:
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc(f"cos{d}"), F.asc("nb_id")
+        )
+        t = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _MATRYOSHKA_K)
+            .select(
+                F.lit(d).cast("bigint").alias("dims"), "q_id", "nb_id"
+            )
+        )
+        tops = t if tops is None else tops.unionByName(t)
+    tops = tops.localCheckpoint(eager=False)  # per-d sets + the d=64 anchor
+    full_top = tops.where(
+        F.col("dims") == _MATRYOSHKA_DIMS[-1]
+    ).select(F.col("q_id").alias("f_qid"), F.col("nb_id").alias("f_nb"))
+    hits = (
+        tops.join(
+            full_top,
+            (F.col("q_id") == F.col("f_qid"))
+            & (F.col("nb_id") == F.col("f_nb")),
+            "left",
+        )
+        .groupBy("dims")
+        .agg(F.count("f_nb").cast("bigint").alias("matched"))
+    )
+    return hits.select(
+        "dims",
+        F.lit(_MATRYOSHKA_K).cast("bigint").alias("k"),
+        "matched",
+        r4(F.col("matched") / (20.0 * _MATRYOSHKA_K)).alias("recall_at_k"),
+    )
+
+
+_GRID_NN_RADIUS = 0.01  # L2 radius; ~40% of probes find a neighbor
+
+
+@register(
+    "q_spatial_grid_nn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    p AS (SELECT vec_id, emb[1] AS x, emb[2] AS y FROM e),
+    q AS (SELECT * FROM p WHERE vec_id < 50),
+    cand AS (
+      SELECT q.vec_id AS probe_id, p.vec_id AS nb_id,
+             (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
+      FROM q JOIN p ON p.vec_id != q.vec_id
+      WHERE (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+            <= {_GRID_NN_RADIUS!r} * {_GRID_NN_RADIUS!r}
+    ), best AS (
+      SELECT probe_id, nb_id, d4 FROM (
+        SELECT probe_id, nb_id, {R4('SQRT(d2)')} AS d4,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY {R4('SQRT(d2)')}, nb_id) AS rn
+        FROM cand) WHERE rn = 1
+    )
+    SELECT q.vec_id AS probe_id, best.nb_id, best.d4,
+           best.nb_id IS NOT NULL AS found
+    FROM q LEFT JOIN best ON q.vec_id = best.probe_id
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "spatial"),
+)
+def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded nearest neighbor via GRID-CELL blocking — the
+    classic spatial-join pattern (geo points, UMAP/t-SNE projections)
+    on the embedding's first two coordinates: cell side = radius, so
+    every neighbor within r of a probe lives in the probe's 3x3 cell
+    neighborhood, and the all-pairs scan collapses to a (cell ->
+    points) bucket join with bounded fanout. Probes with no neighbor
+    inside r surface as found = false (left join, not a silent drop).
+    The oracle is the UNBINNED radius join — blocking must not change
+    the answer (the `q_join_range_binned` discipline, in 2D).
+
+    Determinism: the in-radius test runs on the RAW squared distance
+    (same expression, same inputs on both engines); ranking uses the
+    r4-rounded distance with the neighbor id as tiebreak.
+
+    Scale: at 100 TB the points table shuffles once on cell id; each
+    probe reads 9 cells whose expected occupancy is density-bounded —
+    no quadratic stage exists. Skewed cells (dense clusters) salt the
+    same way hot join keys do.
+    """
+    prep(spark)
+    r = _GRID_NN_RADIUS
+    pts = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("emb")[0].alias("x"),
+        F.col("emb")[1].alias("y"),
+    ).localCheckpoint(eager=False)  # probe + point + cell reads
+    cells = pts.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("x").alias("px"),
+        F.col("y").alias("py"),
+        F.floor(F.col("x") / r).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / r).cast("bigint").alias("cy"),
+    )
+    probes = pts.where(F.col("vec_id") < 50)
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("o")
+    probe_cells = (
+        probes.select(
+            F.col("vec_id").alias("probe_id"),
+            "x",
+            "y",
+            F.floor(F.col("x") / r).cast("bigint").alias("qcx"),
+            F.floor(F.col("y") / r).cast("bigint").alias("qcy"),
+        )
+        .select("probe_id", "x", "y", "qcx", "qcy", off)
+        .select(
+            "probe_id", "x", "y", (F.col("qcx") + F.col("o")).alias("cx"), "qcy"
+        )
+        .select(
+            "probe_id",
+            "x",
+            "y",
+            "cx",
+            F.explode(
+                F.array(*[F.col("qcy") + F.lit(i) for i in (-1, 0, 1)])
+            ).alias("cy"),
+        )
+    )
+    d2 = (F.col("px") - F.col("x")) * (F.col("px") - F.col("x")) + (
+        F.col("py") - F.col("y")
+    ) * (F.col("py") - F.col("y"))
+    cand = (
+        probe_cells.join(cells, ["cx", "cy"])
+        .where(F.col("nb_id") != F.col("probe_id"))
+        .select("probe_id", "nb_id", d2.alias("d2"))
+        .where(F.col("d2") <= r * r)
+    )
+    w = Window.partitionBy("probe_id").orderBy(r4(F.sqrt("d2")), F.asc("nb_id"))
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("probe_id", "nb_id", r4(F.sqrt("d2")).alias("d4"))
+    )
+    return probes.select(F.col("vec_id").alias("probe_id")).join(
+        best, "probe_id", "left"
+    ).select(
+        "probe_id",
+        "nb_id",
+        "d4",
+        F.col("nb_id").isNotNull().alias("found"),
+    )

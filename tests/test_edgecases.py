@@ -753,3 +753,38 @@ def test_ttest_paired_verdict_split(spark):
     assert abs(
         rows["planted"]["mean_d"] - rows["organic"]["mean_d"] - 20.0
     ) < 1e-6
+
+
+def test_matryoshka_recall_laws(spark):
+    """Full-dimension row is the 1.0 anchor; every prefix recall is a
+    valid fraction of the 20x5 retrieved set; dims grid is exact."""
+    from modforms_db_spark.llm.similarity import q_matryoshka_recall
+
+    rows = {r["dims"]: r for r in q_matryoshka_recall(spark, SF_DIR).collect()}
+    assert sorted(rows) == [8, 16, 32, 64]
+    assert rows[64]["matched"] == 100 and rows[64]["recall_at_k"] == 1.0
+    for r in rows.values():
+        assert 0 <= r["matched"] <= 100
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+
+
+def test_spatial_grid_nn_laws(spark):
+    """Every probe surfaces exactly once; found rows carry a neighbor
+    within the radius, not-found rows exist too (radius calibrated),
+    and no probe returns itself."""
+    from modforms_db_spark.llm.similarity import (
+        _GRID_NN_RADIUS,
+        q_spatial_grid_nn,
+    )
+
+    out = q_spatial_grid_nn(spark, SF_DIR).collect()
+    assert len(out) == 50
+    assert len({r["probe_id"] for r in out}) == 50
+    found = [r for r in out if r["found"]]
+    missing = [r for r in out if not r["found"]]
+    assert found and missing
+    for r in found:
+        assert r["nb_id"] is not None and r["nb_id"] != r["probe_id"]
+        assert r["d4"] <= _GRID_NN_RADIUS + 1e-4
+    for r in missing:
+        assert r["nb_id"] is None and r["d4"] is None
