@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r2
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -516,5 +516,133 @@ def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
                cents DIV 100000 AS price_band,
                price_band * 100000 AS band_floor_cents
         FROM mfdb_lca_o WHERE o_orderkey % 53 = 0
+        """
+    )
+
+
+@register(
+    "q_sql_try_arithmetic",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag,
+             CASE WHEN l_quantity = 25 THEN NULL
+                  ELSE l_extendedprice / (l_quantity - 25) END AS ratio,
+             CASE WHEN CAST(l_quantity AS BIGINT) > 7 THEN NULL
+                  ELSE 9223372036854775800 + CAST(l_quantity AS BIGINT)
+             END AS guarded_add,
+             TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                           THEN CAST(l_linenumber AS VARCHAR)
+                           ELSE l_returnflag END AS INTEGER) AS maybe_int
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           {R2('MIN(ratio)')} AS min_ratio,
+           {R2('MAX(ratio)')} AS max_ratio,
+           CAST(SUM(CASE WHEN guarded_add IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_add_overflow,
+           CAST(SUM(CASE WHEN maybe_int IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cast_null,
+           CAST(SUM(maybe_int) AS BIGINT) AS cast_sum
+    FROM t GROUP BY 1
+    """,
+    priority="P2",
+    tags=("sql", "surface", "ansi"),
+)
+def q_sql_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` arithmetic surface (the reason this engine can
+    run with `spark.sql.ansi.enabled=true` and still stream dirty
+    data): `try_divide` nulls on the zero denominator instead of
+    raising, `try_add` nulls on BIGINT overflow (planted near-MAX
+    addend — quantities above 7 overflow, both branches live on the
+    1..50 domain), `try_cast` nulls on the non-numeric half of a mixed
+    string column. DuckDB has no try_ arithmetic, so the oracle is the
+    explicit CASE guard — pinning that try_* equals guard-then-compute,
+    which is exactly the rewrite a migration would apply.
+
+    Counts and the cast-sum are exact integers; the ratio min/max are
+    order-free extremes of engine-identical doubles, r2-rounded.
+
+    Scale: one map-side-combined conditional aggregate over the fact
+    scan; the try_* forms stay inside whole-stage codegen.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.expr("try_divide(l_extendedprice, l_quantity - 25)").alias("ratio"),
+        F.expr(
+            "try_add(9223372036854775800L, CAST(l_quantity AS BIGINT))"
+        ).alias("guarded_add"),
+        F.expr(
+            "try_cast(CASE WHEN l_linenumber % 2 = 0 "
+            "THEN CAST(l_linenumber AS STRING) "
+            "ELSE l_returnflag END AS INT)"
+        ).alias("maybe_int"),
+    )
+    return t.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ratio").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_div_null"),
+        r2(F.min("ratio")).alias("min_ratio"),
+        r2(F.max("ratio")).alias("max_ratio"),
+        F.sum(F.col("guarded_add").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_add_overflow"),
+        F.sum(F.col("maybe_int").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_cast_null"),
+        F.sum("maybe_int").cast("bigint").alias("cast_sum"),
+    )
+
+
+@register(
+    "q_sql_window_clause",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey, o_orderdate,
+             CAST({R('(o_totalprice * 100)', 0)} AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+    )
+    SELECT o_orderpriority, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(SUM(cents) OVER w AS BIGINT) AS running_cents
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey)
+    """,
+    priority="P2",
+    tags=("sql", "surface", "window"),
+)
+def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named `WINDOW` clause surface row: one window specification
+    declared once and shared by a ranking and a running-sum function —
+    the deduplicated-spec SQL form (identical physical plan to the
+    inlined OVER specs, which is what the hash match pins). Running
+    totals ride as exact integer cents; the (date, key) ordering is a
+    total order, so ranks and prefix sums are engine-identical.
+
+    Scale: one partitioned window over the pushed-down half-year
+    slice — partition key is the 5-value priority, bounded grain;
+    the filter reaches the parquet scan.
+    """
+    prep(spark)
+    load(spark, sf_dir, "orders").createOrReplaceTempView("mfdb_wc_orders")
+    return spark.sql(
+        """
+        WITH o AS (
+          SELECT o_orderpriority, o_orderkey, o_orderdate,
+                 CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+          FROM mfdb_wc_orders WHERE o_orderdate < TIMESTAMP '1995-07-01'
+        )
+        SELECT o_orderpriority, o_orderkey,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(SUM(cents) OVER w AS BIGINT) AS running_cents
+        FROM o
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey)
         """
     )

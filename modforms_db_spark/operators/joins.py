@@ -1289,3 +1289,139 @@ def q_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.min("score")).alias("band_min"),
         r4(F.max("score")).alias("band_max"),
     )
+
+
+@register(
+    "q_blocking_quality",
+    oracle=f"""
+    WITH m AS (
+      SELECT s_suppkey AS k, lower(s_name) AS nm FROM supplier
+    ), dirty AS (
+      {_DIRTY_CRM_SQL}
+      UNION ALL
+      {_DIRTY_ERP_SQL}
+    ), msz AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_m FROM m
+    ), dsz AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n_true FROM dirty GROUP BY 1
+    ), cand AS (
+      SELECT 'suffix4' AS scheme, d.src, m.k AS mk, d.k AS dk,
+             m.nm AS mnm, d.nm AS dnm
+      FROM m JOIN dirty d
+        ON right(m.nm, 4) = right(d.nm, 4)
+       AND ABS(length(m.nm) - length(d.nm)) <= 2
+      UNION ALL
+      SELECT 'prefix4', d.src, m.k, d.k, m.nm, d.nm
+      FROM m JOIN dirty d
+        ON substring(m.nm, 1, 4) = substring(d.nm, 1, 4)
+       AND ABS(length(m.nm) - length(d.nm)) <= 2
+    ), agg AS (
+      SELECT scheme, src, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(SUM(CASE WHEN mk = dk THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_blocked,
+             CAST(SUM(CASE WHEN levenshtein(mnm, dnm) <= 2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_match_pairs
+      FROM cand GROUP BY 1, 2
+    )
+    SELECT a.scheme, a.src, d.n_true, a.n_cand, a.n_true_blocked,
+           a.n_match_pairs,
+           {R4('1.0 - a.n_cand / (1.0 * msz.n_m * d.n_true)')}
+             AS reduction_ratio,
+           {R4('a.n_true_blocked * 1.0 / d.n_true')} AS pairs_completeness
+    FROM agg a JOIN dsz d ON a.src = d.src CROSS JOIN msz
+    """,
+    priority="P2",
+    tags=("join", "blocking", "audit"),
+)
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme audit for the record-linkage family — the two
+    numbers every blocking key is judged by (Christen 2012): REDUCTION
+    RATIO (how much of the |A|x|B| matrix the blocks prune) and PAIRS
+    COMPLETENESS (what fraction of true matches survive blocking),
+    measured against the known typo-injection ground truth (a dirty
+    record's origin IS its key — shared `_DIRTY_*_SQL` rules, so this
+    audits exactly the scheme `q_fuzzy_name_join` ships). Two schemes
+    side by side: the production suffix-4 key (typo-invariant tail →
+    completeness 1.0 at high reduction) and a deliberately fragile
+    prefix-4 key, which the prefix-located noise model defeats twice —
+    deleted/inserted prefix chars drop true pairs (completeness < 1)
+    AND the shared 'supp' prefix collapses blocks (reduction ~ 0).
+    The audit exists to make that trade visible before 100 TB does.
+
+    All ratios are exact integer ratios r4-rounded at the end; the
+    candidate counts are the join's own output cardinality.
+
+    Scale: both sides are checkpointed once; each scheme is one
+    equi-join on its blocking key — the audit costs what the blocking
+    actually buys, which is the point (the bad scheme's near-cross
+    cost IS its reduction-ratio verdict, bounded here by the supplier
+    dim size).
+    """
+    prep(spark)
+    m, dirty = _fuzzy_sides(spark, sf_dir)
+    m = m.localCheckpoint(eager=False)  # two scheme joins + size agg
+    dirty = dirty.localCheckpoint(eager=False)
+    msz = m.agg(F.count(F.lit(1)).cast("bigint").alias("n_m"))
+    dsz = dirty.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true")
+    )
+    ma = m.select(
+        F.col("k").alias("mk"),
+        F.col("nm").alias("mnm"),
+        F.length("nm").alias("mln"),
+    )
+    da = dirty.select(
+        F.col("k").alias("dk"),
+        "src",
+        F.col("nm").alias("dnm"),
+        F.length("nm").alias("dln"),
+    )
+    lenband = F.abs(F.col("mln") - F.col("dln")) <= 2
+    cands = None
+    for scheme, key in (
+        ("suffix4", lambda c: F.expr(f"right({c}, 4)")),
+        ("prefix4", lambda c: F.substring(c, 1, 4)),
+    ):
+        cand = (
+            ma.withColumn("bk", key("mnm"))
+            .join(da.withColumn("bk", key("dnm")), "bk")
+            .where(lenband)
+            .select(
+                F.lit(scheme).alias("scheme"),
+                "src",
+                "mk",
+                "dk",
+                "mnm",
+                "dnm",
+            )
+        )
+        cands = cand if cands is None else cands.unionByName(cand)
+    agg = cands.groupBy("scheme", "src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum(F.when(F.col("mk") == F.col("dk"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_blocked"),
+        F.sum(
+            F.when(F.levenshtein("mnm", "dnm") <= 2, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_match_pairs"),
+    )
+    return (
+        agg.join(dsz, "src")
+        .crossJoin(F.broadcast(msz))
+        .select(
+            "scheme",
+            "src",
+            "n_true",
+            "n_cand",
+            "n_true_blocked",
+            "n_match_pairs",
+            r4(
+                1.0
+                - F.col("n_cand") / (1.0 * F.col("n_m") * F.col("n_true"))
+            ).alias("reduction_ratio"),
+            r4(F.col("n_true_blocked") * 1.0 / F.col("n_true")).alias(
+                "pairs_completeness"
+            ),
+        )
+    )

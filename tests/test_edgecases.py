@@ -788,3 +788,52 @@ def test_spatial_grid_nn_laws(spark):
         assert r["d4"] <= _GRID_NN_RADIUS + 1e-4
     for r in missing:
         assert r["nb_id"] is None and r["d4"] is None
+
+
+def test_blocking_quality_scheme_contrast(spark):
+    """The production suffix-4 key must dominate the fragile prefix-4
+    key on BOTH axes: full pairs-completeness at higher reduction."""
+    from modforms_db_spark.operators.joins import q_blocking_quality
+
+    rows = {(r["scheme"], r["src"]): r
+            for r in q_blocking_quality(spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    for src in ("crm", "erp"):
+        good, bad = rows[("suffix4", src)], rows[("prefix4", src)]
+        assert good["pairs_completeness"] == 1.0
+        assert bad["pairs_completeness"] < 1.0
+        assert good["reduction_ratio"] > bad["reduction_ratio"]
+        assert good["n_true_blocked"] == good["n_true"]
+
+
+def test_sql_try_arithmetic_branches_live(spark):
+    """Every try_* family must exercise BOTH the null and the value
+    branch on the shipped domain (quantity 1..50, mixed cast column)."""
+    from modforms_db_spark.operators.filters import q_sql_try_arithmetic
+
+    out = q_sql_try_arithmetic(spark, SF_DIR).collect()
+    assert out
+    tot = {c: sum(r[c] for r in out)
+           for c in ("n", "n_div_null", "n_add_overflow", "n_cast_null")}
+    assert 0 < tot["n_div_null"] < tot["n"]
+    assert 0 < tot["n_add_overflow"] < tot["n"]
+    assert 0 < tot["n_cast_null"] < tot["n"]
+    for r in out:
+        assert r["cast_sum"] is None or r["cast_sum"] >= 0
+
+
+def test_sql_window_clause_running_sums(spark):
+    """The shared named window must produce per-partition monotone
+    running sums and ranks starting at 1."""
+    from collections import defaultdict
+
+    from modforms_db_spark.operators.filters import q_sql_window_clause
+
+    by_pri = defaultdict(list)
+    for r in q_sql_window_clause(spark, SF_DIR).collect():
+        by_pri[r["o_orderpriority"]].append(r)
+    for rows in by_pri.values():
+        rows.sort(key=lambda r: r["rnk"])
+        assert rows[0]["rnk"] == 1
+        sums = [r["running_cents"] for r in rows]
+        assert all(a <= b for a, b in zip(sums, sums[1:]))
