@@ -228,3 +228,48 @@ def q_date_parts_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 3).cast("timestamp").alias("plus_3m"),
         (F.last_day(d) == d).alias("is_month_end"),
     )
+
+
+@register(
+    "q_date_iso_calendar",
+    oracle="""
+    SELECT CAST(isoyear(o_orderdate) AS BIGINT) AS iso_year,
+           CAST(week(o_orderdate) AS BIGINT) AS iso_week,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN isodow(o_orderdate) - 1 >= 5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("function", "date", "surface"),
+)
+def q_date_iso_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 calendar surface row: ISO week-year + week number +
+    Monday-anchored week truncation + weekday arithmetic, grouped to
+    the ISO-week grain — the reporting calendar where the year
+    boundary is the TRAP (1995-01-01 belongs to ISO 1994-W52; a naive
+    year(date) rollup splits that week across two years, and this row
+    pins that Spark's `yearofweek`/`weekofyear`/`weekday` agree with
+    DuckDB's `isoyear`/`week`/`isodow − 1` on every boundary in the
+    80-month span). Weekend counts use the ISO day index (Mon = 0).
+
+    Scale: one map-side-combined aggregate to the ISO-week grain
+    (bounded by calendar span); all calendar functions are
+    codegen-stage scalar expressions on the scan.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.expr("extract(yearofweek FROM o_orderdate)")
+        .cast("bigint")
+        .alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.weekday("o_orderdate") >= 5).cast("long"))
+        .cast("bigint")
+        .alias("n_weekend"),
+    )

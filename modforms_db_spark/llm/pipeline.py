@@ -1415,3 +1415,121 @@ def q_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(r4((pbar - pe) / (1.0 - pe)))
         .alias("fleiss_kappa"),
     )
+
+
+# Deterministic URL synthesis for the canonicalization row: 13 logical
+# pages per source, five surface variants per page (keyed off doc_id//20
+# = the source-local row index, so variants VARY within a source at every SF) (host case, www
+# prefix, tracking query, fragment, trailing slash). SQL and Spark
+# builders share these rule strings.
+_URL_RAW_SQL = """
+      CASE (doc_id // 20) % 5
+        WHEN 0 THEN 'https://' || source || '.example.com/a/' || ((doc_id // 20) % 13)
+        WHEN 1 THEN 'https://' || upper(source) || '.EXAMPLE.com/a/' || ((doc_id // 20) % 13)
+        WHEN 2 THEN 'https://www.' || source || '.example.com/a/' || ((doc_id // 20) % 13)
+        WHEN 3 THEN 'https://' || source || '.example.com/a/' || ((doc_id // 20) % 13)
+                    || '?utm_source=feed&utm_campaign=x'
+        ELSE 'https://' || source || '.example.com/a/' || ((doc_id // 20) % 13) || '/#sec'
+      END
+"""
+
+
+@register(
+    "q_url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+      SELECT source, {_URL_RAW_SQL} AS url FROM documents
+    ), c AS (
+      SELECT source, url,
+             rtrim(
+               replace(
+                 regexp_replace(
+                   regexp_replace(lower(url), '#.*$', ''),
+                   '\\?utm_[a-z_=&]*$', ''),
+                 '://www.', '://'),
+               '/') AS canon
+      FROM u
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon_distinct,
+           {R4('1.0 - COUNT(DISTINCT canon) * 1.0 / COUNT(DISTINCT url)')}
+             AS dup_reduction
+    FROM c GROUP BY 1
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "dedup"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + duplicate collapse — the FIRST dedup
+    pass every web-corpus pipeline runs, before any content hashing
+    (CommonCrawl-style: the same page arrives as case variants, with
+    `www.`, with `utm_*` tracking params, with fragments, with
+    trailing slashes): lowercase, strip fragment, strip tracking
+    query, drop `www.`, trim the trailing slash, then count how many
+    surface URLs collapse per canonical page. URLs are synthesized
+    deterministically from (source, doc_id//20) — 13 logical pages and
+    five surface variants per source, keyed off the source-LOCAL row
+    index so variant classes mix within each source at every SF — so
+    the expected collapse is structural, and
+    the per-source reduction ratio is the audit. Sits one step before
+    `q_dedup_exact` (content) and `q_dedup_canonical` (token-set) in
+    the dedup ladder.
+
+    Scale: per-row string rewrites inside codegen + one two-level
+    distinct aggregate per source; no joins. At 100 TB the distincts
+    are the only shuffles and both are map-side partially aggregated.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    k = F.floor(F.col("doc_id") / 20)
+    page = (k % 13).cast("string")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    base = F.concat(F.lit("https://"), host, F.lit("/a/"), page)
+    url = (
+        F.when(k % 5 == 0, base)
+        .when(
+            k % 5 == 1,
+            F.concat(
+                F.lit("https://"),
+                F.upper(F.col("source")),
+                F.lit(".EXAMPLE.com/a/"),
+                page,
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(F.lit("https://www."), host, F.lit("/a/"), page),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")),
+        )
+        .otherwise(F.concat(base, F.lit("/#sec")))
+    )
+    canon = F.regexp_replace(
+        F.replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("url")), "#.*$", ""),
+                r"\?utm_[a-z_=&]*$",
+                "",
+            ),
+            F.lit("://www."),
+            F.lit("://"),
+        ),
+        "/+$",
+        "",
+    )
+    c = d.select("source", url.alias("url")).select(
+        "source", "url", canon.alias("canon")
+    )
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("url").cast("bigint").alias("n_raw_distinct"),
+        F.countDistinct("canon").cast("bigint").alias("n_canon_distinct"),
+        r4(
+            1.0
+            - F.countDistinct("canon") * 1.0 / F.countDistinct("url")
+        ).alias("dup_reduction"),
+    )

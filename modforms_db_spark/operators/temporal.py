@@ -2280,3 +2280,152 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ts_intercept"),
         )
     )
+
+
+_LTOB_DAILY_V4 = R(f"({R4('SUM(value)')} * 10000)", 0)
+
+
+@register(
+    "q_downsample_ltob",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_LTOB_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), bk AS (
+      SELECT event_type, (d - 1) // 5 AS b,
+             SUM(v4) * 1.0 / COUNT(*) AS mv,
+             SUM(d) * 1.0 / COUNT(*) AS mx
+      FROM daily GROUP BY 1, 2
+    ), anch AS (
+      SELECT c.event_type, c.b,
+             COALESCE(l.mv, c.mv) AS lv, COALESCE(l.mx, c.mx) AS lx,
+             COALESCE(r.mv, c.mv) AS rv, COALESCE(r.mx, c.mx) AS rx
+      FROM bk c
+      LEFT JOIN bk l ON l.event_type = c.event_type AND l.b = c.b - 1
+      LEFT JOIN bk r ON r.event_type = c.event_type AND r.b = c.b + 1
+    ), scored AS (
+      SELECT d.event_type, a.b, d.d, d.v4,
+             {R4('''ABS((a.lx - a.rx) * (d.v4 - a.rv)
+                    - (a.lx - d.d) * (a.rv - a.lv))''')} AS area4
+      FROM daily d JOIN anch a
+        ON d.event_type = a.event_type AND (d.d - 1) // 5 = a.b
+    )
+    SELECT event_type, b AS bucket, d AS day, {R4('v4 / 10000.0')} AS v,
+           area4
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type, b
+                                   ORDER BY area4 DESC, d) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "downsample"),
+)
+def q_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling of each metric stream
+    (Steinarsson 2013's LTOB, the dashboard-rendering reduction): per
+    5-day bucket, keep the single day whose triangle against the
+    NEIGHBOR-BUCKET mean anchors has the largest area — the point
+    that preserves visual shape, where naive bucket-mean sampling
+    flattens every spike. Edge buckets self-anchor on the missing
+    side. Unlike sequential LTTB (each choice depends on the previous
+    selected point), the mean-anchor variant is embarrassingly
+    parallel — the distributed-safe form of the algorithm.
+
+    Determinism: daily sums ride as exact integer ten-thousandths;
+    bucket means and anchor coordinates are single divisions of exact
+    integer sums, so every area is one identical double expression,
+    r4-rounded before the (area DESC, day) selection.
+
+    Scale: fact scan reduces map-side to the daily grain; bucket
+    stats, the 3-way anchor join, and per-bucket argmax all run on
+    calendar-bounded frames.
+    """
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0)
+            .cast("bigint")
+            .alias("v4")
+        )
+        .localCheckpoint(eager=False)  # bucket stats + point scoring
+    )
+    bk = (
+        daily.groupBy(
+            "event_type", ((F.col("d") - 1) / 5).cast("bigint").alias("b")
+        )
+        .agg(
+            (F.sum("v4") * 1.0 / F.count(F.lit(1))).alias("mv"),
+            (F.sum("d") * 1.0 / F.count(F.lit(1))).alias("mx"),
+        )
+        .localCheckpoint(eager=False)  # centre + both neighbor reads
+    )
+    c = bk.alias("c")
+    l = bk.select(
+        F.col("event_type").alias("l_et"),
+        (F.col("b") + 1).alias("l_b"),
+        F.col("mv").alias("l_mv"),
+        F.col("mx").alias("l_mx"),
+    )
+    r = bk.select(
+        F.col("event_type").alias("r_et"),
+        (F.col("b") - 1).alias("r_b"),
+        F.col("mv").alias("r_mv"),
+        F.col("mx").alias("r_mx"),
+    )
+    anch = (
+        c.join(
+            l,
+            (F.col("c.event_type") == F.col("l_et"))
+            & (F.col("c.b") == F.col("l_b")),
+            "left",
+        )
+        .join(
+            r,
+            (F.col("c.event_type") == F.col("r_et"))
+            & (F.col("c.b") == F.col("r_b")),
+            "left",
+        )
+        .select(
+            F.col("c.event_type").alias("event_type"),
+            F.col("c.b").alias("b"),
+            F.coalesce("l_mv", "c.mv").alias("lv"),
+            F.coalesce("l_mx", "c.mx").alias("lx"),
+            F.coalesce("r_mv", "c.mv").alias("rv"),
+            F.coalesce("r_mx", "c.mx").alias("rx"),
+        )
+    )
+    scored = (
+        daily.withColumn("b", ((F.col("d") - 1) / 5).cast("bigint"))
+        .join(anch, ["event_type", "b"])
+        .select(
+            "event_type",
+            "b",
+            "d",
+            "v4",
+            r4(
+                F.abs(
+                    (F.col("lx") - F.col("rx")) * (F.col("v4") - F.col("rv"))
+                    - (F.col("lx") - F.col("d"))
+                    * (F.col("rv") - F.col("lv"))
+                )
+            ).alias("area4"),
+        )
+    )
+    w = Window.partitionBy("event_type", "b").orderBy(
+        F.desc("area4"), F.asc("d")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("b").alias("bucket"),
+            F.col("d").alias("day"),
+            r4(F.col("v4") / 10000.0).alias("v"),
+            "area4",
+        )
+    )

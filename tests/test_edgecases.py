@@ -837,3 +837,50 @@ def test_sql_window_clause_running_sums(spark):
         assert rows[0]["rnk"] == 1
         sums = [r["running_cents"] for r in rows]
         assert all(a <= b for a, b in zip(sums, sums[1:]))
+
+
+def test_date_iso_calendar_year_boundary(spark):
+    """Orders in the first days of January must roll into the PRIOR
+    ISO week-year when their week belongs to it (the 1995-01-01 ->
+    ISO 1994-W52 trap the row exists to pin); weekend counts bounded."""
+    from modforms_db_spark.functions.dates_math import q_date_iso_calendar
+
+    rows = q_date_iso_calendar(spark, SF_DIR).collect()
+    assert rows
+    years = {r["iso_year"] for r in rows}
+    assert 1994 in years  # the boundary week exists in the 1995+ span
+    for r in rows:
+        assert 1 <= r["iso_week"] <= 53
+        assert 0 <= r["n_weekend"] <= r["n"]
+
+
+def test_downsample_ltob_one_point_per_bucket(spark):
+    """LTOB must keep exactly one representative day per (stream,
+    bucket), inside the bucket's day range, with nonneg area."""
+    from modforms_db_spark.operators.temporal import q_downsample_ltob
+
+    out = q_downsample_ltob(spark, SF_DIR).collect()
+    seen = set()
+    for r in out:
+        key = (r["event_type"], r["bucket"])
+        assert key not in seen
+        seen.add(key)
+        assert r["bucket"] * 5 + 1 <= r["day"] <= r["bucket"] * 5 + 5
+        assert r["area4"] >= 0
+    # every stream covers the full 6-bucket January span
+    from collections import Counter
+
+    per_stream = Counter(k[0] for k in seen)
+    assert all(v == 6 for v in per_stream.values())
+
+
+def test_url_canonicalize_collapses_variants(spark):
+    """Canonicalization must strictly reduce distinct URLs (the five
+    planted surface variants collapse) and never below the logical
+    page count."""
+    from modforms_db_spark.llm.pipeline import q_url_canonicalize
+
+    for r in q_url_canonicalize(spark, SF_DIR).collect():
+        assert r["n_canon_distinct"] < r["n_raw_distinct"]
+        assert r["n_canon_distinct"] <= 13
+        assert r["dup_reduction"] > 0.0
