@@ -2429,3 +2429,218 @@ def q_downsample_ltob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "area4",
         )
     )
+
+
+_SD_TREND_HALF = 3  # centered 7-day moving average
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_LTOB_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), tr AS (
+      SELECT event_type, d, v4,
+             CAST(SUM(v4) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN {_SD_TREND_HALF} PRECEDING
+                                AND {_SD_TREND_HALF} FOLLOWING) AS BIGINT)
+               AS sum7,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS BETWEEN {_SD_TREND_HALF} PRECEDING
+                            AND {_SD_TREND_HALF} FOLLOWING) AS n7
+      FROM daily
+    ), det AS (
+      SELECT event_type, (d - 1) % 7 AS dow,
+             7 * v4 - sum7 AS det7
+      FROM tr WHERE n7 = 7
+    )
+    SELECT event_type, CAST(dow AS BIGINT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           {R4('CAST(SUM(det7) AS BIGINT) / (COUNT(*) * 7.0 * 10000.0)')}
+             AS seasonal,
+           {R4('MIN(det7) / 70000.0')} AS det_min,
+           {R4('MAX(det7) / 70000.0')} AS det_max
+    FROM det GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "seasonality"),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (STL-lite) of each metric
+    stream: trend = centered 7-day moving average of the daily series,
+    seasonal index = mean detrended value per day-of-week (January
+    2024 opens on a Monday, so (day-1) mod 7 IS the weekday) — the
+    classical decomposition read beside `q_seasonality_profile`'s raw
+    hour-of-week means: the detrending step is what separates "weekly
+    cycle" from "the whole month drifted". Only full 7-day windows
+    enter (edge days have no centered trend — the standard
+    moving-average decomposition boundary rule).
+
+    Exactness: daily sums ride as integer ten-thousandths; the
+    detrended value rides as 7·v − Σ7 (INTEGER units of 7×10⁻⁴), so
+    every per-dow mean is one exact-integer division — no float
+    summation anywhere before the final r4.
+
+    Scale: fact scan reduces map-side to the daily grain; the trend
+    window and dow means run on calendar-bounded frames partitioned
+    by stream.
+    """
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-_SD_TREND_HALF, _SD_TREND_HALF)
+    )
+    tr = daily.select(
+        "event_type",
+        "d",
+        "v4",
+        F.sum("v4").over(w).cast("bigint").alias("sum7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    det = tr.where(F.col("n7") == 7).select(
+        "event_type",
+        ((F.col("d") - 1) % 7).cast("bigint").alias("dow"),
+        (7 * F.col("v4") - F.col("sum7")).alias("det7"),
+    )
+    return det.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        r4(
+            F.sum("det7").cast("bigint")
+            / (F.count(F.lit(1)) * 7.0 * 10000.0)
+        ).alias("seasonal"),
+        r4(F.min("det7") / 70000.0).alias("det_min"),
+        r4(F.max("det7") / 70000.0).alias("det_max"),
+    )
+
+
+# Expanding-window folds: train through December of the boundary year,
+# test the following six months. Month index = year*12 + month.
+_BT_FOLDS = ((1, 1997 * 12 + 12), (2, 1998 * 12 + 12), (3, 1999 * 12 + 12))
+_BT_TEST_MONTHS = 6
+
+
+@register(
+    "q_backtest_folds",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_orderpriority,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mi,
+             CAST(SUM(CAST({R('(o_totalprice * 100)', 0)} AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), folds AS (
+      SELECT * FROM (VALUES {', '.join(f'({f}, {b})' for f, b in _BT_FOLDS)})
+        AS t(fold, train_end)
+    ), naive AS (
+      SELECT f.fold, f.train_end, m.o_orderpriority, m.cents AS fc_cents
+      FROM folds f JOIN m ON m.mi = f.train_end
+    ), test AS (
+      SELECT f.fold, m.o_orderpriority, m.mi, m.cents
+      FROM folds f JOIN m
+        ON m.mi > f.train_end AND m.mi <= f.train_end + {_BT_TEST_MONTHS}
+    ), scored AS (
+      SELECT t.fold, t.o_orderpriority, 'naive' AS model,
+             ABS(t.cents - n.fc_cents) AS abs_err, t.cents AS actual
+      FROM test t JOIN naive n
+        ON t.fold = n.fold AND t.o_orderpriority = n.o_orderpriority
+      UNION ALL
+      SELECT t.fold, t.o_orderpriority, 'seasonal_naive',
+             ABS(t.cents - p.cents), t.cents
+      FROM test t JOIN m p
+        ON p.o_orderpriority = t.o_orderpriority AND p.mi = t.mi - 12
+    )
+    SELECT fold, o_orderpriority, model,
+           CAST(COUNT(*) AS BIGINT) AS n_test_months,
+           {R4('CAST(SUM(abs_err) AS BIGINT) * 1.0'
+               ' / CAST(SUM(actual) AS BIGINT)')} AS wape
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "evaluation"),
+)
+def q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding-window backtest — time-series cross-validation, the
+    evaluation harness every forecast ships under (train through each
+    fold boundary, score the next {_BT_TEST_MONTHS} months; folds only
+    ever EXPAND, never shuffle — random K-fold leaks the future):
+    naive (last train month carried forward) vs seasonal-naive (same
+    month last year) on monthly revenue per priority stream, scored
+    by WAPE. WAPE rather than MAPE because it is a ratio of two exact
+    integer-cent sums — scale-robust AND float-order-free.
+
+    Scale: one pass to the (priority, month) grain; folds are a
+    3-row literal broadcast against it; every join is on the bounded
+    calendar grain.
+    """
+    prep(spark)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    mi = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    m = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderpriority", mi.alias("mi"), cents.alias("cents"))
+        .groupBy("o_orderpriority", "mi")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .localCheckpoint(eager=False)  # naive + test + lag-12 reads
+    )
+    folds = spark.createDataFrame(
+        list(_BT_FOLDS), "fold bigint, train_end bigint"
+    )
+    naive = (
+        F.broadcast(folds)
+        .join(m, m.mi == folds.train_end)
+        .select("fold", "train_end", "o_orderpriority",
+                F.col("cents").alias("fc_cents"))
+    )
+    test = (
+        F.broadcast(folds)
+        .join(
+            m,
+            (m.mi > folds.train_end)
+            & (m.mi <= folds.train_end + _BT_TEST_MONTHS),
+        )
+        .select("fold", "o_orderpriority", "mi", "cents")
+    )
+    s_naive = test.join(
+        naive.select("fold", "o_orderpriority", "fc_cents"),
+        ["fold", "o_orderpriority"],
+    ).select(
+        "fold",
+        "o_orderpriority",
+        F.lit("naive").alias("model"),
+        F.abs(F.col("cents") - F.col("fc_cents")).alias("abs_err"),
+        F.col("cents").alias("actual"),
+    )
+    prev = m.select(
+        "o_orderpriority",
+        (F.col("mi") + 12).alias("mi"),
+        F.col("cents").alias("prev_cents"),
+    )
+    s_seas = test.join(prev, ["o_orderpriority", "mi"]).select(
+        "fold",
+        "o_orderpriority",
+        F.lit("seasonal_naive").alias("model"),
+        F.abs(F.col("cents") - F.col("prev_cents")).alias("abs_err"),
+        F.col("cents").alias("actual"),
+    )
+    return (
+        s_naive.unionByName(s_seas)
+        .groupBy("fold", "o_orderpriority", "model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_months"),
+            r4(
+                F.sum("abs_err").cast("bigint")
+                * 1.0
+                / F.sum("actual").cast("bigint")
+            ).alias("wape"),
+        )
+    )

@@ -342,7 +342,10 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         e.where(F.col("event_type") == "view")
         .join(s, "user_id")
-        .where(F.col("ts") >= F.col("s_ts"))
+        .where(
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 72 HOURS"))
+        )
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
@@ -666,4 +669,93 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.where(F.col("cw") * 2 >= F.col("tw"))
         .groupBy("o_orderpriority")
         .agg(r2(F.min("o_totalprice")).alias("weighted_median"))
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts) - epoch_us(s.s_ts)) AS lat_us
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.s_ts
+        AND e.ts < s.s_ts + INTERVAL 72 HOURS
+      GROUP BY 1
+    ), cohort AS (
+      SELECT s.user_id,
+             (day(s.s_ts) - 1) // 10 AS cohort,
+             p.lat_us
+      FROM s LEFT JOIN p ON s.user_id = p.user_id
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_signup,
+           CAST(COUNT(lat_us) AS BIGINT) AS n_converted,
+           {R4('COUNT(lat_us) * 1.0 / COUNT(*)')} AS cvr,
+           {R4('quantile_cont(lat_us, 0.5) / 3600000000.0')} AS p50_hours,
+           {R4('quantile_cont(lat_us, 0.9) / 3600000000.0')} AS p90_hours
+    FROM cohort GROUP BY 1
+    """,
+    priority="P2",
+    tags=("window", "funnel", "latency"),
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution behind the funnel: for each
+    signup cohort (10-day buckets of first-signup date), the share of
+    users who purchased within the 72-hour conversion window after
+    signing up and the p50/p90 hours from first signup to first
+    qualifying purchase — the
+    time-to-value read `q_events_funnel`'s stage counts can't give
+    (two funnels with equal conversion can differ 10x in latency).
+    Never-converting users stay in the cohort denominator via the
+    left join (dropping them inflates cvr — the classic funnel bug).
+
+    Exactness: latencies ride as exact integer microseconds (epoch
+    difference); percentiles interpolate engine-identically over
+    integers (`q_agg_percentile` precedent) and divide once to hours
+    before r4.
+
+    Scale: two stage aggregations, each one shuffle on user_id with
+    one-timestamp state (the `q_events_funnel` shape), then a
+    3-row cohort aggregate.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+        .localCheckpoint(eager=False)  # purchase pairing + cohort grain
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(
+            (F.col("ts") >= F.col("s_ts"))
+            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 72 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("s_ts").cast("timestamp"))
+            ).alias("lat_us")
+        )
+    )
+    cohort = s.join(p, "user_id", "left").select(
+        ((F.dayofmonth("s_ts") - 1) / 10).cast("bigint").alias("cohort"),
+        "lat_us",
+    )
+    return cohort.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signup"),
+        F.count("lat_us").cast("bigint").alias("n_converted"),
+        r4(F.count("lat_us") * 1.0 / F.count(F.lit(1))).alias("cvr"),
+        r4(F.percentile("lat_us", F.lit(0.5)) / 3600000000.0).alias(
+            "p50_hours"
+        ),
+        r4(F.percentile("lat_us", F.lit(0.9)) / 3600000000.0).alias(
+            "p90_hours"
+        ),
     )

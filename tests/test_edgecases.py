@@ -884,3 +884,59 @@ def test_url_canonicalize_collapses_variants(spark):
         assert r["n_canon_distinct"] < r["n_raw_distinct"]
         assert r["n_canon_distinct"] <= 13
         assert r["dup_reduction"] > 0.0
+
+
+def test_seasonal_decompose_centering_law(spark):
+    """Each stream carries all 7 day-of-week indices over the interior
+    days only (n_days <= 4 from 24 interior days), every index lies
+    inside its group's detrended envelope, and the day-weighted mean
+    index is small relative to the detrended spread (centered-MA
+    detrending centers the series, up to short-series edge effects —
+    an exact zero-sum does NOT hold at 24 days)."""
+    from collections import defaultdict
+
+    from modforms_db_spark.operators.temporal import q_seasonal_decompose
+
+    by_type = defaultdict(list)
+    for r in q_seasonal_decompose(spark, SF_DIR).collect():
+        assert r["n_days"] <= 4  # 24 interior days / 7 dows
+        assert r["det_min"] <= r["seasonal"] <= r["det_max"]
+        by_type[r["event_type"]].append(r)
+    for rows in by_type.values():
+        assert len(rows) == 7
+        tot = sum(r["seasonal"] * r["n_days"] for r in rows)
+        n = sum(r["n_days"] for r in rows)
+        spread = max(r["det_max"] for r in rows) - min(
+            r["det_min"] for r in rows
+        )
+        assert spread > 0
+        assert abs(tot / n) < 0.25 * spread
+
+
+def test_backtest_folds_structure(spark):
+    """Every (fold, priority) pair must carry both models with test
+    windows of at most six months, and WAPE must be nonnegative."""
+    from modforms_db_spark.operators.temporal import q_backtest_folds
+
+    out = q_backtest_folds(spark, SF_DIR).collect()
+    keys = {(r["fold"], r["o_orderpriority"], r["model"]) for r in out}
+    assert len(keys) == len(out)
+    models = {r["model"] for r in out}
+    assert models == {"naive", "seasonal_naive"}
+    for r in out:
+        assert 1 <= r["n_test_months"] <= 6
+        assert r["wape"] >= 0
+
+
+def test_funnel_latency_window_laws(spark):
+    """Conversion is windowed: latencies bounded by 72h, converters
+    never exceed signups, and the fixture splits both branches."""
+    from modforms_db_spark.operators.windows import q_funnel_latency
+
+    out = q_funnel_latency(spark, SF_DIR).collect()
+    assert out
+    assert any(r["n_converted"] < r["n_signup"] for r in out)
+    for r in out:
+        assert 0 < r["n_converted"] <= r["n_signup"]
+        assert 0.0 < r["cvr"] <= 1.0
+        assert r["p50_hours"] <= r["p90_hours"] <= 72.0
