@@ -208,3 +208,49 @@ def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("k")
     )
+
+
+@register(
+    "q_str_format_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           printf('%03d-%s', n_nationkey, lower(n_name)) AS tag,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+           translate(n_name, 'AEIOU', 'aeiou') AS devoweled,
+           CAST(length(replace(n_name, 'A', '')) AS BIGINT)
+             AS squeezed_len,
+           repeat('*', CAST(n_nationkey % 5 AS INTEGER)) AS stars
+    FROM nation
+    """,
+    priority="P2",
+    tags=("function", "string", "surface"),
+)
+def q_str_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String formatting/shaping surface row: printf-style
+    `format_string`, zero-`lpad`, character `translate`, character
+    squeeze via `replace`, and `repeat` — the report-rendering
+    function family beside `q_str_funcs`' case/trim battery, pinned
+    against DuckDB's printf/lpad/translate/repeat on the nation dim
+    (every function is a deterministic per-row rewrite; parity is
+    purely a dialect-mapping check: format_string ≡ printf,
+    char-for-char translate semantics, lpad truncation rules).
+
+    Scale: per-row codegen expressions on a 25-row dim scan — free;
+    the row exists for dialect coverage, not throughput.
+    """
+    prep(spark)
+    n = load(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.format_string(
+            "%03d-%s", F.col("n_nationkey"), F.lower("n_name")
+        ).alias("tag"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("devoweled"),
+        F.length(F.replace(F.col("n_name"), F.lit("A"), F.lit("")))
+        .cast("bigint")
+        .alias("squeezed_len"),
+        F.repeat(F.lit("*"), (F.col("n_nationkey") % 5).cast("int")).alias(
+            "stars"
+        ),
+    )

@@ -1533,3 +1533,109 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.countDistinct("canon") * 1.0 / F.countDistinct("url")
         ).alias("dup_reduction"),
     )
+
+
+@register(
+    "q_lift_gains",
+    oracle=f"""
+    WITH s AS ({{scored}}
+    ), r AS (
+      SELECT source, doc_id, label,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_src
+      FROM s
+    ), d AS (
+      SELECT source, ((rn - 1) * 10) // n_src + 1 AS decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1, 2
+    ), c AS (
+      SELECT source, CAST(decile AS BIGINT) AS decile, n, n_pos,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) OVER (PARTITION BY source) AS BIGINT) AS tot_pos
+      FROM d
+      WINDOW w AS (PARTITION BY source ORDER BY decile)
+    )
+    SELECT source, decile, n, n_pos,
+           {R4('n_pos * 1.0 / n')} AS pos_rate,
+           cum_pos,
+           CASE WHEN tot_pos > 0 THEN
+             {R4('(cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n)')}
+           END AS cum_lift
+    FROM c
+    """.format(scored=_qc_scored_sql()),
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "classifier"),
+)
+def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gains/lift table for the hashed quality classifier —
+    the third leg of the classifier-evaluation tripod beside
+    `q_roc_auc` (ranking) and `q_calibration_ece` (probability): rank
+    each source's documents by score, cut into ten equal-count
+    deciles (ties broken by doc_id — a total order, so the cut is
+    deterministic), and report per-decile positive rate plus
+    cumulative lift over the source's base rate — "how much better
+    than random is keeping only the top k/10 of the corpus", the
+    exact curve a data-curation budget decision reads. Score/label
+    frame SHARED with `q_roc_auc` (`_qc_scored` — an inline copy
+    would silently audit a stale rule). Degenerate sources (no
+    positives) report NULL lift.
+
+    All counts are exact integers; rates and lifts are single
+    divisions of integer counts, r4-rounded.
+
+    Scale: the ranking window partitions by source; at 100 TB the
+    decile cut switches to the banded-order device (the
+    `q_win_ranking_scaled` twin discipline) — the per-source window
+    here is the bounded-grain contract form.
+    """
+    prep(spark)
+    s = _qc_scored(spark, sf_dir)
+    wrank = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wsrc = Window.partitionBy("source")
+    r = s.select(
+        "source",
+        "label",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wsrc).alias("n_src"),
+    )
+    d = r.groupBy(
+        "source",
+        (((F.col("rn") - 1) * 10 / F.col("n_src")).cast("bigint") + 1).alias(
+            "decile"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("label").cast("int")).cast("bigint").alias("n_pos"),
+    )
+    wcum = Window.partitionBy("source").orderBy("decile")
+    c = d.select(
+        "source",
+        F.col("decile").cast("bigint").alias("decile"),
+        "n",
+        "n_pos",
+        F.sum("n").over(wcum).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wcum).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(wsrc).cast("bigint").alias("tot_n"),
+        F.sum("n_pos").over(wsrc).cast("bigint").alias("tot_pos"),
+    )
+    return c.select(
+        "source",
+        "decile",
+        "n",
+        "n_pos",
+        r4(F.col("n_pos") * 1.0 / F.col("n")).alias("pos_rate"),
+        "cum_pos",
+        F.when(
+            F.col("tot_pos") > 0,
+            r4(
+                (F.col("cum_pos") * 1.0 / F.col("cum_n"))
+                / (F.col("tot_pos") * 1.0 / F.col("tot_n"))
+            ),
+        ).alias("cum_lift"),
+    )

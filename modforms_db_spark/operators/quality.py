@@ -1324,3 +1324,136 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_raw") <= _BH_ALPHA).alias("reject_raw"),
         (F.col("rnk") <= F.coalesce(F.col("k"), F.lit(0))).alias("reject_bh"),
     )
+
+
+_MAHA_CRIT = 9.21  # chi-squared(2 df) 0.99 quantile
+_MAHA_SPIKE_MOD = 499  # every 499th order's lines get a x7 price copy
+
+
+@register(
+    "q_outlier_mahalanobis",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_extendedprice) AS BIGINT) AS y, l_orderkey
+      FROM lineitem
+    ), t AS (
+      SELECT 'organic' AS test, g, x, y FROM base
+      UNION ALL
+      SELECT 'planted', g, x, y FROM base
+      UNION ALL
+      SELECT 'planted', g, x, y * 7 FROM base
+      WHERE l_orderkey % {_MAHA_SPIKE_MOD} = 0
+    ), m AS (
+      SELECT test, g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT test, g, n, sx * 1.0 / n AS mx, sy * 1.0 / n AS my,
+             (sxx - sx * 1.0 * sx / n) / (n - 1) AS vx,
+             (syy - sy * 1.0 * sy / n) / (n - 1) AS vy,
+             (sxy - sx * 1.0 * sy / n) / (n - 1) AS cxy
+      FROM m
+    ), d AS (
+      SELECT t.test, t.g, s.n,
+             {R4('''((t.x - s.mx) * (t.x - s.mx) * s.vy
+                    - 2 * (t.x - s.mx) * (t.y - s.my) * s.cxy
+                    + (t.y - s.my) * (t.y - s.my) * s.vx)
+                   / (s.vx * s.vy - s.cxy * s.cxy)''')} AS d2
+      FROM t JOIN s ON t.test = s.test AND t.g = s.g
+    )
+    SELECT test, g, MAX(n) AS n,
+           CAST(SUM(CASE WHEN d2 > {_MAHA_CRIT!r} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(d2) AS max_d2
+    FROM d GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("quality", "outlier", "multivariate"),
+)
+def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier audit via Mahalanobis distance on the
+    (quantity, price) pair per return-flag group — the correlated-
+    feature outlier `q_outlier_iqr`'s per-column fences cannot see (a
+    50-unit order at a 1-unit price is wild even when both marginals
+    are ordinary): d² against the group's 2x2 covariance, flagged
+    beyond the chi-squared(2) 99% quantile ({_MAHA_CRIT}). The
+    organic leg audits clean (the fixture's bounded uniform features
+    admit no d² beyond the threshold — itself the PASS verdict); a
+    planted leg adds a x7 price copy of every {_MAHA_SPIKE_MOD}th
+    order's lines, which break the price-quantity correlation and
+    must flag (the `q_ks_test` two-leg device).
+
+    Exactness: features ride as integer (quantity, whole-dollar)
+    pairs, all five covariance moments are exact BIGINT sums, and
+    every per-row d² is one identical double formula, r4-rounded
+    before the threshold and the MAX.
+
+    Scale: one pass to 6 moment rows (map-side combined), broadcast
+    back onto the checkpointed base for the per-row score — the same
+    shape scores billions of rows; only moment tuples shuffle.
+    """
+    prep(spark)
+    base = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round("l_extendedprice", 0).cast("bigint").alias("y"),
+        "l_orderkey",
+    ).localCheckpoint(eager=False)  # organic + planted legs
+    spiked = base.where(F.col("l_orderkey") % _MAHA_SPIKE_MOD == 0).select(
+        F.lit("planted").alias("test"), "g", "x", (F.col("y") * 7).alias("y")
+    )
+    t = (
+        base.select(F.lit("organic").alias("test"), "g", "x", "y")
+        .unionByName(base.select(F.lit("planted").alias("test"), "g", "x", "y"))
+        .unionByName(spiked)
+        .localCheckpoint(eager=False)  # moment pass + scoring pass
+    )
+    m = t.groupBy("test", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n")
+    s = m.select(
+        "test",
+        "g",
+        "n",
+        (F.col("sx") * 1.0 / n).alias("mx"),
+        (F.col("sy") * 1.0 / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") * 1.0 * F.col("sx") / n) / (n - 1)).alias(
+            "vx"
+        ),
+        ((F.col("syy") - F.col("sy") * 1.0 * F.col("sy") / n) / (n - 1)).alias(
+            "vy"
+        ),
+        ((F.col("sxy") - F.col("sx") * 1.0 * F.col("sy") / n) / (n - 1)).alias(
+            "cxy"
+        ),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = r4(
+        (
+            dx * dx * F.col("vy")
+            - 2 * dx * dy * F.col("cxy")
+            + dy * dy * F.col("vx")
+        )
+        / (F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy"))
+    )
+    d = t.join(F.broadcast(s), ["test", "g"]).select(
+        "test", "g", "n", d2.alias("d2")
+    )
+    return d.groupBy("test", "g").agg(
+        F.max("n").alias("n"),
+        F.sum((F.col("d2") > _MAHA_CRIT).cast("long"))
+        .cast("bigint")
+        .alias("n_outliers"),
+        F.max("d2").alias("max_d2"),
+    )

@@ -940,3 +940,44 @@ def test_funnel_latency_window_laws(spark):
         assert 0 < r["n_converted"] <= r["n_signup"]
         assert 0.0 < r["cvr"] <= 1.0
         assert r["p50_hours"] <= r["p90_hours"] <= 72.0
+
+
+def test_mahalanobis_planted_leg_flags(spark):
+    """The organic leg audits clean on the bounded fixture; the x7
+    price-spike leg must flag outliers in at least one group, with a
+    max distance far beyond the threshold."""
+    from modforms_db_spark.operators.quality import (
+        _MAHA_CRIT,
+        q_outlier_mahalanobis,
+    )
+
+    rows = q_outlier_mahalanobis(spark, SF_DIR).collect()
+    org = [r for r in rows if r["test"] == "organic"]
+    pl = [r for r in rows if r["test"] == "planted"]
+    assert len(org) == len(pl) == 3
+    assert all(r["n_outliers"] == 0 for r in org)
+    assert sum(r["n_outliers"] for r in pl) > 0
+    assert max(r["max_d2"] for r in pl) > 5 * _MAHA_CRIT
+
+
+def test_lift_gains_monotone_cumulative(spark):
+    """Gains-table laws: deciles 1..10 per source, cumulative
+    positives nondecreasing, final cumulative lift exactly 1, lift
+    never negative."""
+    from collections import defaultdict
+
+    from modforms_db_spark.llm.pipeline import q_lift_gains
+
+    by_src = defaultdict(list)
+    for r in q_lift_gains(spark, SF_DIR).collect():
+        by_src[r["source"]].append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rows] == list(range(1, 11))
+        cum = [r["cum_pos"] for r in rows]
+        assert all(a <= b for a, b in zip(cum, cum[1:]))
+        last = rows[-1]
+        if last["cum_lift"] is not None:
+            assert abs(last["cum_lift"] - 1.0) < 1e-9
+        for r in rows:
+            assert r["cum_lift"] is None or r["cum_lift"] >= 0
