@@ -99,12 +99,27 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canonical token-set key — THE house near-dup rule (sha256 of the sorted
+# distinct token set). Shared by every op that groups or audits by it; an
+# inline copy would silently audit a stale rule.
+_CANON_H_SQL = (
+    "sha256(array_to_string(list_sort(list_distinct("
+    "string_split(text, ' '))), ' '))"
+)
+
+
+def _canon_h():
+    return F.sha2(
+        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
+        256,
+    )
+
+
 @register(
     "q_dedup_canonical",
-    oracle="""
+    oracle=f"""
     WITH c AS (
-      SELECT doc_id,
-             sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS h
+      SELECT doc_id, {_CANON_H_SQL} AS h
       FROM documents
     )
     SELECT h, COUNT(*) AS n, MIN(doc_id) AS min_doc_id,
@@ -120,12 +135,8 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     21 such groups at sf0.01 (measured ground truth, SURVEY.md §1.2)."""
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    canon = F.sha2(
-        F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " "),
-        256,
-    )
     return (
-        d.select("doc_id", canon.alias("h"))
+        d.select("doc_id", _canon_h().alias("h"))
         .groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1938,3 +1949,86 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_frac"),
         (F.col("n_dropped") > 0).alias("any_dropped"),
     )
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source, {_CANON_H_SQL} AS h FROM documents
+    ), ks AS (
+      SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM c GROUP BY 1, 2
+    ), cross_m AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_keys,
+             CAST(SUM(a.c) AS BIGINT) AS docs_a,
+             CAST(SUM(b.c) AS BIGINT) AS docs_b
+      FROM ks a JOIN ks b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ), within AS (
+      SELECT source AS src_a, source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_keys,
+             CAST(SUM(c) AS BIGINT) AS docs_a,
+             CAST(SUM(c) AS BIGINT) AS docs_b
+      FROM ks WHERE c > 1 GROUP BY 1, 2
+    )
+    SELECT * FROM cross_m UNION ALL SELECT * FROM within
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "audit"),
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix over the canonical token-set
+    key (SHARED `_canon_h` rule — an inline copy would audit a stale
+    rule): for every source pair, how many canonical texts appear in
+    BOTH (off-diagonal = cross-source contamination, the pairs that
+    decide which feed to dedup against which) and, on the diagonal,
+    how many keys duplicate WITHIN one source — the prioritization
+    read `q_dedup_group_stats`' global totals can't give (a corpus
+    where all duplication is within one crawl dedups cheaply;
+    cross-source duplication forces the global pass). Only non-empty
+    cells emit.
+
+    Scale: one hash pass to the (key, source) grain (map-side
+    combined), then a self-join on the key whose fanout is bounded by
+    sources-per-key (≤ the source count, a constant) — never by row
+    count; all counts exact integers.
+    """
+    prep(spark)
+    ks = (
+        load(spark, sf_dir, "documents")
+        .select("source", _canon_h().alias("h"))
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # cross pair join + diagonal
+    )
+    a = ks.select(
+        F.col("h"), F.col("source").alias("src_a"), F.col("c").alias("ca")
+    )
+    b = ks.select(
+        F.col("h").alias("hb"),
+        F.col("source").alias("src_b"),
+        F.col("c").alias("cb"),
+    )
+    cross_m = (
+        a.join(b, (F.col("h") == F.col("hb")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_keys"),
+            F.sum("ca").cast("bigint").alias("docs_a"),
+            F.sum("cb").cast("bigint").alias("docs_b"),
+        )
+    )
+    within = (
+        ks.where(F.col("c") > 1)
+        .groupBy(
+            F.col("source").alias("src_a"), F.col("source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("shared_keys"),
+            F.sum("c").cast("bigint").alias("docs_a"),
+            F.sum("c").cast("bigint").alias("docs_b"),
+        )
+    )
+    return cross_m.unionByName(within)

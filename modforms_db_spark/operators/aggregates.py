@@ -3887,3 +3887,257 @@ def q_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         (F.abs(t) > _DID_Z).alias("reject"),
     )
+
+
+@register(
+    "q_corr_spearman",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), grain AS (
+      SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3
+    ), xm AS (
+      SELECT g, x,
+             2 * COALESCE(SUM(cx) OVER (PARTITION BY g ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cx + 1 AS rx2
+      FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS cx
+            FROM grain GROUP BY 1, 2)
+    ), ym AS (
+      SELECT g, y,
+             2 * COALESCE(SUM(cy) OVER (PARTITION BY g ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cy + 1 AS ry2
+      FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS cy
+            FROM grain GROUP BY 1, 2)
+    ), s AS (
+      SELECT grain.g, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * rx2) AS BIGINT) AS sx,
+             CAST(SUM(c * ry2) AS BIGINT) AS sy,
+             CAST(SUM(c * rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(c * ry2 * ry2) AS BIGINT) AS syy,
+             CAST(SUM(c * rx2 * ry2) AS BIGINT) AS sxy
+      FROM grain
+      JOIN xm ON grain.g = xm.g AND grain.x = xm.x
+      JOIN ym ON grain.g = ym.g AND grain.y = ym.y
+      GROUP BY 1
+    )
+    SELECT g, n,
+           {R4('''(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))''')} AS spearman_rho
+    FROM s
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "rank"),
+)
+def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and discount per
+    return flag — the monotone-association member of the correlation
+    family (`q_agg_stats`' Pearson sees only linear association;
+    Spearman sees any monotone one, and is outlier-immune): Pearson
+    over tie-averaged ranks, with EVERY rank computed exactly from
+    the (value, count) marginal grain — average rank of a tied value
+    = below-count + (count+1)/2, carried as 2x-integers so ties never
+    produce a float. The whole statistic is one double formula over
+    seven exact BIGINT moments.
+
+    Scale: the fact scan reduces map-side to the (group, qty,
+    discount-bps) grain — bounded by the VALUE DOMAINS (50 x 11), not
+    row count; rank windows run on the tiny marginals. The same shape
+    ranks billions of rows because only the grain enters any window
+    (quantize continuous features to fixed bins first — the
+    `q_ks_test` discipline).
+    """
+    prep(spark)
+    t = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    )
+    grain = t.groupBy("g", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # both marginals + the joined pass
+    wx = Window.partitionBy("g").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    xm = (
+        grain.groupBy("g", "x")
+        .agg(F.sum("c").cast("bigint").alias("cx"))
+        .select(
+            "g",
+            "x",
+            (
+                2 * F.coalesce(F.sum("cx").over(wx), F.lit(0))
+                + F.col("cx")
+                + 1
+            ).alias("rx2"),
+        )
+    )
+    wy = Window.partitionBy("g").orderBy("y").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ym = (
+        grain.groupBy("g", "y")
+        .agg(F.sum("c").cast("bigint").alias("cy"))
+        .select(
+            "g",
+            "y",
+            (
+                2 * F.coalesce(F.sum("cy").over(wy), F.lit(0))
+                + F.col("cy")
+                + 1
+            ).alias("ry2"),
+        )
+    )
+    s = (
+        grain.join(xm, ["g", "x"])
+        .join(ym, ["g", "y"])
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sum(F.col("c") * F.col("rx2")).cast("bigint").alias("sx"),
+            F.sum(F.col("c") * F.col("ry2")).cast("bigint").alias("sy"),
+            F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
+            .cast("bigint")
+            .alias("sxx"),
+            F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
+            .cast("bigint")
+            .alias("syy"),
+            F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
+            .cast("bigint")
+            .alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    rho = r4(
+        (n * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy"))
+        / F.sqrt(
+            (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+            * (n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+        )
+    )
+    return s.select("g", "n", rho.alias("spearman_rho"))
+
+
+@register(
+    "q_kendall_tau",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), grain AS (
+      SELECT g, x, y, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2, 3
+    ), nn AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM grain GROUP BY 1
+    ), conc AS (
+      SELECT a.g,
+             CAST(SUM(CASE WHEN b.y > a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS nc,
+             CAST(SUM(CASE WHEN b.y < a.y THEN a.c * b.c ELSE 0 END)
+                  AS BIGINT) AS nd
+      FROM grain a JOIN grain b ON a.g = b.g AND b.x > a.x
+      GROUP BY 1
+    ), tie AS (
+      SELECT g,
+             CAST(SUM(cx * (cx - 1) / 2) AS BIGINT) AS tx
+      FROM (SELECT g, x, CAST(SUM(c) AS BIGINT) AS cx
+            FROM grain GROUP BY 1, 2) GROUP BY 1
+    ), tie_y AS (
+      SELECT g,
+             CAST(SUM(cy * (cy - 1) / 2) AS BIGINT) AS ty
+      FROM (SELECT g, y, CAST(SUM(c) AS BIGINT) AS cy
+            FROM grain GROUP BY 1, 2) GROUP BY 1
+    )
+    SELECT nn.g, nn.n, conc.nc, conc.nd,
+           {R4('''(conc.nc - conc.nd)
+                 / SQRT((nn.n * (nn.n - 1) / 2 - tie.tx) * 1.0
+                        * (nn.n * (nn.n - 1) / 2 - tie_y.ty))''')}
+             AS kendall_tau_b
+    FROM nn JOIN conc ON nn.g = conc.g
+    JOIN tie ON nn.g = tie.g JOIN tie_y ON nn.g = tie_y.g
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "rank"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and discount per return flag —
+    the pairwise-concordance member of the rank family beside
+    `q_corr_spearman` (tau has the cleaner probabilistic reading:
+    P(concordant) − P(discordant), with tau-b's tie correction for
+    the heavily quantized domains): concordant/discordant pair MASSES
+    come from a self-join of the (x, y, count) grain — c_a·c_b pairs
+    per grain cell — never from row pairs, so the O(n²) definition
+    costs O(|domain|²). All masses and tie terms are exact BIGINT;
+    tau is one double formula, r4-rounded.
+
+    Scale: grain bounded by value domains (50 x 11 cells/group), so
+    the "quadratic" join is a constant ~300k cell pairs regardless of
+    row count — the same trick that makes `q_ks_test` linear.
+    """
+    prep(spark)
+    t = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("y"),
+    )
+    grain = t.groupBy("g", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # n + pairs + both tie marginals
+    nn = grain.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    a = grain.select("g", "x", "y", "c")
+    b = grain.select(
+        F.col("g").alias("gb"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    conc = (
+        a.join(b, (F.col("g") == F.col("gb")) & (F.col("xb") > F.col("x")))
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("y"), F.col("c") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nc"),
+            F.sum(
+                F.when(F.col("yb") < F.col("y"), F.col("c") * F.col("cb"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nd"),
+        )
+    )
+    tx = (
+        grain.groupBy("g", "x")
+        .agg(F.sum("c").cast("bigint").alias("cx"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("cx") * (F.col("cx") - 1) / 2)
+            .cast("bigint")
+            .alias("tx")
+        )
+    )
+    ty = (
+        grain.groupBy("g", "y")
+        .agg(F.sum("c").cast("bigint").alias("cy"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("cy") * (F.col("cy") - 1) / 2)
+            .cast("bigint")
+            .alias("ty")
+        )
+    )
+    j = nn.join(conc, "g").join(tx, "g").join(ty, "g")
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    tau = r4(
+        (F.col("nc") - F.col("nd"))
+        / F.sqrt((n0 - F.col("tx")) * 1.0 * (n0 - F.col("ty")))
+    )
+    return j.select("g", "n", "nc", "nd", tau.alias("kendall_tau_b"))

@@ -981,3 +981,40 @@ def test_lift_gains_monotone_cumulative(spark):
             assert abs(last["cum_lift"] - 1.0) < 1e-9
         for r in rows:
             assert r["cum_lift"] is None or r["cum_lift"] >= 0
+
+
+def test_rank_correlations_consistent(spark):
+    """Spearman and Kendall must agree in sign per group, both lie in
+    [-1, 1], and Kendall's pair masses are bounded by n(n-1)/2."""
+    from modforms_db_spark.operators.aggregates import (
+        q_corr_spearman,
+        q_kendall_tau,
+    )
+
+    rho = {r["g"]: r for r in q_corr_spearman(spark, SF_DIR).collect()}
+    tau = {r["g"]: r for r in q_kendall_tau(spark, SF_DIR).collect()}
+    assert set(rho) == set(tau) == {"A", "N", "R"}
+    for g in rho:
+        s, t = rho[g]["spearman_rho"], tau[g]["kendall_tau_b"]
+        assert -1.0 <= s <= 1.0 and -1.0 <= t <= 1.0
+        assert s == 0 or t == 0 or (s > 0) == (t > 0)
+        n = tau[g]["n"]
+        assert tau[g]["nc"] + tau[g]["nd"] <= n * (n - 1) // 2
+
+
+def test_dedup_source_matrix_laws(spark):
+    """Matrix cells: ordered pairs only, diagonal counts within-source
+    dup keys (each needing >= 2 docs), cross cells need >= 1 doc per
+    side, and both cell kinds exist on the fixture."""
+    from modforms_db_spark.llm.dedup import q_dedup_source_matrix
+
+    out = q_dedup_source_matrix(spark, SF_DIR).collect()
+    diag = [r for r in out if r["src_a"] == r["src_b"]]
+    cross = [r for r in out if r["src_a"] < r["src_b"]]
+    assert len(diag) + len(cross) == len(out)  # no inverted pairs
+    assert diag and cross
+    for r in diag:
+        assert r["docs_a"] >= 2 * r["shared_keys"]
+    for r in cross:
+        assert r["docs_a"] >= r["shared_keys"]
+        assert r["docs_b"] >= r["shared_keys"]
