@@ -4141,3 +4141,120 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sqrt((n0 - F.col("tx")) * 1.0 * (n0 - F.col("ty")))
     )
     return j.select("g", "n", "nc", "nd", tau.alias("kendall_tau_b"))
+
+
+@register(
+    "q_partial_corr",
+    oracle=f"""
+    WITH t AS (
+      SELECT l_returnflag AS g,
+             CAST(ROUND(l_extendedprice) AS BIGINT)
+               + 1000 * CAST(l_quantity AS BIGINT) AS x,
+             30 * CAST(ROUND(l_discount * 100) AS BIGINT)
+               + 20 * CAST(l_quantity AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS z
+      FROM lineitem
+    ), m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(z) AS BIGINT) AS sz,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(z * z) AS BIGINT) AS szz,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * z) AS BIGINT) AS sxz,
+             CAST(SUM(y * z) AS BIGINT) AS syz
+      FROM t GROUP BY 1
+    ), r AS (
+      SELECT g, n,
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS rxy,
+             (CAST(n AS DOUBLE) * sxz - CAST(sx AS DOUBLE) * sz)
+               / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS rxz,
+             (CAST(n AS DOUBLE) * syz - CAST(sy AS DOUBLE) * sz)
+               / SQRT((CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                      * (CAST(n AS DOUBLE) * szz - CAST(sz AS DOUBLE) * sz))
+               AS ryz
+      FROM m
+    )
+    SELECT g, n, {R4('rxy')} AS r_xy,
+           {R4('rxz')} AS r_xz, {R4('ryz')} AS r_yz,
+           {R4('''(rxy - rxz * ryz)
+                 / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))''')}
+             AS r_xy_given_z
+    FROM r
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "corr"),
+)
+def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation with a PLANTED confounder
+    structure — the textbook spurious-correlation demo, on the
+    engine: x (price + 1000·qty) and y (30·discount-bps + 20·qty)
+    are independent given quantity, but both load on it, so the raw
+    r_xy is strongly positive while r_xy.z ≈ the raw price-discount
+    correlation ≈ 0 — the confounder-adjusted association
+    `q_agg_stats`' raw Pearson can't give:
+    r_xy.z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)), all three
+    pairwise correlations from one pass of exact integer moments (11
+    BIGINT sums total; the law test pins raw-high/partial-low, both
+    directions live at every SF).
+
+    Every correlation is one double formula over exact integers
+    (explicit DOUBLE casts — DuckDB's `x * 1.0` promotes to DECIMAL
+    and overflows at large moments); the partial is one more rational
+    formula over those, r4 at output.
+
+    Scale: single map-side-combined moment pass; 3 rows of math after.
+    """
+    prep(spark)
+    q_ = F.col("l_quantity").cast("bigint")
+    t = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        (F.round("l_extendedprice", 0).cast("bigint") + 1000 * q_).alias("x"),
+        (30 * F.round(F.col("l_discount") * 100, 0).cast("bigint") + 20 * q_)
+        .alias("y"),
+        q_.alias("z"),
+    )
+    m = t.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+    )
+    n = F.col("n") * 1.0
+
+    def corr_of(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * 1.0 * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * 1.0 * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * 1.0 * F.col(sb))
+        )
+
+    r = m.select(
+        "g",
+        "n",
+        corr_of("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr_of("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr_of("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    partial = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("ryz") * F.col("ryz"))
+    )
+    return r.select(
+        "g",
+        "n",
+        r4(F.col("rxy")).alias("r_xy"),
+        r4(F.col("rxz")).alias("r_xz"),
+        r4(F.col("ryz")).alias("r_yz"),
+        r4(partial).alias("r_xy_given_z"),
+    )

@@ -2644,3 +2644,179 @@ def q_backtest_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wape"),
         )
     )
+
+
+_ACF_RHO_SQL = f"""
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {R4('SUM(value)')} AS v
+      FROM events GROUP BY 1, 2
+    ), rho AS (
+      SELECT a.event_type,
+             CAST(date_diff('day', b.day, a.day) AS BIGINT) AS lag_d,
+             {R4('CORR(a.v, b.v)')} AS acf
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type
+       AND date_diff('day', b.day, a.day) BETWEEN 1 AND 3
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "q_pacf",
+    oracle=f"""
+    WITH {_ACF_RHO_SQL},
+    p AS (
+      SELECT event_type,
+             MAX(CASE WHEN lag_d = 1 THEN acf END) AS r1,
+             MAX(CASE WHEN lag_d = 2 THEN acf END) AS r2,
+             MAX(CASE WHEN lag_d = 3 THEN acf END) AS r3
+      FROM rho GROUP BY 1
+    ), d AS (
+      SELECT event_type, r1, r2, r3,
+             (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+      FROM p
+    )
+    SELECT event_type, r1, r2, r3,
+           {R4('r1')} AS pacf1,
+           {R4('p2')} AS pacf2,
+           {R4('''(r3 - (r1 - p2 * r1) * r2 - p2 * r1)
+                 / (1 - (r1 - p2 * r1) * r1 - p2 * r2)''')} AS pacf3
+    FROM d
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "corr"),
+)
+def q_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of each metric stream at lags 1..3 via
+    the Durbin-Levinson closed forms — the AR-order selection read
+    `q_autocorrelation` alone can't give (an AR(1) process has
+    exponentially decaying ACF at ALL lags but PACF cuts to zero
+    after lag 1 — PACF is what separates 'long memory' from 'one-step
+    memory propagated'): φ11 = ρ1, φ22 = (ρ2−ρ1²)/(1−ρ1²), and φ33
+    from the level-2 recursion with φ21 = φ11 − φ22·φ11. Shares the
+    ACF grain and estimator (`_ACF_RHO_SQL`) so the two rows always
+    audit the same ρ values.
+
+    Each ρ is r4-rounded at the corr (engine-identical); every φ is
+    then one fixed rational formula over those identical doubles,
+    r4-rounded at output.
+
+    Scale: identical to `q_autocorrelation` — one map-side reduction
+    to the calendar-bounded daily grain, lag self-join, 5-row
+    recursion math free at any size.
+    """
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(r4(F.sum("value")).alias("v"))
+        .localCheckpoint(eager=False)  # both sides of the lag self-join
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lag_d = F.datediff(F.col("a.day"), F.col("b.day"))
+    rho = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & lag_d.between(1, 3),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("event_type"),
+            lag_d.cast("bigint").alias("lag_d"),
+        )
+        .agg(r4(F.corr(F.col("a.v"), F.col("b.v"))).alias("acf"))
+    )
+    p = rho.groupBy("event_type").agg(
+        F.max(F.when(F.col("lag_d") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("lag_d") == 2, F.col("acf"))).alias("r2"),
+        F.max(F.when(F.col("lag_d") == 3, F.col("acf"))).alias("r3"),
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (1 - r1 * r1)
+    d2 = p.select("event_type", "r1", "r2", "r3", p2.alias("p2"))
+    p2c = F.col("p2")
+    p21 = r1 - p2c * r1
+    pacf3 = (r3 - p21 * r2 - p2c * r1) / (1 - p21 * r1 - p2c * r2)
+    return d2.select(
+        "event_type",
+        "r1",
+        "r2",
+        "r3",
+        r4(r1).alias("pacf1"),
+        r4(p2c).alias("pacf2"),
+        r4(pacf3).alias("pacf3"),
+    )
+
+
+_CCF_PAIRS = (("click", "purchase"), ("view", "click"), ("signup", "purchase"))
+_CCF_MAX_LAG = 5
+
+
+@register(
+    "q_ccf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, {R4('SUM(value)')} AS v
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT * FROM (VALUES {', '.join(f"('{a}', '{b}')" for a, b in _CCF_PAIRS)})
+        AS t(sa, sb)
+    )
+    SELECT p.sa, p.sb,
+           CAST(date_diff('day', a.day, b.day) AS BIGINT) AS lag_d,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {R4('CORR(a.v, b.v)')} AS ccf
+    FROM pairs p
+    JOIN daily a ON a.event_type = p.sa
+    JOIN daily b ON b.event_type = p.sb
+     AND date_diff('day', a.day, b.day) BETWEEN -{_CCF_MAX_LAG} AND {_CCF_MAX_LAG}
+    GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "corr"),
+)
+def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between metric-stream pairs at lags
+    −{_CCF_MAX_LAG}..+{_CCF_MAX_LAG} days (positive lag = the first
+    stream LEADS): the lead-lag discovery read — does click volume
+    today predict purchase volume in k days? — that neither ACF
+    (within one stream) nor `q_rolling_corr` (zero lag only) covers.
+    Pair list is a 3-row literal; the correlation estimator and daily
+    grain are the `q_autocorrelation` ones.
+
+    Daily sums r4 at the grain; each ccf r4 at the corr.
+
+    Scale: one map-side reduction to the daily grain, then a
+    literal-pair × calendar-bounded join — free at any corpus size.
+    """
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(r4(F.sum("value")).alias("v"))
+        .localCheckpoint(eager=False)  # both stream sides
+    )
+    pairs = spark.createDataFrame(list(_CCF_PAIRS), "sa string, sb string")
+    a = daily.select(
+        F.col("event_type").alias("sa"),
+        F.col("day").alias("da"),
+        F.col("v").alias("va"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("sb"),
+        F.col("day").alias("db"),
+        F.col("v").alias("vb"),
+    )
+    lag_d = F.datediff(F.col("db"), F.col("da"))
+    return (
+        F.broadcast(pairs)
+        .join(a, "sa")
+        .join(b, "sb")
+        .where(lag_d.between(-_CCF_MAX_LAG, _CCF_MAX_LAG))
+        .groupBy("sa", "sb", lag_d.cast("bigint").alias("lag_d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            r4(F.corr("va", "vb")).alias("ccf"),
+        )
+    )

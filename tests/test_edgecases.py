@@ -1018,3 +1018,55 @@ def test_dedup_source_matrix_laws(spark):
     for r in cross:
         assert r["docs_a"] >= r["shared_keys"]
         assert r["docs_b"] >= r["shared_keys"]
+
+
+def test_pacf_lag1_equals_acf_lag1(spark):
+    """PACF laws: pacf1 == rho1 by definition, all partials in
+    [-1, 1], and the shared estimator means rho values match
+    q_autocorrelation's at lags 1..3."""
+    from modforms_db_spark.operators.temporal import (
+        q_autocorrelation,
+        q_pacf,
+    )
+
+    acf = {
+        (r["event_type"], r["lag_d"]): r["acf"]
+        for r in q_autocorrelation(spark, SF_DIR).collect()
+    }
+    for r in q_pacf(spark, SF_DIR).collect():
+        assert r["pacf1"] == r["r1"]
+        for c in ("pacf1", "pacf2", "pacf3"):
+            assert -1.0 - 1e-9 <= r[c] <= 1.0 + 1e-9
+        for k, col in ((1, "r1"), (2, "r2"), (3, "r3")):
+            assert r[col] == acf[(r["event_type"], k)]
+
+
+def test_ccf_lag_zero_is_symmetric_pearson(spark):
+    """CCF laws: the declared pair list appears with the full lag
+    grid, and |ccf| <= 1 everywhere."""
+    from collections import defaultdict
+
+    from modforms_db_spark.operators.temporal import _CCF_PAIRS, q_ccf
+
+    grids = defaultdict(set)
+    for r in q_ccf(spark, SF_DIR).collect():
+        grids[(r["sa"], r["sb"])].add(r["lag_d"])
+        assert r["ccf"] is None or abs(r["ccf"]) <= 1.0 + 1e-9
+    assert set(grids) == set(_CCF_PAIRS)
+    for lags in grids.values():
+        assert lags == set(range(-5, 6))
+
+
+def test_partial_corr_confounder_shrinks_raw(spark):
+    """Planted confounder: the raw x-y correlation is strong (both
+    load on quantity) and the quantity-partialed correlation
+    collapses toward zero — both regimes live."""
+    from modforms_db_spark.operators.aggregates import q_partial_corr
+
+    out = q_partial_corr(spark, SF_DIR).collect()
+    assert {r["g"] for r in out} == {"A", "N", "R"}
+    for r in out:
+        for c in ("r_xy", "r_xz", "r_yz", "r_xy_given_z"):
+            assert -1.0 <= r[c] <= 1.0
+        assert r["r_xy"] > 0.3  # spurious association via quantity
+        assert abs(r["r_xy_given_z"]) < 0.1  # vanishes once partialed
