@@ -342,10 +342,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = (
         e.where(F.col("event_type") == "view")
         .join(s, "user_id")
-        .where(
-            (F.col("ts") >= F.col("s_ts"))
-            & (F.col("ts") < F.col("s_ts") + F.expr("INTERVAL 72 HOURS"))
-        )
+        .where(F.col("ts") >= F.col("s_ts"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("v_ts"))
     )
