@@ -4258,3 +4258,381 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("ryz")).alias("r_yz"),
         r4(partial).alias("r_xy_given_z"),
     )
+
+
+_CMH_KNUTH = 2654435761
+_CMH_MOD = 4294967296
+_CMH_PRICE_CUT = 300000
+_CMH_BOOST_PCT = 30
+_CMH_CRIT_R4 = 3.8415  # chi2(1) alpha=0.05, compared on the r4'd stat
+
+
+@register(
+    "q_cmh_test",
+    oracle=f"""
+    WITH t AS (
+      SELECT v.variant,
+             o.o_orderpriority AS stratum,
+             ((o.o_orderkey * {_CMH_KNUTH}) % {_CMH_MOD}) % 2 AS arm,
+             (o.o_totalprice > {_CMH_PRICE_CUT}
+              OR (v.variant = 'planted'
+                  AND ((o.o_orderkey * {_CMH_KNUTH}) % {_CMH_MOD}) % 2 = 1
+                  AND ((o.o_orderkey * 31 * {_CMH_KNUTH}) % {_CMH_MOD}) % 100
+                      < {_CMH_BOOST_PCT})) AS outcome
+      FROM orders o
+      CROSS JOIN (VALUES ('organic'), ('planted')) v(variant)
+    ), cells AS (
+      SELECT variant, stratum,
+             CAST(SUM(CASE WHEN arm = 1 AND outcome THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN outcome THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(COUNT(*) AS BIGINT) AS nk
+      FROM t GROUP BY 1, 2
+    ), terms AS (
+      SELECT variant, a, nk,
+             CAST(ROUND(1e4 * CAST(n1 AS DOUBLE) * m1 / nk) AS BIGINT)
+               AS e_i,
+             CAST(ROUND(1e4 * CAST(n1 AS DOUBLE) * (nk - n1) * m1 * (nk - m1)
+                        / (CAST(nk AS DOUBLE) * nk * (nk - 1))) AS BIGINT)
+               AS v_i,
+             CAST(ROUND(1e4 * CAST(a AS DOUBLE) * (nk - n1 - m1 + a) / nk)
+                  AS BIGINT) AS ad_i,
+             CAST(ROUND(1e4 * CAST(n1 - a AS DOUBLE) * (m1 - a) / nk)
+                  AS BIGINT) AS bc_i
+      FROM cells
+    ), s AS (
+      SELECT variant,
+             CAST(SUM(nk) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sum_a,
+             CAST(SUM(e_i) AS BIGINT) AS se_i,
+             CAST(SUM(v_i) AS BIGINT) AS sv_i,
+             CAST(SUM(ad_i) AS BIGINT) AS sad_i,
+             CAST(SUM(bc_i) AS BIGINT) AS sbc_i
+      FROM terms GROUP BY 1
+    )
+    SELECT variant, n, sum_a,
+           {R4('POW(ABS(sum_a - se_i / 1e4) - 0.5, 2) / (sv_i / 1e4)')}
+             AS cmh_chi2,
+           {R4('CAST(sad_i AS DOUBLE) / sbc_i')} AS or_mh,
+           {R4('POW(ABS(sum_a - se_i / 1e4) - 0.5, 2) / (sv_i / 1e4)')}
+             > {_CMH_CRIT_R4} AS reject
+    FROM s
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2x2 association test
+    (continuity-corrected) plus the Mantel-Haenszel common odds
+    ratio: does the treatment arm move the high-value-order rate once
+    order priority is held fixed — the stratum-adjusted companion to
+    `q_ab_proportions` (pooled) and `q_partial_corr` (continuous
+    confounder). Arms are the deterministic Knuth hash of the
+    order key (order-level randomization keeps the organic null
+    clean — a customer-key split is cluster-randomized and the plain
+    CMH variance undercounts intra-customer correlation); the organic variant is a true
+    null (hash independent of price) and a planted variant boosts
+    arm-1 success by ~{_CMH_BOOST_PCT}pp via a second independent
+    hash, so accept AND reject verdicts are live at every SF (house
+    planted-ground-truth rule for test operators).
+
+    Per-stratum E[a], Var[a] and the OR numerator/denominator terms
+    are rounded to integer 1e-4 units before summation (partial-sum
+    order can't move them); the chi2 and OR are single double
+    formulas over those integer sums, r4-rounded before the
+    {_CMH_CRIT_R4} threshold compare.
+
+    Scale: one scan of orders (variants ride a 2-row broadcast cross
+    join, not a second scan), partial+final aggregation to the
+    (variant, stratum) 2x2 grain — 10 cells of math regardless of
+    row count.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    variants = spark.createDataFrame(
+        [("organic",), ("planted",)], "variant string"
+    )
+    arm = (
+        F.col("o_orderkey") * F.lit(_CMH_KNUTH).cast("bigint") % _CMH_MOD
+    ) % 2
+    boost = (
+        F.col("o_orderkey") * 31 * F.lit(_CMH_KNUTH).cast("bigint") % _CMH_MOD
+    ) % 100 < _CMH_BOOST_PCT
+    outcome = (F.col("o_totalprice") > _CMH_PRICE_CUT) | (
+        (F.col("variant") == "planted") & (arm == 1) & boost
+    )
+    t = o.crossJoin(F.broadcast(variants)).select(
+        "variant",
+        F.col("o_orderpriority").alias("stratum"),
+        arm.alias("arm"),
+        outcome.alias("outcome"),
+    )
+    cells = t.groupBy("variant", "stratum").agg(
+        F.sum(F.when((F.col("arm") == 1) & F.col("outcome"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("outcome"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("m1"),
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+    )
+    n1d = F.col("n1").cast("double")
+    nkd = F.col("nk").cast("double")
+    terms = cells.select(
+        "variant",
+        "a",
+        "nk",
+        F.round(F.lit(1e4) * n1d * F.col("m1") / F.col("nk"))
+        .cast("bigint")
+        .alias("e_i"),
+        F.round(
+            F.lit(1e4)
+            * n1d
+            * (F.col("nk") - F.col("n1"))
+            * F.col("m1")
+            * (F.col("nk") - F.col("m1"))
+            / (nkd * F.col("nk") * (F.col("nk") - 1))
+        )
+        .cast("bigint")
+        .alias("v_i"),
+        F.round(
+            F.lit(1e4)
+            * F.col("a").cast("double")
+            * (F.col("nk") - F.col("n1") - F.col("m1") + F.col("a"))
+            / F.col("nk")
+        )
+        .cast("bigint")
+        .alias("ad_i"),
+        F.round(
+            F.lit(1e4)
+            * (F.col("n1") - F.col("a")).cast("double")
+            * (F.col("m1") - F.col("a"))
+            / F.col("nk")
+        )
+        .cast("bigint")
+        .alias("bc_i"),
+    )
+    s = terms.groupBy("variant").agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sum_a"),
+        F.sum("e_i").cast("bigint").alias("se_i"),
+        F.sum("v_i").cast("bigint").alias("sv_i"),
+        F.sum("ad_i").cast("bigint").alias("sad_i"),
+        F.sum("bc_i").cast("bigint").alias("sbc_i"),
+    )
+    chi2 = F.pow(
+        F.abs(F.col("sum_a") - F.col("se_i") / 1e4) - 0.5, F.lit(2)
+    ) / (F.col("sv_i") / 1e4)
+    return s.select(
+        "variant",
+        "n",
+        "sum_a",
+        r4(chi2).alias("cmh_chi2"),
+        r4(F.col("sad_i").cast("double") / F.col("sbc_i")).alias("or_mh"),
+        (r4(chi2) > _CMH_CRIT_R4).alias("reject"),
+    )
+
+
+_EFF_SHIFT = 4  # planted arm-1 quantity shift; d~0.28, clear of the 0.2 edge
+
+
+@register(
+    "q_effect_sizes",
+    oracle=f"""
+    WITH t AS (
+      SELECT v.variant,
+             ((l.l_orderkey * {_CMH_KNUTH}) % {_CMH_MOD}) % 2 AS arm,
+             CAST(l.l_quantity AS BIGINT)
+               + CASE WHEN v.variant = 'planted'
+                       AND ((l.l_orderkey * {_CMH_KNUTH}) % {_CMH_MOD}) % 2
+                           = 1
+                      THEN {_EFF_SHIFT} ELSE 0 END AS q
+      FROM lineitem l
+      CROSS JOIN (VALUES ('organic'), ('planted')) v(variant)
+    ), cells AS (
+      SELECT variant, arm, q, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2, 3
+    ), mom AS (
+      SELECT variant, arm,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * q) AS BIGINT) AS s1,
+             CAST(SUM(c * q * q) AS BIGINT) AS s2
+      FROM cells GROUP BY 1, 2
+    ), wide AS (
+      SELECT a.variant,
+             a.n AS n_a, a.s1 AS s1a, a.s2 AS s2a,
+             b.n AS n_b, b.s1 AS s1b, b.s2 AS s2b
+      FROM mom a JOIN mom b
+        ON a.variant = b.variant AND a.arm = 0 AND b.arm = 1
+    ), cliff AS (
+      SELECT c0.variant,
+             CAST(SUM(CASE WHEN c1.q > c0.q THEN c1.c * c0.c ELSE 0 END)
+                  AS BIGINT) AS gt,
+             CAST(SUM(CASE WHEN c1.q < c0.q THEN c1.c * c0.c ELSE 0 END)
+                  AS BIGINT) AS lt
+      FROM cells c0 JOIN cells c1
+        ON c0.variant = c1.variant AND c0.arm = 0 AND c1.arm = 1
+      GROUP BY 1
+    ), stats AS (
+      SELECT w.variant, w.n_a, w.n_b,
+             CAST(s1a AS DOUBLE) / n_a AS mean_a,
+             CAST(s1b AS DOUBLE) / n_b AS mean_b,
+             SQRT((CAST(n_a * s2a - s1a * s1a AS DOUBLE) / n_a
+                   + CAST(n_b * s2b - s1b * s1b AS DOUBLE) / n_b)
+                  / (n_a + n_b - 2)) AS sd_pooled,
+             CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b)
+               AS cliffs_delta
+      FROM wide w JOIN cliff ON cliff.variant = w.variant
+    )
+    SELECT variant, n_a, n_b,
+           {R4('mean_a')} AS mean_a, {R4('mean_b')} AS mean_b,
+           {R4('sd_pooled')} AS sd_pooled,
+           {R4('(mean_b - mean_a) / sd_pooled')} AS cohens_d,
+           {R4('''(mean_b - mean_a) / sd_pooled
+                 * (1 - 3.0 / (4 * (n_a + n_b) - 9))''')} AS hedges_g,
+           {R4('cliffs_delta')} AS cliffs_delta,
+           CASE WHEN ABS({R4('(mean_b - mean_a) / sd_pooled')}) < 0.2
+                  THEN 'negligible'
+                WHEN ABS({R4('(mean_b - mean_a) / sd_pooled')}) < 0.5
+                  THEN 'small'
+                WHEN ABS({R4('(mean_b - mean_a) / sd_pooled')}) < 0.8
+                  THEN 'medium'
+                ELSE 'large' END AS magnitude
+    FROM stats
+    """,
+    priority="P2",
+    tags=("aggregate", "statistics", "experiment"),
+)
+def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect-size panel for a two-arm comparison of line
+    quantity: Cohen's d (pooled SD), the Hedges' g small-sample
+    correction, and the rank-based Cliff's delta, with the Cohen
+    magnitude label — the "how big, in units a reader can compare
+    across metrics" companion to the accept/reject tests
+    (`q_ab_ttest`, `q_mann_whitney`) and the input `q_mde_power`'s
+    sizing needs. Arms are the Knuth hash of the order key; the
+    organic variant is a true null (d ~ 0) and the planted variant
+    shifts arm-1 quantity by +{_EFF_SHIFT} (d ~ 0.28, 'small' by
+    design, clear of the 0.2 boundary at every SF), so both magnitude regimes are live at every SF.
+
+    Everything flows from the (variant, arm, quantity) marginal
+    grain: moments are exact BIGINT sums of a bounded integer domain,
+    Cliff's delta is the exact cross product of the two <=53-cell
+    marginals (never row x row), and every output double is one
+    fixed formula over those integers, r4-rounded before the
+    magnitude thresholds.
+
+    Scale: one scan of lineitem to the marginal grain (variants ride
+    a 2-row broadcast cross join); all statistics on <=212 grain
+    rows regardless of corpus size.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    variants = spark.createDataFrame(
+        [("organic",), ("planted",)], "variant string"
+    )
+    arm = (
+        F.col("l_orderkey") * F.lit(_CMH_KNUTH).cast("bigint") % _CMH_MOD
+    ) % 2
+    q = F.col("l_quantity").cast("bigint") + F.when(
+        (F.col("variant") == "planted") & (arm == 1), _EFF_SHIFT
+    ).otherwise(0)
+    cells = (
+        li.crossJoin(F.broadcast(variants))
+        .select("variant", arm.alias("arm"), q.alias("q"))
+        .groupBy("variant", "arm", "q")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # moments + both Cliff legs
+    )
+    mom = cells.groupBy("variant", "arm").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("c") * F.col("q")).cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("q") * F.col("q"))
+        .cast("bigint")
+        .alias("s2"),
+    )
+    a, b = mom.alias("a"), mom.alias("b")
+    wide = a.join(
+        b,
+        (F.col("a.variant") == F.col("b.variant"))
+        & (F.col("a.arm") == 0)
+        & (F.col("b.arm") == 1),
+    ).select(
+        F.col("a.variant").alias("variant"),
+        F.col("a.n").alias("n_a"),
+        F.col("a.s1").alias("s1a"),
+        F.col("a.s2").alias("s2a"),
+        F.col("b.n").alias("n_b"),
+        F.col("b.s1").alias("s1b"),
+        F.col("b.s2").alias("s2b"),
+    )
+    c0, c1 = cells.alias("c0"), cells.alias("c1")
+    cliff = (
+        c0.join(
+            c1,
+            (F.col("c0.variant") == F.col("c1.variant"))
+            & (F.col("c0.arm") == 0)
+            & (F.col("c1.arm") == 1),
+        )
+        .groupBy(F.col("c0.variant").alias("variant"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c1.q") > F.col("c0.q"),
+                    F.col("c1.c") * F.col("c0.c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("gt"),
+            F.sum(
+                F.when(
+                    F.col("c1.q") < F.col("c0.q"),
+                    F.col("c1.c") * F.col("c0.c"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("lt"),
+        )
+    )
+    mean_a = F.col("s1a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1b").cast("double") / F.col("n_b")
+    sd_pooled = F.sqrt(
+        (
+            (F.col("n_a") * F.col("s2a") - F.col("s1a") * F.col("s1a"))
+            .cast("double")
+            / F.col("n_a")
+            + (F.col("n_b") * F.col("s2b") - F.col("s1b") * F.col("s1b"))
+            .cast("double")
+            / F.col("n_b")
+        )
+        / (F.col("n_a") + F.col("n_b") - 2)
+    )
+    d = (mean_b - mean_a) / sd_pooled
+    g = d * (1 - 3.0 / (4 * (F.col("n_a") + F.col("n_b")) - 9))
+    delta = (F.col("gt") - F.col("lt")).cast("double") / (
+        F.col("n_a").cast("double") * F.col("n_b")
+    )
+    d_r = r4(d)
+    return (
+        wide.join(cliff, "variant")
+        .select(
+            "variant",
+            "n_a",
+            "n_b",
+            r4(mean_a).alias("mean_a"),
+            r4(mean_b).alias("mean_b"),
+            r4(sd_pooled).alias("sd_pooled"),
+            d_r.alias("cohens_d"),
+            r4(g).alias("hedges_g"),
+            r4(delta).alias("cliffs_delta"),
+            F.when(F.abs(d_r) < 0.2, "negligible")
+            .when(F.abs(d_r) < 0.5, "small")
+            .when(F.abs(d_r) < 0.8, "medium")
+            .otherwise("large")
+            .alias("magnitude"),
+        )
+    )

@@ -1457,3 +1457,156 @@ def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_outliers"),
         F.max("d2").alias("max_d2"),
     )
+
+
+_PSI_BIN_W = 25
+_PSI_NBINS = 10
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_FLAG_I = 20_000_000  # 0.2 in 1e-8 units — flag compared in exact ints
+
+
+@register(
+    "q_psi_stability",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             (ts >= TIMESTAMP '{_PSI_SPLIT}') AS win_b,
+             CAST(LEAST(FLOOR(value / {_PSI_BIN_W}), {_PSI_NBINS - 1})
+                  AS BIGINT) AS bin
+      FROM events
+      UNION ALL
+      SELECT '__drift' AS event_type,
+             (ts >= TIMESTAMP '{_PSI_SPLIT}') AS win_b,
+             CAST(LEAST(FLOOR(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}'
+                                   THEN value * 1.6 + 40 ELSE value END
+                              / {_PSI_BIN_W}), {_PSI_NBINS - 1})
+                  AS BIGINT) AS bin
+      FROM events WHERE event_type = 'click'
+    ), cnts AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN NOT win_b THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN win_b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM t GROUP BY 1, 2
+    ), spine AS (
+      SELECT s.event_type, g.bin
+      FROM (SELECT DISTINCT event_type FROM cnts) s
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_PSI_NBINS - 1})) AS bin) g
+    ), dense AS (
+      SELECT sp.event_type, sp.bin,
+             COALESCE(c.ca, 0) AS ca, COALESCE(c.cb, 0) AS cb
+      FROM spine sp LEFT JOIN cnts c
+        ON c.event_type = sp.event_type AND c.bin = sp.bin
+    ), nn AS (
+      SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM dense GROUP BY 1
+    ), terms AS (
+      SELECT d.event_type, nn.n_a, nn.n_b,
+             CAST(ROUND(1e8 *
+               ((d.ca + 1) / (nn.n_a + {_PSI_NBINS} * 1.0)
+                - (d.cb + 1) / (nn.n_b + {_PSI_NBINS} * 1.0))
+               * LN(((d.ca + 1) / (nn.n_a + {_PSI_NBINS} * 1.0))
+                    / ((d.cb + 1) / (nn.n_b + {_PSI_NBINS} * 1.0)))
+             ) AS BIGINT) AS term_i
+      FROM dense d JOIN nn ON nn.event_type = d.event_type
+    )
+    SELECT event_type, n_a, n_b,
+           {R4('CAST(SUM(term_i) AS BIGINT) / 1e8')} AS psi,
+           CAST(SUM(term_i) AS BIGINT) > {_PSI_FLAG_I} AS drift_flag
+    FROM terms GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("quality", "drift", "monitoring"),
+)
+def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per metric stream between the first
+    and second half of the window (the model-monitoring standard: PSI
+    < 0.1 stable, > 0.2 action) over {_PSI_NBINS} fixed-width value
+    bins with +1 Laplace smoothing (every bin live on the dense spine,
+    so no log-of-zero and the spine is complete even where a stream
+    has no mass — the house dense-spine rule). `q_stat_drift` flags
+    mean/volume shifts and `q_ks_test` tests exact distributional
+    equality; PSI is the graded magnitude score risk teams actually
+    threshold on. A planted '__drift' stream (click values rescaled
+    ×1.6+40 in the second window only) keeps the flag's fire branch
+    live at every SF — organic streams are iid across halves and stay
+    far below 0.2.
+
+    Each bin term is rounded to integer 1e-8 units before the sum
+    (partial-sum order can't move the result), the flag compares
+    exact integers, and psi is one division of the integer sum.
+
+    Scale: one pass to the (stream, bin, window) grain — bounded by
+    the bin DOMAIN, not rows; the spine/smoothing math runs on
+    streams × {_PSI_NBINS} rows.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    split = F.lit(_PSI_SPLIT).cast("timestamp_ntz")
+    win_b = F.col("ts") >= split
+    organic = e.select(
+        "event_type",
+        win_b.alias("win_b"),
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_NBINS - 1)
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    planted = e.where(F.col("event_type") == "click").select(
+        F.lit("__drift").alias("event_type"),
+        win_b.alias("win_b"),
+        F.least(
+            F.floor(
+                F.when(win_b, F.col("value") * 1.6 + 40).otherwise(
+                    F.col("value")
+                )
+                / _PSI_BIN_W
+            ),
+            F.lit(_PSI_NBINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+    )
+    cnts = (
+        organic.unionByName(planted)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(~F.col("win_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("win_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cb"),
+        )
+        .localCheckpoint(eager=False)  # spine streams + dense join + totals
+    )
+    spine = cnts.select("event_type").distinct().crossJoin(
+        spark.range(_PSI_NBINS).select(F.col("id").alias("bin"))
+    )
+    dense = spine.join(cnts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    nn = dense.groupBy("event_type").agg(
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    sm = F.lit(_PSI_NBINS) * 1.0
+    pa = (F.col("ca") + 1) / (F.col("n_a") + sm)
+    pb = (F.col("cb") + 1) / (F.col("n_b") + sm)
+    terms = dense.join(nn, "event_type").select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.lit(1e8) * (pa - pb) * F.log(pa / pb))
+        .cast("bigint")
+        .alias("term_i"),
+    )
+    psi_i = F.sum("term_i").cast("bigint")
+    return terms.groupBy("event_type", "n_a", "n_b").agg(
+        r4(psi_i / 1e8).alias("psi"),
+        (psi_i > _PSI_FLAG_I).alias("drift_flag"),
+    )

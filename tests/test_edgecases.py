@@ -1070,3 +1070,49 @@ def test_partial_corr_confounder_shrinks_raw(spark):
             assert -1.0 <= r[c] <= 1.0
         assert r["r_xy"] > 0.3  # spurious association via quantity
         assert abs(r["r_xy_given_z"]) < 0.1  # vanishes once partialed
+
+
+def test_psi_stability_regimes(spark):
+    """Organic streams are iid across halves (psi well under 0.2,
+    unflagged); the planted '__drift' stream is flagged; every stream
+    carries the full dense bin spine behind the scenes (n_a + n_b
+    equals the stream's row count, so no mass was dropped)."""
+    from modforms_db_spark.operators.quality import q_psi_stability
+
+    rows = q_psi_stability(spark, SF_DIR).collect()
+    by = {r["event_type"]: r for r in rows}
+    assert "__drift" in by
+    assert by["__drift"]["drift_flag"] and by["__drift"]["psi"] > 0.2
+    for k, r in by.items():
+        if k != "__drift":
+            assert not r["drift_flag"]
+            assert r["psi"] < 0.2
+
+
+def test_cmh_test_regimes(spark):
+    """Order-level arms give a clean organic null (accept); the
+    planted 30pp boost rejects with OR_MH > 1 — both verdict branches
+    live (verified at all three SFs before commit)."""
+    from modforms_db_spark.operators.aggregates import q_cmh_test
+
+    by = {r["variant"]: r for r in q_cmh_test(spark, SF_DIR).collect()}
+    assert set(by) == {"organic", "planted"}
+    assert not by["organic"]["reject"]
+    assert by["planted"]["reject"]
+    assert by["planted"]["or_mh"] > 1.5
+    assert abs(by["organic"]["or_mh"] - 1.0) < 0.15
+
+
+def test_effect_sizes_regimes(spark):
+    """Organic d ~ 0, negligible; planted +4 shift lands 'small'
+    (d ~ 0.25-0.3, comfortably off the 0.2 boundary) with a positive
+    Cliff's delta agreeing in sign, and Hedges g shrinks d toward 0."""
+    from modforms_db_spark.operators.aggregates import q_effect_sizes
+
+    by = {r["variant"]: r for r in q_effect_sizes(spark, SF_DIR).collect()}
+    org, pl = by["organic"], by["planted"]
+    assert org["magnitude"] == "negligible" and abs(org["cohens_d"]) < 0.1
+    assert pl["magnitude"] == "small"
+    assert 0.2 < pl["cohens_d"] < 0.4
+    assert pl["cliffs_delta"] > 0
+    assert abs(pl["hedges_g"]) <= abs(pl["cohens_d"])
