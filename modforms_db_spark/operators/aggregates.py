@@ -4636,3 +4636,104 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("magnitude"),
         )
     )
+
+
+_AMS_K = 16  # independent sign estimators
+# 16 distinct odd 32-bit multipliers, each followed by an xxhash-style
+# avalanche finalizer before the sign bit: RAW multiplicative bits (low OR
+# top) equidistribute over the fixture's dense key intervals, so interval
+# sums cancel to O(log n) instead of O(sqrt F2) and the estimate collapsed
+# 6-20x low — caught twice at regime check before the finalizer landed
+_AMS_MULT = tuple(((2654435761 + 2 * j * 1013904223) % 4294967296) | 1
+                  for j in range(_AMS_K))
+
+
+@register(
+    "q_ams_f2",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), js AS (
+      SELECT UNNEST(range(0, {_AMS_K})) AS j,
+             UNNEST({list(_AMS_MULT)}) AS m
+    ), h1 AS (
+      SELECT js.j, g.c, (g.k * js.m) % {_CMH_MOD} AS h
+      FROM g CROSS JOIN js
+    ), h2 AS (
+      SELECT j, c, (xor(h, h >> 16) * 1013904223) % {_CMH_MOD} AS h FROM h1
+    ), h3 AS (
+      SELECT j, c, (xor(h, h >> 13) * 1000000007) % {_CMH_MOD} AS h FROM h2
+    ), z AS (
+      SELECT j,
+             CAST(SUM((1 - 2 * (xor(h, h >> 16) & 1)) * c) AS BIGINT) AS z
+      FROM h3 GROUP BY 1
+    ), f AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c * c) AS BIGINT) AS f2_exact
+      FROM g
+    ), e AS (
+      SELECT quantile_cont(CAST(z * z AS DOUBLE), 0.5) AS f2_ams FROM z
+    )
+    SELECT f.n_keys, f.f2_exact, e.f2_ams,
+           {R4('ABS(e.f2_ams - f.f2_exact) / f.f2_exact')} AS rel_err,
+           {R4('ABS(e.f2_ams - f.f2_exact) / f.f2_exact')} < 1.0
+             AS within_bound
+    FROM f CROSS JOIN e
+    """,
+    priority="P2",
+    tags=("aggregate", "sketch", "cardinality"),
+)
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-frequency-moment sketch vs the
+    exact F2 of the join key: F2 = sum of squared key frequencies IS
+    the self-join output size, so this is the one-pass mergeable
+    sketch an optimizer consults to predict shuffle fanout before
+    running a join — the frequency-moment member of the house sketch
+    shelf (HLL distinct, CMS point counts, KMV set ops, Bloom
+    membership). {_AMS_K} deterministic sign estimators (sign j =
+    bit j of the Knuth hash), median of the squared sums; the exact
+    F2 rides the same grain for the honest error column.
+
+    Every Z_j is an exact BIGINT sum (signs are +-1 integers), the
+    median of {_AMS_K} exact squares interpolates identically in both
+    engines, and rel_err is r4-rounded before the bound compare.
+
+    Scale: one pass to the key grain; the sketch itself is {_AMS_K}
+    counters that merge by addition across partitions/shards (the
+    point of AMS at 100 TB — the exact grain is the audit, the
+    sketch is what you'd actually ship).
+    """
+    prep(spark)
+    g = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    aggs = [F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys")]
+    for j, m in enumerate(_AMS_MULT):
+        h = F.col("k") * F.lit(m).cast("bigint") % _CMH_MOD
+        h = h.bitwiseXOR(F.shiftright(h, 16)) * 1013904223 % _CMH_MOD
+        h = h.bitwiseXOR(F.shiftright(h, 13)) * 1000000007 % _CMH_MOD
+        sign = 1 - 2 * h.bitwiseXOR(F.shiftright(h, 16)).bitwiseAND(1)
+        aggs.append(F.sum(sign * F.col("c")).cast("bigint").alias(f"z{j}"))
+    wide = g.agg(*aggs)
+    zz = F.array(*[F.col(f"z{j}") * F.col(f"z{j}") for j in range(_AMS_K)])
+    est = wide.select(
+        "n_keys",
+        "f2_exact",
+        F.explode(zz.cast("array<double>")).alias("zz"),
+    ).groupBy("n_keys", "f2_exact").agg(
+        F.expr("percentile(zz, 0.5)").alias("f2_ams")
+    )
+    rel = r4(
+        F.abs(F.col("f2_ams") - F.col("f2_exact")) / F.col("f2_exact")
+    )
+    return est.select(
+        "n_keys",
+        "f2_exact",
+        "f2_ams",
+        rel.alias("rel_err"),
+        (rel < 1.0).alias("within_bound"),
+    )

@@ -1425,3 +1425,95 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_join_size_estimate",
+    oracle=f"""
+    WITH lo AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS co
+      FROM orders GROUP BY 1
+    ), ll AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS cl
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT lo.k, lo.co, ll.cl, lo.co * ll.cl AS fan
+      FROM lo JOIN ll ON lo.k = ll.k
+    ), s AS (
+      SELECT CAST(SUM(co) AS BIGINT) AS n_left,
+             CAST(SUM(cl) AS BIGINT) AS n_right,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(fan) AS BIGINT) AS join_rows,
+             CAST(MAX(fan) AS BIGINT) AS max_fanout
+      FROM m
+    )
+    SELECT n_left, n_right, n_keys, join_rows, max_fanout,
+           {R4('CAST(n_left AS DOUBLE) * n_right / n_keys')}
+             AS est_uniform,
+           {R4('join_rows * 1.0 / (CAST(n_left AS DOUBLE) * n_right'
+                ' / n_keys)')} AS skew_factor,
+           {R4('CAST(max_fanout AS DOUBLE) * n_keys / join_rows')}
+             AS top_key_pressure
+    FROM s
+    """,
+    priority="P2",
+    tags=("join", "cardinality", "planning"),
+)
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size prediction from per-key histograms — the AQE-style
+    read an engine consults BEFORE shuffling: exact join output rows
+    (sum over matching keys of left-count x right-count), the
+    uniform-assumption textbook estimate |L|·|R|/d, their ratio (the
+    skew factor — how wrong the naive optimizer estimate would be),
+    and top-key pressure (max fanout x keys / join rows; ~1 means
+    balanced, >>1 means one key dominates the shuffle and wants the
+    salted-join twin `q_join_skew_salted`). Companion to `q_ams_f2`
+    (which sketches the SELF-join size in one pass) and
+    `q_partition_skew_report` (physical partition skew).
+
+    All masses are exact BIGINTs from the two key grains; the three
+    ratios are single double formulas over them, r4 at output.
+
+    Scale: each side reduces map-side to its key grain before the
+    only shuffle (grain-x-grain join on the key); nothing row-scale
+    crosses the wire, so the prediction costs a fraction of the join
+    it prices.
+    """
+    prep(spark)
+    lo = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    ll = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cl"))
+    )
+    m = lo.join(ll, "k").select(
+        "co", "cl", (F.col("co") * F.col("cl")).alias("fan")
+    )
+    s = m.agg(
+        F.sum("co").cast("bigint").alias("n_left"),
+        F.sum("cl").cast("bigint").alias("n_right"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("fan").cast("bigint").alias("join_rows"),
+        F.max("fan").cast("bigint").alias("max_fanout"),
+    )
+    est_uniform = (
+        F.col("n_left").cast("double") * F.col("n_right") / F.col("n_keys")
+    )
+    return s.select(
+        "n_left",
+        "n_right",
+        "n_keys",
+        "join_rows",
+        "max_fanout",
+        r4(est_uniform).alias("est_uniform"),
+        r4(F.col("join_rows") * 1.0 / est_uniform).alias("skew_factor"),
+        r4(
+            F.col("max_fanout").cast("double")
+            * F.col("n_keys")
+            / F.col("join_rows")
+        ).alias("top_key_pressure"),
+    )

@@ -1126,3 +1126,84 @@ def q_encoding_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "compression_x"
         ),
     )
+
+
+_RG_TABLES = (("orders", "o_orderkey"), ("lineitem", "l_orderkey"))
+
+
+@register(
+    "q_parquet_rowgroup_stats",
+    oracle=None,  # rows-only: physical row-group layout is not derivable
+    # from the logical view — tests/test_edgecases.py pins it EXACTLY
+    # against DuckDB's parquet_metadata() on the same files instead
+    priority="P2",
+    tags=("source", "metadata", "layout"),
+)
+def q_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet row-group footer audit: one row per (table, row group)
+    with row count, the key column's min/max statistics, and the
+    uncompressed byte size — the physical-layout read behind every
+    row-group-pruning decision (`q_sink_sorted_pruning` proves pruning
+    works; this op shows WHY, by surfacing the min/max fences a scan
+    compares predicates against). At 100 TB this is the first
+    diagnostic for "why is this filter still reading everything":
+    overlapping fences = unsorted layout = no pruning.
+
+    Footers are read on EXECUTORS via Arrow (mapInPandas over a
+    file-path frame — the plumbing that distributes across a million
+    files; metadata-only reads, no data pages touched). Rows-only by
+    necessity: row-group boundaries are writer-physical, invisible to
+    the logical table view — the suite pins the output exactly
+    against DuckDB's ``parquet_metadata()`` on the same files.
+    """
+    prep(spark)
+    rows = [(t, f"{sf_dir}/{t}.parquet", k) for t, k in _RG_TABLES]
+    src = spark.createDataFrame(
+        rows, "tbl string, path string, key_col string"
+    ).repartition(len(rows))
+
+    def read_footers(batches):
+        # imports + helpers stay INSIDE the closure: cloudpickle ships
+        # module-level refs by reference and driver-harness workers
+        # can't import this package (house worker-portability rule)
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                md = pq.ParquetFile(r.path).metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                ci = names.index(r.key_col)
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(ci).statistics
+                    out.append(
+                        (
+                            r.tbl,
+                            g,
+                            rg.num_rows,
+                            int(st.min),
+                            int(st.max),
+                            rg.total_byte_size,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "tbl",
+                    "row_group",
+                    "num_rows",
+                    "key_min",
+                    "key_max",
+                    "byte_size",
+                ],
+            )
+
+    return src.mapInPandas(
+        read_footers,
+        "tbl string, row_group int, num_rows bigint, "
+        "key_min bigint, key_max bigint, byte_size bigint",
+    )

@@ -1116,3 +1116,64 @@ def test_effect_sizes_regimes(spark):
     assert 0.2 < pl["cohens_d"] < 0.4
     assert pl["cliffs_delta"] > 0
     assert abs(pl["hedges_g"]) <= abs(pl["cohens_d"])
+
+
+def test_parquet_rowgroup_stats_exact_vs_duckdb(spark):
+    """Rows-only op pinned EXACTLY here: the executor-side Arrow
+    footer read must agree with DuckDB's parquet_metadata() on the
+    same files for every row group's count and key min/max, and the
+    per-table row totals must equal the logical table counts."""
+    import duckdb
+
+    from modforms_db_spark.sources.sinks import (
+        _RG_TABLES,
+        q_parquet_rowgroup_stats,
+    )
+
+    got = {
+        (r["tbl"], r["row_group"]): (r["num_rows"], r["key_min"], r["key_max"])
+        for r in q_parquet_rowgroup_stats(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    want = {}
+    totals = {}
+    for tbl, key in _RG_TABLES:
+        path = f"{SF_DIR}/{tbl}.parquet"
+        for rg, n, mn, mx in con.execute(
+            "SELECT row_group_id, row_group_num_rows, "
+            "CAST(stats_min_value AS BIGINT), CAST(stats_max_value AS BIGINT) "
+            f"FROM parquet_metadata('{path}') WHERE path_in_schema = '{key}'"
+        ).fetchall():
+            want[(tbl, rg)] = (n, mn, mx)
+        totals[tbl] = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{path}')"
+        ).fetchone()[0]
+    assert got == want
+    for tbl, _ in _RG_TABLES:
+        assert sum(v[0] for (t, _), v in got.items() if t == tbl) == totals[tbl]
+
+
+def test_ams_f2_laws(spark):
+    """AMS estimate is within the pinned relative-error bound at the
+    test SF (checked at all three SFs before commit), the exact F2 is
+    at least n_keys (every key contributes c^2 >= 1), and the sketch
+    median is positive."""
+    from modforms_db_spark.operators.aggregates import q_ams_f2
+
+    r = q_ams_f2(spark, SF_DIR).collect()[0]
+    assert r["within_bound"]
+    assert r["f2_exact"] >= r["n_keys"]
+    assert r["f2_ams"] > 0
+
+
+def test_join_size_estimate_laws(spark):
+    """On the fixture's 1:N key (orders PK), the exact join size
+    equals the lineitem row count, the uniform estimate is exact
+    (skew_factor == 1), and top-key pressure >= 1 by definition."""
+    from modforms_db_spark.operators.joins import q_join_size_estimate
+
+    r = q_join_size_estimate(spark, SF_DIR).collect()[0]
+    assert r["join_rows"] == r["n_right"]
+    assert r["n_left"] == r["n_keys"]
+    assert r["skew_factor"] == 1.0
+    assert r["top_key_pressure"] >= 1.0
