@@ -855,3 +855,253 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("assortativity"),
         )
     )
+
+
+_COPURCHASE_EDGES_SQL = """
+    op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+    ), pedges AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p
+    )"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented (u < v) distinct part co-purchase edges: parts adjacent
+    iff some order contains both — the SPARSE graph of the family
+    (0.6% dense at sf0.1 vs the co-supply graph's ~100%), which is
+    what makes clustering coefficients and modularity non-vacuous.
+    Spark twin of ``_COPURCHASE_EDGES_SQL``."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    b = op.withColumnRenamed("p", "p2")
+    return (
+        op.join(b, "ok")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )
+
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM pedges e1
+      JOIN pedges e2 ON e1.u = e2.u AND e1.v < e2.v
+      JOIN pedges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), tv AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (
+        SELECT u AS node FROM pedges UNION ALL SELECT v FROM pedges
+      ) GROUP BY 1
+    ), coeff AS (
+      SELECT deg.node,
+             {R4('2.0 * COALESCE(tv.t, 0) / (deg.d * (deg.d - 1))')} AS c
+      FROM deg LEFT JOIN tv ON tv.node = deg.node
+      WHERE deg.d >= 2
+    ), bucketed AS (
+      SELECT CAST(LEAST(FLOOR(c * 10), 9) AS BIGINT) AS bucket, c
+      FROM coeff
+    ), spine AS (
+      SELECT UNNEST(generate_series(0, 9)) AS bucket
+    )
+    SELECT s.bucket,
+           CAST(COALESCE(COUNT(b.c), 0) AS BIGINT) AS n_nodes,
+           {R4('AVG(b.c)')} AS avg_coeff
+    FROM spine s LEFT JOIN bucketed b ON b.bucket = s.bucket
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("graph", "triangle", "clustering"),
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering-coefficient distribution over the part
+    co-purchase graph: per node, c_v = 2*t_v / (deg_v*(deg_v-1))
+    (share of a node's neighbor pairs that are themselves connected),
+    reported as a 10-bucket histogram on the dense spine — the
+    community-structure read beside `q_triangle_count`'s single global
+    count (a high-triangle graph can still have all its triangles in
+    one corner; the coefficient distribution shows WHERE transitivity
+    lives). Runs on the sparse co-purchase graph, not the ~complete
+    co-supply graph where every coefficient would be 1 by construction.
+
+    Per-node triangle counts come from the oriented (a<b<c) wedge
+    close — each triangle found exactly once, credited to all three
+    corners via one unpivot; coefficients r4 before bucketing.
+
+    Scale: wedge work is bounded by sum of oriented out-degrees
+    squared (the id orientation is near-uniform here; the
+    (degree, id) orientation of `triangle_close` is the swap-in if
+    the degree tail ever grows hubs); the histogram is 10 rows.
+    """
+    prep(spark)
+    e = copurchase_edges(spark, sf_dir).localCheckpoint(
+        eager=False
+    )  # three wedge legs + degrees
+    e2 = e.select(F.col("u").alias("u2"), F.col("v").alias("c"))
+    tri = (
+        e.join(e2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("c")))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"), "c")
+        .join(
+            e.select(F.col("u").alias("b"), F.col("v").alias("c")),
+            ["b", "c"],
+        )
+    )
+    tv = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    coeff = (
+        deg.where(F.col("d") >= 2)
+        .join(tv, "node", "left")
+        .select(
+            r4(
+                2.0
+                * F.coalesce("t", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1))
+            ).alias("c")
+        )
+    )
+    bucketed = coeff.select(
+        F.least(F.floor(F.col("c") * 10), F.lit(9))
+        .cast("bigint")
+        .alias("bucket"),
+        "c",
+    )
+    spine = spark.range(10).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(bucketed, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count("c").cast("bigint").alias("n_nodes"),
+            r4(F.avg("c")).alias("avg_coeff"),
+        )
+    )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    comm AS (
+      SELECT p_partkey AS node, p_brand AS c FROM part
+    ), labeled AS (
+      SELECT v.variant, e.u, e.v, cu.c AS cu, cv.c AS cv
+      FROM pedges e
+      JOIN comm cu ON cu.node = e.u
+      JOIN comm cv ON cv.node = e.v
+      CROSS JOIN (VALUES ('organic'), ('planted')) v(variant)
+      WHERE v.variant = 'organic' OR cu.c = cv.c
+    ), m AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CASE WHEN cu = cv THEN 1 ELSE 0 END) AS BIGINT)
+               AS intra
+      FROM labeled GROUP BY 1
+    ), degc AS (
+      SELECT variant, c, CAST(COUNT(*) AS BIGINT) AS dc
+      FROM (
+        SELECT variant, cu AS c FROM labeled
+        UNION ALL SELECT variant, cv FROM labeled
+      ) GROUP BY 1, 2
+    ), s AS (
+      SELECT variant, CAST(SUM(dc * dc) AS BIGINT) AS sumd2,
+             CAST(COUNT(*) AS BIGINT) AS n_comms
+      FROM degc GROUP BY 1
+    )
+    SELECT m.variant, m.m AS n_edges, m.intra AS intra_edges, s.n_comms,
+           {R4('''CAST(m.intra AS DOUBLE) / m.m
+                 - CAST(s.sumd2 AS DOUBLE) / (4.0 * m.m * m.m)''')}
+             AS q_modularity
+    FROM m JOIN s ON s.variant = m.variant
+    """,
+    priority="P2",
+    tags=("graph", "community", "modularity"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition on the part
+    co-purchase graph: Q = intra/m - sum_c (d_c/2m)^2 — do parts of
+    the same brand co-occur in orders more than a degree-preserving
+    random graph predicts? The organic variant measures the real
+    fixture (orders pick parts blind to brand, so Q ~ 0 — a true
+    no-assortativity read); the planted variant restricts edges to
+    intra-brand pairs, where the same partition scores Q ~ 1 - 1/25,
+    keeping the high-modularity regime live at every SF (house
+    planted-ground-truth rule).
+
+    Q reduces to TWO exact BIGINT masses (intra count and the sum of
+    squared community degrees) — no per-community double sum, so
+    partial-sum order can't move it; one r4 formula at output.
+
+    Scale: edges join the broadcast-sized part dim for labels; both
+    masses are partial+final aggregates; output is 2 rows.
+    """
+    prep(spark)
+    e = copurchase_edges(spark, sf_dir)
+    comm = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("c")
+    )
+    variants = spark.createDataFrame(
+        [("organic",), ("planted",)], "variant string"
+    )
+    labeled = (
+        e.join(
+            F.broadcast(comm.select(F.col("node").alias("u"), F.col("c").alias("cu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(comm.select(F.col("node").alias("v"), F.col("c").alias("cv"))),
+            "v",
+        )
+        .crossJoin(F.broadcast(variants))
+        .where((F.col("variant") == "organic") | (F.col("cu") == F.col("cv")))
+        .localCheckpoint(eager=False)  # masses + community degrees
+    )
+    m = labeled.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum(F.when(F.col("cu") == F.col("cv"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("intra"),
+    )
+    degc = (
+        labeled.select("variant", F.col("cu").alias("c"))
+        .unionAll(labeled.select("variant", F.col("cv").alias("c")))
+        .groupBy("variant", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
+    )
+    s = degc.groupBy("variant").agg(
+        F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("sumd2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_comms"),
+    )
+    q = F.col("intra").cast("double") / F.col("m") - F.col(
+        "sumd2"
+    ).cast("double") / (4.0 * F.col("m") * F.col("m"))
+    return (
+        m.join(s, "variant")
+        .select(
+            "variant",
+            F.col("m").alias("n_edges"),
+            F.col("intra").alias("intra_edges"),
+            "n_comms",
+            r4(q).alias("q_modularity"),
+        )
+    )

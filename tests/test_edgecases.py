@@ -1177,3 +1177,50 @@ def test_join_size_estimate_laws(spark):
     assert r["n_left"] == r["n_keys"]
     assert r["skew_factor"] == 1.0
     assert r["top_key_pressure"] >= 1.0
+
+
+def test_graph_clustering_coeff_laws(spark):
+    """Histogram is the full 10-bucket dense spine; empty buckets have
+    NULL avg; populated buckets have avg inside their bucket range;
+    total nodes equals the count of degree>=2 nodes in the edge set."""
+    from modforms_db_spark.operators.graph import (
+        copurchase_edges,
+        q_graph_clustering_coeff,
+    )
+
+    rows = q_graph_clustering_coeff(spark, SF_DIR).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    total = 0
+    for r in rows:
+        if r["n_nodes"] == 0:
+            assert r["avg_coeff"] is None
+        else:
+            assert 0.0 <= r["avg_coeff"] <= 1.0
+            total += r["n_nodes"]
+    e = copurchase_edges(spark, SF_DIR)
+    from pyspark.sql import functions as F
+
+    deg2 = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .count()
+        .where(F.col("count") >= 2)
+        .count()
+    )
+    assert total == deg2
+
+
+def test_graph_modularity_regimes(spark):
+    """Organic brand partition shows no assortativity (|Q| small);
+    the intra-brand planted edge subset scores Q ~ 1 - 1/25; both
+    variants respect the modularity bounds."""
+    from modforms_db_spark.operators.graph import q_graph_modularity
+
+    by = {r["variant"]: r for r in q_graph_modularity(spark, SF_DIR).collect()}
+    assert abs(by["organic"]["q_modularity"]) < 0.05
+    assert by["planted"]["q_modularity"] > 0.8
+    for r in by.values():
+        assert -1.0 <= r["q_modularity"] <= 1.0
+        assert r["intra_edges"] <= r["n_edges"]
+    assert by["planted"]["intra_edges"] == by["planted"]["n_edges"]
