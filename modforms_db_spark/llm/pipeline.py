@@ -1639,3 +1639,125 @@ def q_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cum_lift"),
     )
+
+
+_CODE_SYM_RE = r"[;{}()=<>\[\]#:*]"
+_CODE_KW_RE = r"\b(def|return|import|elif|lambda)\b"
+_CODE_SYM_SQL = f"""(length(text) - length(regexp_replace(
+                 text, '{_CODE_SYM_RE}', '', 'g')))
+                 * 1.0 / length(text)"""
+_CODE_SHARE_SQL = """COUNT(*) * 1.0
+               / SUM(COUNT(*)) OVER (PARTITION BY source)"""
+
+
+@register(
+    "q_code_detect",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, 'code-plant' AS source,
+             'def fn_' || CAST(doc_id AS VARCHAR) || '(n): # auto' ||
+             chr(10) || '    total = n * 2;' || chr(10) ||
+             '    if total > ' || CAST(n_chars AS VARCHAR) ||
+             ': return total;' || chr(10) ||
+             '    return fn_' || CAST(doc_id AS VARCHAR) || '(n + 1)'
+               AS text
+      FROM documents WHERE doc_id % 37 = 0
+    ), pool AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL SELECT doc_id, source, text FROM planted
+    ), feat AS (
+      SELECT source,
+             CAST(ROUND({R4(_CODE_SYM_SQL)} * 10000) AS BIGINT) AS sym_q,
+             CAST(len(regexp_extract_all(text, '{_CODE_KW_RE}', 1))
+                  AS BIGINT) AS kw
+      FROM pool
+    ), flagged AS (
+      SELECT source, sym_q, kw,
+             (sym_q >= 300 AND kw >= 2) AS is_code
+      FROM feat
+    )
+    SELECT source, is_code,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sym_q) AS BIGINT) AS sum_sym_q,
+           CAST(SUM(kw) AS BIGINT) AS sum_kw,
+           {R4(_CODE_SHARE_SQL)}
+             AS share_of_source
+    FROM flagged GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "filter", "code"),
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection over the corpus — the code-filtering
+    gate every pre-training pipeline runs (route code to a code
+    pipeline, keep prose corpora clean; the `q_gopher_rules` /
+    `q_badwords_filter` sibling for the code axis). Two r4-rounded
+    features, thresholded AFTER rounding (house boundary rule):
+    symbol density (share of ;{{}}()=<>[]#:* characters — prose ≈ 0,
+    code ≫ 0) and a count of code-only keywords (def/return/import/
+    elif/lambda — deliberately EXCLUDES English words like 'if'/'for'
+    so prose can't hit it); is_code = density ≥ 3% AND ≥ 2 keywords.
+    The fixture corpus is symbol-free prose, so a deterministic
+    planted set of code-ified docs (every doc_id ≡ 0 mod 37, rendered
+    through a def/return template parameterized by the doc's own id
+    and length) keeps BOTH verdicts live at every SF — vacuity
+    discipline; recall on the plant is pinned by the law test.
+
+    Output is the (source, is_code) audit grain: doc counts, exact
+    integer feature masses (sym density rides as integer
+    ten-thousandths), and each source's flagged share.
+
+    Scale: one pass over the corpus — both features are per-row
+    regex projections inside codegen, no UDF; the aggregate is
+    partial+final on a low-cardinality grain; the share window runs
+    on the ≤(sources×2)-row result, not the corpus.
+    """
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .localCheckpoint(eager=False)  # organic + planted legs, one scan
+    )
+    planted = d.where(F.col("doc_id") % 37 == 0).select(
+        "doc_id",
+        F.lit("code-plant").alias("source"),
+        F.concat(
+            F.lit("def fn_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(n): # auto\n    total = n * 2;\n    if total > "),
+            F.col("n_chars").cast("string"),
+            F.lit(": return total;\n    return fn_"),
+            F.col("doc_id").cast("string"),
+            F.lit("(n + 1)"),
+        ).alias("text"),
+    )
+    pool = d.select("doc_id", "source", "text").unionByName(planted)
+    length = F.length("text")
+    sym = length - F.length(F.regexp_replace("text", _CODE_SYM_RE, ""))
+    sym_q = (
+        F.round(r4(sym * 1.0 / length) * 10000, 0).cast("bigint").alias("sym_q")
+    )
+    kw = F.size(F.regexp_extract_all("text", F.lit(_CODE_KW_RE), F.lit(1)))
+    feat = pool.select("source", sym_q, kw.cast("bigint").alias("kw"))
+    flagged = feat.select(
+        "source",
+        "sym_q",
+        "kw",
+        ((F.col("sym_q") >= 300) & (F.col("kw") >= 2)).alias("is_code"),
+    )
+    g = flagged.groupBy("source", "is_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("sym_q").cast("bigint").alias("sum_sym_q"),
+        F.sum("kw").cast("bigint").alias("sum_kw"),
+    )
+    w = Window.partitionBy("source")
+    return g.select(
+        "source",
+        "is_code",
+        "n_docs",
+        "sum_sym_q",
+        "sum_kw",
+        r4(F.col("n_docs") * 1.0 / F.sum("n_docs").over(w)).alias(
+            "share_of_source"
+        ),
+    )

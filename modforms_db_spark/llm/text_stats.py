@@ -2386,3 +2386,92 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / F.col("sw"), 6).alias("p"),
         F.round(F.col("cum_w") / F.col("sw"), 6).alias("cum_p"),
     )
+
+
+@register(
+    "q_hill_tail",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+      ORDER BY n_chars DESC, doc_id LIMIT 101
+    ), ks AS (
+      SELECT UNNEST([25, 50, 100]) AS k
+    ), thr AS (
+      SELECT ks.k, ranked.n_chars AS x_k1
+      FROM ks JOIN ranked ON ranked.rn = ks.k + 1
+    ), terms AS (
+      SELECT thr.k, thr.x_k1,
+             CAST(ROUND({R4('LN(CAST(ranked.n_chars AS DOUBLE) / thr.x_k1)')}
+                  * 10000) AS BIGINT) AS term_q
+      FROM thr JOIN ranked ON ranked.rn <= thr.k
+    )
+    SELECT k AS tail_k, CAST(x_k1 AS BIGINT) AS x_tail_min,
+           CAST(SUM(term_q) AS BIGINT) AS sum_log_q,
+           CASE WHEN SUM(term_q) > 0
+                THEN {R4('k * 10000.0 / SUM(term_q)')} END AS alpha_hill
+    FROM terms GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("text", "tail", "powerlaw"),
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index estimator (Hill 1975) of the document-length
+    distribution at three tail depths k ∈ {25, 50, 100}:
+    α̂(k) = k / Σᵢ₌₁..k ln(x⁽ⁱ⁾/x⁽ᵏ⁺¹⁾) over the k largest lengths —
+    the standard heavy-tail diagnostic beside `q_zipf_fit` (rank-
+    frequency slope) and `q_heaps_law` (vocabulary growth): a stable
+    α̂ across k says the tail is genuinely power-law with that index;
+    α̂ drifting up with k (as on this bounded synthetic corpus) says
+    the apparent tail is truncated. Reporting the k-profile rather
+    than one point IS the diagnostic.
+
+    Determinism: the tail sample is the TOP-101 frame under the total
+    order (n_chars DESC, doc_id) — ties broken by id, so x⁽ᵏ⁺¹⁾ is
+    unique; each log term is r4-rounded then carried as exact integer
+    ten-thousandths, so the k-term sum is order-exact BIGINT and α̂
+    is one double division under r4. Σ=0 (all tail values equal)
+    null-guards α̂.
+
+    Scale: the ONLY full-data touch is a global top-101 —
+    TakeOrdered, per-partition heaps, no shuffle of the corpus; the
+    101-row frame then feeds all three k panels (window + joins on a
+    driver-broadcast frame). At 100 TB the same plan reads the
+    length column only (column pruning) and moves 101 rows.
+    """
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("n_chars", "doc_id")
+    top = d.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(101)
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = top.select(
+        "n_chars", F.row_number().over(w).alias("rn")
+    ).localCheckpoint(eager=False)  # threshold + term legs off one frame
+    ks = spark.createDataFrame([(25,), (50,), (100,)], "k int")
+    thr = ks.join(
+        ranked.withColumnRenamed("n_chars", "x_k1"),
+        F.col("rn") == F.col("k") + 1,
+    ).select("k", "x_k1")
+    term_q = (
+        F.round(
+            r4(F.log(F.col("n_chars").cast("double") / F.col("x_k1")))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_q")
+    )
+    terms = (
+        F.broadcast(thr)
+        .join(ranked, F.col("rn") <= F.col("k"))
+        .select("k", "x_k1", term_q)
+    )
+    sum_q = F.sum("term_q").cast("bigint")
+    return terms.groupBy(
+        F.col("k").cast("bigint").alias("tail_k"),
+        F.col("x_k1").cast("bigint").alias("x_tail_min"),
+    ).agg(
+        sum_q.alias("sum_log_q"),
+        F.when(
+            sum_q > 0, r4(F.col("tail_k") * 10000.0 / sum_q)
+        ).alias("alpha_hill"),
+    )

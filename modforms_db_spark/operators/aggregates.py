@@ -4737,3 +4737,157 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.alias("rel_err"),
         (rel < 1.0).alias("within_bound"),
     )
+
+
+_IPW_EST_SQL = """CASE e.estimator
+             WHEN 'naive' THEN
+               CAST(m.s1 AS DOUBLE) / (m.n1 * 10000.0)
+               - CAST(m.s0 AS DOUBLE) / ((m.n - m.n1) * 10000.0)
+             WHEN 'ipw_ht' THEN
+               CAST(m.wt - m.wc AS DOUBLE) * 100.0 / (240.0 * m.n * 10000.0)
+             ELSE
+               CAST(m.wt AS DOUBLE) / (m.sum_kt * 10000.0)
+               - CAST(m.wc AS DOUBLE) / (m.sum_kc * 10000.0)
+           END"""
+
+
+@register(
+    "q_ipw_ate",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id * 100 + DAY(CAST(ts AS DATE)) AS uk,
+             CAST(ROUND({R4('AVG(value)')} * 10000) AS BIGINT) AS y_q
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT uk % 4 AS s,
+             CASE WHEN (uk * 2654435761) % 9973 % 100
+                       < 20 + 20 * (uk % 4) THEN 1 ELSE 0 END AS t,
+             y_q
+      FROM u
+    ), o AS (
+      SELECT s, t, y_q + 500000 * t + 300000 * s AS y,
+             240 // (20 + 20 * s) AS kt, 240 // (80 - 20 * s) AS kc
+      FROM a
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN t = 1 THEN y END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN t = 0 THEN y END) AS BIGINT) AS s0,
+             CAST(SUM(CASE WHEN t = 1 THEN y * kt END) AS BIGINT) AS wt,
+             CAST(SUM(CASE WHEN t = 0 THEN y * kc END) AS BIGINT) AS wc,
+             CAST(SUM(CASE WHEN t = 1 THEN kt END) AS BIGINT) AS sum_kt,
+             CAST(SUM(CASE WHEN t = 0 THEN kc END) AS BIGINT) AS sum_kc
+      FROM o
+    )
+    SELECT e.estimator, m.n AS n_units, m.n1 AS n_treated,
+           {R4(_IPW_EST_SQL)} AS est,
+           {R4('(' + _IPW_EST_SQL + ') - 50.0')} AS bias_vs_tau
+    FROM m CROSS JOIN (
+      VALUES ('naive'), ('ipw_ht'), ('ipw_hajek')
+    ) e(estimator)
+    """,
+    priority="P2",
+    tags=("experiment", "causal", "ipw"),
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted average-treatment-effect estimation
+    on a deterministically CONFOUNDED observational design (Horvitz &
+    Thompson 1952; Hajek 1971) — the causal-inference member of the
+    experimentation family: `q_cuped`/`q_diff_in_diff` assume a
+    randomized split; this operator is the non-randomized case, where
+    the naive arm-mean difference is biased and reweighting recovers
+    the planted effect. Units are (user, day) activity cells; the
+    design (all deterministic, both regimes live at every SF): stratum
+    s = unit % 4 shifts the outcome by +30·s, treatment propensity
+    rises with the stratum (20/40/60/80 % via an avalanched unit
+    hash — two-level prime mod, the `q_ams_f2` lesson: a raw mod-100
+    multiplicative hash collapses to a day-only function on this key
+    shape), and treatment adds the true τ = +50. High-outcome strata
+    are over-treated, so `naive` reads ≈ +30 too high; `ipw_ht`
+    (unnormalized 1/e weights) and `ipw_hajek` (self-normalized)
+    de-bias it. The Hajek estimator with ESTIMATED per-stratum
+    propensities is algebraically the blocked/stratified estimator,
+    so that variant is not reported separately.
+
+    Parity discipline: per-unit outcomes ride as exact integer
+    ten-thousandths; the model propensities (20+20s)/100 have
+    1/e ∝ 240/(20+20s) ∈ {12,6,4,3} and 1/(1−e) ∝ 240/(80−20s) ∈
+    {3,4,6,12} — all INTEGER, so every estimator is a ratio of
+    exact BIGINT masses with one double division under r4.
+
+    Scale: one pass to the unit grain (map-side combined), then a
+    1-row mass aggregate; the 3-row estimator panel is a literal
+    cross join. The same shape prices any observational read at
+    100 TB — the masses are add-mergeable partials.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    u = (
+        e.groupBy(
+            (
+                F.col("user_id") * 100
+                + F.dayofmonth(F.col("ts").cast("date"))
+            ).alias("uk")
+        )
+        .agg(
+            F.round(r4(F.avg("value")) * 10000, 0)
+            .cast("bigint")
+            .alias("y_q")
+        )
+    )
+    s = F.pmod(F.col("uk"), 4)
+    t = F.when(
+        F.pmod(F.pmod(F.col("uk") * F.lit(2654435761).cast("bigint"), 9973), 100)
+        < 20 + 20 * s,
+        1,
+    ).otherwise(0)
+    o = u.select(
+        s.alias("s"),
+        t.alias("t"),
+        (F.col("y_q") + F.lit(500000) * t + F.lit(300000) * s).alias("y"),
+    ).select(
+        "s",
+        "t",
+        "y",
+        (F.lit(240) / (20 + 20 * F.col("s"))).cast("bigint").alias("kt"),
+        (F.lit(240) / (80 - 20 * F.col("s"))).cast("bigint").alias("kc"),
+    )
+    t1 = F.col("t") == 1
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n1"),
+        F.sum(F.when(t1, F.col("y"))).cast("bigint").alias("s1"),
+        F.sum(F.when(~t1, F.col("y"))).cast("bigint").alias("s0"),
+        F.sum(F.when(t1, F.col("y") * F.col("kt"))).cast("bigint").alias("wt"),
+        F.sum(F.when(~t1, F.col("y") * F.col("kc"))).cast("bigint").alias("wc"),
+        F.sum(F.when(t1, F.col("kt"))).cast("bigint").alias("sum_kt"),
+        F.sum(F.when(~t1, F.col("kc"))).cast("bigint").alias("sum_kc"),
+    )
+    est = spark.createDataFrame(
+        [("naive",), ("ipw_ht",), ("ipw_hajek",)], "estimator string"
+    )
+    raw = (
+        F.when(
+            F.col("estimator") == "naive",
+            F.col("s1").cast("double") / (F.col("n1") * 10000.0)
+            - F.col("s0").cast("double")
+            / ((F.col("n") - F.col("n1")) * 10000.0),
+        )
+        .when(
+            F.col("estimator") == "ipw_ht",
+            (F.col("wt") - F.col("wc")).cast("double")
+            * 100.0
+            / (240.0 * F.col("n") * 10000.0),
+        )
+        .otherwise(
+            F.col("wt").cast("double") / (F.col("sum_kt") * 10000.0)
+            - F.col("wc").cast("double") / (F.col("sum_kc") * 10000.0)
+        )
+    )
+    return m.crossJoin(F.broadcast(est)).select(
+        "estimator",
+        F.col("n").alias("n_units"),
+        F.col("n1").alias("n_treated"),
+        r4(raw).alias("est"),
+        r4(raw - 50.0).alias("bias_vs_tau"),
+    )

@@ -1224,3 +1224,68 @@ def test_graph_modularity_regimes(spark):
         assert -1.0 <= r["q_modularity"] <= 1.0
         assert r["intra_edges"] <= r["n_edges"]
     assert by["planted"]["intra_edges"] == by["planted"]["n_edges"]
+
+
+def test_ipw_ate_debiases_confounding(spark):
+    """The design is confounded (propensity rises with the outcome-
+    shifting stratum): naive reads far above the planted tau=50,
+    both IPW estimators land near it, and the self-normalized Hajek
+    estimator is never worse than naive."""
+    from modforms_db_spark.operators.aggregates import q_ipw_ate
+
+    by = {r["estimator"]: r for r in q_ipw_ate(spark, SF_DIR).collect()}
+    assert set(by) == {"naive", "ipw_ht", "ipw_hajek"}
+    naive, ht, hajek = (
+        by["naive"]["bias_vs_tau"],
+        by["ipw_ht"]["bias_vs_tau"],
+        by["ipw_hajek"]["bias_vs_tau"],
+    )
+    assert 20.0 < naive < 35.0
+    assert abs(hajek) < 5.0
+    assert abs(ht) < 15.0
+    assert abs(hajek) < abs(naive) and abs(ht) < abs(naive)
+    for r in by.values():
+        assert r["est"] - 50.0 == r["bias_vs_tau"] or abs(
+            (r["est"] - 50.0) - r["bias_vs_tau"]
+        ) < 1e-9
+        assert 0 < r["n_treated"] < r["n_units"]
+
+
+def test_hill_tail_profile_laws(spark):
+    """Three tail depths; thresholds weaken (x_k1 non-increasing in
+    k), log-sums grow with k, every alpha positive, and on this
+    bounded corpus the truncated-tail signature holds (alpha falls
+    as k deepens)."""
+    from modforms_db_spark.llm.text_stats import q_hill_tail
+
+    rows = sorted(
+        q_hill_tail(spark, SF_DIR).collect(), key=lambda r: r["tail_k"]
+    )
+    assert [r["tail_k"] for r in rows] == [25, 50, 100]
+    for a, b in zip(rows, rows[1:]):
+        assert a["x_tail_min"] >= b["x_tail_min"]
+        assert a["sum_log_q"] <= b["sum_log_q"]
+        assert a["alpha_hill"] >= b["alpha_hill"]
+    for r in rows:
+        assert r["alpha_hill"] is None or r["alpha_hill"] > 0
+
+
+def test_code_detect_plant_recall(spark):
+    """Every planted code doc is flagged; no organic prose doc is;
+    shares per source sum to 1."""
+    from collections import defaultdict
+
+    from modforms_db_spark.llm.pipeline import q_code_detect
+
+    rows = q_code_detect(spark, SF_DIR).collect()
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r["source"]] += r["share_of_source"]
+        if r["source"] == "code-plant":
+            assert r["is_code"] and r["share_of_source"] == 1.0
+        else:
+            assert not r["is_code"]
+        assert r["n_docs"] > 0
+    assert any(r["source"] == "code-plant" for r in rows)
+    for s, tot in shares.items():
+        assert abs(tot - 1.0) < 1e-6, s
