@@ -2820,3 +2820,330 @@ def q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.corr("va", "vb")).alias("ccf"),
         )
     )
+
+
+@register(
+    "q_pit_features",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), feat AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+             CAST(COALESCE(SUM(cents) OVER w, 0) AS BIGINT)
+               AS spend_prior_cents,
+             LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_date
+      FROM o
+      WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT o_orderkey, n_prior, spend_prior_cents,
+           CAST(date_diff('day', CAST(prev_date AS DATE),
+                          CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_prev,
+           CASE WHEN n_prior > 0
+                THEN {R4('spend_prior_cents / (n_prior * 100.0)')}
+           END AS avg_prior_value
+    FROM feat
+    """,
+    priority="P2",
+    tags=("temporal", "features", "asof"),
+)
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature assembly — the feature-store
+    read that builds a training table WITHOUT future leakage: for
+    every order, the customer's trailing history STRICTLY BEFORE it
+    (prior-order count, prior spend, days since previous order,
+    average prior order value). The leakage guard is the frame
+    bound: ROWS UNBOUNDED PRECEDING .. 1 PRECEDING under the total
+    order (o_orderdate, o_orderkey) — the current order never sees
+    itself, and the same-day tie rule (earlier keys count as prior)
+    is explicit and mirrored in both engines. This is the
+    label-vs-feature cutoff discipline `q_split_temporal` applies at
+    the dataset grain, applied per-entity at the row grain; the
+    as-of joins (`q_join_asof*`) are the two-table version.
+
+    Spend rides as exact integer cents; the only double is the final
+    average (one division under r4, null for first orders).
+
+    Scale: one shuffle on o_custkey, then a single sequential pass
+    per customer partition — no self-join, no global window; at
+    100 TB this is the canonical bounded-partition window (customer
+    histories are small; a hot entity would take the banded device).
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    feat = o.select(
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior"),
+        F.coalesce(F.sum("cents").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("spend_prior_cents"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(wl)
+        )
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+    return feat.select(
+        "o_orderkey",
+        "n_prior",
+        "spend_prior_cents",
+        "days_since_prev",
+        F.when(
+            F.col("n_prior") > 0,
+            r4(F.col("spend_prior_cents") / (F.col("n_prior") * 100.0)),
+        ).alias("avg_prior_value"),
+    )
+
+
+_ALLEN_RELS = [
+    "before", "meets", "overlaps", "starts", "during", "finishes",
+    "equals",
+    "before_inv", "meets_inv", "overlaps_inv", "starts_inv",
+    "during_inv", "finishes_inv",
+]
+_ALLEN_CASE_SQL = """CASE
+      WHEN a_e < b_s THEN 'before'
+      WHEN a_e = b_s THEN 'meets'
+      WHEN a_s < b_s AND a_e < b_e THEN 'overlaps'
+      WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+      WHEN a_s > b_s AND a_e < b_e THEN 'during'
+      WHEN a_s > b_s AND a_e = b_e THEN 'finishes'
+      WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+      WHEN b_e < a_s THEN 'before_inv'
+      WHEN b_e = a_s THEN 'meets_inv'
+      WHEN b_s < a_s AND b_e < a_e THEN 'overlaps_inv'
+      WHEN b_s = a_s AND b_e < a_e THEN 'starts_inv'
+      WHEN b_s > a_s AND b_e < a_e THEN 'during_inv'
+      ELSE 'finishes_inv'
+    END"""
+_ALLEN_RELS_SQL = ", ".join(f"('{r}')" for r in _ALLEN_RELS)
+
+
+@register(
+    "q_allen_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type, MIN(ts) AS s, MAX(ts) AS e
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), a AS (
+      SELECT user_id, s, e FROM iv WHERE event_type = 'click'
+    ), b AS (
+      SELECT user_id, s, e FROM iv WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT 'organic' AS variant, a.s AS a_s, a.e AS a_e,
+             b.s AS b_s, b.e AS b_e
+      FROM a JOIN b ON a.user_id = b.user_id
+      UNION ALL
+      SELECT 'shift40', a.s, a.e,
+             b.s + INTERVAL 40 DAY, b.e + INTERVAL 40 DAY
+      FROM a JOIN b ON a.user_id = b.user_id
+      UNION ALL
+      SELECT 'self', s, e, s, e FROM a
+    ), rels AS (
+      SELECT variant, {_ALLEN_CASE_SQL} AS rel FROM pairs
+    ), spine AS (
+      SELECT v.variant, r.rel
+      FROM (VALUES ('organic'), ('shift40'), ('self')) v(variant)
+      CROSS JOIN (VALUES {_ALLEN_RELS_SQL}) r(rel)
+    )
+    SELECT s.variant, s.rel,
+           CAST(COALESCE(COUNT(rels.rel), 0) AS BIGINT) AS n_pairs
+    FROM spine s
+    LEFT JOIN rels ON rels.variant = s.variant AND rels.rel = s.rel
+    GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("temporal", "interval", "allen"),
+)
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval-algebra profile (Allen 1983) between each
+    user's click activity span and purchase activity span: every
+    pair classified into one of the 13 mutually-exclusive temporal
+    relations (before/meets/overlaps/starts/during/finishes/equals
+    + inverses), reported on the full 13-relation dense spine
+    (house rule — holes are signal). `q_join_interval` asks "do
+    intervals intersect"; this asks HOW they relate, the read
+    behind cause-precedes-effect checks (a purchase span strictly
+    `before_inv` its click span would be an attribution bug).
+    The 30-day fixture makes organic spans overlap-heavy, so two
+    planted variants keep the sparse branches live at every SF:
+    'shift40' pushes purchase spans past the window (all 'before')
+    and 'self' pairs each span with itself (all 'equals').
+
+    The classifier is a single CASE over four exact
+    timestamp-endpoint comparisons — order matters and is identical
+    in both engines; no floats anywhere.
+
+    Scale: intervals come from one pass to the (user, type) grain
+    (min/max, map-side combined); the pair join is per-user 1×1,
+    never a time-grain blowup; output is the fixed 39-row grid.
+    """
+    prep(spark)
+    iv = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min("ts").alias("s"),
+            F.max("ts").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .localCheckpoint(eager=False)  # click + purchase legs, one scan
+    )
+    a = iv.where(F.col("event_type") == "click").select(
+        "user_id", F.col("s").alias("a_s"), F.col("e").alias("a_e")
+    )
+    b = iv.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("s").alias("b_s"), F.col("e").alias("b_e")
+    )
+    ab = a.join(b, "user_id")
+    d40 = F.expr("INTERVAL 40 DAYS")
+    pairs = (
+        ab.select(
+            F.lit("organic").alias("variant"), "a_s", "a_e", "b_s", "b_e"
+        )
+        .unionByName(
+            ab.select(
+                F.lit("shift40").alias("variant"),
+                "a_s",
+                "a_e",
+                (F.col("b_s") + d40).alias("b_s"),
+                (F.col("b_e") + d40).alias("b_e"),
+            )
+        )
+        .unionByName(
+            a.select(
+                F.lit("self").alias("variant"),
+                "a_s",
+                "a_e",
+                F.col("a_s").alias("b_s"),
+                F.col("a_e").alias("b_e"),
+            )
+        )
+    )
+    rel = F.expr(_ALLEN_CASE_SQL)
+    rels = pairs.select("variant", rel.alias("rel"))
+    spine = spark.createDataFrame(
+        [(v, r) for v in ("organic", "shift40", "self") for r in _ALLEN_RELS],
+        "variant string, rel string",
+    )
+    hits = rels.select(
+        F.col("variant").alias("v2"), F.col("rel").alias("hit")
+    )
+    return (
+        spine.join(
+            hits,
+            (F.col("variant") == F.col("v2")) & (F.col("rel") == F.col("hit")),
+            "left",
+        )
+        .groupBy("variant", "rel")
+        .agg(F.count("hit").cast("bigint").alias("n_pairs"))
+    )
+
+
+@register(
+    "q_dispersion_index",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), pool AS (
+      SELECT event_type, c FROM c
+      UNION ALL
+      SELECT 'zz-burst', CASE WHEN DAY(d) % 7 = 0 THEN c * 5 ELSE c END
+      FROM c WHERE event_type = 'click'
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM pool GROUP BY 1
+    )
+    SELECT event_type, n_days, s AS n_events,
+           {R4('s / (n_days * 1.0)')} AS mean_daily,
+           {R4('''CAST(n_days * s2 - s * s AS DOUBLE)
+                 / ((n_days - 1.0) * s)''')} AS dispersion,
+           {R4('''CAST(n_days * s2 - s * s AS DOUBLE)
+                 / ((n_days - 1.0) * s)''')} > 2.5 AS overdispersed
+    FROM m
+    """,
+    priority="P2",
+    tags=("temporal", "dispersion", "anomaly"),
+)
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count dispersion index (variance-to-mean ratio, the
+    negative-binomial overdispersion diagnostic) per event type —
+    the TEMPORAL burstiness read beside `q_text_burstiness`'s
+    per-term document VMR: D ≈ 1 says Poisson-compatible arrivals
+    (rate-based capacity models hold), D ≫ 1 says bursty traffic
+    (autoscaling and anomaly thresholds need the NB tail). Fixture
+    arrivals are uniform (organic D ∈ [0.6, 1.8] across SFs), so a
+    planted 'zz-burst' stream — click counts with every 7th
+    calendar day amplified ×5 — keeps the overdispersed verdict
+    live at every SF; the threshold (2.5, applied to the r4-rounded
+    D) clears the organic range with margin.
+
+    D = (n·Σc² − (Σc)²)/((n−1)·Σc) is a ratio of exact BIGINT
+    moments from the (type, day) count grain — one double division
+    under r4, threshold after rounding.
+
+    Scale: one pass to the (type, day) grain (map-side combined,
+    the grain is bounded by types × calendar, not rows), planted
+    variant derived from that grain (checkpointed — no second
+    fact scan), then 1-row-per-type moments.
+    """
+    prep(spark)
+    c = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # organic + burst legs, one scan
+    )
+    burst = c.where(F.col("event_type") == "click").select(
+        F.lit("zz-burst").alias("event_type"),
+        F.when(F.dayofmonth("d") % 7 == 0, F.col("c") * 5)
+        .otherwise(F.col("c"))
+        .alias("c"),
+    )
+    pool = c.select("event_type", "c").unionByName(burst)
+    m = pool.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    disp = r4(
+        (F.col("n_days") * F.col("s2") - F.col("s") * F.col("s")).cast(
+            "double"
+        )
+        / ((F.col("n_days") - 1.0) * F.col("s"))
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s").alias("n_events"),
+        r4(F.col("s") / (F.col("n_days") * 1.0)).alias("mean_daily"),
+        disp.alias("dispersion"),
+        (disp > 2.5).alias("overdispersed"),
+    )

@@ -1289,3 +1289,81 @@ def test_code_detect_plant_recall(spark):
     assert any(r["source"] == "code-plant" for r in rows)
     for s, tot in shares.items():
         assert abs(tot - 1.0) < 1e-6, s
+
+
+def test_pit_features_no_leakage(spark):
+    """First order per customer has zero history; trailing counts
+    step by one along each customer's (date, key) order; prior spend
+    never includes the current order (spot-checked by recomputation
+    for the heaviest customer)."""
+    from modforms_db_spark.operators.temporal import q_pit_features
+
+    feat = {r["o_orderkey"]: r for r in q_pit_features(spark, SF_DIR).collect()}
+    orders = (
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .collect()
+    )
+    by_cust = {}
+    for o in orders:
+        by_cust.setdefault(o["o_custkey"], []).append(o)
+    heavy = max(by_cust.values(), key=len)
+    heavy.sort(key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+    cents = 0
+    for i, o in enumerate(heavy):
+        r = feat[o["o_orderkey"]]
+        assert r["n_prior"] == i
+        assert r["spend_prior_cents"] == cents
+        if i == 0:
+            assert r["days_since_prev"] is None
+            assert r["avg_prior_value"] is None
+        cents += round(o["o_totalprice"] * 100)
+    firsts = [min(v, key=lambda o: (o["o_orderdate"], o["o_orderkey"]))
+              for v in by_cust.values()]
+    assert all(feat[o["o_orderkey"]]["n_prior"] == 0 for o in firsts)
+
+
+def test_allen_relations_regimes(spark):
+    """Full 39-cell spine; per-variant totals agree; the planted
+    variants land entirely in their designed relation; organic mass
+    sits in the overlap/containment relations."""
+    from modforms_db_spark.operators.temporal import q_allen_relations
+
+    rows = q_allen_relations(spark, SF_DIR).collect()
+    assert len(rows) == 39
+    tot = {}
+    for r in rows:
+        tot[r["variant"]] = tot.get(r["variant"], 0) + r["n_pairs"]
+        if r["variant"] == "shift40" and r["rel"] != "before":
+            assert r["n_pairs"] == 0
+        if r["variant"] == "self" and r["rel"] != "equals":
+            assert r["n_pairs"] == 0
+    assert tot["organic"] == tot["shift40"] > 0
+    assert tot["self"] > 0
+    organic = {r["rel"]: r["n_pairs"] for r in rows if r["variant"] == "organic"}
+    assert sum(
+        organic[k]
+        for k in ("overlaps", "overlaps_inv", "during", "during_inv",
+                  "starts", "starts_inv", "finishes", "finishes_inv",
+                  "equals")
+    ) == tot["organic"] - organic["before"] - organic["before_inv"] - organic[
+        "meets"
+    ] - organic["meets_inv"]
+
+
+def test_dispersion_index_regimes(spark):
+    """Organic streams stay under the overdispersion threshold; the
+    planted burst stream exceeds it by a wide margin; the burst
+    stream's event mass is click's plus exactly the spike surplus."""
+    from modforms_db_spark.operators.temporal import q_dispersion_index
+
+    by = {r["event_type"]: r for r in q_dispersion_index(spark, SF_DIR).collect()}
+    assert "zz-burst" in by
+    for t, r in by.items():
+        assert r["dispersion"] > 0
+        if t == "zz-burst":
+            assert r["overdispersed"] and r["dispersion"] > 5.0
+        else:
+            assert not r["overdispersed"] and r["dispersion"] < 2.5
+    assert by["zz-burst"]["n_events"] > by["click"]["n_events"]
+    assert by["zz-burst"]["n_days"] == by["click"]["n_days"]
