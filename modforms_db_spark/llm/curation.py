@@ -2127,3 +2127,191 @@ def q_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > _HU_CHI2_CRIT_DF99).alias("reject"),
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), ranked AS (
+      SELECT lang, v,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY v, doc_id) AS BIGINT) AS r
+      FROM d
+    ), sizes AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d
+    ), cdf AS (
+      SELECT v, CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (ORDER BY v) - c AS BIGINT) AS cum_prev
+      FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1)
+    ), mapped AS (
+      SELECT ranked.lang,
+             (ranked.r * tot.n + sizes.n_g - 1) // sizes.n_g AS p,
+             tot.n
+      FROM ranked
+      JOIN sizes ON sizes.lang = ranked.lang
+      CROSS JOIN tot
+    )
+    SELECT m.lang, ((m.p - 1) * 10) // m.n AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(cdf.v) AS BIGINT) AS min_nv,
+           CAST(MAX(cdf.v) AS BIGINT) AS max_nv
+    FROM mapped m
+    JOIN cdf ON m.p > cdf.cum_prev AND m.p <= cdf.cum
+    GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "curation", "normalize"),
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the per-language document-length
+    distributions onto the pooled corpus distribution — the
+    batch-effect correction step (Bolstad et al. 2003, standard in
+    any pipeline that must compare a FEATURE across heterogeneous
+    sources): each doc's within-language rank r maps to pooled
+    position p = ⌈r·N/n_g⌉ and takes the pooled value at that
+    position, so every language ends up with (up to rank
+    granularity) the SAME length distribution. Reported at the
+    (lang, decile) audit grain with the normalized-value envelope —
+    after normalization the per-language decile boundaries coincide,
+    which is the testable law.
+
+    Everything is exact integer arithmetic: ranks, ceil-division
+    target positions, a pooled CDF at the VALUE grain (distinct
+    lengths, bounded domain), and the position→value lookup as a
+    (cum_prev, cum] range join. No floats anywhere.
+
+    Scale: per-language windows are entity-bounded; the pooled CDF
+    rides the banded-order device (`operators/banded.py`) so no
+    unpartitioned window touches the value grain; the CDF is
+    broadcast-sized by the bounded value domain, and the range join
+    is per-row against that broadcast — one shuffle on lang for the
+    ranks, nothing else.
+    """
+    prep(spark)
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("v"))
+        .localCheckpoint(eager=False)  # ranks + sizes + CDF, one scan
+    )
+    wr = Window.partitionBy("lang").orderBy("v", "doc_id")
+    ranked = d.select(
+        "lang", "v", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    vc = d.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cdf = with_banded_order(
+        vc, "v", [], cumsum_col="c", cum_name="cum"
+    ).select(
+        F.col("v").alias("nv"),
+        F.col("cum").cast("bigint").alias("cum"),
+        (F.col("cum") - F.col("c")).cast("bigint").alias("cum_prev"),
+    )
+    mapped = (
+        ranked.join(F.broadcast(sizes), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.expr("(r * n + n_g - 1) div n_g").alias("p"),
+            "n",
+        )
+    )
+    return (
+        mapped.join(
+            F.broadcast(cdf),
+            (F.col("p") > F.col("cum_prev")) & (F.col("p") <= F.col("cum")),
+        )
+        .groupBy("lang", F.expr("((p - 1) * 10) div n").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("nv").alias("min_nv"),
+            F.max("nv").alias("max_nv"),
+        )
+    )
+
+
+_RESAMPLE_M = 100  # systematic-sampling pointer count
+
+
+@register(
+    "q_importance_resample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS w FROM documents
+    ), c AS (
+      SELECT doc_id, lang, w,
+             CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+             CAST(SUM(w) OVER (ORDER BY doc_id) - w AS BIGINT) AS cum_prev
+      FROM d
+    ), tot AS (
+      SELECT CAST(SUM(w) AS BIGINT) AS big_w FROM d
+    ), pos AS (
+      SELECT UNNEST(generate_series(0, {_RESAMPLE_M - 1})) AS j
+    )
+    SELECT pos.j AS sample_idx, c.doc_id, c.lang, c.w
+    FROM pos
+    CROSS JOIN tot
+    JOIN c ON 2 * {_RESAMPLE_M} * c.cum_prev < (2 * pos.j + 1) * tot.big_w
+          AND (2 * pos.j + 1) * tot.big_w <= 2 * {_RESAMPLE_M} * c.cum
+    """,
+    priority="P2",
+    tags=("llm", "curation", "sampling", "pps"),
+)
+def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size resampling — the
+    RESAMPLING half of the DSIR recipe (`q_dsir_weights` scores,
+    this draws): m = 100 equally-spaced pointers over the cumulative
+    weight axis (weight = document length, the token-budget proxy);
+    pointer j lands at (j + ½)·W/m and selects the document whose
+    cumulative-weight interval contains it. Systematic PPS gives
+    each doc inclusion probability min(1, m·w/W) with ZERO variance
+    in the sample's total-weight coverage — the property shard
+    builders rely on — and, unlike Bernoulli/A-ES draws
+    (`q_sample_weighted*`), a FIXED sample size.
+
+    Determinism: the cumulative axis is ordered by doc_id; the
+    pointer test is kept in exact integers by doubling —
+    2m·cum_prev < (2j+1)·W ≤ 2m·cum — so no float ever decides an
+    inclusion (the same doubling trick as `ntile_from_rn`).
+
+    Scale: the cumulative weights ride the banded-order device (no
+    unpartitioned window); the m-row pointer frame is broadcast and
+    range-joined against each doc's (cum_prev, cum] interval — one
+    pass, no doc-side shuffle beyond the banded ranks. At 100 TB m
+    grows to the shard budget and nothing changes shape.
+    """
+    prep(spark)
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("w")
+    )
+    c = with_banded_order(
+        d, "doc_id", [], cumsum_col="w", cum_name="cum"
+    ).select(
+        "doc_id",
+        "lang",
+        "w",
+        F.col("cum").cast("bigint").alias("cum"),
+        (F.col("cum") - F.col("w")).cast("bigint").alias("cum_prev"),
+    )
+    tot = d.agg(F.sum("w").cast("bigint").alias("big_w"))
+    pos = spark.range(_RESAMPLE_M).select(F.col("id").alias("j"))
+    m2 = 2 * _RESAMPLE_M
+    t = (2 * F.col("j") + 1) * F.col("big_w")
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(pos),
+            (m2 * F.col("cum_prev") < t) & (t <= m2 * F.col("cum")),
+        )
+        .select(
+            F.col("j").alias("sample_idx"), "doc_id", "lang", "w"
+        )
+    )

@@ -1761,3 +1761,102 @@ def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_source"
         ),
     )
+
+
+_CTRL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
+@register(
+    "q_mojibake_audit",
+    oracle=f"""
+    WITH planted AS (
+      SELECT source,
+             chr(65533) || substr(text, 1, 40) || chr(7) ||
+             substr(text, 41) || chr(65533) AS text
+      FROM documents WHERE doc_id % 41 = 0
+    ), pool AS (
+      SELECT 'organic' AS variant, source, text FROM documents
+      UNION ALL SELECT 'planted', source, text FROM planted
+    ), feat AS (
+      SELECT variant, source,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+                  AS BIGINT) AS n_repl,
+             CAST(length(text) - length(regexp_replace(
+                  text, '{_CTRL_RE}', '', 'g')) AS BIGINT) AS n_ctrl
+      FROM pool
+    )
+    SELECT variant, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl + n_ctrl > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(n_repl) AS BIGINT) AS sum_repl,
+           CAST(SUM(n_ctrl) AS BIGINT) AS sum_ctrl
+    FROM feat GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "quality", "encoding"),
+)
+def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-glitch (mojibake) audit per source: counts of U+FFFD
+    replacement characters (the tombstone a lossy decode leaves
+    behind) and C0 control characters (minus tab/newline/CR) — the
+    ingest-time health check every text pipeline runs before
+    tokenization (`q_unicode_normalize` fixes normalization FORMS;
+    this finds bytes that were already destroyed upstream). The
+    fixture corpus is clean ASCII, so a planted variant (every
+    doc_id ≡ 0 mod 41, with U+FFFD at both ends and a BEL in the
+    middle — derived from the doc's own text, house planted-ground-
+    truth rule) keeps the flagged branch live at every SF; the law
+    test pins 100% plant detection and 0 organic flags.
+
+    Counts are exact length deltas after targeted character
+    removal — CHAR semantics on both engines (DuckDB `length`, not
+    byte-`strlen`), no floats anywhere.
+
+    Scale: per-row projections inside codegen (one replace + one
+    regex), partial+final aggregate on the bounded
+    (variant, source) grain; one documents scan (checkpointed base
+    feeds both legs).
+    """
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .localCheckpoint(eager=False)  # organic + planted legs, one scan
+    )
+    planted = d.where(F.col("doc_id") % 41 == 0).select(
+        F.lit("planted").alias("variant"),
+        "source",
+        F.concat(
+            F.lit("�"),
+            F.substring("text", 1, 40),
+            F.lit("\x07"),
+            F.expr("substring(text, 41)"),
+            F.lit("�"),
+        ).alias("text"),
+    )
+    pool = d.select(
+        F.lit("organic").alias("variant"), "source", "text"
+    ).unionByName(planted)
+    length = F.length("text")
+    n_repl = (
+        (length - F.length(F.replace(F.col("text"), F.lit("�"), F.lit(""))))
+        .cast("bigint")
+        .alias("n_repl")
+    )
+    n_ctrl = (
+        (length - F.length(F.regexp_replace("text", _CTRL_RE, "")))
+        .cast("bigint")
+        .alias("n_ctrl")
+    )
+    feat = pool.select("variant", "source", n_repl, n_ctrl)
+    return feat.groupBy("variant", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_repl") + F.col("n_ctrl") > 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum("n_repl").cast("bigint").alias("sum_repl"),
+        F.sum("n_ctrl").cast("bigint").alias("sum_ctrl"),
+    )

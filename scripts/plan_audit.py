@@ -81,6 +81,8 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_abc_xyz": _R_BANDED_OFFSET,
     "q_negative_sampling": _R_BANDED_OFFSET,
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
+    "q_quantile_normalize": _R_BANDED_OFFSET,
+    "q_importance_resample": _R_BANDED_OFFSET,
     "q_ppl_bucket": _R_BANDED_OFFSET,
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,

@@ -1367,3 +1367,94 @@ def test_dispersion_index_regimes(spark):
             assert not r["overdispersed"] and r["dispersion"] < 2.5
     assert by["zz-burst"]["n_events"] > by["click"]["n_events"]
     assert by["zz-burst"]["n_days"] == by["click"]["n_days"]
+
+
+def test_quantile_normalize_aligns_deciles(spark):
+    """After normalization every language's decile populations are
+    balanced (each |n_docs - n_g/10| <= 1), decile envelopes are
+    monotone and non-overlapping within a language, and all
+    languages share the pooled value range."""
+    from modforms_db_spark.llm.curation import q_quantile_normalize
+
+    rows = q_quantile_normalize(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 3
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["decile"])
+        assert [r["decile"] for r in rs] == list(range(10)), lang
+        n_g = sum(r["n_docs"] for r in rs)
+        for r in rs:
+            assert abs(r["n_docs"] - n_g / 10) <= 1, (lang, r)
+            assert r["min_nv"] <= r["max_nv"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["max_nv"] <= b["min_nv"]
+    # Every language's top rank maps to pooled position N exactly, so
+    # the max envelope is shared; the min differs by rank granularity
+    # (a small language's rank 1 maps to p = ceil(N/n_g) > 1) but must
+    # stay inside the pooled first decile.
+    maxs = {max(r["max_nv"] for r in rs) for rs in by_lang.values()}
+    assert len(maxs) == 1
+    decile0_caps = [
+        r["max_nv"] for rs in by_lang.values() for r in rs if r["decile"] == 0
+    ]
+    assert max(
+        min(r["min_nv"] for r in rs) for rs in by_lang.values()
+    ) <= max(decile0_caps)
+
+
+def test_importance_resample_pps_laws(spark):
+    """Fixed sample size m=100; pointers map monotonically onto the
+    doc_id-ordered cumulative axis; an independent recomputation of
+    the pointer->doc mapping from raw weights agrees exactly."""
+    from modforms_db_spark.llm.curation import q_importance_resample
+
+    got = sorted(
+        q_importance_resample(spark, SF_DIR).collect(),
+        key=lambda r: r["sample_idx"],
+    )
+    assert [r["sample_idx"] for r in got] == list(range(100))
+    ids = [r["doc_id"] for r in got]
+    assert ids == sorted(ids)
+    docs = sorted(
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "n_chars")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    w_total = sum(r["n_chars"] for r in docs)
+    expect = []
+    cum, i = 0, 0
+    for j in range(100):
+        t = (2 * j + 1) * w_total
+        while 200 * (cum + docs[i]["n_chars"]) < t:
+            cum += docs[i]["n_chars"]
+            i += 1
+        expect.append(docs[i]["doc_id"])
+    assert ids == expect
+
+
+def test_mojibake_audit_regimes(spark):
+    """All planted docs flagged with >= 2 replacement chars and
+    >= 1 control char each; organic corpus fully clean; per-source
+    planted doc counts match the mod-41 plant rule."""
+    from modforms_db_spark.llm.pipeline import q_mojibake_audit
+
+    rows = q_mojibake_audit(spark, SF_DIR).collect()
+    planted = [r for r in rows if r["variant"] == "planted"]
+    organic = [r for r in rows if r["variant"] == "organic"]
+    assert planted and organic
+    for r in planted:
+        assert r["n_flagged"] == r["n_docs"]
+        assert r["sum_repl"] == 2 * r["n_docs"]
+        assert r["sum_ctrl"] == r["n_docs"]
+    for r in organic:
+        assert r["n_flagged"] == 0 and r["sum_repl"] == 0 and r["sum_ctrl"] == 0
+    n_planted = sum(r["n_docs"] for r in planted)
+    expected = (
+        load(spark, SF_DIR, "documents")
+        .where(F.col("doc_id") % 41 == 0)
+        .count()
+    )
+    assert n_planted == expected
