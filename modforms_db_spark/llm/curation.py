@@ -2315,3 +2315,148 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("sample_idx"), "doc_id", "lang", "w"
         )
     )
+
+
+_HIER_BUDGET = 1_000_000  # units allocated down region -> nation
+
+
+@register(
+    "q_alloc_hierarchical",
+    oracle=f"""
+    WITH w AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(ROUND(o.o_totalprice * 100)) AS BIGINT) AS w
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    ), rw AS (
+      SELECT region, CAST(SUM(w) AS BIGINT) AS w FROM w GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM rw),
+    rq AS (
+      SELECT region, w, {_HIER_BUDGET} * w // tot.tw AS fl,
+             {_HIER_BUDGET} * w % tot.tw AS rem
+      FROM rw CROSS JOIN tot
+    ), rshort AS (
+      SELECT {_HIER_BUDGET} - CAST(SUM(fl) AS BIGINT) AS k FROM rq
+    ), ralloc AS (
+      SELECT region,
+             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, region)
+                       <= rshort.k THEN 1 ELSE 0 END AS region_alloc
+      FROM rq CROSS JOIN rshort
+    ), nq AS (
+      SELECT w.region, w.nation, w.w, ra.region_alloc,
+             ra.region_alloc * w.w // rw.w AS fl,
+             ra.region_alloc * w.w % rw.w AS rem
+      FROM w
+      JOIN rw ON rw.region = w.region
+      JOIN ralloc ra ON ra.region = w.region
+    ), nshort AS (
+      SELECT region, region_alloc - CAST(SUM(fl) AS BIGINT) AS k
+      FROM nq GROUP BY 1, region_alloc
+    )
+    SELECT nq.region, nq.nation, nq.w AS weight_cents,
+           CAST(nq.region_alloc AS BIGINT) AS region_alloc,
+           CAST(nq.fl + CASE WHEN row_number() OVER (
+                  PARTITION BY nq.region ORDER BY nq.rem DESC, nq.nation)
+                <= ns.k THEN 1 ELSE 0 END AS BIGINT) AS nation_alloc
+    FROM nq JOIN nshort ns ON ns.region = nq.region
+    """,
+    priority="P2",
+    tags=("llm", "curation", "allocation", "hierarchy"),
+)
+def q_alloc_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level hierarchical largest-remainder allocation — a global
+    budget pro-rated region → nation by exact revenue mass, Hamilton
+    at EACH level so the telescoping identities hold exactly:
+    Σ region_alloc = budget and, within every region,
+    Σ nation_alloc = region_alloc (the property a one-shot global
+    proration cannot give you — independently rounded nation quotas
+    don't sum to their region's). This is `q_alloc_largest_remainder`
+    cascaded: the planning/budgeting shape (cluster quota → team
+    quota, corpus budget → domain → language) at the two-level
+    grain.
+
+    All masses are exact integer cents; quotas are exact integer
+    floor-division with integer remainders — the only windows rank
+    remainders, never sum floats.
+
+    Scale: one pass to the (region, nation) revenue grain behind
+    broadcast dim joins; level-1 ranking runs on the 5-row region
+    frame (bounded by geography, not data), level-2 rankings are
+    PARTITIONED by region over ≤25-row frames.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    w = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0))
+            .cast("bigint")
+            .alias("w")
+        )
+        .localCheckpoint(eager=False)  # region masses + nation quotas
+    )
+    rw = w.groupBy("region").agg(F.sum("w").cast("bigint").alias("rw"))
+    tot = rw.agg(F.sum("rw").cast("bigint").alias("tw"))
+    b = F.lit(_HIER_BUDGET)
+    rq = rw.crossJoin(F.broadcast(tot)).select(
+        "region",
+        "rw",
+        F.expr(f"{_HIER_BUDGET} * rw div tw").alias("fl"),
+        (b * F.col("rw") % F.col("tw")).alias("rem"),
+    )
+    rshort = rq.agg((b - F.sum("fl")).cast("bigint").alias("k"))
+    wr = Window.orderBy(F.col("rem").desc(), "region")
+    ralloc = (
+        rq.crossJoin(F.broadcast(rshort))
+        .select(
+            "region",
+            (
+                F.col("fl")
+                + F.when(F.row_number().over(wr) <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("region_alloc"),
+        )
+    )
+    nq = (
+        w.join(F.broadcast(rw), "region")
+        .join(F.broadcast(ralloc), "region")
+        .select(
+            "region",
+            "nation",
+            "w",
+            "region_alloc",
+            F.expr("region_alloc * w div rw").alias("fl"),
+            (F.col("region_alloc") * F.col("w") % F.col("rw")).alias("rem"),
+        )
+    )
+    nshort = nq.groupBy("region", "region_alloc").agg(
+        (F.col("region_alloc") - F.sum("fl")).cast("bigint").alias("k")
+    ).select("region", "k")
+    wn = Window.partitionBy("region").orderBy(F.col("rem").desc(), "nation")
+    return (
+        nq.join(F.broadcast(nshort), "region")
+        .select(
+            "region",
+            "nation",
+            F.col("w").alias("weight_cents"),
+            F.col("region_alloc").cast("bigint").alias("region_alloc"),
+            (
+                F.col("fl")
+                + F.when(F.row_number().over(wn) <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nation_alloc"),
+        )
+    )

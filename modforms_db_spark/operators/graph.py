@@ -1105,3 +1105,168 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(q).alias("q_modularity"),
         )
     )
+
+
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle() -> str:
+    """Unrolled 5-round 2-core peel oracle (generated once at import;
+    DuckDB has no aggregate-in-recursion, so bounded unrolling IS the
+    oracle — the `q_pagerank` unrolled-CTE precedent)."""
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""d{p} AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT u AS n FROM e{p} UNION ALL SELECT v FROM e{p})
+      GROUP BY 1
+    ), k{p} AS MATERIALIZED (SELECT n FROM d{p} WHERE c >= 2),
+    e{i} AS MATERIALIZED (
+      SELECT e{p}.u, e{p}.v FROM e{p}
+      JOIN k{p} a ON a.n = e{p}.u JOIN k{p} b ON b.n = e{p}.v
+    )""")
+    stats = [
+        "SELECT 0 AS round, (SELECT CAST(COUNT(DISTINCT n) AS BIGINT) "
+        "FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)) AS "
+        "n_nodes, (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges"
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        stats.append(
+            f"SELECT {i}, (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i - 1}),"
+            f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i})"
+        )
+    body = ",\n    ".join(rounds)
+    stats_sql = "\n      UNION ALL ".join(stats)
+    return f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    seeds AS (
+      SELECT DISTINCT p FROM op WHERE p % 101 = 0
+    ), planted AS (
+      SELECT p AS u, 10000000 + p AS v FROM seeds
+      UNION ALL SELECT 20000000 + p, 21000000 + p FROM seeds
+      UNION ALL SELECT 21000000 + p, 22000000 + p FROM seeds
+    ), e0 AS MATERIALIZED (
+      SELECT u, v FROM pedges UNION ALL SELECT u, v FROM planted
+    ),
+    {body},
+    stats AS (
+      {stats_sql}
+    )
+    SELECT round, n_nodes, n_edges,
+           COALESCE(n_edges = LAG(n_edges) OVER (ORDER BY round)
+                    AND n_nodes = LAG(n_nodes) OVER (ORDER BY round),
+                    FALSE) AS converged
+    FROM stats
+    """
+
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    priority="P2",
+    tags=("graph", "kcore", "iterative"),
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 2-core peeling (Seidman 1983 k-core, k = 2, 5 rounds)
+    over the part co-purchase graph: each round drops nodes of
+    degree < 2 and the edges they carry, and the round trace
+    (nodes passing, edges surviving, converged flag) IS the output —
+    the graph-shrinkage read behind coreness-based sampling and the
+    iterate-to-fixpoint pattern `q_pagerank`/`q_label_propagation`
+    exercise with value updates, here with STRUCTURAL updates. The
+    organic graph's minimum degree is ≥ 42 at every shipped SF (no
+    organic peel), so planted fodder keeps the cascade live: pendant
+    spurs (peel in round 1) and 3-node chains whose ends peel in
+    round 1 and stranded middles in round 2 — convergence by round 3,
+    pinned by the law test.
+
+    Exact integer counts throughout; the oracle unrolls the 5 rounds
+    as CTEs (aggregate-in-recursion is off the table in both
+    engines — the `q_pagerank` precedent).
+
+    Scale: each round is one degree aggregate + one semi-join-shaped
+    edge filter on the CURRENT edge set (monotonically shrinking),
+    localCheckpointed per round to cut lineage — the
+    large-star/small-star discipline from `q_dedup_components`;
+    O(rounds) passes, never quadratic.
+    """
+    prep(spark)
+    seeds = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"))
+        .where(F.col("p") % 101 == 0)
+        .distinct()
+    )
+    planted = (
+        seeds.select(F.col("p").alias("u"), (F.lit(10000000) + F.col("p")).alias("v"))
+        .unionByName(
+            seeds.select(
+                (F.lit(20000000) + F.col("p")).alias("u"),
+                (F.lit(21000000) + F.col("p")).alias("v"),
+            )
+        )
+        .unionByName(
+            seeds.select(
+                (F.lit(21000000) + F.col("p")).alias("u"),
+                (F.lit(22000000) + F.col("p")).alias("v"),
+            )
+        )
+    )
+    e = (
+        copurchase_edges(spark, sf_dir)
+        .unionByName(planted)
+        .localCheckpoint(eager=False)
+    )
+    # per-round trace; round 0 counts distinct endpoints of e0
+    nodes0 = (
+        e.select(F.col("u").alias("n"))
+        .unionByName(e.select(F.col("v").alias("n")))
+        .agg(F.countDistinct("n").cast("bigint").alias("n_nodes"))
+    )
+    stats = [
+        nodes0.crossJoin(e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))).select(
+            F.lit(0).cast("bigint").alias("round"), "n_nodes", "n_edges"
+        )
+    ]
+    cur = e
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionByName(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        keep = deg.where(F.col("c") >= 2).select("n").localCheckpoint(
+            eager=False
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("n", "u"), "u")
+            .join(keep.withColumnRenamed("n", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=False)  # next round + its stats row
+        )
+        stats.append(
+            keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(
+                nxt.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+            )
+            .select(
+                F.lit(i).cast("bigint").alias("round"), "n_nodes", "n_edges"
+            )
+        )
+        cur = nxt
+    trace = stats[0]
+    for s in stats[1:]:
+        trace = trace.unionByName(s)
+    w = Window.orderBy("round")
+    return trace.select(
+        "round",
+        "n_nodes",
+        "n_edges",
+        F.coalesce(
+            (F.col("n_edges") == F.lag("n_edges").over(w))
+            & (F.col("n_nodes") == F.lag("n_nodes").over(w)),
+            F.lit(False),
+        ).alias("converged"),
+    )

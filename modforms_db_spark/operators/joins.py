@@ -1517,3 +1517,82 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("join_rows")
         ).alias("top_key_pressure"),
     )
+
+
+@register(
+    "q_join_division",
+    oracle="""
+    WITH divisor AS (
+      SELECT DISTINCT o_orderpriority AS p FROM orders
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_classes FROM divisor
+    ), cp AS (
+      SELECT o_custkey, o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ), cov AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_covered,
+             CAST(SUM(n_orders) AS BIGINT) AS n_orders
+      FROM cp GROUP BY 1
+    )
+    SELECT cov.o_custkey AS c_custkey, c.c_mktsegment,
+           cov.n_covered, cov.n_orders
+    FROM cov
+    CROSS JOIN nd
+    JOIN customer c ON c.c_custkey = cov.o_custkey
+    WHERE cov.n_covered = nd.n_classes
+    """,
+    priority="P2",
+    tags=("join", "division", "relational"),
+)
+def q_join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division (Codd's ÷ — the one classical relational
+    operator the inventory lacked): customers whose order history
+    covers EVERY order-priority class present in the data — the
+    "bought ALL products in the set" / "passed ALL checks" query
+    shape. Implemented the scalable way: not a nested NOT EXISTS
+    (whose decorrelation re-scans the divisor per row) but the
+    count-matching rewrite — reduce to the (customer, class) grain,
+    count coverage per customer, and keep customers whose coverage
+    equals the divisor cardinality (a 1-row broadcast). The divisor
+    is DERIVED from the dividend (all classes observed anywhere),
+    so the operator is self-contained at any SF; about half the
+    customers qualify at every shipped SF — both branches live.
+
+    All counts are exact integers; qualifying rows are enriched
+    with the customer dim (broadcast join).
+
+    Scale: one pass to the (custkey, class) grain (map-side
+    combined), one count-per-customer aggregate, a scalar broadcast
+    for the divisor size, and a dim join — no EXISTS correlation,
+    no divisor×dividend blowup.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cp = (
+        o.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .localCheckpoint(eager=False)  # coverage + divisor, one scan
+    )
+    cov = cp.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered"),
+        F.sum("n_orders").cast("bigint").alias("n_orders"),
+    )
+    nd = (
+        cp.select("o_orderpriority")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_classes"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        cov.crossJoin(F.broadcast(nd))
+        .where(F.col("n_covered") == F.col("n_classes"))
+        .join(
+            F.broadcast(cust),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_mktsegment", "n_covered", "n_orders")
+    )

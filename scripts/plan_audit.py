@@ -83,6 +83,11 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
     "q_quantile_normalize": _R_BANDED_OFFSET,
     "q_importance_resample": _R_BANDED_OFFSET,
+    "q_alloc_hierarchical": "level-1 Hamilton remainder ranking over "
+    "the 5-row region frame — bounded by geography, not data size "
+    "(level-2 rankings are partitioned by region)",
+    "q_graph_kcore": "lag over the 6-row peel-round trace frame — "
+    "bounded by the round count, not data size",
     "q_ppl_bucket": _R_BANDED_OFFSET,
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,

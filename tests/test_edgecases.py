@@ -1458,3 +1458,86 @@ def test_mojibake_audit_regimes(spark):
         .count()
     )
     assert n_planted == expected
+
+
+def test_join_division_both_branches(spark):
+    """Qualifiers cover every priority class (independently recomputed
+    for a sample); non-qualifiers exist; a customer with fewer
+    distinct classes than the divisor never appears."""
+    from modforms_db_spark.operators.joins import q_join_division
+
+    rows = q_join_division(spark, SF_DIR).collect()
+    assert rows
+    o = load(spark, SF_DIR, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    np = o.select("o_orderpriority").distinct().count()
+    per_cust = {
+        r["o_custkey"]: r["n"]
+        for r in o.distinct().groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    qual_ids = {r["c_custkey"] for r in rows}
+    assert qual_ids == {c for c, n in per_cust.items() if n == np}
+    assert qual_ids != set(per_cust)  # non-qualifiers exist
+    for r in rows:
+        assert r["n_covered"] == np and r["n_orders"] >= np
+
+
+def test_alloc_hierarchical_telescopes(spark):
+    """Region allocations sum exactly to the budget; within every
+    region the nation allocations sum exactly to the region's; every
+    allocation is within 1 of its exact proportional quota."""
+    from modforms_db_spark.llm.curation import (
+        _HIER_BUDGET,
+        q_alloc_hierarchical,
+    )
+
+    rows = q_alloc_hierarchical(spark, SF_DIR).collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    region_allocs = {
+        reg: rs[0]["region_alloc"] for reg, rs in by_region.items()
+    }
+    assert sum(region_allocs.values()) == _HIER_BUDGET
+    total_w = sum(r["weight_cents"] for r in rows)
+    for reg, rs in by_region.items():
+        assert sum(r["nation_alloc"] for r in rs) == region_allocs[reg]
+        assert len({r["region_alloc"] for r in rs}) == 1
+        rw = sum(r["weight_cents"] for r in rs)
+        assert abs(region_allocs[reg] - _HIER_BUDGET * rw / total_w) < 1
+        for r in rs:
+            assert (
+                abs(
+                    r["nation_alloc"]
+                    - region_allocs[reg] * r["weight_cents"] / rw
+                )
+                < 1
+            )
+
+
+def test_graph_kcore_cascade(spark):
+    """Planted pendants peel in round 1 and stranded chain middles in
+    round 2; the trace is monotone nonincreasing and converged
+    (nodes AND edges stable) from round 3 on; the organic core
+    (min degree >= 2 everywhere) survives intact."""
+    from modforms_db_spark.operators.graph import (
+        copurchase_edges,
+        q_graph_kcore,
+    )
+
+    rows = sorted(
+        q_graph_kcore(spark, SF_DIR).collect(), key=lambda r: r["round"]
+    )
+    assert [r["round"] for r in rows] == [0, 1, 2, 3, 4, 5]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+    assert rows[1]["n_nodes"] < rows[0]["n_nodes"]  # pendants peel
+    assert rows[2]["n_nodes"] < rows[1]["n_nodes"]  # chain middles
+    assert not rows[1]["converged"] and not rows[2]["converged"]
+    assert all(r["converged"] for r in rows[3:])
+    organic = copurchase_edges(spark, SF_DIR).count()
+    assert rows[5]["n_edges"] == organic  # organic core intact
