@@ -2460,3 +2460,88 @@ def q_alloc_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nation_alloc"),
         )
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "q_group_kfold",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, ('0x' || substr(md5(source), 1, 6))::BIGINT % {_KFOLD_K}
+               AS fold,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      FROM documents
+    ), f AS (
+      SELECT fold, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1
+    ), spine AS (
+      SELECT UNNEST(generate_series(0, {_KFOLD_K - 1})) AS fold
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT s.fold,
+           COALESCE(f.n_sources, 0) AS n_sources,
+           COALESCE(f.n_docs, 0) AS n_docs,
+           COALESCE(f.n_tokens, 0) AS n_tokens,
+           {R4('COALESCE(f.n_docs, 0) * 1.0 / tot.n')} AS doc_share
+    FROM spine s LEFT JOIN f ON f.fold = s.fold CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("llm", "curation", "split", "kfold"),
+)
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped k-fold assignment (k = 5) with SOURCE integrity: every
+    document of a source lands in the same fold (fold = md5-hash of
+    the source id — the `q_dsir_weights` string-hash idiom), so
+    cross-validation never trains on one half of a source and
+    evaluates on the other (the within-source near-duplicate leakage
+    `q_split_leakage` measures for the doc-hash split). The fold
+    report carries the price of that integrity: with few large
+    groups the folds are UNBALANCED (1–10 sources per fold on this
+    corpus), which is the real grouped-CV trade-off — the dense
+    5-fold spine plus per-fold doc/token masses and shares make the
+    imbalance auditable rather than silent.
+
+    Counts are exact integers; the only double is the final share
+    (one division under r4).
+
+    Scale: fold is a per-row projection (md5 inside codegen); one
+    partial+final aggregate on the k-bounded fold grain; the spine
+    join touches 5 rows.
+    """
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "source",
+            (
+                F.conv(F.substring(F.md5("source"), 1, 6), 16, 10)
+                .cast("bigint")
+                % _KFOLD_K
+            ).alias("fold"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        )
+        .localCheckpoint(eager=False)  # fold masses + corpus total, one scan
+    )
+    f = d.groupBy("fold").agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    spine = spark.range(_KFOLD_K).select(F.col("id").alias("fold"))
+    return (
+        spine.join(f, "fold", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fold",
+            F.coalesce("n_sources", F.lit(0)).alias("n_sources"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            r4(F.coalesce("n_docs", F.lit(0)) * 1.0 / F.col("n")).alias(
+                "doc_share"
+            ),
+        )
+    )

@@ -3147,3 +3147,53 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         disp.alias("dispersion"),
         (disp > 2.5).alias("overdispersed"),
     )
+
+
+@register(
+    "q_percentile_bands_daily",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(ts AS DATE) AS d, value FROM events
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {R4('quantile_cont(value, 0.1)')} AS p10,
+           {R4('quantile_cont(value, 0.5)')} AS p50,
+           {R4('quantile_cont(value, 0.9)')} AS p90
+    FROM e GROUP BY 1
+    """,
+    priority="P2",
+    tags=("temporal", "percentile", "bands"),
+)
+def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily quantile bands of the event-value distribution — the
+    p10/p50/p90 ribbon every operations dashboard draws, and the
+    shape-aware companion to `q_anomaly_rolling_z`'s mean±σ: a
+    drifting p90 with a stable median is a tail regression that
+    mean-based monitors miss entirely. Exact interpolated
+    percentiles per calendar day (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the `q_agg_percentile` parity rule), r4 at
+    the boundary.
+
+    Scale: one shuffle on the bounded day grain; the exact per-day
+    sort is bounded by the day's row count — at 100 TB swap in
+    `percentile_approx` (GK sketch, partial+final mergeable) per
+    `q_agg_approx_percentile`, with the rank-error bound documented
+    there; the day grain and plan shape stay identical.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "value"
+    )
+    return e.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        r4(F.percentile("value", F.lit(0.1))).alias("p10"),
+        r4(F.percentile("value", F.lit(0.5))).alias("p50"),
+        r4(F.percentile("value", F.lit(0.9))).alias("p90"),
+    ).select(
+        F.col("d").cast("timestamp").alias("day"),
+        "n_events",
+        "p10",
+        "p50",
+        "p90",
+    )

@@ -1541,3 +1541,61 @@ def test_graph_kcore_cascade(spark):
     assert all(r["converged"] for r in rows[3:])
     organic = copurchase_edges(spark, SF_DIR).count()
     assert rows[5]["n_edges"] == organic  # organic core intact
+
+
+def test_group_kfold_integrity(spark):
+    """Every source maps to exactly one fold; the 5-fold spine is
+    dense; masses reconcile with the corpus; shares sum to 1."""
+    from modforms_db_spark.llm.curation import _KFOLD_K, q_group_kfold
+
+    rows = sorted(
+        q_group_kfold(spark, SF_DIR).collect(), key=lambda r: r["fold"]
+    )
+    assert [r["fold"] for r in rows] == list(range(_KFOLD_K))
+    d = load(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    assert sum(r["n_sources"] for r in rows) == (
+        d.select("source").distinct().count()
+    )
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-6
+    assert all(r["n_docs"] >= 0 for r in rows)
+
+
+def test_topk_with_ties_semantics(spark):
+    """Result includes at least k rows, every included count is >=
+    the threshold, every excluded customer is strictly below it, and
+    the threshold equals the k-th largest count."""
+    from modforms_db_spark.operators.sorts import _TIES_K, q_topk_with_ties
+
+    rows = q_topk_with_ties(spark, SF_DIR).collect()
+    assert len(rows) >= _TIES_K
+    thr = {r["thr"] for r in rows}
+    assert len(thr) == 1
+    thr = thr.pop()
+    counts = sorted(
+        (
+            r["n"]
+            for r in load(spark, SF_DIR, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    assert thr == counts[_TIES_K - 1]
+    assert all(r["n_orders"] >= thr for r in rows)
+    assert len(rows) == sum(1 for c in counts if c >= thr)
+
+
+def test_percentile_bands_daily_laws(spark):
+    """One row per calendar day; bands are ordered p10 <= p50 <= p90
+    and sit inside the day's min/max; counts reconcile."""
+    from modforms_db_spark.operators.temporal import q_percentile_bands_daily
+
+    rows = q_percentile_bands_daily(spark, SF_DIR).collect()
+    assert len(rows) == 30
+    e = load(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    for r in rows:
+        assert r["p10"] <= r["p50"] <= r["p90"]
+        assert r["n_events"] > 0
