@@ -2301,7 +2301,10 @@ def q_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum").cast("bigint").alias("cum"),
         (F.col("cum") - F.col("w")).cast("bigint").alias("cum_prev"),
     )
-    tot = d.agg(F.sum("w").cast("bigint").alias("big_w"))
+    # total weight = last cumulative — read off the banded frame, not a
+    # second documents scan (review finding: d is not checkpointed here;
+    # with_banded_order checkpoints its own copy)
+    tot = c.agg(F.max("cum").cast("bigint").alias("big_w"))
     pos = spark.range(_RESAMPLE_M).select(F.col("id").alias("j"))
     m2 = 2 * _RESAMPLE_M
     t = (2 * F.col("j") + 1) * F.col("big_w")
@@ -2385,7 +2388,11 @@ def q_alloc_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one pass to the (region, nation) revenue grain behind
     broadcast dim joins; level-1 ranking runs on the 5-row region
     frame (bounded by geography, not data), level-2 rankings are
-    PARTITIONED by region over ≤25-row frames.
+    PARTITIONED by region over ≤25-row frames. BIGINT headroom: the
+    budget×mass quota products are exact while regional mass stays
+    below ~9.2e12 cents (≈ sf30 revenue; shipped SFs are ≤ sf0.1);
+    past that, rescale masses to whole dollars or widen the product
+    to DECIMAL(38)/HUGEINT — a mechanical swap, same plan shape.
     """
     prep(spark)
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")

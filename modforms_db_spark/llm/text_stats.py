@@ -2422,8 +2422,10 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard heavy-tail diagnostic beside `q_zipf_fit` (rank-
     frequency slope) and `q_heaps_law` (vocabulary growth): a stable
     α̂ across k says the tail is genuinely power-law with that index;
-    α̂ drifting up with k (as on this bounded synthetic corpus) says
-    the apparent tail is truncated. Reporting the k-profile rather
+    α̂ INFLATED at shallow k and falling as k deepens (as on this
+    bounded synthetic corpus — spacings near the truncated maximum
+    are compressed, so the smallest-k estimate overshoots) says the
+    apparent tail is truncated. Reporting the k-profile rather
     than one point IS the diagnostic.
 
     Determinism: the tail sample is the TOP-101 frame under the total

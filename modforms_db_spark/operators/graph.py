@@ -909,18 +909,21 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) GROUP BY 1
     ), coeff AS (
       SELECT deg.node,
-             {R4('2.0 * COALESCE(tv.t, 0) / (deg.d * (deg.d - 1))')} AS c
+             CAST(ROUND({R4('2.0 * COALESCE(tv.t, 0) / (deg.d * (deg.d - 1))')}
+                  * 10000) AS BIGINT) AS c_q
       FROM deg LEFT JOIN tv ON tv.node = deg.node
       WHERE deg.d >= 2
     ), bucketed AS (
-      SELECT CAST(LEAST(FLOOR(c * 10), 9) AS BIGINT) AS bucket, c
+      SELECT CAST(LEAST(c_q // 1000, 9) AS BIGINT) AS bucket, c_q
       FROM coeff
     ), spine AS (
       SELECT UNNEST(generate_series(0, 9)) AS bucket
     )
     SELECT s.bucket,
-           CAST(COALESCE(COUNT(b.c), 0) AS BIGINT) AS n_nodes,
-           {R4('AVG(b.c)')} AS avg_coeff
+           CAST(COALESCE(COUNT(b.c_q), 0) AS BIGINT) AS n_nodes,
+           CASE WHEN COUNT(b.c_q) > 0 THEN
+             {R4('CAST(SUM(b.c_q) AS DOUBLE) / (COUNT(b.c_q) * 10000.0)')}
+           END AS avg_coeff
     FROM spine s LEFT JOIN bucketed b ON b.bucket = s.bucket
     GROUP BY 1
     """,
@@ -975,26 +978,36 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.where(F.col("d") >= 2)
         .join(tv, "node", "left")
         .select(
-            r4(
-                2.0
-                * F.coalesce("t", F.lit(0))
-                / (F.col("d") * (F.col("d") - 1))
-            ).alias("c")
+            F.round(
+                r4(
+                    2.0
+                    * F.coalesce("t", F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1))
+                )
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("c_q")  # integer ten-thousandths: bucket sums stay exact
         )
     )
     bucketed = coeff.select(
-        F.least(F.floor(F.col("c") * 10), F.lit(9))
+        F.least(F.expr("c_q div 1000"), F.lit(9))
         .cast("bigint")
         .alias("bucket"),
-        "c",
+        "c_q",
     )
     spine = spark.range(10).select(F.col("id").alias("bucket"))
+    n = F.count("c_q")
     return (
         spine.join(bucketed, "bucket", "left")
         .groupBy("bucket")
         .agg(
-            F.count("c").cast("bigint").alias("n_nodes"),
-            r4(F.avg("c")).alias("avg_coeff"),
+            n.cast("bigint").alias("n_nodes"),
+            F.when(
+                n > 0,
+                r4(F.sum("c_q").cast("double") / (n * 10000.0)),
+            ).alias("avg_coeff"),
         )
     )
 
@@ -1192,12 +1205,13 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(rounds) passes, never quadratic.
     """
     prep(spark)
-    seeds = (
+    op = (
         load(spark, sf_dir, "lineitem")
-        .select(F.col("l_partkey").alias("p"))
-        .where(F.col("p") % 101 == 0)
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)  # edges + planted seeds, one scan
     )
+    seeds = op.select("p").where(F.col("p") % 101 == 0).distinct()
     planted = (
         seeds.select(F.col("p").alias("u"), (F.lit(10000000) + F.col("p")).alias("v"))
         .unionByName(
@@ -1213,11 +1227,14 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    e = (
-        copurchase_edges(spark, sf_dir)
-        .unionByName(planted)
-        .localCheckpoint(eager=False)
-    )
+    b = op.withColumnRenamed("p", "p2")
+    organic = (
+        op.join(b, "ok")
+        .where(F.col("p") < F.col("p2"))
+        .select(F.col("p").alias("u"), F.col("p2").alias("v"))
+        .distinct()
+    )  # copurchase_edges semantics off the shared checkpointed op grain
+    e = organic.unionByName(planted).localCheckpoint(eager=False)
     # per-round trace; round 0 counts distinct endpoints of e0
     nodes0 = (
         e.select(F.col("u").alias("n"))

@@ -1341,14 +1341,16 @@ def test_allen_relations_regimes(spark):
     assert tot["organic"] == tot["shift40"] > 0
     assert tot["self"] > 0
     organic = {r["rel"]: r["n_pairs"] for r in rows if r["variant"] == "organic"}
-    assert sum(
+    overlap_family = sum(
         organic[k]
         for k in ("overlaps", "overlaps_inv", "during", "during_inv",
                   "starts", "starts_inv", "finishes", "finishes_inv",
                   "equals")
-    ) == tot["organic"] - organic["before"] - organic["before_inv"] - organic[
-        "meets"
-    ] - organic["meets_inv"]
+    )
+    # 30-day spans overlap: the overlap/containment family must hold
+    # ALL organic mass (a regression dumping pairs into before/meets
+    # would fail here).
+    assert overlap_family == tot["organic"] > 0
 
 
 def test_dispersion_index_regimes(spark):
