@@ -2552,3 +2552,101 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_budget_select_greedy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
+             CAST(ROUND(
+               CAST(ROUND(
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) * 10000) AS BIGINT)
+               ) AS BIGINT) AS u_q
+      FROM documents
+    ), tot AS (
+      SELECT CAST(SUM(cost) AS BIGINT) // 10 AS budget FROM d
+    ), ordered AS (
+      SELECT doc_id, lang, cost, u_q,
+             CAST(SUM(cost) OVER (
+               ORDER BY CAST(u_q AS DOUBLE) / cost DESC, doc_id)
+               AS BIGINT) AS cum
+      FROM d
+    ), sel AS (
+      SELECT o.lang, o.cost, o.u_q, o.cum <= tot.budget AS selected,
+             tot.budget
+      FROM ordered o CROSS JOIN tot
+    )
+    SELECT lang, selected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(cost) AS BIGINT) AS tokens,
+           CAST(SUM(u_q) AS BIGINT) AS value_q,
+           CAST(MAX(budget) AS BIGINT) AS budget
+    FROM sel GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("llm", "curation", "budget", "greedy"),
+)
+def q_budget_select_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budget-constrained selection — the knapsack step of
+    corpus curation: rank documents by quality-per-token density
+    (lexical diversity u = unique/total tokens, over token cost)
+    and take the prefix whose cumulative token cost fits a 10%%
+    token budget — the classical density-greedy knapsack heuristic
+    (≥ ½-optimal), and the DOCUMENT-grain companion to
+    `q_token_budget_mix` (which allocates across groups) and
+    `q_importance_resample` (which samples ∝ weight without a hard
+    cap). Output is the (lang, selected) audit grain — what the
+    budget bought, and from where.
+
+    Determinism: u rides as r4→integer ten-thousandths; the density
+    order key u_q/cost is a single exact-integer division (same
+    IEEE double in both engines), tie-broken by doc_id; the prefix
+    test is exact-integer cumulative cost against an exact-integer
+    budget.
+
+    Scale: the cumulative cost rides the banded-order device (no
+    unpartitioned window over the corpus); everything after the
+    ranks is a filter plus a bounded-grain aggregate.
+    """
+    prep(spark)
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    toks = F.split("text", " ")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("cost"),
+        F.round(
+            r4(F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("u_q"),
+    )
+    d = d.select(
+        "*", (F.col("u_q").cast("double") / F.col("cost")).alias("density")
+    )
+    c = with_banded_order(
+        d, "density", ["doc_id"], descending=True, cumsum_col="cost",
+        cum_name="cum",
+    )
+    tot = c.agg(
+        F.expr("cast(max(cum) as bigint) div 10").alias("budget")
+    )
+    sel = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cost",
+        "u_q",
+        (F.col("cum") <= F.col("budget")).alias("selected"),
+        "budget",
+    )
+    return sel.groupBy("lang", "selected").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("cost").cast("bigint").alias("tokens"),
+        F.sum("u_q").cast("bigint").alias("value_q"),
+        F.max("budget").cast("bigint").alias("budget"),
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
@@ -1609,4 +1609,142 @@ def q_psi_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type", "n_a", "n_b").agg(
         r4(psi_i / 1e8).alias("psi"),
         (psi_i > _PSI_FLAG_I).alias("drift_flag"),
+    )
+
+
+_ENTROPY_TERM_SQL = "-(c * 1.0 / n) * LOG2(c * 1.0 / n)"
+
+
+@register(
+    "q_column_entropy_profile",
+    oracle=f"""
+    WITH vals AS (
+      SELECT 'orders' AS tbl, 'o_orderstatus' AS col,
+             o_orderstatus AS v FROM orders
+      UNION ALL SELECT 'orders', 'o_orderpriority', o_orderpriority
+      FROM orders
+      UNION ALL SELECT 'customer', 'c_mktsegment', c_mktsegment
+      FROM customer
+      UNION ALL SELECT 'events', 'event_type', event_type FROM events
+      UNION ALL SELECT 'documents', 'lang', lang FROM documents
+      UNION ALL SELECT 'documents', 'source', source FROM documents
+    ), vc AS (
+      SELECT tbl, col, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT tbl, col, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM vc GROUP BY 1, 2
+    ), terms AS (
+      SELECT vc.tbl, vc.col,
+             CAST(ROUND({R4(_ENTROPY_TERM_SQL)} * 10000) AS BIGINT) AS t_q
+      FROM vc JOIN tot ON tot.tbl = vc.tbl AND tot.col = vc.col
+    ), ent AS (
+      SELECT tbl, col, CAST(SUM(t_q) AS BIGINT) AS e_q
+      FROM terms GROUP BY 1, 2
+    ), top AS (
+      SELECT tbl, col, v AS top_value FROM (
+        SELECT tbl, col, v, ROW_NUMBER() OVER (
+          PARTITION BY tbl, col ORDER BY c DESC, v) AS rn
+        FROM vc
+      ) WHERE rn = 1
+    )
+    SELECT tot.tbl AS table_name, tot.col AS column_name, tot.n AS n_rows,
+           tot.n_distinct, ent.e_q / 10000.0 AS entropy_bits,
+           {R4('tot.top_c * 1.0 / tot.n')} AS top_share,
+           top.top_value
+    FROM tot
+    JOIN ent ON ent.tbl = tot.tbl AND ent.col = tot.col
+    JOIN top ON top.tbl = tot.tbl AND top.col = tot.col
+    """,
+    priority="P2",
+    tags=("quality", "profile", "entropy"),
+)
+def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic column profile across the warehouse's
+    categorical columns — Shannon entropy (bits), distinct count,
+    and top-value concentration per column — the schema-discovery
+    read beside `q_profile_columns`' numeric moments: near-zero
+    entropy flags constant-ish columns (drop or dictionary-encode),
+    entropy ≈ log2(n_distinct) flags uniform keys (useless as
+    features, great as salts), and a high top_share flags skew the
+    join planner should know about (`q_join_skew_salted`).
+
+    Entropy terms are r4-rounded then carried as exact integer
+    ten-thousandths — the bucket sum is order-exact BIGINT and
+    e_q/10⁴ needs no further rounding (4-dp identity).
+
+    Scale: each table contributes ONE scan — the two orders columns
+    (and two documents columns) ride a single pass each via a
+    2-element map-explode projection rather than two scans; all
+    aggregation is on bounded (table, column, value) grains, and
+    the top-value window partitions per column.
+    """
+    prep(spark)
+
+    def two_col(df, tbl: str, c1: str, c2: str):
+        return df.select(
+            F.lit(tbl).alias("tbl"),
+            F.explode(
+                F.create_map(F.lit(c1), F.col(c1), F.lit(c2), F.col(c2))
+            ).alias("col", "v"),
+        )
+
+    def one_col(df, tbl: str, c1: str):
+        return df.select(
+            F.lit(tbl).alias("tbl"), F.lit(c1).alias("col"),
+            F.col(c1).alias("v"),
+        )
+
+    vals = (
+        two_col(
+            load(spark, sf_dir, "orders"), "orders",
+            "o_orderstatus", "o_orderpriority",
+        )
+        .unionByName(
+            one_col(load(spark, sf_dir, "customer"), "customer", "c_mktsegment")
+        )
+        .unionByName(
+            one_col(load(spark, sf_dir, "events"), "events", "event_type")
+        )
+        .unionByName(
+            two_col(load(spark, sf_dir, "documents"), "documents", "lang", "source")
+        )
+    )
+    vc = vals.groupBy("tbl", "col", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # totals + terms + top, one pass
+    tot = vc.groupBy("tbl", "col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_c"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    terms = vc.join(F.broadcast(tot), ["tbl", "col"]).select(
+        "tbl",
+        "col",
+        F.round(r4(-p * F.log2(p)) * 10000, 0).cast("bigint").alias("t_q"),
+    )
+    ent = terms.groupBy("tbl", "col").agg(
+        F.sum("t_q").cast("bigint").alias("e_q")
+    )
+    wt = Window.partitionBy("tbl", "col").orderBy(F.col("c").desc(), "v")
+    top = (
+        vc.select("tbl", "col", "v", F.row_number().over(wt).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("tbl", "col", F.col("v").alias("top_value"))
+    )
+    return (
+        tot.join(ent, ["tbl", "col"])
+        .join(top, ["tbl", "col"])
+        .select(
+            F.col("tbl").alias("table_name"),
+            F.col("col").alias("column_name"),
+            F.col("n").alias("n_rows"),
+            "n_distinct",
+            (F.col("e_q") / 10000.0).alias("entropy_bits"),
+            r4(F.col("top_c") * 1.0 / F.col("n")).alias("top_share"),
+            "top_value",
+        )
     )

@@ -3197,3 +3197,134 @@ def q_percentile_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50",
         "p90",
     )
+
+
+_MARKOV_EVAL_SPLIT = "2024-01-16 00:00:00"  # train/test boundary (midpoint)
+
+
+@register(
+    "q_markov_prediction_eval",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+    ), pool AS (
+      SELECT 'organic' AS variant, user_id, ts, event_id, event_type
+      FROM base
+      UNION ALL
+      SELECT 'zz-cycle', user_id, ts, event_id,
+             ['click','error','purchase','signup','view']
+               [1 + DAY(CAST(ts AS DATE)) % 5]
+      FROM base
+    ), seq AS (
+      SELECT variant, event_type AS b, ts,
+             LAG(event_type) OVER (
+               PARTITION BY variant, user_id ORDER BY ts, event_id) AS a
+      FROM pool
+    ), tr AS (
+      SELECT variant, a, b, ts FROM seq WHERE a IS NOT NULL
+    ), train AS (
+      SELECT variant, a, b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr WHERE ts < TIMESTAMP '{_MARKOV_EVAL_SPLIT}'
+      GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT variant, a, b AS p FROM (
+        SELECT variant, a, b, ROW_NUMBER() OVER (
+          PARTITION BY variant, a ORDER BY c DESC, b) AS rn
+        FROM train
+      ) WHERE rn = 1
+    )
+    SELECT tr.variant, tr.a AS prior_state, pred.p AS predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN tr.b = pred.p THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           {R4('''SUM(CASE WHEN tr.b = pred.p THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*)''')} AS accuracy
+    FROM tr
+    JOIN pred ON pred.variant = tr.variant AND pred.a = tr.a
+    WHERE tr.ts >= TIMESTAMP '{_MARKOV_EVAL_SPLIT}'
+    GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("temporal", "markov", "eval"),
+)
+def q_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time evaluation of a first-order Markov next-event
+    predictor: train transition counts on the pre-split half
+    (`q_markov_transitions`' grain, same midpoint boundary as
+    `q_diff_in_diff`), predict argmax-next per prior state
+    (deterministic tie-break: count DESC, state name), score top-1
+    accuracy on the post-split half — the train/score/eval loop
+    every sequence model goes through, run entirely in the engine.
+    Fixture transitions are iid (organic accuracy ≈ 1/5 = chance —
+    itself the honest negative read), so a planted 'zz-cycle'
+    variant re-labels events by calendar day (type = day mod 5):
+    within-day self-transitions dominate, the model learns them,
+    and planted accuracy is a multiple of chance — both regimes
+    live at every SF, law-pinned.
+
+    Counts are exact; accuracy is one division under r4.
+
+    Scale: sequences are per-(variant, user) partitioned windows
+    (entity-bounded); the trained model is a (variant, state) →
+    prediction frame of ≤ 2·states rows — broadcast onto the test
+    transitions; one events scan feeds both halves via the split
+    filter on the transition grain.
+    """
+    prep(spark)
+    base = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    cyc = F.element_at(
+        F.array(*[F.lit(t) for t in ["click", "error", "purchase", "signup", "view"]]),
+        (F.dayofmonth(F.col("ts").cast("date")) % 5 + 1).cast("int"),
+    )
+    pool = base.select(
+        F.lit("organic").alias("variant"), "user_id", "ts", "event_id", "event_type"
+    ).unionByName(
+        base.select(
+            F.lit("zz-cycle").alias("variant"),
+            "user_id",
+            "ts",
+            "event_id",
+            cyc.alias("event_type"),
+        )
+    )
+    w = Window.partitionBy("variant", "user_id").orderBy("ts", "event_id")
+    tr = (
+        pool.select(
+            "variant",
+            F.col("event_type").alias("b"),
+            "ts",
+            F.lag("event_type").over(w).alias("a"),
+        )
+        .where(F.col("a").isNotNull())
+        .localCheckpoint(eager=False)  # train + test halves, one scan
+    )
+    split = F.lit(_MARKOV_EVAL_SPLIT).cast("timestamp")
+    train = (
+        tr.where(F.col("ts") < split)
+        .groupBy("variant", "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wp = Window.partitionBy("variant", "a").orderBy(F.col("c").desc(), "b")
+    pred = (
+        train.select("variant", "a", F.col("b").alias("p"),
+                     F.row_number().over(wp).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    test = tr.where(F.col("ts") >= split)
+    hit = F.sum(F.when(F.col("b") == F.col("p"), 1).otherwise(0))
+    return (
+        test.join(F.broadcast(pred), ["variant", "a"])
+        .groupBy(
+            "variant",
+            F.col("a").alias("prior_state"),
+            F.col("p").alias("predicted_next"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            hit.cast("bigint").alias("n_correct"),
+            r4(hit * 1.0 / F.count(F.lit(1))).alias("accuracy"),
+        )
+    )

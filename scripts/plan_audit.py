@@ -83,6 +83,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
     "q_quantile_normalize": _R_BANDED_OFFSET,
     "q_importance_resample": _R_BANDED_OFFSET,
+    "q_budget_select_greedy": _R_BANDED_OFFSET,
     "q_alloc_hierarchical": "level-1 Hamilton remainder ranking over "
     "the 5-row region frame — bounded by geography, not data size "
     "(level-2 rankings are partitioned by region)",

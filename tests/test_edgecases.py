@@ -1601,3 +1601,94 @@ def test_percentile_bands_daily_laws(spark):
     for r in rows:
         assert r["p10"] <= r["p50"] <= r["p90"]
         assert r["n_events"] > 0
+
+
+def test_markov_prediction_eval_regimes(spark):
+    """Organic transitions are iid so accuracy sits at chance; the
+    planted day-cycle stream is learnable and scores a multiple of
+    chance; counts reconcile per variant."""
+    from modforms_db_spark.operators.temporal import q_markov_prediction_eval
+
+    rows = q_markov_prediction_eval(spark, SF_DIR).collect()
+    acc = {}
+    for v in ("organic", "zz-cycle"):
+        vr = [r for r in rows if r["variant"] == v]
+        assert vr
+        n, c = sum(r["n_test"] for r in vr), sum(r["n_correct"] for r in vr)
+        acc[v] = c / n
+        for r in vr:
+            assert 0 <= r["n_correct"] <= r["n_test"]
+            assert abs(r["accuracy"] - r["n_correct"] / r["n_test"]) < 1e-3
+    assert 0.1 < acc["organic"] < 0.3  # chance on 5 iid states
+    assert acc["zz-cycle"] > 0.45
+    assert acc["zz-cycle"] > 2 * acc["organic"]
+
+
+def test_column_entropy_profile_laws(spark):
+    """Six profiled columns; entropy bounded by log2(n_distinct);
+    uniform-ish columns sit near the bound; top_share >= 1/n_distinct;
+    row counts match the source tables."""
+    import math
+
+    from modforms_db_spark.operators.quality import q_column_entropy_profile
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in q_column_entropy_profile(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 6
+    for r in rows.values():
+        bound = math.log2(r["n_distinct"]) if r["n_distinct"] > 1 else 0.0
+        assert -1e-3 <= r["entropy_bits"] <= bound + 1e-3
+        assert r["top_share"] >= 1.0 / r["n_distinct"] - 1e-9
+        assert r["top_value"] is not None
+    docs = load(spark, SF_DIR, "documents").count()
+    assert rows[("documents", "lang")]["n_rows"] == docs
+    assert rows[("documents", "source")]["n_rows"] == docs
+    ev = rows[("events", "event_type")]
+    assert ev["entropy_bits"] > 0.95 * math.log2(ev["n_distinct"])
+
+
+def test_budget_select_greedy_prefix(spark):
+    """Selected token mass fits the 10% budget and the next-densest
+    rejected doc would overflow it; selection is a density prefix
+    (min selected density >= max rejected density under the
+    doc_id tiebreak)."""
+    from modforms_db_spark.llm.curation import q_budget_select_greedy
+
+    rows = q_budget_select_greedy(spark, SF_DIR).collect()
+    budget = rows[0]["budget"]
+    sel_tokens = sum(r["tokens"] for r in rows if r["selected"])
+    rej_tokens = sum(r["tokens"] for r in rows if not r["selected"])
+    assert 0 < sel_tokens <= budget
+    assert sel_tokens + rej_tokens > budget  # budget binds
+    assert any(r["selected"] for r in rows)
+    assert any(not r["selected"] for r in rows)
+    # independent prefix recomputation
+    toks = F.split("text", " ")
+    d = (
+        load(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("cost"),
+            F.round(
+                (
+                    F.size(F.array_distinct(toks)).cast("double")
+                    / F.size(toks)
+                )
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("u_q"),
+        )
+        .collect()
+    )
+    d.sort(key=lambda r: (-(r["u_q"] / r["cost"]), r["doc_id"]))
+    cum, n_sel = 0, 0
+    for r in d:
+        cum += r["cost"]
+        if cum > budget:
+            break
+        n_sel += 1
+    assert n_sel == sum(r["n_docs"] for r in rows if r["selected"])
