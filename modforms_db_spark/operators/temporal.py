@@ -3328,3 +3328,159 @@ def q_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(hit * 1.0 / F.count(F.lit(1))).alias("accuracy"),
         )
     )
+
+
+@register(
+    "q_decayed_engagement",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT MAX(ts) AS a FROM events
+    ), terms AS (
+      SELECT user_id,
+             CAST(ROUND({R4('''value * POWER(2.0,
+               -((epoch_us(anchor.a) - epoch_us(ts)) / 86400000000.0) / 7.0
+             )''')} * 10000) AS BIGINT) AS t_q,
+             CAST(ROUND(value * 100) AS BIGINT) AS v_cents
+      FROM events CROSS JOIN anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(t_q) AS BIGINT) AS score_q,
+           SUM(t_q) / 10000.0 AS score,
+           CAST(SUM(v_cents) AS BIGINT) AS raw_cents
+    FROM terms GROUP BY 1
+    """,
+    priority="P2",
+    tags=("temporal", "decay", "engagement"),
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user — the
+    recency-weighted lifetime value every ranking/retention system
+    keeps: each event contributes value · 2^(−age/7d) with age
+    measured from the corpus watermark (max ts — data-derived, so
+    the score is reproducible from the table alone), i.e. a 7-day
+    half-life. `q_ewma` smooths a SERIES step-by-step; this scores
+    an ENTITY as-of-now in one pass — the difference between a
+    chart and a feature. Raw (undecayed) cents ride along so decay
+    shrinkage is auditable per user.
+
+    Each decay term is r4-rounded then carried as exact integer
+    ten-thousandths (sums are order-exact BIGINT; score = q/10⁴ is
+    the 4-dp identity); the half-life exponent is a deterministic
+    µs-exact age over a broadcast 1-row anchor.
+
+    Scale: one pass, partial+final per-user aggregate; the anchor
+    is a 1-row broadcast. Incremental refresh multiplies yesterday's
+    score by the constant 2^(−1/7) and adds the new day — the
+    standard decayed-counter trick; documented, not needed at the
+    batch grain.
+    """
+    prep(spark)
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .localCheckpoint(eager=False)  # anchor + decay terms, one scan
+    )
+    anchor = e.agg(F.max("ts").alias("a"))
+    age_days = (
+        F.unix_micros(F.col("a").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / 86400000000.0
+    t_q = (
+        F.round(r4(F.col("value") * F.pow(F.lit(2.0), -age_days / 7.0)) * 10000, 0)
+        .cast("bigint")
+        .alias("t_q")
+    )
+    terms = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        t_q,
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("t_q").cast("bigint").alias("score_q"),
+        (F.sum("t_q") / 10000.0).alias("score"),
+        F.sum("v_cents").cast("bigint").alias("raw_cents"),
+    )
+
+
+@register(
+    "q_scd2_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM events WHERE event_type = 'signup'
+    ), fact AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
+           CAST(d.version AS BIGINT) AS version,
+           d.valid_from,
+           d.version IS NULL AS pre_history
+    FROM fact f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND d.valid_from <= f.ts
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+    priority="P2",
+    tags=("temporal", "scd2", "lookup"),
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-dated dimension lookup — the consumption side of
+    `q_scd2_build`: each purchase fact joins the signup-version
+    dimension row VALID AT its timestamp ([valid_from, valid_to)
+    half-open intervals, the warehouse effective-dating rule), LEFT
+    so pre-history facts (purchases before the user's first signup
+    version) survive with a NULL version and an explicit
+    pre_history flag — the correctness trap this operator exists to
+    expose, since an INNER effective-date join silently drops those
+    facts. The as-of twins (`q_join_asof*`) return nearest VALUES;
+    this returns the versioned dimension ROW, which is what SCD2
+    consumers join for.
+
+    Intervals partition each user's timeline (build and lookup
+    share the (ts, event_id) total order), so at most one version
+    matches — exact timestamp comparisons, no floats.
+
+    Scale: the dimension is the signup subset at the user grain
+    (versions per user are bounded); the lookup is an equi-join on
+    user_id with a residual interval predicate — per-user version
+    lists stay small, so no time-grain blowup; one events scan
+    feeds both legs via a checkpointed projection.
+    """
+    prep(spark)
+    e = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("signup", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .localCheckpoint(eager=False)  # dim + fact legs, one scan
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = e.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    fact = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    cond = (
+        (dim["user_id"] == fact["user_id"])
+        & (F.col("valid_from") <= F.col("purchase_ts"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to")))
+    )
+    return fact.join(dim, cond, "left").select(
+        "event_id",
+        fact["user_id"].alias("user_id"),
+        "purchase_ts",
+        "version",
+        "valid_from",
+        F.col("version").isNull().alias("pre_history"),
+    )

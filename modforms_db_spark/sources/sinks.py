@@ -1207,3 +1207,143 @@ def q_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tbl string, row_group int, num_rows bigint, "
         "key_min bigint, key_max bigint, byte_size bigint",
     )
+
+
+_CH_RING = 16777216  # 2^24 ring positions (md5 first 6 hex chars)
+_CH_VNODES = 32
+
+
+def _ch_vnode_sql(shards: int) -> str:
+    return f"""
+      SELECT s.s AS shard,
+             ('0x' || substr(md5('shard' || s.s || ':' || v.v), 1, 6))::BIGINT
+               AS vpos
+      FROM (SELECT UNNEST(generate_series(0, {shards - 1})) AS s) s
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_CH_VNODES - 1})) AS v) v
+    """
+
+
+@register(
+    "q_consistent_hash_shards",
+    oracle=f"""
+    WITH keys AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               AS kpos
+      FROM documents
+    ), v4 AS ({_ch_vnode_sql(4)}), v5 AS ({_ch_vnode_sql(5)}),
+    a4 AS (
+      SELECT doc_id,
+             MIN(struct_pack(d := (vpos - kpos + {_CH_RING}) % {_CH_RING},
+                             shard := shard)) AS best
+      FROM keys CROSS JOIN v4 GROUP BY 1
+    ), a5 AS (
+      SELECT doc_id,
+             MIN(struct_pack(d := (vpos - kpos + {_CH_RING}) % {_CH_RING},
+                             shard := shard)) AS best
+      FROM keys CROSS JOIN v5 GROUP BY 1
+    ), asn AS (
+      SELECT a4.doc_id, a4.best.shard AS s4, a5.best.shard AS s5
+      FROM a4 JOIN a5 ON a5.doc_id = a4.doc_id
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM asn),
+    grouped AS (
+      SELECT 'ring4' AS ring, s4 AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM asn GROUP BY 2
+      UNION ALL
+      SELECT 'ring5', s5, CAST(COUNT(*) AS BIGINT) FROM asn GROUP BY 2
+      UNION ALL
+      SELECT 'moved', s5, CAST(COUNT(*) AS BIGINT) FROM asn
+      WHERE s4 <> s5 GROUP BY 2
+    )
+    SELECT g.ring, CAST(g.shard AS BIGINT) AS shard, g.n_keys,
+           {R4('g.n_keys * 1.0 / tot.n')} AS share
+    FROM grouped g CROSS JOIN tot
+    """,
+    priority="P2",
+    tags=("sink", "sharding", "consistent-hash"),
+)
+def q_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard assignment with virtual nodes (Karger
+    et al. 1997 — the placement scheme behind Dynamo/Cassandra-style
+    stores): 32 vnodes per shard on a 2²⁴ md5 ring, each key owned
+    by the clockwise-nearest vnode. Evaluated at BOTH 4 and 5
+    shards, plus the 'moved' group — keys whose owner changed when
+    the 5th shard joined — because bounded relocation (≈ 1/5 of
+    keys, vs 4/5 under mod-N hashing) IS consistent hashing's whole
+    point, and the law test pins it. Complements `q_shard_manifest`
+    (static range sharding) with the elastic-membership scheme.
+
+    Determinism: md5 positions are bit-identical in both engines
+    (the `q_dsir_weights` idiom); the owner is the MIN of exact
+    integer (clockwise distance, shard) pairs — a total order, no
+    float, no tie ambiguity.
+
+    Scale: the vnode tables are literal 128/160-row broadcasts; the
+    owner argmin is a map-side-combinable MIN per key (never a
+    ring sort); output is the bounded shard grain. At 100 TB the
+    same plan assigns any keyspace — the ring never grows with
+    data.
+    """
+    prep(spark)
+    keys = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        .alias("kpos"),
+    ).localCheckpoint(eager=False)  # both ring joins, one scan
+
+    def vnodes(shards: int):
+        rows = [
+            (s, v) for s in range(shards) for v in range(_CH_VNODES)
+        ]
+        vn = spark.createDataFrame(rows, "s int, v int")
+        return vn.select(
+            F.col("s").alias("shard"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("shard"), F.col("s"), F.lit(":"), F.col("v"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("vpos"),
+        )
+
+    def assign(vn, out: str):
+        dist = F.pmod(F.col("vpos") - F.col("kpos") + _CH_RING, _CH_RING)
+        return (
+            keys.crossJoin(F.broadcast(vn))
+            .groupBy("doc_id")
+            .agg(F.min(F.struct(dist.alias("d"), F.col("shard"))).alias("b"))
+            .select("doc_id", F.col("b.shard").alias(out))
+        )
+
+    asn = assign(vnodes(4), "s4").join(assign(vnodes(5), "s5"), "doc_id")
+    asn = asn.localCheckpoint(eager=False)  # three groupings + total
+    tot = asn.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    g4 = asn.groupBy(F.col("s4").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    ).select(F.lit("ring4").alias("ring"), "shard", "n_keys")
+    g5 = asn.groupBy(F.col("s5").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    ).select(F.lit("ring5").alias("ring"), "shard", "n_keys")
+    gm = (
+        asn.where(F.col("s4") != F.col("s5"))
+        .groupBy(F.col("s5").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .select(F.lit("moved").alias("ring"), "shard", "n_keys")
+    )
+    return (
+        g4.unionByName(g5)
+        .unionByName(gm)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "ring",
+            F.col("shard").cast("bigint").alias("shard"),
+            "n_keys",
+            r4(F.col("n_keys") * 1.0 / F.col("n")).alias("share"),
+        )
+    )

@@ -1692,3 +1692,76 @@ def test_budget_select_greedy_prefix(spark):
             break
         n_sel += 1
     assert n_sel == sum(r["n_docs"] for r in rows if r["selected"])
+
+
+def test_consistent_hash_relocation_bound(spark):
+    """Adding a 5th shard relocates far fewer keys than mod-N
+    rehashing would (~80%); every ring's shares sum to 1 for its
+    full rings; ring5 covers 5 shards, ring4 covers 4."""
+    from modforms_db_spark.sources.sinks import q_consistent_hash_shards
+
+    rows = q_consistent_hash_shards(spark, SF_DIR).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["ring"], []).append(r)
+    assert {r["shard"] for r in by["ring4"]} == {0, 1, 2, 3}
+    assert {r["shard"] for r in by["ring5"]} == {0, 1, 2, 3, 4}
+    for ring in ("ring4", "ring5"):
+        assert abs(sum(r["share"] for r in by[ring]) - 1.0) < 1e-3
+    moved = sum(r["share"] for r in by["moved"])
+    assert 0.05 < moved < 0.45  # consistent hashing, not mod-N's ~0.8
+    n4 = sum(r["n_keys"] for r in by["ring4"])
+    assert n4 == sum(r["n_keys"] for r in by["ring5"])
+    assert sum(r["n_keys"] for r in by["moved"]) < n4 // 2
+
+
+def test_decayed_engagement_laws(spark):
+    """Decay never amplifies: score <= raw value mass; every user
+    scores positive; the per-user event counts reconcile with the
+    source; most-recent-active mass dominates (the user whose raw
+    mass is latest-heavy outranks its raw-share)."""
+    from modforms_db_spark.operators.temporal import q_decayed_engagement
+
+    rows = q_decayed_engagement(spark, SF_DIR).collect()
+    e = load(spark, SF_DIR, "events")
+    assert sum(r["n_events"] for r in rows) == e.count()
+    for r in rows:
+        assert 0 < r["score"] <= r["raw_cents"] / 100.0 + 1e-6
+        assert abs(r["score"] - r["score_q"] / 10000.0) < 1e-9
+
+
+def test_scd2_lookup_effective_dating(spark):
+    """Every purchase appears exactly once; matched versions satisfy
+    valid_from <= ts (< next version's start, by interval
+    construction); pre-history purchases (before the user's first
+    signup) carry NULL version; both branches are populated."""
+    from modforms_db_spark.operators.temporal import q_scd2_lookup
+
+    rows = q_scd2_lookup(spark, SF_DIR).collect()
+    n_purchases = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert len(rows) == n_purchases
+    assert len({r["event_id"] for r in rows}) == n_purchases
+    pre = [r for r in rows if r["pre_history"]]
+    hit = [r for r in rows if not r["pre_history"]]
+    assert pre and hit
+    for r in hit:
+        assert r["valid_from"] <= r["purchase_ts"]
+        assert r["version"] >= 1
+    for r in pre:
+        assert r["version"] is None and r["valid_from"] is None
+    # first-version purchases exist and versions stay per-user dense
+    firsts = (
+        load(spark, SF_DIR, "events")
+        .where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+        .collect()
+    )
+    first_by_user = {r["user_id"]: r["first_signup"] for r in firsts}
+    for r in pre:
+        fs = first_by_user.get(r["user_id"])
+        assert fs is None or r["purchase_ts"] < fs
