@@ -2650,3 +2650,159 @@ def q_budget_select_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("u_q").cast("bigint").alias("value_q"),
         F.max("budget").cast("bigint").alias("budget"),
     )
+
+
+_SUPP_K = 5  # small-cell threshold (shared bar with q_k_anonymity)
+
+
+@register(
+    "q_cell_suppression",
+    oracle=f"""
+    WITH cells0 AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS seg,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ), spine AS (
+      SELECT n.nation, s.seg
+      FROM (SELECT DISTINCT nation FROM cells0) n
+      CROSS JOIN (SELECT DISTINCT seg FROM cells0) s
+    ), filled AS (
+      SELECT spine.nation, spine.seg, COALESCE(cells0.n, 0) AS n
+      FROM spine LEFT JOIN cells0
+        ON cells0.nation = spine.nation AND cells0.seg = spine.seg
+    ), cells AS (
+      SELECT 'organic' AS variant, nation, seg, n FROM filled
+      UNION ALL
+      SELECT 'planted', nation, seg,
+             CASE WHEN nation % 3 = 0 AND seg = 'AUTOMOBILE'
+                  THEN 1 + nation % 4 ELSE n + 10 END
+      FROM filled
+    ), prim AS (
+      SELECT *, n >= 1 AND n < {_SUPP_K} AS p FROM cells
+    ), rowstep AS (
+      SELECT *,
+             p OR (
+               NOT p AND n > 0
+               AND SUM(CASE WHEN p THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY variant, nation) = 1
+               AND ROW_NUMBER() OVER (
+                     PARTITION BY variant, nation, p
+                     ORDER BY CASE WHEN p OR n = 0 THEN NULL ELSE n END
+                              ASC NULLS LAST, seg) = 1
+             ) AS s1
+      FROM prim
+    ), colstep AS (
+      SELECT *,
+             s1 OR (
+               NOT s1 AND n > 0
+               AND SUM(CASE WHEN s1 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY variant, seg) = 1
+               AND ROW_NUMBER() OVER (
+                     PARTITION BY variant, seg, s1
+                     ORDER BY CASE WHEN s1 OR n = 0 THEN NULL ELSE n END
+                              ASC NULLS LAST, nation) = 1
+             ) AS s2
+      FROM rowstep
+    )
+    SELECT variant, CAST(nation AS BIGINT) AS nation, seg,
+           CASE WHEN s2 THEN NULL ELSE n END AS published_n,
+           s2 AS suppressed,
+           CASE WHEN p THEN 'primary'
+                WHEN s1 AND NOT p THEN 'row-complement'
+                WHEN s2 AND NOT s1 THEN 'col-complement'
+           END AS reason
+    FROM colstep
+    """,
+    priority="P2",
+    tags=("privacy", "suppression", "disclosure"),
+)
+def q_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression with one complementary round — the
+    fourth member of the disclosure-control family (`q_k_anonymity`
+    counts the risk, `q_l_diversity` checks attribute spread,
+    `q_dp_noisy_counts` perturbs; this PUBLISHES a table): in the
+    nation × segment contingency table, cells with 1 ≤ n < k are
+    primary-suppressed, and any row (then column) left with exactly
+    ONE suppression gets its smallest positive unsuppressed cell
+    complementary-suppressed — otherwise the marginal total recovers
+    the hidden value exactly. One row-then-column pass is the
+    standard greedy first round (full minimal suppression is
+    NP-hard; residual risk after one round is documented, not
+    hidden — the law test audits both directions).
+
+    Deterministic: the complement choice is (smallest n, then
+    name) — a total order; zero cells are publishable and never
+    chosen. All counts exact.
+
+    Scale: one pass to the QI contingency grain (bounded by the
+    attribute domains — 125 cells here, never row count); every
+    window partitions by a single row/column of that grain.
+    """
+    prep(spark)
+    c0 = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # spine legs + cells, one scan
+    )
+    spine = c0.select("nation").distinct().crossJoin(
+        c0.select("seg").distinct()
+    )
+    filled = spine.join(c0, ["nation", "seg"], "left").select(
+        "nation", "seg", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    # Planted regime (vacuity rule): organic tables are either mass-
+    # suppressed (sf0.001) or all-safe (sf0.01+), so the complementary
+    # round never fires; the engineered variant gives every third
+    # nation exactly ONE small cell, forcing row complements.
+    planted_n = F.when(
+        (F.col("nation") % 3 == 0) & (F.col("seg") == "AUTOMOBILE"),
+        1 + F.col("nation") % 4,
+    ).otherwise(F.col("n") + 10)
+    cells = filled.select(
+        F.lit("organic").alias("variant"), "nation", "seg", "n"
+    ).unionByName(
+        filled.select(
+            F.lit("planted").alias("variant"),
+            "nation",
+            "seg",
+            planted_n.alias("n"),
+        )
+    )
+    prim = cells.select(
+        "*", ((F.col("n") >= 1) & (F.col("n") < _SUPP_K)).alias("p")
+    )
+
+    def complement(df, flag: str, part: str, tiebreak: str, out: str):
+        wc = Window.partitionBy("variant", part)
+        pick_order = Window.partitionBy("variant", part, flag).orderBy(
+            F.when(F.col(flag) | (F.col("n") == 0), F.lit(None))
+            .otherwise(F.col("n"))
+            .asc_nulls_last(),
+            tiebreak,
+        )
+        need = F.sum(F.when(F.col(flag), 1).otherwise(0)).over(wc) == 1
+        chosen = (
+            ~F.col(flag)
+            & (F.col("n") > 0)
+            & need
+            & (F.row_number().over(pick_order) == 1)
+        )
+        return df.select("*", (F.col(flag) | chosen).alias(out))
+
+    rowstep = complement(prim, "p", "nation", "seg", "s1")
+    colstep = complement(rowstep, "s1", "seg", "nation", "s2")
+    return colstep.select(
+        "variant",
+        F.col("nation").cast("bigint").alias("nation"),
+        "seg",
+        F.when(~F.col("s2"), F.col("n")).alias("published_n"),
+        F.col("s2").alias("suppressed"),
+        F.when(F.col("p"), "primary")
+        .when(F.col("s1") & ~F.col("p"), "row-complement")
+        .when(F.col("s2") & ~F.col("s1"), "col-complement")
+        .alias("reason"),
+    )

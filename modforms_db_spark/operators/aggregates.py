@@ -4891,3 +4891,107 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(raw).alias("est"),
         r4(raw - 50.0).alias("bias_vs_tau"),
     )
+
+
+_PVM_SPLIT = "1998-01-01"  # period boundary (orders span 1995..2001)
+
+
+@register(
+    "q_price_volume_mix",
+    oracle=f"""
+    WITH o AS (
+      SELECT c.c_mktsegment AS seg,
+             CASE WHEN o.o_orderdate < TIMESTAMP '{_PVM_SPLIT}'
+                  THEN 1 ELSE 2 END AS period,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ), m AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN period = 1 THEN cents END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN period = 2 THEN cents END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v1,
+             CAST(SUM(CASE WHEN period = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS v2
+      FROM o GROUP BY 1
+    )
+    SELECT seg, v1, v2, s1, s2,
+           CAST(s2 - s1 AS BIGINT) AS delta_cents,
+           {R4('''(CAST(s2 AS DOUBLE) * v1 / v2 - s1) / 100.0''')}
+             AS price_effect,
+           {R4('''(CAST(s1 AS DOUBLE) * v2 / v1 - s1) / 100.0''')}
+             AS volume_effect,
+           {R4('''(CAST(s2 AS DOUBLE) * (v2 - v1) / v2
+                  - CAST(s1 AS DOUBLE) * (v2 - v1) / v1) / 100.0''')}
+             AS cross_effect
+    FROM m WHERE v1 > 0 AND v2 > 0
+    """,
+    priority="P2",
+    tags=("agg", "bridge", "decomposition"),
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge per market segment — the FP&A
+    waterfall that explains a period-over-period revenue move
+    (`q_period_over_period` reports THAT revenue moved; this says
+    WHY): with p = average order value and v = order count,
+    ΔR = (p₂−p₁)·v₁ (price effect) + p₁·(v₂−v₁) (volume effect)
+    + (p₂−p₁)·(v₂−v₁) (cross/mix effect) — an exact algebraic
+    identity, so the three effects telescope to the exact-cents
+    delta (law-pinned to 4-dp tolerance, the only rounding in
+    play).
+
+    Each effect reduces to exact BIGINT masses with ONE double
+    division (e.g. price = S₂·v₁/v₂ − S₁) — no p̄ intermediate, no
+    float accumulation; the boundary is a fixed calendar split with
+    both periods populated at every SF.
+
+    Scale: one pass to the (segment, period) mass grain behind a
+    broadcast customer-dim join; the bridge math runs on the
+    5-row segment frame.
+    """
+    prep(spark)
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit(_PVM_SPLIT).cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    m = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("seg")
+        .agg(
+            F.sum(F.when(F.col("period") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("s1"),
+            F.sum(F.when(F.col("period") == 2, F.col("cents")))
+            .cast("bigint")
+            .alias("s2"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v1"),
+            F.sum(F.when(F.col("period") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("v2"),
+        )
+    )
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    v1, v2 = F.col("v1"), F.col("v2")
+    return m.where((v1 > 0) & (v2 > 0)).select(
+        "seg",
+        "v1",
+        "v2",
+        "s1",
+        "s2",
+        (F.col("s2") - F.col("s1")).cast("bigint").alias("delta_cents"),
+        r4((s2 * v1 / v2 - F.col("s1")) / 100.0).alias("price_effect"),
+        r4((s1 * v2 / v1 - F.col("s1")) / 100.0).alias("volume_effect"),
+        r4(
+            (s2 * (v2 - v1) / v2 - s1 * (v2 - v1) / v1) / 100.0
+        ).alias("cross_effect"),
+    )

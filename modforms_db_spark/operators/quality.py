@@ -1748,3 +1748,107 @@ def q_column_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_value",
         )
     )
+
+
+@register(
+    "q_duplicate_payments",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), pool AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey,
+             o_orderdate + INTERVAL 3 DAY, cents
+      FROM base WHERE o_orderkey % 211 = 0
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS key_a,
+           b.o_orderkey AS key_b, a.cents,
+           CAST(date_diff('day', CAST(a.o_orderdate AS DATE),
+                          CAST(b.o_orderdate AS DATE)) AS BIGINT)
+             AS day_gap,
+           b.o_orderkey = a.o_orderkey + 10000000 AS is_planted
+    FROM pool a
+    JOIN pool b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND b.o_orderkey > a.o_orderkey
+     AND b.o_orderdate >= a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+    """,
+    priority="P2",
+    tags=("quality", "audit", "duplicates"),
+)
+def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detector — the classic AP audit: pairs of
+    orders from the SAME customer with the IDENTICAL amount within
+    a 7-day window (same-amount re-submissions; `q_dedup_exact`
+    finds byte-identical records, `q_reconciliation_audit` matches
+    across sources — this finds suspicious near-repeats WITHIN one
+    ledger). Amounts are exact cents so "identical" is exact, and
+    the pair join blocks on (customer, cents) — candidate pairs
+    only ever form inside those buckets, never across the table.
+    Organic near-repeats are rare-to-absent at fixture price
+    granularity, so a planted re-submission batch (every orderkey ≡
+    0 mod 211, +3 days, key offset +10⁷ — the `q_dedup_exact`
+    re-ingest device) keeps the detector's positive branch live and
+    recall-pinned; the is_planted flag keeps any organic finding
+    distinguishable.
+
+    Scale: one shuffle on the (custkey, cents) blocking key; within-
+    bucket pair expansion is bounded by per-customer same-amount
+    multiplicity (≈1); the date predicate is a residual filter.
+    """
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # organic + planted legs, one scan
+    )
+    planted = base.where(F.col("o_orderkey") % 211 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_custkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias(
+            "o_orderdate"
+        ),
+        "cents",
+    )
+    pool = base.unionByName(planted)
+    a = pool.alias("a")
+    b = pool.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.o_custkey") == F.col("a.o_custkey"))
+            & (F.col("b.cents") == F.col("a.cents"))
+            & (F.col("b.o_orderkey") > F.col("a.o_orderkey"))
+            & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+            & (
+                F.col("b.o_orderdate")
+                <= F.col("a.o_orderdate") + F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            F.col("a.cents").alias("cents"),
+            F.datediff(
+                F.col("b.o_orderdate").cast("date"),
+                F.col("a.o_orderdate").cast("date"),
+            )
+            .cast("bigint")
+            .alias("day_gap"),
+            (F.col("b.o_orderkey") == F.col("a.o_orderkey") + 10000000).alias(
+                "is_planted"
+            ),
+        )
+    )

@@ -1765,3 +1765,74 @@ def test_scd2_lookup_effective_dating(spark):
     for r in pre:
         fs = first_by_user.get(r["user_id"])
         assert fs is None or r["purchase_ts"] < fs
+
+
+def test_cell_suppression_invariants(spark):
+    """Planted variant exercises primary AND complementary
+    suppression; after the column pass no column in either variant
+    has exactly one suppressed cell; published cells are never
+    small; suppressed cells publish NULL."""
+    from collections import Counter
+
+    from modforms_db_spark.llm.curation import _SUPP_K, q_cell_suppression
+
+    rows = q_cell_suppression(spark, SF_DIR).collect()
+    reasons = Counter(
+        r["reason"] for r in rows if r["variant"] == "planted" and r["reason"]
+    )
+    assert reasons["primary"] > 0 and reasons["row-complement"] > 0
+    for v in ("organic", "planted"):
+        col_sup = Counter()
+        for r in rows:
+            if r["variant"] != v:
+                continue
+            if r["suppressed"]:
+                assert r["published_n"] is None and r["reason"] is not None
+                col_sup[r["seg"]] += 1
+            else:
+                assert r["published_n"] is not None and r["reason"] is None
+                assert r["published_n"] == 0 or r["published_n"] >= _SUPP_K
+        for seg, n in col_sup.items():
+            assert n != 1, (v, seg)
+
+
+def test_price_volume_mix_telescopes(spark):
+    """The three effects sum to the exact revenue delta (4-dp
+    tolerance, the only rounding); masses are positive in both
+    periods; all five segments present."""
+    from modforms_db_spark.operators.aggregates import q_price_volume_mix
+
+    rows = q_price_volume_mix(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["v1"] > 0 and r["v2"] > 0
+        gap = abs(
+            r["price_effect"]
+            + r["volume_effect"]
+            + r["cross_effect"]
+            - r["delta_cents"] / 100.0
+        )
+        assert gap < 1e-3, (r["seg"], gap)
+
+
+def test_duplicate_payments_recall(spark):
+    """Every planted re-submission is found (same customer, same
+    cents, +3 days); day gaps respect the 7-day window; pair keys
+    are ordered."""
+    from modforms_db_spark.operators.quality import q_duplicate_payments
+
+    rows = q_duplicate_payments(spark, SF_DIR).collect()
+    n_seeds = (
+        load(spark, SF_DIR, "orders")
+        .where(F.col("o_orderkey") % 211 == 0)
+        .count()
+    )
+    planted = [r for r in rows if r["is_planted"]]
+    assert len(planted) >= n_seeds
+    assert {(r["key_a"], r["key_b"]) for r in planted} >= {
+        (r["key_a"], r["key_a"] + 10000000) for r in planted
+    }
+    for r in rows:
+        assert 0 <= r["day_gap"] <= 7
+        assert r["key_a"] < r["key_b"]
+    assert all(r["day_gap"] == 3 for r in planted)
