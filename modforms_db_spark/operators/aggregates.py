@@ -4995,3 +4995,137 @@ def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (s2 * (v2 - v1) / v2 - s1 * (v2 - v1) / v1) / 100.0
         ).alias("cross_effect"),
     )
+
+
+_DEFF_VARIANT_SQL = """
+      SELECT 'organic' AS variant, user_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS v
+      FROM events
+      UNION ALL
+      SELECT 'planted', user_id,
+             CAST(ROUND(value * 100) AS BIGINT) + 2000 * (user_id % 7)
+      FROM events
+"""
+
+
+@register(
+    "q_design_effect",
+    oracle=f"""
+    WITH pool AS ({_DEFF_VARIANT_SQL}
+    ), cl AS (
+      SELECT variant, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(v) AS BIGINT) AS s_i,
+             CAST(SUM(v * v) AS BIGINT) AS ss_i,
+             CAST(ROUND({R4('CAST(SUM(v) AS DOUBLE) * SUM(v) / COUNT(*)')}
+                  * 10000) AS BIGINT) AS bterm_q
+      FROM pool GROUP BY 1, 2
+    ), m AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(s_i) AS BIGINT) AS s,
+             CAST(SUM(ss_i) AS BIGINT) AS ss,
+             CAST(SUM(bterm_q) AS BIGINT) AS bsum_q,
+             CAST(SUM(n_i * n_i) AS BIGINT) AS nn
+      FROM cl GROUP BY 1
+    ), d AS (
+      SELECT variant, k, n,
+             (bsum_q / 10000.0 - CAST(s AS DOUBLE) * s / n) / (k - 1) AS msb,
+             (ss - bsum_q / 10000.0) / (n - k) AS msw,
+             (CAST(n AS DOUBLE) - CAST(nn AS DOUBLE) / n) / (k - 1) AS m0
+      FROM m
+    )
+    SELECT variant, k AS n_clusters, n AS n_rows,
+           {R4('(msb - msw) / (msb + (m0 - 1) * msw)')} AS icc,
+           {R4('''1.0 + (CAST(n AS DOUBLE) / k - 1.0)
+                 * ((msb - msw) / (msb + (m0 - 1) * msw))''')} AS deff,
+           {R4('''n / (1.0 + (CAST(n AS DOUBLE) / k - 1.0)
+                 * ((msb - msw) / (msb + (m0 - 1) * msw)))''')} AS n_effective
+    FROM d
+    """,
+    priority="P2",
+    tags=("experiment", "sampling", "design-effect"),
+)
+def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-sampling design effect (Kish DEFF = 1 + (m̄−1)·ICC):
+    when units arrive in clusters (users, sessions, classrooms),
+    n correlated rows carry less information than n independent
+    ones, and powering an experiment by raw row count overstates
+    precision — the sizing correction `q_mde_power` needs whenever
+    randomization is by CLUSTER. ICC comes from the one-way ANOVA
+    estimator with the unequal-cluster-size m₀ correction; DEFF and
+    the effective sample size follow. Organic event values are iid
+    across users (ICC ≈ 0, DEFF ≈ 1 — the honest negative); the
+    planted variant shifts each user's values by 20·(user % 7), a
+    real between-cluster component, so ICC ≫ 0 and DEFF ≫ 1 — both
+    regimes live at every SF, law-pinned.
+
+    All moments are exact BIGINT cents (sums, squares, cluster
+    sums); the only per-cluster float — S_i²/n_i — rides as
+    r4→integer ten-thousandths so the between-cluster sum is
+    order-exact; ICC/DEFF are single formulas on those masses.
+
+    Scale: one pass to the cluster grain (map-side combined), then
+    a per-variant 1-row reduce — the same shape prices DEFF on a
+    billion clusters.
+    """
+    prep(spark)
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        )
+        .localCheckpoint(eager=False)  # both variants, one scan
+    )
+    pool = e.select(
+        F.lit("organic").alias("variant"), "user_id", "v"
+    ).unionByName(
+        e.select(
+            F.lit("planted").alias("variant"),
+            "user_id",
+            (F.col("v") + 2000 * (F.col("user_id") % 7)).alias("v"),
+        )
+    )
+    cl = pool.groupBy("variant", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("v").cast("bigint").alias("s_i"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_i"),
+    )
+    cl = cl.select(
+        "*",
+        F.round(
+            r4(F.col("s_i").cast("double") * F.col("s_i") / F.col("n_i"))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("bterm_q"),
+    )
+    m = cl.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.sum("ss_i").cast("bigint").alias("ss"),
+        F.sum("bterm_q").cast("bigint").alias("bsum_q"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("nn"),
+    )
+    bsum = F.col("bsum_q") / 10000.0
+    msb = (bsum - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("k") - 1
+    )
+    msw = (F.col("ss") - bsum) / (F.col("n") - F.col("k"))
+    m0 = (
+        F.col("n").cast("double") - F.col("nn").cast("double") / F.col("n")
+    ) / (F.col("k") - 1)
+    icc = (msb - msw) / (msb + (m0 - 1) * msw)
+    deff = 1.0 + (F.col("n").cast("double") / F.col("k") - 1.0) * icc
+    return m.select(
+        "variant",
+        F.col("k").alias("n_clusters"),
+        F.col("n").alias("n_rows"),
+        r4(icc).alias("icc"),
+        r4(deff).alias("deff"),
+        r4(F.col("n") / deff).alias("n_effective"),
+    )

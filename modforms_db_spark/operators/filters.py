@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R2, R4
-from modforms_db_spark.parity import r2
+from modforms_db_spark.parity import r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -645,4 +645,52 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_orderdate, o_orderkey)
         """
+    )
+
+
+@register(
+    "q_sql_identifier",
+    oracle=f"""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {R4('AVG(c_acctbal)')} AS avg_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+    priority="P2",
+    tags=("sql", "surface", "identifier"),
+)
+def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 `IDENTIFIER(:param)` clause — safely parameterized
+    TABLE and COLUMN names (the SQL-injection-proof way to build
+    dynamic reports; `q_sql_parameterized` binds VALUES, this binds
+    identifiers, which plain parameter markers cannot do): the same
+    aggregation runs with the view name, the grouping column, and
+    the measure column all supplied as named arguments. The oracle
+    is the statically-spelled equivalent — identical results prove
+    the indirection is pure name resolution.
+
+    Scale: the clause resolves at ANALYSIS time — the physical plan
+    is byte-identical to the static query (scan + partial/final
+    agg), so there is no runtime cost to the indirection.
+    """
+    prep(spark)
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "mfdb_ident_customer"
+    )
+    raw = spark.sql(
+        """
+        SELECT IDENTIFIER(:grp) AS seg,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               AVG(IDENTIFIER(:msr)) AS avg_raw
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:grp)
+        """,
+        args={
+            "grp": "c_mktsegment",
+            "msr": "c_acctbal",
+            "tbl": "mfdb_ident_customer",
+        },
+    )
+    return raw.select(
+        "seg", "n_customers", r4(F.col("avg_raw")).alias("avg_balance")
     )

@@ -1347,3 +1347,67 @@ def q_consistent_hash_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.col("n_keys") * 1.0 / F.col("n")).alias("share"),
         )
     )
+
+
+@register(
+    "q_dpp_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority AS pr FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT o.o_orderpriority AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN dim ON dim.pr = o.o_orderpriority
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("sink", "pruning", "dpp"),
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime cousin of the static
+    pruning `q_sink_sorted_pruning`/`q_sink_partition_overwrite`
+    prove: orders are written PARTITIONED BY priority, then joined
+    to a small FILTERED dimension whose qualifying keys are only
+    known at run time; Spark plants a dynamicpruning subquery on the
+    fact scan so only the 2 qualifying partition directories are
+    read — at 100 TB this is the star-join pattern (date-partitioned
+    fact ⋈ filtered date dim) where DPP is the difference between
+    scanning 2 days and 2 000. The plan carries
+    `dynamicpruningexpression` on the fact-side scan (pinned by the
+    plan test); the aggregate proves the result equals the logical
+    join.
+
+    Write-path operator (the partitioned write IS the setup), so it
+    is excluded from the engine-comparable bench set like every
+    sink twin.
+
+    Scale: one partitioned write (cost = the table), then a
+    broadcast dim join whose DPP filter prunes the fact scan to the
+    qualifying directories before any row is read.
+    """
+    prep(spark)
+    path = _scratch("orders_by_priority_dpp")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("pr"))
+        .where(F.col("pr").isin("1-URGENT", "2-HIGH"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["pr"])
+        .groupBy("pr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )

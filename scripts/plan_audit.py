@@ -166,6 +166,10 @@ _R_MULTI_GRAIN = (
 )
 ALLOW_DUP_SCAN: dict[str, str] = {
     # dim-table broadcast branches
+    "q_dpp_prune": "the runtime-filter dim deliberately reads the "
+    "source table independently of the partitioned fact write — an "
+    "independent dim is what makes the dynamic-pruning subquery "
+    "demonstrable (joining the fact to itself would prune nothing)",
     "q_fuzzy_name_join": _R_DIM_BROADCAST,
     "q_hhi_concentration": _R_DIM_BROADCAST
     + "; the lineitem pair is the per-row leg + share-denominator leg "

@@ -1836,3 +1836,67 @@ def test_duplicate_payments_recall(spark):
         assert 0 <= r["day_gap"] <= 7
         assert r["key_a"] < r["key_b"]
     assert all(r["day_gap"] == 3 for r in planted)
+
+
+def test_dpp_prune_plan_and_result(spark):
+    """The fact-side scan carries a dynamic-pruning subquery; the
+    aggregate matches an in-memory recomputation of the join."""
+    from modforms_db_spark.sources.sinks import q_dpp_prune
+
+    df = q_dpp_prune(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    got = {r["pr"]: (r["n_orders"], r["cents"]) for r in df.collect()}
+    o = load(spark, SF_DIR, "orders")
+    want = {
+        r["o_orderpriority"]: (r["n"], r["c"])
+        for r in o.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_sql_identifier_matches_static(spark):
+    """IDENTIFIER-parameterized aggregation equals the statically
+    written DataFrame aggregation exactly."""
+    from modforms_db_spark.operators.filters import q_sql_identifier
+    from modforms_db_spark.parity import r4
+
+    got = {
+        r["seg"]: (r["n_customers"], r["avg_balance"])
+        for r in q_sql_identifier(spark, SF_DIR).collect()
+    }
+    want = {
+        r["seg"]: (r["n"], r["a"])
+        for r in load(spark, SF_DIR, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            r4(F.avg("c_acctbal")).alias("a"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_design_effect_regimes(spark):
+    """Organic clusters are iid (ICC ~ 0, DEFF ~ 1, effective n ~ n);
+    the planted between-cluster shift produces ICC >> 0 and DEFF >> 1;
+    n_effective = n / DEFF holds."""
+    from modforms_db_spark.operators.aggregates import q_design_effect
+
+    by = {r["variant"]: r for r in q_design_effect(spark, SF_DIR).collect()}
+    o, p = by["organic"], by["planted"]
+    assert abs(o["icc"]) < 0.05 and 0.8 < o["deff"] < 1.3
+    assert p["icc"] > 0.2 and p["deff"] > 5.0
+    for r in (o, p):
+        assert r["n_clusters"] > 1 and r["n_rows"] > r["n_clusters"]
+        assert abs(r["n_effective"] - r["n_rows"] / r["deff"]) < 0.05
+    assert p["n_effective"] < o["n_effective"]
