@@ -5129,3 +5129,185 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(deff).alias("deff"),
         r4(F.col("n") / deff).alias("n_effective"),
     )
+
+
+_SIMPSON_STRAT_SQL = """
+      SELECT user_id % 2 AS grp,
+             CASE WHEN DAY(CAST(ts AS DATE)) < 16 THEN 'early'
+                  ELSE 'late' END AS stratum,
+             event_id, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+
+@register(
+    "q_simpson_paradox",
+    oracle=f"""
+    WITH base AS ({_SIMPSON_STRAT_SQL}
+    ), pool AS (
+      SELECT 'organic' AS variant, grp, stratum,
+             event_type = 'purchase' AS success
+      FROM base
+      UNION ALL
+      SELECT 'planted', grp, stratum,
+             CASE
+               WHEN stratum = 'late' AND event_type = 'purchase'
+                    AND event_id % 4 <> 0 THEN FALSE
+               WHEN grp = 0 AND event_type = 'click'
+                    AND event_id % 8 = 0 THEN TRUE
+               ELSE event_type = 'purchase'
+             END
+      FROM base
+      WHERE NOT (grp = 0 AND stratum = 'early' AND event_id % 3 <> 0)
+        AND NOT (grp = 1 AND stratum = 'late' AND event_id % 3 <> 0)
+    ), cells AS (
+      SELECT variant, stratum, grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM pool GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT variant, 'ALL', grp,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
+      FROM pool GROUP BY 1, 3
+    ), wide AS (
+      SELECT variant, stratum,
+             CAST(SUM(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN grp = 0 THEN c END) AS BIGINT) AS c_a,
+             CAST(SUM(CASE WHEN grp = 1 THEN c END) AS BIGINT) AS c_b
+      FROM cells GROUP BY 1, 2
+    ), diffed AS (
+      SELECT variant, stratum, n_a, n_b,
+             {R4('CAST(c_a AS DOUBLE) / n_a')} AS rate_a,
+             {R4('CAST(c_b AS DOUBLE) / n_b')} AS rate_b,
+             {R4('CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b')}
+               AS diff
+      FROM wide
+    )
+    SELECT d.*,
+           (MIN(CASE WHEN stratum <> 'ALL' THEN diff END)
+              OVER (PARTITION BY variant) > 0
+            AND MAX(CASE WHEN stratum = 'ALL' THEN diff END)
+              OVER (PARTITION BY variant) < 0)
+           OR
+           (MAX(CASE WHEN stratum <> 'ALL' THEN diff END)
+              OVER (PARTITION BY variant) < 0
+            AND MIN(CASE WHEN stratum = 'ALL' THEN diff END)
+              OVER (PARTITION BY variant) > 0)
+             AS reversal
+    FROM diffed d
+    """,
+    priority="P2",
+    tags=("experiment", "simpson", "stratified"),
+)
+def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector: does the aggregate A-vs-B
+    conversion comparison REVERSE the verdict every stratum agrees
+    on? (`q_cmh_test` adjusts for strata; this flags when skipping
+    that adjustment flips the sign — the aggregation trap itself.)
+    Conversion = purchase share among click/purchase exposures,
+    groups = user parity, strata = early/late month halves. Organic
+    exposure is balanced and stratum rates are iid, so no reversal
+    (the honest negative). The planted variant builds the classic
+    Berkeley structure deterministically from the same rows: late
+    purchases are mostly relabeled (late stratum becomes genuinely
+    harder), group A is boosted a little in BOTH strata (wins every
+    stratum) but exposed mostly late while B is exposed mostly
+    early — so B wins the aggregate and the reversal flag fires,
+    law-pinned at every SF.
+
+    All masses exact; rates and diffs are single divisions under
+    r4 rounded BEFORE the sign comparisons; the verdict windows run
+    on the 6-row (variant, stratum) frame.
+
+    Scale: one events pass to the (variant, stratum, group) cell
+    grain (map-side combined); everything after is arithmetic on a
+    bounded frame.
+    """
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(
+                F.dayofmonth(F.col("ts").cast("date")) < 16, "early"
+            )
+            .otherwise("late")
+            .alias("stratum"),
+            "event_id",
+            "event_type",
+        )
+        .localCheckpoint(eager=False)  # organic + planted legs, one scan
+    )
+    organic = base.select(
+        F.lit("organic").alias("variant"),
+        "grp",
+        "stratum",
+        (F.col("event_type") == "purchase").alias("success"),
+    )
+    planted_success = (
+        F.when(
+            (F.col("stratum") == "late")
+            & (F.col("event_type") == "purchase")
+            & (F.col("event_id") % 4 != 0),
+            F.lit(False),
+        )
+        .when(
+            (F.col("grp") == 0)
+            & (F.col("event_type") == "click")
+            & (F.col("event_id") % 8 == 0),
+            F.lit(True),
+        )
+        .otherwise(F.col("event_type") == "purchase")
+    )
+    planted = base.where(
+        ~((F.col("grp") == 0) & (F.col("stratum") == "early") & (F.col("event_id") % 3 != 0))
+        & ~((F.col("grp") == 1) & (F.col("stratum") == "late") & (F.col("event_id") % 3 != 0))
+    ).select(
+        F.lit("planted").alias("variant"),
+        "grp",
+        "stratum",
+        planted_success.alias("success"),
+    )
+    pool = organic.unionByName(planted)
+    per = pool.groupBy("variant", "stratum", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    allr = pool.groupBy("variant", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("success"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    ).select("variant", F.lit("ALL").alias("stratum"), "grp", "n", "c")
+    cells = per.unionByName(allr)
+    wide = cells.groupBy("variant", "stratum").agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("n"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("n"))).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("c"))).cast("bigint").alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("c"))).cast("bigint").alias("c_b"),
+    )
+    diff = r4(
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    )
+    diffed = wide.select(
+        "variant",
+        "stratum",
+        "n_a",
+        "n_b",
+        r4(F.col("c_a").cast("double") / F.col("n_a")).alias("rate_a"),
+        r4(F.col("c_b").cast("double") / F.col("n_b")).alias("rate_b"),
+        diff.alias("diff"),
+    )
+    wv = Window.partitionBy("variant")
+    strat_diff = F.when(F.col("stratum") != "ALL", F.col("diff"))
+    all_diff = F.when(F.col("stratum") == "ALL", F.col("diff"))
+    reversal = (
+        (F.min(strat_diff).over(wv) > 0) & (F.max(all_diff).over(wv) < 0)
+    ) | ((F.max(strat_diff).over(wv) < 0) & (F.min(all_diff).over(wv) > 0))
+    return diffed.select("*", reversal.alias("reversal"))

@@ -1852,3 +1852,313 @@ def q_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _contract_rows() -> list:
+    """Declared data contract: canonicalized (table, column, type)
+    rows derived from the package's own StructTypes (schemas.py —
+    single source of truth), plus three deliberate violations (the
+    `q_fk_discovery` mis-declared-edge device) so every status
+    branch is live at every SF: region.r_comment is declared but
+    absent (missing), orders.o_totalprice is declared string
+    (type-drift), and supplier.s_acctbal is omitted (unexpected)."""
+    from pyspark.sql import types as T
+
+    from modforms_db_spark.schemas import SCHEMAS
+
+    def canon(dt) -> str:
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, T.LongType):
+            return "bigint"
+        if isinstance(dt, T.DoubleType):
+            return "double"
+        if isinstance(dt, T.FloatType):
+            return "float"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+            return "timestamp"
+        if isinstance(dt, T.ArrayType):
+            return "array<float>"
+        return "other"
+
+    rows = []
+    for tbl, st in SCHEMAS.items():
+        for f in st.fields:
+            if tbl == "supplier" and f.name == "s_acctbal":
+                continue  # planted 'unexpected'
+            t = canon(f.dataType)
+            if tbl == "orders" and f.name == "o_totalprice":
+                t = "string"  # planted 'type-drift'
+            rows.append((tbl, f.name, t))
+    rows.append(("region", "r_comment", "string"))  # planted 'missing'
+    return rows
+
+
+def _contract_oracle() -> str:
+    vals = ",\n      ".join(
+        f"('{t}', '{c}', '{ty}')" for t, c, ty in _contract_rows()
+    )
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    # The column census is SF-INVARIANT (verified: identical across
+    # sf0.001/sf0.01/sf0.1), so the oracle pins the driver's gate-scale
+    # files; the law test re-asserts invariance at the suite's SF.
+    scans = "\n      UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, name, type, logical_type, "
+        f"converted_type FROM "
+        f"parquet_schema('/root/testdata/sf0.01/{t}.parquet')"
+        for t in tables
+    )
+    return f"""
+    WITH raw AS (
+      {scans}
+    ), actual AS (
+      SELECT table_name, name AS column_name,
+             CASE
+               WHEN converted_type = 'LIST' THEN 'array<float>'
+               WHEN type = 'INT32' THEN 'int'
+               WHEN type = 'INT64'
+                    AND CAST(logical_type AS VARCHAR) LIKE 'Timestamp%'
+                 THEN 'timestamp'
+               WHEN type = 'INT64' THEN 'bigint'
+               WHEN type = 'DOUBLE' THEN 'double'
+               WHEN type = 'FLOAT' THEN 'float'
+               WHEN type = 'BYTE_ARRAY' THEN 'string'
+               ELSE 'other'
+             END AS actual_type
+      FROM raw WHERE name NOT IN ('schema', 'list', 'element')
+    ), contract(table_name, column_name, declared_type) AS (
+      VALUES {vals}
+    )
+    SELECT COALESCE(a.table_name, c.table_name) AS table_name,
+           COALESCE(a.column_name, c.column_name) AS column_name,
+           c.declared_type, a.actual_type,
+           CASE WHEN c.declared_type IS NULL THEN 'unexpected'
+                WHEN a.actual_type IS NULL THEN 'missing'
+                WHEN c.declared_type = a.actual_type THEN 'match'
+                ELSE 'type-drift' END AS status
+    FROM actual a
+    FULL OUTER JOIN contract c
+      ON c.table_name = a.table_name AND c.column_name = a.column_name
+    """
+
+
+@register(
+    "q_schema_contract",
+    oracle=_contract_oracle(),
+    priority="P2",
+    tags=("quality", "contract", "schema"),
+)
+def q_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema data-contract audit — the metadata-level companion to
+    `q_dq_expectations`' row-level checks: the ACTUAL parquet file
+    schemas (read from footers on EXECUTORS, the
+    `q_parquet_rowgroup_stats` pattern — never the session's applied
+    schemas, which would make the check circular) are canonicalized
+    and diffed against the declared contract (schemas.py, the
+    package's single source of truth). Statuses: match, type-drift
+    (column present, type changed), missing (declared, absent from
+    the file), unexpected (in the file, undeclared) — the four
+    verdicts a contract gate raises before any pipeline runs.
+    Three deliberate contract violations keep every non-match
+    branch live at every SF (documented in `_contract_rows`).
+
+    Cross-engine: both sides canonicalize to the same 7-type
+    vocabulary; the oracle reads the same footers via DuckDB's
+    `parquet_schema()`.
+
+    Scale: a pure metadata read — one footer per file on the
+    executors, no data pages; the diff is a full-outer join of two
+    bounded column-census frames.
+    """
+    prep(spark)
+    import pandas as pd  # noqa: F401
+
+    from modforms_db_spark.schemas import TABLES
+
+    paths = spark.createDataFrame(
+        [(t, f"{sf_dir}/{t}.parquet") for t in TABLES],
+        "table_name string, path string",
+    ).repartition(4)
+
+    def read_schemas(batches):
+        # nested for worker-closure portability (house r6 rule)
+        import pandas as pdl
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        def canon(t) -> str:
+            if pat.is_int32(t):
+                return "int"
+            if pat.is_int64(t):
+                return "bigint"
+            if pat.is_float64(t):
+                return "double"
+            if pat.is_float32(t):
+                return "float"
+            if pat.is_string(t) or pat.is_large_string(t):
+                return "string"
+            if pat.is_timestamp(t):
+                return "timestamp"
+            if pat.is_list(t) or pat.is_large_list(t):
+                return "array<float>"
+            return "other"
+
+        for b in batches:
+            out = []
+            for tbl, path in zip(b["table_name"], b["path"]):
+                sch = pq.ParquetFile(path).schema_arrow
+                for f in sch:
+                    out.append((tbl, f.name, canon(f.type)))
+            yield pdl.DataFrame(
+                out, columns=["table_name", "column_name", "actual_type"]
+            )
+
+    actual = paths.mapInPandas(
+        read_schemas,
+        "table_name string, column_name string, actual_type string",
+    )
+    contract = spark.createDataFrame(
+        _contract_rows(),
+        "table_name string, column_name string, declared_type string",
+    )
+    j = actual.join(
+        F.broadcast(contract), ["table_name", "column_name"], "full_outer"
+    )
+    status = (
+        F.when(F.col("declared_type").isNull(), "unexpected")
+        .when(F.col("actual_type").isNull(), "missing")
+        .when(F.col("declared_type") == F.col("actual_type"), "match")
+        .otherwise("type-drift")
+    )
+    return j.select(
+        "table_name",
+        "column_name",
+        "declared_type",
+        "actual_type",
+        status.alias("status"),
+    )
+
+
+_RI_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+    # deliberately mis-declared edge (the q_fk_discovery device):
+    # order keys are NOT customer keys (the key range outruns the
+    # customer dimension at every shipped SF), so orphans > 0 always
+    ("lineitem.l_orderkey->customer[planted]", "lineitem", "l_orderkey",
+     "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for label, ct, ck, pt, pk in _RI_EDGES:
+        parts.append(f"""
+      SELECT '{label}' AS edge,
+             CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+             CAST(SUM(n) AS BIGINT) AS n_child_rows,
+             CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_orphan_keys,
+             CAST(SUM(CASE WHEN orphan THEN n ELSE 0 END) AS BIGINT)
+               AS n_orphan_rows
+      FROM (
+        SELECT c.k, c.n, p.k IS NULL AS orphan
+        FROM (SELECT {ck} AS k, CAST(COUNT(*) AS BIGINT) AS n
+              FROM {ct} GROUP BY 1) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {pt}) p ON p.k = c.k
+      )""")
+        parts.append("      UNION ALL")
+    body = "\n".join(parts[:-1])
+    return f"""
+    SELECT edge, n_child_keys, n_child_rows, n_orphan_keys, n_orphan_rows,
+           n_orphan_keys = 0 AS ri_ok
+    FROM ({body})
+    """
+
+
+@register(
+    "q_ri_orphans",
+    oracle=_ri_oracle(),
+    priority="P2",
+    tags=("quality", "integrity", "foreign-key"),
+)
+def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity orphan audit over the warehouse's
+    declared foreign-key edges — `q_fk_discovery` infers WHICH
+    containments hold; this GATES the declared ones, counting child
+    keys (and their row mass) with no matching parent. Six real
+    star-schema edges plus one deliberately mis-declared edge
+    (supplier keys against the nation dimension — the
+    `q_fk_discovery` device) keep both verdicts live at every SF:
+    the real edges read ri_ok, the planted edge reports real orphan
+    mass.
+
+    All counts exact; the child side is reduced to its KEY grain
+    (with row counts) before any join, so orphan row mass never
+    re-scans the fact table.
+
+    Scale: per edge, one map-side-combined child key-grain pass and
+    one join against the parent key set — small parents broadcast;
+    at 100 TB the child grain is the only shuffle and the audit
+    output is one row per declared edge.
+    """
+    prep(spark)
+    child_cols = {"lineitem": ["l_orderkey", "l_partkey", "l_suppkey"]}
+    loaded = {}
+
+    def tbl(name):
+        if name not in loaded:
+            cols = set(child_cols.get(name, []))
+            for label, ct, ck, pt, pk in _RI_EDGES:
+                if ct == name:
+                    cols.add(ck)
+                if pt == name:
+                    cols.add(pk)
+            loaded[name] = (
+                load(spark, sf_dir, name)
+                .select(*sorted(cols))
+                .localCheckpoint(eager=False)  # shared across edges
+            )
+        return loaded[name]
+
+    out = None
+    for label, ct, ck, pt, pk in _RI_EDGES:
+        c = (
+            tbl(ct)
+            .groupBy(F.col(ck).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        )
+        p = tbl(pt).select(F.col(pk).alias("k")).distinct()
+        j = c.join(F.broadcast(p.withColumnRenamed("k", "pk")),
+                   F.col("k") == F.col("pk"), "left")
+        agg = j.agg(
+            F.lit(label).alias("edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child_keys"),
+            F.sum("n").cast("bigint").alias("n_child_rows"),
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+            F.sum(F.when(F.col("pk").isNull(), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphan_rows"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "*", (F.col("n_orphan_keys") == 0).alias("ri_ok")
+    )

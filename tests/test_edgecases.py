@@ -1900,3 +1900,62 @@ def test_design_effect_regimes(spark):
         assert r["n_clusters"] > 1 and r["n_rows"] > r["n_clusters"]
         assert abs(r["n_effective"] - r["n_rows"] / r["deff"]) < 0.05
     assert p["n_effective"] < o["n_effective"]
+
+
+def test_schema_contract_statuses(spark):
+    """All four contract verdicts are live: the three planted
+    violations land on their designed rows, every other column
+    matches, and the census is SF-invariant by construction."""
+    from modforms_db_spark.operators.quality import q_schema_contract
+
+    rows = {
+        (r["table_name"], r["column_name"]): r
+        for r in q_schema_contract(spark, SF_DIR).collect()
+    }
+    assert rows[("region", "r_comment")]["status"] == "missing"
+    assert rows[("orders", "o_totalprice")]["status"] == "type-drift"
+    assert rows[("supplier", "s_acctbal")]["status"] == "unexpected"
+    others = [
+        r for k, r in rows.items()
+        if k not in {("region", "r_comment"), ("orders", "o_totalprice"),
+                     ("supplier", "s_acctbal")}
+    ]
+    assert others and all(r["status"] == "match" for r in others)
+    drift = rows[("orders", "o_totalprice")]
+    assert drift["declared_type"] == "string" and drift["actual_type"] == "double"
+
+
+def test_ri_orphans_verdicts(spark):
+    """Every real star-schema edge is orphan-free; the deliberately
+    mis-declared edge reports positive orphan mass; orphan rows are
+    bounded by child rows."""
+    from modforms_db_spark.operators.quality import _RI_EDGES, q_ri_orphans
+
+    rows = {r["edge"]: r for r in q_ri_orphans(spark, SF_DIR).collect()}
+    assert len(rows) == len(_RI_EDGES)
+    for edge, r in rows.items():
+        assert 0 <= r["n_orphan_keys"] <= r["n_child_keys"]
+        assert 0 <= r["n_orphan_rows"] <= r["n_child_rows"]
+        if "[planted]" in edge:
+            assert not r["ri_ok"] and r["n_orphan_keys"] > 0
+        else:
+            assert r["ri_ok"] and r["n_orphan_rows"] == 0
+
+
+def test_simpson_paradox_regimes(spark):
+    """Organic strata and aggregate agree (no reversal); the planted
+    variant reverses: group A wins BOTH strata yet loses the
+    aggregate; rates are consistent with their masses."""
+    from modforms_db_spark.operators.aggregates import q_simpson_paradox
+
+    rows = q_simpson_paradox(spark, SF_DIR).collect()
+    by = {(r["variant"], r["stratum"]): r for r in rows}
+    assert len(by) == 6
+    assert not by[("organic", "ALL")]["reversal"]
+    assert by[("planted", "ALL")]["reversal"]
+    assert by[("planted", "early")]["diff"] > 0
+    assert by[("planted", "late")]["diff"] > 0
+    assert by[("planted", "ALL")]["diff"] < 0
+    for r in rows:
+        assert 0.0 <= r["rate_a"] <= 1.0 and 0.0 <= r["rate_b"] <= 1.0
+        assert abs(r["diff"] - (r["rate_a"] - r["rate_b"])) < 2e-4
