@@ -5311,3 +5311,74 @@ def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.min(strat_diff).over(wv) > 0) & (F.max(all_diff).over(wv) < 0)
     ) | ((F.max(strat_diff).over(wv) < 0) & (F.min(all_diff).over(wv) > 0))
     return diffed.select("*", reversal.alias("reversal"))
+
+
+@register(
+    "q_agg_histogram_log",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(FLOOR(LOG2(o_totalprice)) AS BIGINT) AS bucket,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ), lims AS (
+      SELECT CAST(MIN(bucket) AS BIGINT) AS lo,
+             CAST(MAX(bucket) AS BIGINT) AS hi
+      FROM b
+    ), spine AS (
+      SELECT UNNEST(generate_series(lims.lo, lims.hi)) AS bucket FROM lims
+    )
+    SELECT s.bucket,
+           CAST(POWER(2.0, s.bucket) AS BIGINT) AS lower_bound,
+           CAST(COALESCE(COUNT(b.cents), 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(b.cents), 0) AS BIGINT) AS cents
+    FROM spine s LEFT JOIN b ON b.bucket = s.bucket
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("agg", "histogram", "log"),
+)
+def q_agg_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log₂-binned histogram of order value — the heavy-tail
+    companion to `q_agg_histogram`'s equi-width bins: monetary and
+    count distributions span orders of magnitude, where linear bins
+    put everything in bucket 0 and power-of-two bins (the jemalloc/
+    HdrHistogram trick) give constant RELATIVE resolution. Bucket =
+    ⌊log₂ x⌋ — an exact integer boundary both engines agree on at
+    every representable double except exact powers of two, where
+    log₂ is exact anyway — reported on the dense [min,max] bucket
+    spine (house rule: holes are signal), with exact-cents mass per
+    bucket.
+
+    Scale: a per-row projection plus a partial+final aggregate on a
+    grain bounded by the VALUE RANGE (≈60 buckets for anything that
+    fits in a double), never row count; the spine is generated from
+    a 1-row min/max reduce.
+    """
+    prep(spark)
+    b = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.log2("o_totalprice")).cast("bigint").alias("bucket"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # limits + counts, one scan
+    )
+    lims = b.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = lims.select(
+        F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    return (
+        spine.join(b, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("lower_bound"),
+            F.count("cents").cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("cents"),
+        )
+        .select("bucket", "lower_bound", "n_orders", "cents")
+    )

@@ -1596,3 +1596,87 @@ def q_join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "c_mktsegment", "n_covered", "n_orders")
     )
+
+
+_USAMPLE_PCT = 10  # universe-sample keep share (hash(key) % 100 < 10)
+
+
+@register(
+    "q_join_sample_estimate",
+    oracle=f"""
+    WITH l AS (
+      SELECT l_orderkey AS k FROM lineitem
+    ), o AS (
+      SELECT o_orderkey AS k FROM orders
+    ), exact AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS j_exact
+      FROM l JOIN o ON o.k = l.k
+    ), ls AS (
+      SELECT k FROM l WHERE (k * 2654435761) % 9973 % 100 < {_USAMPLE_PCT}
+    ), os AS (
+      SELECT k FROM o WHERE (k * 2654435761) % 9973 % 100 < {_USAMPLE_PCT}
+    ), samp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS j_samp
+      FROM ls JOIN os ON os.k = ls.k
+    )
+    SELECT exact.j_exact, samp.j_samp,
+           CAST(samp.j_samp * 100 / {_USAMPLE_PCT} AS BIGINT) AS j_est,
+           {R4(f'''ABS(samp.j_samp * 100.0 / {_USAMPLE_PCT}
+                 - exact.j_exact) / exact.j_exact''')} AS rel_err,
+           ABS(samp.j_samp * 100.0 / {_USAMPLE_PCT} - exact.j_exact)
+             / exact.j_exact < 0.2 AS within_20pct
+    FROM exact CROSS JOIN samp
+    """,
+    priority="P2",
+    tags=("join", "sampling", "estimate"),
+)
+def q_join_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universe-sampled join-size estimation — the sampling
+    complement to `q_join_size_estimate`'s exact per-key histograms:
+    keep a key WHENEVER its avalanched hash lands in the same 10%
+    bucket ON BOTH SIDES (correlated "universe" sampling — Bernoulli
+    row sampling would square the inclusion probability of a matched
+    pair and systematically underestimate), join the samples, and
+    scale by 1/p once (keys kept with probability p keep ALL their
+    pairs). The estimator is unbiased over the hash choice; the op
+    reports sampled vs exact with the relative error and a 20%
+    accuracy verdict, so the driver hash pins the whole pipeline
+    including the error itself.
+
+    The key hash is the avalanched two-level prime mod (`q_ipw_ate`
+    lesson — raw mod-100 multiplicative hashes collapse on dense key
+    ranges); all counts exact BIGINT, one division under r4.
+
+    Scale: this is the pre-shuffle sizing probe — both sampled sides
+    are 10% scans (the hash predicate pushes to the scan), the
+    sampled join shuffles 1% of the pair mass, and the exact join
+    here is only the audit; in production you run just the sampled
+    leg.
+    """
+    prep(spark)
+    h = lambda c: F.pmod(  # noqa: E731
+        F.pmod(F.col(c) * F.lit(2654435761).cast("bigint"), 9973), 100
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    ).localCheckpoint(eager=False)  # exact + sampled legs, one scan
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    ).localCheckpoint(eager=False)
+    exact = l.join(o.withColumnRenamed("k", "k2"), F.col("k") == F.col("k2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("j_exact")
+    )
+    ls = l.where(h("k") < _USAMPLE_PCT)
+    os_ = o.where(h("k") < _USAMPLE_PCT).withColumnRenamed("k", "k2")
+    samp = ls.join(os_, F.col("k") == F.col("k2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("j_samp")
+    )
+    est = F.col("j_samp") * 100 / _USAMPLE_PCT
+    rel = F.abs(est - F.col("j_exact")) / F.col("j_exact")
+    return exact.crossJoin(samp).select(
+        "j_exact",
+        "j_samp",
+        est.cast("bigint").alias("j_est"),
+        r4(rel).alias("rel_err"),
+        (rel < 0.2).alias("within_20pct"),
+    )

@@ -1959,3 +1959,43 @@ def test_simpson_paradox_regimes(spark):
     for r in rows:
         assert 0.0 <= r["rate_a"] <= 1.0 and 0.0 <= r["rate_b"] <= 1.0
         assert abs(r["diff"] - (r["rate_a"] - r["rate_b"])) < 2e-4
+
+
+def test_join_sample_estimate_laws(spark):
+    """Sampled join is a subset of the exact join; the scaled
+    estimate lands within the pinned 20% bound on the shipped
+    fixtures; the exact count matches an independent recomputation."""
+    from modforms_db_spark.operators.joins import q_join_sample_estimate
+
+    r = q_join_sample_estimate(spark, SF_DIR).collect()[0]
+    assert 0 < r["j_samp"] < r["j_exact"]
+    assert r["j_est"] == r["j_samp"] * 10
+    assert r["within_20pct"] and r["rel_err"] < 0.2
+    l = load(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = load(spark, SF_DIR, "orders").select(F.col("o_orderkey").alias("k"))
+    assert r["j_exact"] == l.join(o, "k").count()
+
+
+def test_agg_histogram_log_laws(spark):
+    """Dense contiguous bucket spine; bounds are powers of two;
+    masses reconcile with the table; constant relative width (each
+    bound doubles the previous)."""
+    from modforms_db_spark.operators.aggregates import q_agg_histogram_log
+
+    rows = sorted(
+        q_agg_histogram_log(spark, SF_DIR).collect(),
+        key=lambda r: r["bucket"],
+    )
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == list(range(buckets[0], buckets[-1] + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert b["lower_bound"] == 2 * a["lower_bound"]
+    o = load(spark, SF_DIR, "orders").where(F.col("o_totalprice") > 0)
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    total_cents = o.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+    ).collect()[0][0]
+    assert sum(r["cents"] for r in rows) == total_cents
+    assert rows[0]["n_orders"] > 0 and rows[-1]["n_orders"] > 0
