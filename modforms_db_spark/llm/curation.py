@@ -2554,17 +2554,17 @@ def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GREEDY_U_SQL = """CAST(len(list_distinct(string_split(text, ' ')))
+                 AS DOUBLE) / len(string_split(text, ' '))"""
+
+
 @register(
     "q_budget_select_greedy",
-    oracle="""
+    oracle=f"""
     WITH d AS (
       SELECT doc_id, lang,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS cost,
-             CAST(ROUND(
-               CAST(ROUND(
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) * 10000) AS BIGINT)
-               ) AS BIGINT) AS u_q
+             CAST(ROUND({R4(_GREEDY_U_SQL)} * 10000) AS BIGINT) AS u_q
       FROM documents
     ), tot AS (
       SELECT CAST(SUM(cost) AS BIGINT) // 10 AS budget FROM d

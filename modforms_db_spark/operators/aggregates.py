@@ -5160,16 +5160,17 @@ _SIMPSON_STRAT_SQL = """
       FROM base
       WHERE NOT (grp = 0 AND stratum = 'early' AND event_id % 3 <> 0)
         AND NOT (grp = 1 AND stratum = 'late' AND event_id % 3 <> 0)
-    ), cells AS (
+    ), per AS (
       SELECT variant, stratum, grp,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT) AS c
       FROM pool GROUP BY 1, 2, 3
+    ), cells AS (
+      SELECT * FROM per
       UNION ALL
       SELECT variant, 'ALL', grp,
-             CAST(COUNT(*) AS BIGINT),
-             CAST(SUM(CASE WHEN success THEN 1 ELSE 0 END) AS BIGINT)
-      FROM pool GROUP BY 1, 3
+             CAST(SUM(n) AS BIGINT), CAST(SUM(c) AS BIGINT)
+      FROM per GROUP BY 1, 3
     ), wide AS (
       SELECT variant, stratum,
              CAST(SUM(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n_a,
@@ -5277,12 +5278,11 @@ def q_simpson_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("success"), 1).otherwise(0))
         .cast("bigint")
         .alias("c"),
-    )
-    allr = pool.groupBy("variant", "grp").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(F.col("success"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("c"),
+    ).localCheckpoint(eager=False)  # strata partition the pool, so the
+    # ALL row is the SUM of the 12-row cell frame — no second pool pass
+    allr = per.groupBy("variant", "grp").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("c"),
     ).select("variant", F.lit("ALL").alias("stratum"), "grp", "n", "c")
     cells = per.unionByName(allr)
     wide = cells.groupBy("variant", "stratum").agg(

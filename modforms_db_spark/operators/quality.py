@@ -2027,8 +2027,8 @@ def q_schema_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name string, column_name string, declared_type string",
     )
     j = actual.join(
-        F.broadcast(contract), ["table_name", "column_name"], "full_outer"
-    )
+        contract, ["table_name", "column_name"], "full_outer"
+    )  # full-outer cannot broadcast; both census frames are ~60 rows
     status = (
         F.when(F.col("declared_type").isNull(), "unexpected")
         .when(F.col("actual_type").isNull(), "missing")
@@ -2104,7 +2104,7 @@ def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     containments hold; this GATES the declared ones, counting child
     keys (and their row mass) with no matching parent. Six real
     star-schema edges plus one deliberately mis-declared edge
-    (supplier keys against the nation dimension — the
+    (order keys against the customer dimension — the
     `q_fk_discovery` device) keep both verdicts live at every SF:
     the real edges read ri_ok, the planted edge reports real orphan
     mass.

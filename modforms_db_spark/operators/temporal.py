@@ -3271,8 +3271,10 @@ def q_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter on the transition grain.
     """
     prep(spark)
-    base = load(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "event_type"
+    base = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .localCheckpoint(eager=False)  # organic + zz-cycle legs, one scan
     )
     cyc = F.element_at(
         F.array(*[F.lit(t) for t in ["click", "error", "purchase", "signup", "view"]]),
