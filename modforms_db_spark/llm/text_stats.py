@@ -2477,3 +2477,97 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             sum_q > 0, r4(F.col("tail_k") * 10000.0 / sum_q)
         ).alias("alpha_hill"),
     )
+
+
+@register(
+    "q_nucleus_vocab",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS f
+      FROM tok GROUP BY 1, 2
+    ), cum AS (
+      SELECT lang, token, f,
+             CAST(SUM(f) OVER (
+               PARTITION BY lang ORDER BY f DESC, token) AS BIGINT) AS cum
+      FROM tf
+    ), tot AS (
+      SELECT lang, CAST(SUM(f) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_vocab
+      FROM tf GROUP BY 1
+    ), sel AS (
+      SELECT cum.lang, cum.f,
+             cum.cum - cum.f < (9 * tot.total + 9) // 10 AS selected
+      FROM cum JOIN tot ON tot.lang = cum.lang
+    )
+    SELECT tot.lang, tot.n_vocab, tot.total AS total_tokens,
+           CAST(SUM(CASE WHEN sel.selected THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nucleus,
+           CAST(SUM(CASE WHEN sel.selected THEN sel.f ELSE 0 END) AS BIGINT)
+             AS nucleus_tokens
+    FROM sel JOIN tot ON tot.lang = sel.lang
+    GROUP BY 1, 2, 3
+    """,
+    priority="P2",
+    tags=("text", "vocab", "nucleus"),
+)
+def q_nucleus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus, p = 0.9) vocabulary selection per language —
+    the mass-based cut behind nucleus sampling and
+    coverage-targeted vocabulary builds: the SMALLEST prefix of the
+    frequency-ranked vocabulary whose cumulative mass reaches 90% of
+    the language's tokens (`q_rare_collapse` keeps a top-K COUNT;
+    this keeps a top-p MASS, which adapts to how peaked each
+    language's distribution is — the whole point of nucleus over
+    top-k). The boundary is exact-integer: a token is in the
+    nucleus iff the mass BEFORE it is under ⌈0.9·total⌉, so the
+    crossing token is included and the prefix is minimal.
+
+    Deterministic: ranking order is (freq DESC, token) — total; the
+    threshold is exact ceil-division; all masses BIGINT.
+
+    Scale: one pass to the (lang, token) grain; the cumulative runs
+    in per-language partitions (vocabulary-bounded — for a
+    vocabulary too large per partition, band the cumsum inside each
+    language with the `operators/banded.py` device on ln f, the
+    `q_zipf_fit` transform); output is one row per language.
+    """
+    prep(spark)
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+        .localCheckpoint(eager=False)  # totals + cumulative, one scan
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("f").desc(), "token")
+    cum = tf.select(
+        "lang", "token", "f",
+        F.sum("f").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum"),
+    )
+    tot = tf.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vocab"),
+    )
+    sel = cum.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "f",
+        "n_vocab",
+        "total",
+        (
+            F.col("cum") - F.col("f")
+            < F.expr("(9 * total + 9) div 10")
+        ).alias("selected"),
+    )
+    return sel.groupBy("lang", "n_vocab", F.col("total").alias("total_tokens")).agg(
+        F.sum(F.when(F.col("selected"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nucleus"),
+        F.sum(F.when(F.col("selected"), F.col("f")).otherwise(0))
+        .cast("bigint")
+        .alias("nucleus_tokens"),
+    )

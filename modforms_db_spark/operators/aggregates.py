@@ -5382,3 +5382,154 @@ def q_agg_histogram_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("bucket", "lower_bound", "n_orders", "cents")
     )
+
+
+_IV_EST_SQL = """CASE e.estimator
+      WHEN 'naive' THEN
+        CAST(m.sy_t AS DOUBLE) / (m.n_t * 10000.0)
+        - CAST(m.sy_c AS DOUBLE) / ((m.n - m.n_t) * 10000.0)
+      WHEN 'itt' THEN
+        CAST(m.sy1 AS DOUBLE) / (m.n1 * 10000.0)
+        - CAST(m.sy0 AS DOUBLE) / ((m.n - m.n1) * 10000.0)
+      WHEN 'first_stage' THEN
+        CAST(m.st1 AS DOUBLE) / m.n1
+        - CAST(m.st0 AS DOUBLE) / (m.n - m.n1)
+      ELSE
+        (CAST(m.sy1 AS DOUBLE) / (m.n1 * 10000.0)
+         - CAST(m.sy0 AS DOUBLE) / ((m.n - m.n1) * 10000.0))
+        / (CAST(m.st1 AS DOUBLE) / m.n1
+           - CAST(m.st0 AS DOUBLE) / (m.n - m.n1))
+    END"""
+
+
+@register(
+    "q_causal_iv",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id * 100 + DAY(CAST(ts AS DATE)) AS uk,
+             CAST(ROUND({R4('AVG(value)')} * 10000) AS BIGINT) AS y_q
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT uk % 4 AS s,
+             CASE WHEN (uk * 2654435761) % 9973 % 100 < 50
+                  THEN 1 ELSE 0 END AS z,
+             (uk * 48271) % 9973 % 100 AS h2,
+             y_q
+      FROM u
+    ), o AS (
+      SELECT s, z,
+             CASE WHEN h2 < 10 + 15 * s + 30 * z THEN 1 ELSE 0 END AS t,
+             y_q
+      FROM a
+    ), w AS (
+      SELECT s, z, t,
+             y_q + 500000 * t + 300000 * s AS y
+      FROM o
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS n1,
+             CAST(SUM(t) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN t = 1 THEN y END) AS BIGINT) AS sy_t,
+             CAST(SUM(CASE WHEN t = 0 THEN y END) AS BIGINT) AS sy_c,
+             CAST(SUM(CASE WHEN z = 1 THEN y END) AS BIGINT) AS sy1,
+             CAST(SUM(CASE WHEN z = 0 THEN y END) AS BIGINT) AS sy0,
+             CAST(SUM(CASE WHEN z = 1 THEN t ELSE 0 END) AS BIGINT) AS st1,
+             CAST(SUM(CASE WHEN z = 0 THEN t ELSE 0 END) AS BIGINT) AS st0
+      FROM w
+    )
+    SELECT e.estimator, m.n AS n_units, m.n1 AS n_instrumented,
+           {R4(_IV_EST_SQL)} AS est,
+           CASE WHEN e.estimator IN ('naive', 'wald_iv')
+                THEN {R4('(' + _IV_EST_SQL + ') - 50.0')} END AS bias_vs_tau
+    FROM m CROSS JOIN (
+      VALUES ('naive'), ('itt'), ('first_stage'), ('wald_iv')
+    ) e(estimator)
+    """,
+    priority="P2",
+    tags=("experiment", "causal", "iv"),
+)
+def q_causal_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrumental-variable (Wald/2SLS-with-binary-everything) LATE
+    estimation — the third causal identification strategy beside
+    `q_ipw_ate` (reweighting needs the confounder OBSERVED) and
+    `q_diff_in_diff` (needs parallel trends): when treatment uptake
+    is confounded but a random INSTRUMENT shifts it, τ = ITT /
+    first-stage. The deterministic design on (user, day) units:
+    stratum s confounds (shifts outcome +30·s AND uptake +15%·s),
+    the instrument Z (50% avalanched hash, independent of s) adds
+    +30 pts of uptake, treatment adds the true τ = +50. `naive`
+    (treated-vs-untreated) is biased by the confounder; `itt` is
+    diluted by non-compliance; `first_stage` is the compliance
+    share; `wald_iv` = itt/first_stage recovers τ — all four panel
+    rows from ONE set of exact BIGINT masses (outcomes ride as
+    integer ten-thousandths, the `q_ipw_ate` discipline; the second
+    hash uses a different multiplier so instrument and uptake noise
+    are independent).
+
+    Scale: one pass to the unit grain, a 1-row mass reduce, a
+    4-row literal panel.
+    """
+    prep(spark)
+    e = load(spark, sf_dir, "events")
+    u = e.groupBy(
+        (
+            F.col("user_id") * 100 + F.dayofmonth(F.col("ts").cast("date"))
+        ).alias("uk")
+    ).agg(
+        F.round(r4(F.avg("value")) * 10000, 0).cast("bigint").alias("y_q")
+    )
+    s = F.pmod(F.col("uk"), 4)
+    z = F.when(
+        F.pmod(F.pmod(F.col("uk") * F.lit(2654435761).cast("bigint"), 9973), 100)
+        < 50,
+        1,
+    ).otherwise(0)
+    h2 = F.pmod(F.pmod(F.col("uk") * F.lit(48271).cast("bigint"), 9973), 100)
+    a = u.select(s.alias("s"), z.alias("z"), h2.alias("h2"), "y_q")
+    t = F.when(F.col("h2") < 10 + 15 * F.col("s") + 30 * F.col("z"), 1).otherwise(0)
+    w = a.select(
+        "s",
+        "z",
+        t.alias("t"),
+        (F.col("y_q") + 500000 * t + 300000 * F.col("s")).alias("y"),
+    )
+    z1, t1 = F.col("z") == 1, F.col("t") == 1
+    m = w.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("n1"),
+        F.sum("t").cast("bigint").alias("n_t"),
+        F.sum(F.when(t1, F.col("y"))).cast("bigint").alias("sy_t"),
+        F.sum(F.when(~t1, F.col("y"))).cast("bigint").alias("sy_c"),
+        F.sum(F.when(z1, F.col("y"))).cast("bigint").alias("sy1"),
+        F.sum(F.when(~z1, F.col("y"))).cast("bigint").alias("sy0"),
+        F.sum(F.when(z1, F.col("t")).otherwise(0)).cast("bigint").alias("st1"),
+        F.sum(F.when(~z1, F.col("t")).otherwise(0)).cast("bigint").alias("st0"),
+    )
+    est_panel = spark.createDataFrame(
+        [("naive",), ("itt",), ("first_stage",), ("wald_iv",)],
+        "estimator string",
+    )
+    ny = F.col("sy_t").cast("double") / (F.col("n_t") * 10000.0) - F.col(
+        "sy_c"
+    ).cast("double") / ((F.col("n") - F.col("n_t")) * 10000.0)
+    itt = F.col("sy1").cast("double") / (F.col("n1") * 10000.0) - F.col(
+        "sy0"
+    ).cast("double") / ((F.col("n") - F.col("n1")) * 10000.0)
+    fs = F.col("st1").cast("double") / F.col("n1") - F.col("st0").cast(
+        "double"
+    ) / (F.col("n") - F.col("n1"))
+    raw = (
+        F.when(F.col("estimator") == "naive", ny)
+        .when(F.col("estimator") == "itt", itt)
+        .when(F.col("estimator") == "first_stage", fs)
+        .otherwise(itt / fs)
+    )
+    return m.crossJoin(F.broadcast(est_panel)).select(
+        "estimator",
+        F.col("n").alias("n_units"),
+        F.col("n1").alias("n_instrumented"),
+        r4(raw).alias("est"),
+        F.when(
+            F.col("estimator").isin("naive", "wald_iv"), r4(raw - 50.0)
+        ).alias("bias_vs_tau"),
+    )

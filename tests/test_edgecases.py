@@ -1999,3 +1999,49 @@ def test_agg_histogram_log_laws(spark):
     ).collect()[0][0]
     assert sum(r["cents"] for r in rows) == total_cents
     assert rows[0]["n_orders"] > 0 and rows[-1]["n_orders"] > 0
+
+
+def test_nucleus_vocab_minimality(spark):
+    """Per language: the nucleus reaches >= 90% of token mass, is
+    MINIMAL (dropping its least-frequent member falls under 90%),
+    and is never larger than the vocabulary."""
+    from modforms_db_spark.llm.text_stats import q_nucleus_vocab
+
+    rows = q_nucleus_vocab(spark, SF_DIR).collect()
+    assert rows
+    tf = (
+        load(spark, SF_DIR, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .count()
+        .collect()
+    )
+    by_lang = {}
+    for r in tf:
+        by_lang.setdefault(r["lang"], []).append((r["count"], r["tok"]))
+    for r in rows:
+        assert 0 < r["n_nucleus"] <= r["n_vocab"]
+        thr = -((-9 * r["total_tokens"]) // 10)  # ceil(0.9 * total)
+        assert r["nucleus_tokens"] >= thr
+        freqs = sorted(by_lang[r["lang"]], key=lambda t: (-t[0], t[1]))
+        prefix = freqs[: r["n_nucleus"]]
+        assert sum(f for f, _ in prefix) == r["nucleus_tokens"]
+        assert sum(f for f, _ in prefix[:-1]) < thr  # minimality
+
+
+def test_causal_iv_identification(spark):
+    """The confounded naive contrast is biased well above tau=50;
+    the Wald ratio recovers tau within a small margin; the algebra
+    wald = itt / first_stage holds; the first stage is a real
+    (positive, sub-unity) compliance share."""
+    from modforms_db_spark.operators.aggregates import q_causal_iv
+
+    by = {r["estimator"]: r for r in q_causal_iv(spark, SF_DIR).collect()}
+    assert set(by) == {"naive", "itt", "first_stage", "wald_iv"}
+    assert by["naive"]["bias_vs_tau"] > 10.0
+    assert abs(by["wald_iv"]["bias_vs_tau"]) < 5.0
+    assert abs(by["wald_iv"]["bias_vs_tau"]) < by["naive"]["bias_vs_tau"]
+    fs = by["first_stage"]["est"]
+    assert 0.1 < fs < 0.6
+    assert abs(by["itt"]["est"] / fs - by["wald_iv"]["est"]) < 0.05
+    assert 0 < by["naive"]["n_instrumented"] < by["naive"]["n_units"]
