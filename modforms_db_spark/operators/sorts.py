@@ -124,3 +124,88 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= F.col("thr"))
         .select("o_custkey", "n_orders", "thr")
     )
+
+
+_PAGE_SIZE = 50  # keyset page size; page 3 = global rows 101-150
+
+
+@register(
+    "q_keyset_pagination",
+    oracle=f"""
+    WITH numbered AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS order_ts, cents
+    FROM numbered
+    WHERE rn > 2 * {_PAGE_SIZE} AND rn <= 3 * {_PAGE_SIZE}
+    """,
+    priority="P2",
+    tags=("sort", "pagination", "keyset"),
+)
+def q_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — page 3 of the order book
+    under the total order (date, key), WITHOUT the OFFSET scan: the
+    cursor is the last row of page 2 (obtained via a global
+    top-100 TakeOrdered — per-partition heaps, no full sort),
+    broadcast as a 1-row boundary, and the page is a pushed-down
+    tuple-inequality filter plus a top-50. OFFSET pagination reads
+    and discards every preceding row on every page — O(page·size)
+    per request; the seek method is O(size) per page regardless of
+    depth, which is why every cursor API uses it. The oracle IS the
+    OFFSET form (ROW_NUMBER BETWEEN 101 AND 150) — the hash match
+    proves seek ≡ offset under a total order.
+
+    Exact integer cents; the tuple comparison (d > cd) OR
+    (d = cd AND k > ck) is the standard composite-cursor predicate.
+
+    Scale: cursor fetch is a k-row TakeOrdered; the page fetch
+    filters THEN TakeOrders 50 — at 100 TB the cursor predicate
+    prunes date-partitioned files before any row is read, the
+    property OFFSET structurally cannot have.
+    """
+    prep(spark)
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=False)  # cursor + page legs, one scan
+    )
+    cursor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(2 * _PAGE_SIZE)
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("o_orderdate").alias("cd"),
+                    F.col("o_orderkey").alias("ck"),
+                ),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("cur")
+        )
+        .select(F.col("cur.cd").alias("cd"), F.col("cur.ck").alias("ck"))
+    )
+    page = (
+        o.crossJoin(F.broadcast(cursor))
+        .where(
+            (F.col("o_orderdate") > F.col("cd"))
+            | (
+                (F.col("o_orderdate") == F.col("cd"))
+                & (F.col("o_orderkey") > F.col("ck"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_PAGE_SIZE)
+    )
+    return page.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("order_ts"),
+        "cents",
+    )

@@ -3486,3 +3486,109 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_from",
         F.col("version").isNull().alias("pre_history"),
     )
+
+
+_BT_VALID_CUT = "2024-01-15 23:59:59"  # valid-time as-of
+_BT_TX_CUT = "2024-01-16 23:59:59"  # transaction-time as-of
+
+
+@register(
+    "q_bitemporal_asof",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             ts + INTERVAL ((event_id % 4) * 3) DAY AS tx,
+             epoch_ms(ts) * 1000000 + event_id % 1000000 AS ok
+      FROM events
+    ), then_v AS (
+      SELECT user_id, MAX_BY(value, ok) AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e
+      WHERE ts <= TIMESTAMP '{_BT_VALID_CUT}'
+        AND tx <= TIMESTAMP '{_BT_TX_CUT}'
+      GROUP BY 1
+    ), now_v AS (
+      SELECT user_id, MAX_BY(value, ok) AS v, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e
+      WHERE ts <= TIMESTAMP '{_BT_VALID_CUT}'
+      GROUP BY 1
+    )
+    SELECT n.user_id,
+           {R4('t.v')} AS value_known_then,
+           {R4('n.v')} AS value_known_now,
+           t.n AS rows_known_then, n.n AS rows_known_now,
+           COALESCE(t.v <> n.v, TRUE) AS corrected
+    FROM now_v n LEFT JOIN then_v t ON t.user_id = n.user_id
+    """,
+    priority="P2",
+    tags=("temporal", "bitemporal", "asof"),
+)
+def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of query — the two-clock read behind every
+    restatement audit: VALID time (when the fact was true) vs
+    TRANSACTION time (when the system learned it). `q_scd2_lookup`
+    answers "which version was valid at V"; this answers "what did
+    we BELIEVE was valid at V, as the ledger stood at T" and diffs
+    it against current knowledge — the gap is exactly the
+    late-arriving corrections a report issued at T silently missed.
+    Transaction time is derived deterministically from the data
+    (records arrive 0/3/6/9 days late by event id — the
+    late-arrival pattern `q_stream_late` handles in streaming), so
+    ~75% of users show a correction and ~25% don't at every SF —
+    both branches live, law-pinned.
+
+    The latest-version pick uses a single exact BIGINT order key
+    (epoch-ms·10⁶ + id) so max_by needs no struct key in either
+    engine; values pass through r4 only at output.
+
+    Scale: two filtered aggregations to the user grain off ONE
+    checkpointed event projection (map-side combined) and a
+    user-grain join — the same plan reconstructs any as-of pair at
+    100 TB; at scale the tx filter pushes into the partition column
+    a bitemporal table is laid out by.
+    """
+    prep(spark)
+    e = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "value",
+            (
+                F.col("ts")
+                + F.expr("make_interval(0, 0, 0, (event_id % 4) * 3, 0, 0, 0)")
+            ).alias("tx"),
+            (
+                F.unix_millis(F.col("ts").cast("timestamp")) * 1000000
+                + F.col("event_id") % 1000000
+            ).alias("ok"),
+        )
+        .localCheckpoint(eager=False)  # then + now legs, one scan
+    )
+    vcut = F.lit(_BT_VALID_CUT).cast("timestamp")
+    tcut = F.lit(_BT_TX_CUT).cast("timestamp")
+    then_v = (
+        e.where((F.col("ts") <= vcut) & (F.col("tx") <= tcut))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ok").alias("tv"),
+            F.count(F.lit(1)).cast("bigint").alias("rows_known_then"),
+        )
+    )
+    now_v = (
+        e.where(F.col("ts") <= vcut)
+        .groupBy("user_id")
+        .agg(
+            F.max_by("value", "ok").alias("nv"),
+            F.count(F.lit(1)).cast("bigint").alias("rows_known_now"),
+        )
+    )
+    return now_v.join(then_v, "user_id", "left").select(
+        "user_id",
+        r4(F.col("tv")).alias("value_known_then"),
+        r4(F.col("nv")).alias("value_known_now"),
+        "rows_known_then",
+        "rows_known_now",
+        F.coalesce(F.col("tv") != F.col("nv"), F.lit(True)).alias(
+            "corrected"
+        ),
+    )

@@ -2045,3 +2045,53 @@ def test_causal_iv_identification(spark):
     assert 0.1 < fs < 0.6
     assert abs(by["itt"]["est"] / fs - by["wald_iv"]["est"]) < 0.05
     assert 0 < by["naive"]["n_instrumented"] < by["naive"]["n_units"]
+
+
+def test_bitemporal_asof_corrections(spark):
+    """Both verdicts live; a user's then-view never uses more rows
+    than the now-view; users with identical row counts in both
+    views are never flagged corrected; every user active before the
+    valid cut appears exactly once."""
+    from modforms_db_spark.operators.temporal import q_bitemporal_asof
+
+    rows = q_bitemporal_asof(spark, SF_DIR).collect()
+    assert rows
+    corrected = [r for r in rows if r["corrected"]]
+    stable = [r for r in rows if not r["corrected"]]
+    assert corrected and stable
+    seen = set()
+    for r in rows:
+        assert r["user_id"] not in seen
+        seen.add(r["user_id"])
+        then_n = r["rows_known_then"] or 0
+        assert then_n <= r["rows_known_now"]
+        if then_n == r["rows_known_now"]:
+            assert not r["corrected"]
+        if not r["corrected"]:
+            assert r["value_known_then"] == r["value_known_now"]
+
+
+def test_keyset_pagination_equals_offset(spark):
+    """The seek-method page equals the window-numbered slice
+    (rows 101..150 of the (date, key) total order), recomputed
+    independently."""
+    from modforms_db_spark.operators.sorts import (
+        _PAGE_SIZE,
+        q_keyset_pagination,
+    )
+
+    got = sorted(
+        (r["o_orderkey"] for r in q_keyset_pagination(spark, SF_DIR).collect())
+    )
+    assert len(got) == _PAGE_SIZE
+    all_rows = sorted(
+        load(spark, SF_DIR, "orders")
+        .select("o_orderdate", "o_orderkey")
+        .collect(),
+        key=lambda r: (r["o_orderdate"], r["o_orderkey"]),
+    )
+    want = sorted(
+        r["o_orderkey"]
+        for r in all_rows[2 * _PAGE_SIZE : 3 * _PAGE_SIZE]
+    )
+    assert got == want
