@@ -1607,17 +1607,23 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RM_NQUERIES = 64  # constant-size query panel — broadcast stays O(1) in corpus size
+
+
 @register(
     "q_retrieval_metrics",
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+      SELECT * FROM e
+      ORDER BY (vec_id * 2654435761) % 100000, vec_id LIMIT {_RM_NQUERIES}
     ), p AS (
       SELECT a.vec_id AS q_id, a.label AS q_label,
              b.label AS nb_label, {R4(_COS)} AS cos4,
              row_number() OVER (PARTITION BY a.vec_id
                ORDER BY {R4(_COS)} DESC, b.vec_id) AS rn
-      FROM (SELECT * FROM e WHERE vec_id % 10 = 0) a
+      FROM q a
       JOIN e b ON a.vec_id != b.vec_id
     ), top AS (
       SELECT q_id, q_label,
@@ -1636,26 +1642,36 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "retrieval", "evaluation"),
 )
 def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval-quality metrics over the exact kNN contract: for each
-    query vector (every 10th id), the rank of the first SAME-LABEL
-    neighbor in the cosine top-5 (reciprocal rank — the MRR ingredient),
-    and precision@5 against label-match relevance — the standard IR
-    evaluation (MRR / P@k) run on the embedding index itself, the gate
-    you re-run after re-training embeddings or re-building the ANN
-    index (`q_sim_ann_lsh` swaps in as the candidate source at scale,
-    and THIS metric quantifies what that swap costs).
+    """Retrieval-quality metrics over the exact kNN contract: for a
+    CONSTANT-size deterministic query panel (the 64 lowest Knuth-hash
+    vec_ids — spread across the id space, reproducible on any engine or
+    partitioning, same device as `q_sample`), the rank of the first
+    SAME-LABEL neighbor in the cosine top-5 (reciprocal rank — the MRR
+    ingredient), and precision@5 against label-match relevance — the
+    standard IR evaluation (MRR / P@k) run on the embedding index
+    itself, the gate you re-run after re-training embeddings or
+    re-building the ANN index (`q_sim_ann_lsh` swaps in as the
+    candidate source at scale, and THIS metric quantifies what that
+    swap costs).
 
     Same brute-force contract and tiebreak as `q_sim_cosine_topk`;
     queries with no same-label neighbor in the top-5 report NULL rank
     and rr = 0 — both present at sf0.01 (labels are 10-way, so the
     top-5 is usually mixed).
 
-    Scale: broadcast query batch × scan-side candidates, per-query
-    window, then a per-query fold — the evaluation costs one candidate
-    pass regardless of corpus size when fed from the ANN twins."""
+    Scale: the panel is `orderBy(hash).limit(64)` — TakeOrdered, never
+    a global sort — so the broadcast side is O(1) in corpus size and
+    the whole evaluation is ONE linear candidate pass (64·n pairs, not
+    n²/10 as the pre-r7 `vec_id % 10` panel was); a fixed-size panel
+    is also what a 100 TB re-index gate wants (constant evaluation
+    cost, comparable MRR across runs)."""
     prep(spark)
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
-    q = e.where(F.col("vec_id") % 10 == 0).select(
+    q = e.orderBy(
+        (F.col("vec_id").cast("bigint") * F.lit(2654435761).cast("bigint"))
+        % 100000,
+        F.col("vec_id"),
+    ).limit(_RM_NQUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("emb").alias("q_emb"),
