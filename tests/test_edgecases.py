@@ -279,6 +279,21 @@ def test_survey_inventory_matches_registry():
         sorted(survey_names - reg_names),
         sorted(reg_names - survey_names),
     )
+    # The prose count line drifted once (r6 said 360 while the registry
+    # was at 466) — pin the headline numbers, not just the name set.
+    m = re.search(
+        r"\*\*Current status \(round \d+\): (\d+) operators registered"
+        r" and green — (\d+)\s*\nSQL-oracle \+ (\d+) rows-only",
+        text,
+    )
+    assert m, "SURVEY.md Current-status count line missing or reformatted"
+    reg = get_registry()
+    n_sql = sum(1 for q in reg.values() if q.oracle)
+    assert (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        len(reg),
+        n_sql,
+        len(reg) - n_sql,
+    ), "SURVEY.md prose count drifted from the registry"
 
 
 def test_partition_skew_report_laws(spark):
