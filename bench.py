@@ -38,9 +38,13 @@ def main() -> None:
     from modforms_db_spark.registry import get_registry
     from modforms_db_spark.session import get_spark
 
-    # sf0.1 is single-node-tiny: 16 reducers keeps every shuffle one wave
-    # on 32 cores without starving AQE coalesce (SURVEY.md §6 tuning floor).
-    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "16")
+    # sf0.1 is single-node-tiny: every shuffle is KB-scale, so AQE
+    # coalesces to ~1 reducer anyway — but the INITIAL partition count
+    # still costs per-stage scheduling. r7 sweep over {16, 8, 4, 2} on
+    # the comparable set: 13.9 / 12.2 / 9.5 / 10.7 s — 4 is the floor
+    # (2 under-parallelizes the map side of the big sorts). This is the
+    # standard per-deployment knob; at 100 TB it goes to ~3× total cores.
+    os.environ.setdefault("MFDB_SHUFFLE_PARTITIONS", "4")
     spark = get_spark("mfdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -166,7 +166,8 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(eval_sh), "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_hits"))
-        .orderBy("doc_id")
+        # No trailing orderBy: the result is a set (driver + tests sort
+        # before hashing) and a global sort costs a range-sampling job.
     )
 
 
@@ -294,7 +295,9 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "top_bigram_ratio"
             ),
         )
-        .orderBy("doc_id")
+        # No trailing orderBy — set-semantics result; a global sort here
+        # measured +0.09 s at sf0.1 (range-sampling job) for presentation
+        # order nobody consumes (driver + tests sort before comparing).
     )
 
 
@@ -412,7 +415,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("bin_tokens"),
         )
-        .orderBy("lang", "bin")
+        # No trailing orderBy — set-semantics result (see q_decontaminate).
     )
 
 
@@ -463,9 +466,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: stage shuffles key on doc_id then hash — both well-distributed;
     the bigram explode is collapsed map-side (partial agg) before its
-    shuffle; nothing materializes between stages. Input is `spread()`
-    once and the spread scan feeds both the repetition stage and the
-    join-back (Catalyst reuses the exchange).
+    shuffle; nothing materializes between stages. The dedup stage keeps
+    the min-doc_id representative per canonical hash via ONE `min_by`
+    aggregation (r7: replaces a groupBy + join-back-to-clean — doc_id is
+    unique, so "keep rows whose doc_id is the group min" ≡ "take the
+    min-doc_id row per group"; same result, two fewer shuffles and no
+    second pass over `clean`).
     """
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
@@ -477,18 +483,18 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = F.sha2(
         F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256
     )
-    keep = (
-        clean.select("doc_id", canon.alias("h"))
+    reps = (
+        clean.select(
+            "doc_id", canon.alias("h"), "lang", F.size(toks).alias("n_toks")
+        )
         .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .agg(F.min_by(F.struct("lang", "n_toks"), "doc_id").alias("r"))
     )
     return (
-        clean.join(keep, "doc_id")
-        .groupBy("lang")
+        reps.groupBy(F.col("r.lang").alias("lang"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+            F.sum("r.n_toks").cast("bigint").alias("total_tokens"),
         )
     )
 

@@ -359,6 +359,17 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: df/avgdl/N are one linear agg pass each, broadcast to the
     scoring join; scoring shuffles on tok once. The doc_id < 30 slice
     bounds the t2 result, not the statistics.
+
+    Measured note (r7, sf0.1, min-of-4): a shared (doc_id, tok, tf)
+    grain feeding dl/stats/df — one explode instead of four — is
+    SLOWER here both checkpointed (0.84 s) and via AQE exchange reuse
+    (0.82 s) than the four independent single-shuffle legs (0.70 s):
+    each leg is a map-side-collapsed partial agg straight off the
+    scan, while the shared grain serializes into chained shuffles
+    ((doc,tok) → by-tok and by-doc re-shuffles). At 100 TB the
+    scan-count trade flips — the grain form is sketched in SCALE.md
+    §6 with `partitionBy` reuse — but at bench scale the scan is not
+    the bottleneck and four parallel legs win.
     """
     prep(spark)
     d = load(spark, sf_dir, "documents")
