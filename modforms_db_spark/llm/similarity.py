@@ -828,73 +828,151 @@ _KMEANS_ITERS = 3
 
 
 def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, emb, cluster, dist2): nearest centroid per vector.
-    Centroids (≤ k rows) are broadcast; distance is an element-order
-    zip_with/aggregate fold (same determinism discipline as _dot), and
-    ties break on the lower cluster id via min_by on (dist2, cluster)."""
-    dist2 = F.aggregate(
-        F.zip_with("emb", "c_emb", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+    """(vec_id, qe, cluster, d2q6): nearest centroid per QUANTIZED
+    vector (`qe` = round(x·1000) bigints — see :func:`kmeans_fit`).
+    Centroids (≤ k rows) are broadcast; squared distance is an
+    element-order zip_with/aggregate fold over exact bigints (units of
+    10⁻⁶), and ties break on the lower cluster id via min on
+    (d2q6, cluster) — integer comparisons, so the argmin chain is
+    engine-portable (no fp-tie coupling)."""
+    d2 = F.aggregate(
+        F.zip_with("qe", "c_qe", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
     scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "emb", "cluster", dist2.alias("dist2")
+        "vec_id", "qe", "cluster", d2.alias("d2q6")
     )
     best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("dist2", "cluster")).alias("b"),
-        F.first("emb").alias("emb"),
+        F.min(F.struct("d2q6", "cluster")).alias("b"),
+        F.first("qe").alias("qe"),
     )
     return best.select(
-        "vec_id", "emb", F.col("b.cluster").alias("cluster"),
-        F.col("b.dist2").alias("dist2"),
+        "vec_id", "qe", F.col("b.cluster").alias("cluster"),
+        F.col("b.d2q6").alias("d2q6"),
     )
 
 
 def kmeans_fit(vecs: DataFrame, k: int, iters: int) -> DataFrame:
-    """Lloyd's k-means, deterministic: init = embeddings of the k lowest
-    vec_ids, fixed iteration count, fp-stable folds. Returns the final
-    assignment (vec_id, cluster, dist2).
+    """Lloyd's k-means, deterministic AND integer-exact (r7 upgrade —
+    unlocked the SQL oracle on `q_cluster_kmeans`): embeddings quantize
+    once to the ×1000 integer grid (the `q_pca_power` device, Spark-round
+    parity via oracle_dialect.R), centroid updates are exact integer
+    truncating division (Spark ``div`` ≡ DuckDB ``//``, verified both
+    truncate toward zero), and every argmin compares exact bigints with
+    a cluster-id tiebreak — so 3 chained rounds reproduce bit-for-bit on
+    any engine, which fp argmin chains cannot. Init = quantized
+    embeddings of the k lowest vec_ids. Returns (vec_id, cluster, d2q6)
+    with d2q6 in squared-grid units (10⁻⁶ of embedding units²).
 
     Scale shape per iteration: one broadcast crossJoin (k rows — never a
     shuffle of the vector side) + one assignment agg on vec_id + one
     centroid recompute via posexplode to (cluster, dim) partial-agg
-    means — linear in vectors×dims, k·dims rows of state, and the
+    integer sums — linear in vectors×dims, k·dims rows of state, and the
     centroid table re-broadcasts each round. `localCheckpoint` truncates
     the per-round lineage (same device as q_dedup_components); lazy
     (eager=False) so the checkpoints materialize inside the final
     action instead of one serialized job per round (measured −15% at
     sf0.1, bit-identical results)."""
+    qv = vecs.select(
+        "vec_id",
+        F.transform(
+            "emb", lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint")
+        ).alias("qe"),
+    ).localCheckpoint(eager=False)  # quantize once; reused every round
     init = (
-        vecs.orderBy("vec_id")
+        qv.orderBy("vec_id")
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
-            F.col("emb").alias("c_emb"),
+            F.col("qe").alias("c_qe"),
         )
     ).localCheckpoint(eager=False)
     centroids = init
     assigned = None
     for _ in range(iters):
-        assigned = kmeans_assign(vecs, centroids)
+        assigned = kmeans_assign(qv, centroids)
         centroids = (
-            assigned.select("cluster", F.posexplode("emb").alias("pos", "val"))
+            assigned.select("cluster", F.posexplode("qe").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            # Exact integer centroid on the same grid: truncating div
+            # (matches DuckDB // — both toward zero; (s div n) is the
+            # deterministic stand-in for the fp mean, off by < 1 grid
+            # unit, which the oracle reproduces exactly).
+            .select("cluster", "pos", F.expr("s div n").alias("c"))
             .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
             .select(
                 "cluster",
-                F.transform("pm", lambda s: s.getField("m")).alias("c_emb"),
+                F.transform("pc", lambda s: s.getField("c")).alias("c_qe"),
             )
         ).localCheckpoint(eager=False)
-    return assigned.select("vec_id", "cluster", "dist2")
+    return assigned.select("vec_id", "cluster", "d2q6")
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled 3-round integer-exact Lloyd oracle (chained MATERIALIZED
+    CTEs — plain CTEs inline exponentially, the q_graph_kcore lesson).
+    Mirrors :func:`kmeans_fit` bit-for-bit: ×1000 quantization via R(),
+    argmin over the packed exact key d2·16 + cluster (cluster ≤ 8 < 16,
+    d2 ≥ 0, so the key is order-isomorphic to (d2, cluster)), centroid
+    update by truncating integer division."""
+    q = R("x * 1000", 0)
+    head = f"""
+    WITH qv AS MATERIALIZED (
+      SELECT vec_id, i, CAST({q} AS BIGINT) AS q
+      FROM (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+      )
+    ),
+    init AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cluster
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})
+    ),
+    c0 AS MATERIALIZED (
+      SELECT init.cluster, qv.i, qv.q AS c FROM qv JOIN init USING (vec_id)
+    )"""
+    rounds = []
+    for r in range(1, _KMEANS_ITERS + 1):
+        rounds.append(f""",
+    a{r} AS MATERIALIZED (
+      SELECT vec_id,
+             CAST(key % 16 AS BIGINT) AS cluster,
+             CAST(key // 16 AS BIGINT) AS d2q6
+      FROM (
+        SELECT vec_id, MIN(key) AS key FROM (
+          SELECT qv.vec_id,
+                 CAST(SUM((qv.q - c.c) * (qv.q - c.c)) AS BIGINT) * 16
+                   + c.cluster AS key
+          FROM qv JOIN c{r - 1} c ON qv.i = c.i
+          GROUP BY qv.vec_id, c.cluster
+        ) GROUP BY vec_id
+      )
+    )""")
+        if r < _KMEANS_ITERS:
+            rounds.append(f""",
+    c{r} AS MATERIALIZED (
+      SELECT a.cluster, qv.i,
+             CAST(CAST(SUM(qv.q) AS BIGINT) // COUNT(*) AS BIGINT) AS c
+      FROM qv JOIN a{r} a USING (vec_id)
+      GROUP BY a.cluster, qv.i
+    )""")
+    tail = f"""
+    SELECT cluster, COUNT(*) AS n_vecs,
+           CAST(SUM(d2q6) AS BIGINT) AS inertia_q6
+    FROM a{_KMEANS_ITERS} GROUP BY cluster
+    """
+    return head + "".join(rounds) + tail
 
 
 @register(
     "q_cluster_kmeans",
     headline=True,
-    oracle=None,  # iterative fp argmin chains are not engine-portable;
-    # determinism, partition-totality and inertia descent are test-pinned
+    oracle=_kmeans_oracle(),
     priority="P2",
     tags=("llm", "clustering", "scale-path"),
 )
@@ -903,24 +981,25 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations, deterministic lowest-vec_id init) — the corpus-curation
     primitive behind topic balancing, IVF cell training
     (q_sim_ivf_topk's coarse quantizer), and semantic-dedup blocking.
-    Emits per-cluster size and rounded inertia share.
+    Emits per-cluster size and integer-exact inertia (squared ×1000-grid
+    units).
 
-    Rows-only for the driver: a cross-engine oracle would have to
-    reproduce 3 chained float argmin rounds bit-for-bit, which is
-    exactly the kind of fp-tie coupling the parity rules forbid;
-    instead tests pin determinism across reruns, that assignments
-    partition the input, and that inertia is non-increasing in the
-    iteration count."""
+    SQL-oracle since r7 (was rows-only): the house integer-quantization
+    discipline applies to squared-distance argmin chains too — quantize
+    once to the ×1000 grid, keep centroids on the grid via truncating
+    integer division, compare exact bigints with a cluster-id tiebreak.
+    Every round is then bit-reproducible on any engine, which the old
+    fp formulation was not. Law tests additionally pin determinism,
+    partition-totality, and inertia descent."""
     prep(spark)
     vecs = _emb(spark, sf_dir).select("vec_id", "emb")
     assigned = kmeans_fit(vecs, _KMEANS_K, _KMEANS_ITERS)
     return (
-        assigned.groupBy("cluster")
+        assigned.groupBy(F.col("cluster").cast("bigint").alias("cluster"))
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.sum("dist2"), 4).alias("inertia4"),
+            F.sum("d2q6").cast("bigint").alias("inertia_q6"),
         )
-        .orderBy("cluster")
     )
 
 

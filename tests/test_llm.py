@@ -327,10 +327,11 @@ def test_components_star_converges_in_olog_rounds(spark):
 
 
 def test_kmeans_deterministic_total_and_descending(spark):
-    """q_cluster_kmeans is rows-only, so pin the properties the missing
-    oracle would have checked: reruns are identical, the assignment
-    partitions the input (sizes sum to the table count), and total
-    inertia is non-increasing in the iteration count (Lloyd guarantee)."""
+    """Laws beyond the (r7) SQL oracle: reruns are identical, the
+    assignment partitions the input (sizes sum to the table count), and
+    total inertia is non-increasing in the iteration count (Lloyd
+    guarantee — the grid-quantized centroid is off the true mean by < 1
+    unit per dim, so descent carries a ≤ 64·n grid-unit slack)."""
     from pyspark.sql import functions as F
 
     from modforms_db_spark.llm.similarity import _emb, kmeans_fit
@@ -345,8 +346,8 @@ def test_kmeans_deterministic_total_and_descending(spark):
     inertia = {}
     for iters in (1, 3):
         a = kmeans_fit(vecs, 8, iters)
-        inertia[iters] = a.agg(F.sum("dist2").alias("s")).collect()[0].s
-    assert inertia[3] <= inertia[1] + 1e-9, inertia
+        inertia[iters] = a.agg(F.sum("d2q6").alias("s")).collect()[0].s
+    assert inertia[3] <= inertia[1] + 64 * total, inertia
 
 
 def test_prefix_filter_shrinks_candidates_but_not_results(spark):

@@ -302,9 +302,14 @@ def test_kmeans_assign_broadcasts_centroids(spark):
 
     from modforms_db_spark.llm.similarity import _emb, kmeans_assign
 
-    vecs = _emb(spark, SF_DIR).select("vec_id", "emb")
+    vecs = _emb(spark, SF_DIR).select(
+        "vec_id",
+        F.transform(
+            "emb", lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint")
+        ).alias("qe"),
+    )
     cents = vecs.orderBy("vec_id").limit(8).select(
-        F.lit(1).alias("cluster"), F.col("emb").alias("c_emb")
+        F.lit(1).alias("cluster"), F.col("qe").alias("c_qe")
     )
     plan = (
         kmeans_assign(vecs, cents)
