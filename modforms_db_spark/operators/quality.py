@@ -2162,3 +2162,416 @@ def q_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "*", (F.col("n_orphan_keys") == 0).alias("ri_ok")
     )
+
+
+_KW_CRIT_DF2 = 9.2103  # chi-square upper 1% point, df = 2 (k = 3 groups)
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id % 3 AS g, n_chars FROM documents WHERE lang = 'en'
+    ), scoped AS (
+      SELECT 'organic' AS scope, g, n_chars AS v FROM base
+      UNION ALL
+      SELECT 'planted' AS scope, g,
+             n_chars + CASE WHEN g = 2 THEN 150 ELSE 0 END AS v
+      FROM base
+    ), cnts AS (
+      SELECT scope, g, v, CAST(COUNT(*) AS BIGINT) AS c
+      FROM scoped GROUP BY 1, 2, 3
+    ), vt AS (
+      SELECT scope, v, CAST(SUM(c) AS BIGINT) AS c_tot FROM cnts GROUP BY 1, 2
+    ), cum AS (
+      SELECT scope, v, c_tot,
+             CAST(SUM(c_tot) OVER (PARTITION BY scope ORDER BY v)
+                  - c_tot AS BIGINT) AS cum_before
+      FROM vt
+    ), rg AS (
+      SELECT c.scope, c.g,
+             CAST(SUM(c.c) AS BIGINT) AS n_g,
+             CAST(SUM(c.c * (2 * m.cum_before + m.c_tot + 1)) AS BIGINT) AS r2
+      FROM cnts c JOIN cum m ON c.scope = m.scope AND c.v = m.v
+      GROUP BY 1, 2
+    ), terms AS (
+      SELECT scope, g, n_g,
+             CAST({R('CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE)'
+                     ' / (4.0 * n_g) * 10000', 0)} AS BIGINT) AS term_q4
+      FROM rg
+    ), pieces AS (
+      SELECT scope,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(term_q4) AS BIGINT) AS s4
+      FROM terms GROUP BY 1
+    ), ties AS (
+      SELECT scope,
+             CAST(SUM(c_tot * c_tot * c_tot - c_tot) AS BIGINT) AS tie3
+      FROM vt GROUP BY 1
+    ), stat AS (
+      SELECT p.scope, p.k, p.n,
+             {R4('12.0 / (p.n * (p.n + 1.0)) * (s4 / 10000.0)'
+                 ' - 3.0 * (p.n + 1)')} AS h4,
+             {R4('(12.0 / (p.n * (p.n + 1.0)) * (s4 / 10000.0)'
+                 ' - 3.0 * (p.n + 1))'
+                 ' / (1.0 - CAST(tie3 AS DOUBLE)'
+                 '   / (CAST(p.n AS DOUBLE) * p.n * p.n - p.n))')} AS hc4
+      FROM pieces p JOIN ties t ON p.scope = t.scope
+    )
+    SELECT scope, k, n, h4, hc4, hc4 > {_KW_CRIT_DF2!r} AS reject
+    FROM stat
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "rank-test"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis one-way rank test (the k-group extension of
+    `q_mann_whitney`): H over average ranks with tie correction, exact
+    to the last bit — tied ranks carry as 2·rank integers (the ×2
+    device), per-group Σ R_g²/n_g terms carry as integer
+    ten-thousandths (the quantized-carry rule: bigint sums are
+    order-independent where a 3-double sum is not), and the only
+    double expressions are single formulas over exact integers.
+
+    Two scopes make both verdicts visible at every SF (the planted
+    ground-truth rule for hypothesis-test ops): 'organic' splits the
+    en slice into three iid doc_id%3 groups (accepts — same
+    distribution by construction), 'planted' shifts group 2 by +150
+    characters (rejects). α = 0.01, df = k−1 = 2 (1%, not 5%: the
+    sf0.001 organic split draws H = 6.58 — a legitimate 5%-level
+    fluke on 193 docs — and the planted branch clears 22 at every
+    SF, so the 1% critical point separates the branches robustly).
+
+    Scale: one pass to the (scope, group, value) grain — billions of
+    rows enter only through the quantized support (distinct n_chars);
+    the rank cumulative is a per-scope window over that support, and
+    every downstream frame is bounded by k·|support|."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select((F.col("doc_id") % 3).alias("g"), "n_chars")
+    )
+    scoped = base.select(
+        F.lit("organic").alias("scope"), "g", F.col("n_chars").alias("v")
+    ).unionByName(
+        base.select(
+            F.lit("planted").alias("scope"),
+            "g",
+            (
+                F.col("n_chars")
+                + F.when(F.col("g") == 2, F.lit(150)).otherwise(F.lit(0))
+            ).alias("v"),
+        )
+    )
+    cnts = (
+        scoped.groupBy("scope", "g", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # value totals + rank-sum leg
+    )
+    vt = cnts.groupBy("scope", "v").agg(
+        F.sum("c").cast("bigint").alias("c_tot")
+    )
+    wc = (
+        Window.partitionBy("scope")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vt.select(
+        "scope",
+        "v",
+        "c_tot",
+        (F.sum("c_tot").over(wc) - F.col("c_tot"))
+        .cast("bigint")
+        .alias("cum_before"),
+    ).localCheckpoint(eager=False)  # rank-sum join + tie leg
+    rg = (
+        cnts.join(cum, ["scope", "v"])
+        .groupBy("scope", "g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("c")
+                * (2 * F.col("cum_before") + F.col("c_tot") + 1)
+            )
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    terms = rg.select(
+        "scope",
+        "n_g",
+        F.round(
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / (4.0 * F.col("n_g"))
+            * 10000,
+            0,
+        )
+        .cast("bigint")
+        .alias("term_q4"),
+    )
+    pieces = terms.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("term_q4").cast("bigint").alias("s4"),
+    )
+    ct = F.col("c_tot")
+    ties = cum.groupBy("scope").agg(
+        F.sum(ct * ct * ct - ct).cast("bigint").alias("tie3")
+    )
+    h = 12.0 / (F.col("n") * (F.col("n") + 1.0)) * (
+        F.col("s4") / 10000.0
+    ) - 3.0 * (F.col("n") + 1)
+    hc = h / (
+        1.0
+        - F.col("tie3").cast("double")
+        / (F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n"))
+    )
+    return (
+        pieces.join(ties, "scope")
+        .select(
+            "scope",
+            "k",
+            "n",
+            r4(h).alias("h4"),
+            r4(hc).alias("hc4"),
+            (r4(hc) > _KW_CRIT_DF2).alias("reject"),
+        )
+    )
+
+
+_MCNEMAR_CRIT = 3.8415  # chi-square upper 5% point, df = 1
+
+
+@register(
+    "q_mcnemar",
+    oracle=f"""
+    WITH d AS (
+      SELECT n_chars > 300 AS gold,
+             len(string_split(text, ' ')) > 60 AS ra,
+             len(string_split(text, ' '))
+               + (2 * ((doc_id * 2654435761) % 2) - 1) > 60 AS ra2,
+             FALSE AS rb
+      FROM documents
+    ), pairs AS (
+      SELECT 'tok60_vs_baseline' AS comparison, gold, ra AS x, rb AS y FROM d
+      UNION ALL
+      SELECT 'tok60_vs_jitter' AS comparison, gold, ra AS x, ra2 AS y FROM d
+    ), s AS (
+      SELECT comparison,
+             CAST(SUM(CASE WHEN x = gold AND y != gold THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN x != gold AND y = gold THEN 1 ELSE 0 END)
+               AS BIGINT) AS c
+      FROM pairs GROUP BY 1
+    ), st AS (
+      SELECT comparison, b, c,
+             CASE WHEN b + c = 0 THEN 0.0
+                  ELSE {R4('(ABS(b - c) - 1.0) * (ABS(b - c) - 1.0)'
+                           ' / (b + c)')}
+             END AS stat4
+      FROM s
+    )
+    SELECT comparison, b, c, stat4, stat4 > {_MCNEMAR_CRIT!r} AS reject
+    FROM st
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "paired-test", "evaluation"),
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test — THE test for "is classifier v2 actually
+    better than v1 on the same eval set" (paired correctness, not two
+    independent accuracies): continuity-corrected (|b−c|−1)²/(b+c)
+    over the disagreement counts b (v1 right, v2 wrong) and c (v2
+    right, v1 wrong), α = 0.05, df = 1. Gold label = byte-length SLA
+    (n_chars > 300); both verdict branches ship at every SF: the
+    token-count gate (> 60 tokens, structurally correlated with
+    n_chars) against an always-short baseline REJECTS (the gate's
+    wins are one-sided), and against a ±1-token Knuth-hash-jitter
+    variant of itself ACCEPTS (equally-noisy raters, so the few
+    disagreements split both ways — a fixed higher threshold was
+    tried first and REJECTED: its disagreements are one-sided by
+    construction; the b+c = 0 case null-guards to stat 0, never
+    0/0).
+
+    Scale: two conditional-count aggregates over one scan (the
+    paired-group rule: one conditional agg, never split+self-join);
+    output is bounded by the number of comparisons."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("n_chars") > 300).alias("gold"),
+        (F.size(F.split("text", " ")) > 60).alias("ra"),
+        (
+            F.size(F.split("text", " "))
+            + (
+                2
+                * F.pmod(
+                    F.col("doc_id") * F.lit(2654435761).cast("bigint"),
+                    F.lit(2),
+                )
+                - 1
+            )
+            > 60
+        ).alias("ra2"),
+        F.lit(False).alias("rb"),
+    ).localCheckpoint(eager=False)  # both comparison legs — one scan
+    pairs = d.select(
+        F.lit("tok60_vs_baseline").alias("comparison"),
+        "gold",
+        F.col("ra").alias("x"),
+        F.col("rb").alias("y"),
+    ).unionByName(
+        d.select(
+            F.lit("tok60_vs_jitter").alias("comparison"),
+            "gold",
+            F.col("ra").alias("x"),
+            F.col("ra2").alias("y"),
+        )
+    )
+    s = pairs.groupBy("comparison").agg(
+        F.sum(
+            ((F.col("x") == F.col("gold")) & (F.col("y") != F.col("gold")))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(
+            ((F.col("x") != F.col("gold")) & (F.col("y") == F.col("gold")))
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = F.abs(F.col("b") - F.col("c"))
+    stat4 = F.when(bc == 0, F.lit(0.0)).otherwise(
+        r4((diff - 1.0) * (diff - 1.0) / bc)
+    )
+    return s.select(
+        "comparison",
+        "b",
+        "c",
+        stat4.alias("stat4"),
+        (stat4 > _MCNEMAR_CRIT).alias("reject"),
+    )
+
+
+@register(
+    "q_cohen_kappa",
+    oracle=f"""
+    WITH d AS (
+      SELECT len(string_split(text, ' ')) > 60 AS ra,
+             n_chars > 300 AS rb,
+             (doc_id * 2654435761) % 2 = 0 AS rc
+      FROM documents
+    ), pairs AS (
+      SELECT 'tok60_vs_chars300' AS pair, ra AS x, rb AS y FROM d
+      UNION ALL
+      SELECT 'tok60_vs_coin' AS pair, ra AS x, rc AS y FROM d
+    ), s AS (
+      SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n10,
+             CAST(SUM(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT)
+               AS n01
+      FROM pairs GROUP BY 1
+    ), k AS (
+      SELECT pair, n,
+             {R4('(n11 + (n - n11 - n10 - n01)) * 1.0 / n')} AS po4,
+             {R4('(CAST(n11 + n10 AS DOUBLE) / n) * ((n11 + n01) * 1.0 / n)'
+                 ' + (CAST(n - n11 - n10 AS DOUBLE) / n)'
+                 '   * ((n - n11 - n01) * 1.0 / n)')} AS pe4,
+             CASE WHEN (CAST(n11 + n10 AS DOUBLE) / n) * ((n11 + n01) * 1.0 / n)
+                       + (CAST(n - n11 - n10 AS DOUBLE) / n)
+                         * ((n - n11 - n01) * 1.0 / n) = 1.0
+                  THEN 0.0
+                  ELSE {R4(
+                      '((n11 + (n - n11 - n10 - n01)) * 1.0 / n'
+                      ' - ((CAST(n11 + n10 AS DOUBLE) / n) * ((n11 + n01) * 1.0 / n)'
+                      '    + (CAST(n - n11 - n10 AS DOUBLE) / n)'
+                      '      * ((n - n11 - n01) * 1.0 / n)))'
+                      ' / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * ((n11 + n01) * 1.0 / n)'
+                      '    + (CAST(n - n11 - n10 AS DOUBLE) / n)'
+                      '      * ((n - n11 - n01) * 1.0 / n)))')}
+             END AS kappa4
+      FROM s
+    )
+    SELECT pair, n, po4, pe4, kappa4,
+           CASE WHEN kappa4 >= 0.6 THEN 'substantial'
+                WHEN kappa4 >= 0.2 THEN 'fair'
+                ELSE 'slight' END AS agreement
+    FROM k
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "agreement", "evaluation"),
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-rater agreement, the
+    standard when two labelers (or two labeling RULES: heuristic
+    filters, weak-supervision sources) rate the same items: kappa =
+    (p_o − p_e)/(1 − p_e) from the exact 2×2 agreement counts, with
+    the Landis-Koch qualitative band (rounded BEFORE banding so the
+    boundary can't flip cross-engine). Two rater pairs ship both
+    regimes at every SF: token-gate vs char-gate ('substantial' —
+    structurally correlated rules) and token-gate vs a deterministic
+    Knuth-hash coin ('slight' — independent by construction; its p_o
+    ≈ ½ is exactly what kappa corrects to ≈ 0, the trap raw
+    agreement hides). Constant-rater degenerate case (p_e = 1)
+    null-guards to kappa 0.
+
+    Scale: exact conditional-count aggregates over one scan; output
+    bounded by the number of rater pairs."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        (F.size(F.split("text", " ")) > 60).alias("ra"),
+        (F.col("n_chars") > 300).alias("rb"),
+        (
+            F.pmod(
+                F.col("doc_id") * F.lit(2654435761).cast("bigint"), F.lit(2)
+            )
+            == 0
+        ).alias("rc"),
+    ).localCheckpoint(eager=False)  # both rater-pair legs — one scan
+    pairs = d.select(
+        F.lit("tok60_vs_chars300").alias("pair"),
+        F.col("ra").alias("x"),
+        F.col("rb").alias("y"),
+    ).unionByName(
+        d.select(
+            F.lit("tok60_vs_coin").alias("pair"),
+            F.col("ra").alias("x"),
+            F.col("rc").alias("y"),
+        )
+    )
+    s = pairs.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("x") & F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum((F.col("x") & ~F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum((~F.col("x") & F.col("y")).cast("int"))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    n, n11, n10, n01 = (F.col(c) for c in ("n", "n11", "n10", "n01"))
+    po = (n11 + (n - n11 - n10 - n01)) * 1.0 / n
+    pe = ((n11 + n10).cast("double") / n) * ((n11 + n01) * 1.0 / n) + (
+        (n - n11 - n10).cast("double") / n
+    ) * ((n - n11 - n01) * 1.0 / n)
+    kappa4 = F.when(pe == 1.0, F.lit(0.0)).otherwise(r4((po - pe) / (1.0 - pe)))
+    return s.select(
+        "pair",
+        "n",
+        r4(po).alias("po4"),
+        r4(pe).alias("pe4"),
+        kappa4.alias("kappa4"),
+        F.when(kappa4 >= 0.6, F.lit("substantial"))
+        .when(kappa4 >= 0.2, F.lit("fair"))
+        .otherwise(F.lit("slight"))
+        .alias("agreement"),
+    )
