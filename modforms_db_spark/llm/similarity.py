@@ -2551,3 +2551,508 @@ def q_spatial_grid_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d4",
         F.col("nb_id").isNotNull().alias("found"),
     )
+
+
+# ---- r7 retrieval-evaluation + binary-sketch family ----------------------
+
+# NDCG log-discounts 1/log2(rank+1) as SHARED LITERALS: log2() is libm
+# whose last ulp may differ between engines — a literal parsed by both
+# sides is bit-identical by construction.
+_NDCG_DISC = (1.0, 0.6309297535714575, 0.5, 0.43067655807339306,
+              0.38685280723454163)
+_NDCG_GAIN = (0, 1, 3, 7)  # 2^rel - 1 for rel = 0..3
+
+
+@register(
+    "q_ndcg",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+      SELECT * FROM e
+      ORDER BY (vec_id * 2654435761) % 100000, vec_id LIMIT {_RM_NQUERIES}
+    ), p AS (
+      SELECT a.vec_id AS q_id, a.label AS q_label, b.label AS nb_label,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY {R4(_COS)} DESC, b.vec_id) AS rn
+      FROM q a JOIN e b ON a.vec_id != b.vec_id
+    ), top AS (
+      SELECT q_id, rn,
+             GREATEST(0, 3 - ABS(nb_label - q_label)) AS rel
+      FROM p WHERE rn <= 5
+    ), terms AS (
+      SELECT q_id,
+             CAST({R('[0, 1, 3, 7][rel + 1]'
+                     ' * CAST(([' + ', '.join(repr(d) for d in _NDCG_DISC)
+                     + '])[rn] AS DOUBLE)'
+                     ' * 10000', 0)} AS BIGINT) AS dcg_q4,
+             CAST({R('[0, 1, 3, 7][rel + 1]'
+                     ' * CAST(([' + ', '.join(repr(d) for d in _NDCG_DISC)
+                     + '])'
+                     '[row_number() OVER (PARTITION BY q_id'
+                     ' ORDER BY rel DESC, rn)] AS DOUBLE)'
+                     ' * 10000', 0)} AS BIGINT) AS idcg_q4
+      FROM top
+    ), s AS (
+      SELECT q_id, CAST(SUM(dcg_q4) AS BIGINT) AS dcg_q4,
+             CAST(SUM(idcg_q4) AS BIGINT) AS idcg_q4
+      FROM terms GROUP BY q_id
+    )
+    SELECT q_id, dcg_q4, idcg_q4,
+           CASE WHEN idcg_q4 = 0 THEN 0.0
+                ELSE {R4('dcg_q4 * 1.0 / idcg_q4')} END AS ndcg4
+    FROM s
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "retrieval", "evaluation"),
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 over the exact cosine top-5 — the GRADED-relevance
+    retrieval metric beside `q_retrieval_metrics`' binary MRR/P@k
+    (graded relevance = label proximity, 3−|Δlabel| clamped at 0, so
+    near-misses earn partial credit the binary metrics can't see).
+    Same constant 64-query Knuth-hash panel and tiebreaks as
+    `q_retrieval_metrics`.
+
+    Determinism: gains (2^rel − 1) come from an integer lookup, the
+    log2 rank discounts are SHARED LITERALS (libm log2 may differ by
+    an ulp between engines — a literal parsed by both is identical by
+    construction), each DCG/IDCG term is quantized to integer
+    ten-thousandths before the per-query sum (bigint sums are
+    order-independent), and the final NDCG is one exact-int division.
+    IDCG = 0 (all-irrelevant top-5) null-guards to 0.
+
+    Scale: one linear candidate pass against the O(1) panel (the
+    r7-bounded `q_retrieval_metrics` shape), then per-query constant
+    work."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    q = e.orderBy(
+        (F.col("vec_id").cast("bigint") * F.lit(2654435761).cast("bigint"))
+        % 100000,
+        F.col("vec_id"),
+    ).limit(_RM_NQUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    ).alias("cos4")
+    pairs = e.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("q_id")
+    ).select(
+        "q_id", "q_label", F.col("label").alias("nb_label"),
+        F.col("vec_id").alias("nb_id"), cos4
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            "rn",
+            F.greatest(
+                F.lit(0), 3 - F.abs(F.col("nb_label") - F.col("q_label"))
+            ).alias("rel"),
+        )
+    )
+    gain = F.element_at(
+        F.array(*(F.lit(g) for g in _NDCG_GAIN)), F.col("rel") + 1
+    )
+    disc = F.array(*(F.lit(d) for d in _NDCG_DISC))
+    iw = Window.partitionBy("q_id").orderBy(F.desc("rel"), F.asc("rn"))
+    terms = top.withColumn("irn", F.row_number().over(iw)).select(
+        "q_id",
+        F.round(gain * F.element_at(disc, F.col("rn")) * 10000, 0)
+        .cast("bigint")
+        .alias("dcg_q4"),
+        F.round(gain * F.element_at(disc, F.col("irn")) * 10000, 0)
+        .cast("bigint")
+        .alias("idcg_q4"),
+    )
+    s = terms.groupBy("q_id").agg(
+        F.sum("dcg_q4").cast("bigint").alias("dcg_q4"),
+        F.sum("idcg_q4").cast("bigint").alias("idcg_q4"),
+    )
+    return s.select(
+        "q_id",
+        "dcg_q4",
+        "idcg_q4",
+        F.when(F.col("idcg_q4") == 0, F.lit(0.0))
+        .otherwise(r4(F.col("dcg_q4") * 1.0 / F.col("idcg_q4")))
+        .alias("ndcg4"),
+    )
+
+
+# Truncated-RBO tail weights W[m] = Σ_{d=m..10} 0.9^d / d as integer
+# 1e-8ths — shared literals for the same libm-ulp reason as _NDCG_DISC;
+# integer sums are order-independent.
+_RBO_W_Q8 = (211874759, 121874759, 81374759, 57074759, 40672259,
+             28862459, 20005109, 13172297, 7791457, 3486784)
+_RBO_NQ = 8  # query panel (vec_id < 8)
+
+
+@register(
+    "q_rbo",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (SELECT * FROM e WHERE vec_id < {_RBO_NQ}
+    ), sc AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS nb_id,
+             {R4(_COS)} AS cos4,
+             {R4('list_inner_product(a.emb, b.emb)')} AS ip4
+      FROM q a JOIN e b ON a.vec_id != b.vec_id
+    ), ra AS (
+      SELECT q_id, nb_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY cos4 DESC, nb_id) AS r
+      FROM sc QUALIFY r <= 10
+    ), rb AS (
+      SELECT q_id, nb_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY ip4 DESC, nb_id) AS r
+      FROM sc QUALIFY r <= 10
+    ), m AS (
+      SELECT ra.q_id, GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON ra.q_id = rb.q_id AND ra.nb_id = rb.nb_id
+    )
+    SELECT q.vec_id AS q_id,
+           CAST(COALESCE(COUNT(m.m), 0) AS BIGINT) AS n_common,
+           {R4('COALESCE(SUM(([' + ', '.join(str(w) for w in _RBO_W_Q8)
+               + '])[m.m]), 0) / 9.0 / 100000000.0')} AS rbo4
+    FROM q LEFT JOIN m ON q.vec_id = m.q_id
+    GROUP BY q.vec_id
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "retrieval", "evaluation"),
+)
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber 2010, truncated at depth 10,
+    p = 0.9) between the COSINE top-10 and the INNER-PRODUCT top-10
+    per query — "does skipping normalization change what we retrieve?",
+    the MIPS-vs-cosine question (`q_sim_mips`) answered as a
+    top-weighted rank-similarity score instead of anecdotes. RBO's
+    geometric weighting makes disagreement at rank 1 matter more than
+    at rank 10, which is exactly the retrieval-quality sensitivity.
+
+    Determinism: regroup Σ_d p^d·X_d/d per ITEM — each common item
+    contributes the tail weight W[max(rank_a, rank_b)], a shared
+    integer-1e-8ths literal table — so the per-query sum is exact
+    bigint and the final score one division. Queries with disjoint
+    top-10s emit rbo4 = 0 via the left join + COALESCE.
+
+    Scale: both rankings come from ONE scored pass (panel broadcast ×
+    corpus scan); the overlap join runs on 10-row-per-query frames."""
+    prep(spark)
+    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    q = e.where(F.col("vec_id") < _RBO_NQ).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    sc = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            F.round(
+                _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+            ).alias("cos4"),
+            F.round(_dot("q_emb", "emb"), 4).alias("ip4"),
+        )
+        .localCheckpoint(eager=False)  # both ranking legs — one scored pass
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    wb = Window.partitionBy("q_id").orderBy(F.desc("ip4"), F.asc("nb_id"))
+    ra = (
+        sc.withColumn("r", F.row_number().over(wa))
+        .where(F.col("r") <= 10)
+        .select("q_id", "nb_id", F.col("r").alias("ra"))
+    )
+    rb = (
+        sc.withColumn("r", F.row_number().over(wb))
+        .where(F.col("r") <= 10)
+        .select("q_id", "nb_id", F.col("r").alias("rb"))
+    )
+    wtab = F.array(*(F.lit(w) for w in _RBO_W_Q8))
+    m = ra.join(rb, ["q_id", "nb_id"]).select(
+        "q_id",
+        F.element_at(wtab, F.greatest("ra", "rb")).alias("w_q8"),
+    )
+    qs = q.select(F.col("q_id"))
+    return (
+        qs.join(m, "q_id", "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("w_q8").cast("bigint").alias("n_common"),
+            r4(
+                F.coalesce(F.sum("w_q8"), F.lit(0)) / 9.0 / 100000000.0
+            ).alias("rbo4"),
+        )
+    )
+
+
+@register(
+    "q_sim_hamming_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), b AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN x > 0 AND i <= 32
+                           THEN (1::BIGINT << (i - 1)) ELSE 0 END)
+               AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN x > 0 AND i > 32
+                           THEN (1::BIGINT << (i - 33)) ELSE 0 END)
+               AS BIGINT) AS hi
+      FROM (SELECT vec_id, generate_subscripts(emb, 1) AS i,
+                   unnest(emb) AS x FROM e)
+      GROUP BY vec_id
+    ), p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+             CAST(bit_count(xor(q.lo, c.lo))
+                  + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY bit_count(xor(q.lo, c.lo))
+                        + bit_count(xor(q.hi, c.hi)), c.vec_id) AS rn
+      FROM (SELECT * FROM b WHERE vec_id < 16) q
+      JOIN b c ON q.vec_id != c.vec_id
+    )
+    SELECT q_id, nb_id, hamming, rn FROM p WHERE rn <= 5
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "binary-sketch", "scale-path"),
+)
+def q_sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch nearest neighbors: sign-binarize each 64-dim
+    embedding into TWO packed 32-bit words (64× compression — 8 bytes
+    vs 512), then Hamming-distance top-5 per query via xor + popcount.
+    The standard first-stage filter for billion-scale search (binary
+    sketches fit in memory where float vectors don't; Hamming distance
+    approximates angular distance for sign-random projections — here
+    the raw dims play the hyperplane role).
+
+    Packs into 32-bit halves, not one 64-bit word: `1::BIGINT << 63`
+    overflows DuckDB (Spark wraps to the sign bit) — ⌈d/32⌉ words is
+    also the general layout for d > 64. Sign test runs on the same
+    cast-to-double values both engines see, so the sketch is
+    bit-identical; everything downstream is exact integers.
+
+    Scale: the sketch build is one linear projection (map-only, rides
+    the scan); the top-k is panel-broadcast × sketch-scan with integer
+    ops that stay inside codegen — no float math anywhere in the hot
+    loop."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    word = (
+        "aggregate(zip_with(slice(emb, {off}, 32), sequence(0, 31),"
+        " (x, i) -> IF(x > 0, shiftleft(1L, i), 0L)), 0L, (a, b) -> a + b)"
+    )
+    b = e.select(
+        "vec_id",
+        F.expr(word.format(off=1)).alias("lo"),
+        F.expr(word.format(off=33)).alias("hi"),
+    ).localCheckpoint(eager=False)  # panel + candidate legs — one build
+    qb = b.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("q_lo"),
+        F.col("hi").alias("q_hi"),
+    )
+    ham = (
+        F.bit_count(F.expr("q_lo ^ lo")) + F.bit_count(F.expr("q_hi ^ hi"))
+    ).cast("bigint")
+    p = (
+        b.crossJoin(F.broadcast(qb))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            ham.alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("nb_id"))
+    return (
+        p.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "nb_id", "hamming", "rn")
+    )
+
+
+_MMR_K = 5        # picks
+_MMR_CANDS = 20   # relevance-ranked candidate pool
+_MMR_KEY = "(100000 - ({score})) * 10000000 + {vid}"  # argmax → min-key
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR oracle: candidate pool + pairwise sims once
+    (MATERIALIZED), then K chained pick CTEs — each pick maximizes
+    7·rel − 3·maxsim over exact integer ten-thousandths via the packed
+    min-key (score ∈ [−100000, 100000], vec_id tiebreak)."""
+    cos_q = R(f"{_COS} * 10000", 0)
+    head = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    cand AS MATERIALIZED (
+      SELECT b.vec_id, CAST({cos_q} AS BIGINT) AS rel_q4
+      FROM (SELECT * FROM e WHERE vec_id = 0) a
+      JOIN e b ON b.vec_id != 0
+      ORDER BY rel_q4 DESC, b.vec_id LIMIT {_MMR_CANDS}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.vec_id AS sa, b.vec_id AS sb, CAST({cos_q} AS BIGINT) AS sim_q4
+      FROM (SELECT c.vec_id, e.emb FROM cand c JOIN e ON c.vec_id = e.vec_id) a
+      JOIN (SELECT c.vec_id, e.emb FROM cand c JOIN e ON c.vec_id = e.vec_id) b
+        ON a.vec_id != b.vec_id
+    ),
+    p1 AS MATERIALIZED (
+      SELECT 1 AS pick, vec_id, rel_q4, 7 * rel_q4 AS score10
+      FROM cand
+      ORDER BY {_MMR_KEY.format(score='7 * rel_q4', vid='vec_id')} LIMIT 1
+    )"""
+    rounds = []
+    for r in range(2, _MMR_K + 1):
+        prev = f"p{r - 1}" if r == 2 else f"u{r - 1}"
+        rounds.append(f""",
+    s{r} AS MATERIALIZED (
+      SELECT {r} AS pick, t.vec_id, t.rel_q4,
+             7 * t.rel_q4 - 3 * t.maxsim AS score10
+      FROM (
+        SELECT c.vec_id, c.rel_q4, MAX(s.sim_q4) AS maxsim
+        FROM cand c
+        JOIN sims s ON s.sa = c.vec_id
+        JOIN {prev} p ON s.sb = p.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.rel_q4
+      ) t
+      ORDER BY {_MMR_KEY.format(score='7 * t.rel_q4 - 3 * t.maxsim',
+                                vid='t.vec_id')}
+      LIMIT 1
+    ),
+    u{r} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM s{r}
+    )""")
+    return (
+        head + "".join(rounds)
+        + f"""
+    SELECT pick, vec_id, rel_q4, score10 FROM u{_MMR_K}
+    """
+    )
+
+
+@register(
+    "q_mmr_diversify",
+    oracle=_mmr_oracle(),
+    priority="P2",
+    tags=("llm", "similarity", "diversification", "iterative"),
+)
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell-Goldstein) top-5: greedy
+    re-ranking that balances relevance to the query (vec_id 0) against
+    redundancy with what's already picked — λ = 0.7, so each round
+    maximizes 0.7·rel − 0.3·max-sim-to-selected. THE diversification
+    step of RAG context assembly and eval-set curation (pure top-k
+    returns five near-duplicates of the best hit; MMR spends the same
+    budget on coverage).
+
+    Determinism: relevance and pairwise sims quantize to integer
+    ten-thousandths at birth; each greedy argmax is the packed exact
+    min-key (score×10 is integer because λ = 7/10; vec_id tiebreak) —
+    so the 5-round chain reproduces bit-for-bit cross-engine, the
+    same discipline that unlocked `q_cluster_kmeans`'s oracle. Round 1
+    has no picks yet — the penalty term is empty-max → COALESCE 0,
+    i.e. pure relevance, the standard MMR convention.
+
+    Scale: ONE linear scored pass bounds the candidate pool (top-20 by
+    relevance — TakeOrdered, constant size), pairwise sims are
+    pool²=400 rows, and the K greedy rounds run on those constant
+    frames only; the corpus is never touched again. At 100 TB the pool
+    comes from the ANN twins (`q_sim_ann_lsh`) instead of the exact
+    pass — same constant-size greedy stage."""
+    prep(spark)
+    e = _emb(spark, sf_dir)
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("emb").alias("q_emb"),
+        _norm("emb").alias("q_nrm"),
+    )
+    rel_q4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * _norm("emb")) * 10000, 0
+    ).cast("bigint")
+    cand = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "emb", rel_q4.alias("rel_q4"))
+        .orderBy(F.desc("rel_q4"), F.asc("vec_id"))
+        .limit(_MMR_CANDS)
+        .localCheckpoint(eager=False)  # sims legs + every greedy round
+    )
+    a = cand.select(
+        F.col("vec_id").alias("sa"),
+        F.col("emb").alias("a_emb"),
+        _norm("emb").alias("a_nrm"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("sb"),
+        F.col("emb").alias("b_emb"),
+        _norm("emb").alias("b_nrm"),
+    )
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("sa") != F.col("sb"))
+        .select(
+            "sa",
+            "sb",
+            F.round(
+                _dot("a_emb", "b_emb")
+                / (F.col("a_nrm") * F.col("b_nrm"))
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("sim_q4"),
+        )
+        .localCheckpoint(eager=False)  # reused every greedy round
+    )
+    slim = cand.select("vec_id", "rel_q4")
+
+    def key(score: F.Column, vid: F.Column) -> F.Column:
+        return (100000 - score) * 10000000 + vid
+
+    first_score = 7 * F.col("rel_q4")
+    picked = (
+        slim.orderBy(key(first_score, F.col("vec_id")))
+        .limit(1)
+        .select(
+            F.lit(1).alias("pick"),
+            "vec_id",
+            "rel_q4",
+            first_score.alias("score10"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for r in range(2, _MMR_K + 1):
+        sel_ids = picked.select(F.col("vec_id").alias("sb"))
+        scored = (
+            slim.join(
+                picked.select("vec_id"), "vec_id", "left_anti"
+            )
+            .join(sims, F.col("vec_id") == F.col("sa"))
+            .join(F.broadcast(sel_ids), "sb")
+            .groupBy("vec_id", "rel_q4")
+            .agg(F.max("sim_q4").alias("maxsim"))
+        )
+        score = 7 * F.col("rel_q4") - 3 * F.col("maxsim")
+        nxt = (
+            scored.orderBy(key(score, F.col("vec_id")))
+            .limit(1)
+            .select(
+                F.lit(r).alias("pick"),
+                "vec_id",
+                "rel_q4",
+                score.alias("score10"),
+            )
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=False)
+    return picked

@@ -274,6 +274,12 @@ ALLOW_DUP_SCAN: dict[str, str] = {
     "q_dedup_embedding_ann": _R_REATTACH,
     "q_hard_negatives": _R_REATTACH + " (broadcast query-batch leg + "
     "streamed candidate leg off the same table)",
+    "q_ndcg": _R_REATTACH + " (same constant-panel shape as "
+    "q_retrieval_metrics: TakeOrdered query-batch leg broadcasts "
+    "against the candidate scan)",
+    "q_rbo": _R_REATTACH + " (vec_id<8 panel leg broadcasts against "
+    "the single scored candidate pass; both rankings come off one "
+    "checkpointed frame)",
     "q_retrieval_metrics": _R_REATTACH + " (broadcast query-batch leg + "
     "streamed candidate leg off the same table)",
     "q_sim_cosine_topk": _R_REATTACH,
