@@ -5533,3 +5533,93 @@ def q_causal_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("estimator").isin("naive", "wald_iv"), r4(raw - 50.0)
         ).alias("bias_vs_tau"),
     )
+
+
+_VIF_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _vif_oracle() -> str:
+    """Closed-form 3-variable VIF from the r4-rounded correlation
+    triangle (the q_agg_corr_matrix device): rounding the correlations
+    FIRST makes the downstream algebra bit-identical cross-engine."""
+    a, b, c = _VIF_COLS
+    m = (
+        f"SELECT {R4(f'corr({a}, {b})')} AS r12, "
+        f"{R4(f'corr({a}, {c})')} AS r13, "
+        f"{R4(f'corr({b}, {c})')} AS r23 FROM lineitem"
+    )
+    def r2(x, y, z):  # R² of the var whose partners correlate x,y; partners z
+        return f"(({x})*({x}) + ({y})*({y}) - 2.0*({x})*({y})*({z})) / (1.0 - ({z})*({z}))"
+    rows = []
+    for feat, (x, y, z) in zip(
+        _VIF_COLS,
+        (("r12", "r13", "r23"), ("r12", "r23", "r13"), ("r13", "r23", "r12")),
+    ):
+        expr = R4(r2(x, y, z))
+        rows.append(
+            f"SELECT '{feat}' AS feature, {expr} AS r2_4, "
+            f"CASE WHEN {expr} >= 1.0 THEN 0.0 "
+            f"ELSE {R4(f'1.0 / (1.0 - {expr})')} END AS vif4, "
+            f"{expr} >= 1.0 AS collinear FROM m"
+        )
+    return f"WITH m AS ({m}) " + " UNION ALL ".join(rows)
+
+
+@register(
+    "q_vif",
+    oracle=_vif_oracle(),
+    priority="P2",
+    tags=("agg", "stats", "multicollinearity", "feature-screening"),
+)
+def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-inflation factors for the three lineitem features —
+    the multicollinearity screen run before any regression /
+    feature-selection step (`q_grouped_ols`, `q_feature_cross`
+    consumers): VIF_i = 1/(1 − R²_i) where R²_i regresses feature i
+    on the other two, in closed form from the 3×3 correlation
+    triangle. extendedprice ≈ quantity × unit-price makes its VIF
+    land well above the classic 5-10 alarm band while discount sits
+    near 1 — both regimes present at every SF.
+
+    Determinism: the three correlations are r4-rounded FIRST (the
+    `q_agg_corr_matrix` device), so the closed-form algebra runs on
+    identical 4-dp inputs cross-engine; R² is re-rounded before the
+    VIF division (round-before-threshold) and R² ≥ 1 (exact
+    collinearity) null-guards to vif 0 with a `collinear` flag.
+
+    Scale: ONE aggregate pass computes all three correlations (fused
+    moment accumulators, map-side combined); the algebra runs on a
+    1-row frame."""
+    prep(spark)
+    a, b, c = _VIF_COLS
+    li = load(spark, sf_dir, "lineitem")
+    m = li.agg(
+        r4(F.corr(a, b)).alias("r12"),
+        r4(F.corr(a, c)).alias("r13"),
+        r4(F.corr(b, c)).alias("r23"),
+    ).localCheckpoint(eager=False)  # three per-feature rows — one agg pass
+
+    def r2of(x: str, y: str, z: str):
+        xx, yy, zz = F.col(x), F.col(y), F.col(z)
+        return r4((xx * xx + yy * yy - 2.0 * xx * yy * zz) / (1.0 - zz * zz))
+
+    rows = []
+    for feat, (x, y, z) in zip(
+        _VIF_COLS,
+        (("r12", "r13", "r23"), ("r12", "r23", "r13"), ("r13", "r23", "r12")),
+    ):
+        e = r2of(x, y, z)
+        rows.append(
+            m.select(
+                F.lit(feat).alias("feature"),
+                e.alias("r2_4"),
+                F.when(e >= 1.0, F.lit(0.0))
+                .otherwise(r4(1.0 / (1.0 - e)))
+                .alias("vif4"),
+                (e >= 1.0).alias("collinear"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out

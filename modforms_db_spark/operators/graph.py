@@ -1287,3 +1287,91 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("converged"),
     )
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle=f"""
+    WITH edges AS (
+      SELECT DISTINCT n1.n_name AS sn, n2.n_name AS cn
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name != n2.n_name
+    ), marked AS (
+      SELECT e.sn, e.cn,
+             CASE WHEN r.sn IS NOT NULL THEN 1 ELSE 0 END AS recip
+      FROM edges e
+      LEFT JOIN edges r ON e.sn = r.cn AND e.cn = r.sn
+    )
+    SELECT sn AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(recip) AS BIGINT) AS n_recip,
+           {R4('SUM(recip) * 1.0 / COUNT(*)')} AS recip4
+    FROM marked GROUP BY sn
+    """,
+    priority="P2",
+    tags=("graph", "reciprocity"),
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-edge reciprocity of the nation-level trade graph
+    (supplier-nation → customer-nation, an edge per observed trade
+    direction, self-loops excluded): per nation, what fraction of its
+    outbound trade links are reciprocated — the standard
+    directed-graph balance diagnostic (mutual links dominate organic
+    social/trade graphs; their absence flags hub-and-spoke or
+    pipeline-shaped flow).
+
+    Scale: the edge list collapses to DISTINCT nation pairs at the
+    first aggregate (≤ nations², broadcast-sized by definition — same
+    argument as the dim-join family), so the reciprocity self-join
+    runs on a constant frame regardless of fact size; the only
+    data-sized work is the dim-broadcast join chain + one distinct."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("snk"),
+                F.col("n_name").alias("sn"),
+            )),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .join(
+            F.broadcast(n.select(
+                F.col("n_nationkey").alias("cnk"),
+                F.col("n_name").alias("cn"),
+            )),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .where(F.col("sn") != F.col("cn"))
+        .select("sn", "cn")
+        .distinct()
+        .localCheckpoint(eager=False)  # forward leg + reversed self-join leg
+    )
+    rev = edges.select(
+        F.col("cn").alias("r_sn"), F.col("sn").alias("r_cn")
+    )
+    marked = edges.join(
+        F.broadcast(rev),
+        (F.col("sn") == F.col("r_sn")) & (F.col("cn") == F.col("r_cn")),
+        "left",
+    ).select(
+        "sn",
+        F.when(F.col("r_sn").isNotNull(), 1).otherwise(0).alias("recip"),
+    )
+    return marked.groupBy(F.col("sn").alias("nation")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_out"),
+        F.sum("recip").cast("bigint").alias("n_recip"),
+        r4(F.sum("recip") * 1.0 / F.count(F.lit(1))).alias("recip4"),
+    )

@@ -3592,3 +3592,269 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corrected"
         ),
     )
+
+
+_FE_DAILY_V4 = R(f"({R4('SUM(value)')} * 10000)", 0)  # the LTOB grain device
+
+
+@register(
+    "q_forecast_eval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, d, v4,
+             lag(v4, 1) OVER (PARTITION BY event_type ORDER BY d) AS f1,
+             lag(v4, 7) OVER (PARTITION BY event_type ORDER BY d) AS f7
+      FROM daily
+    ), ev AS (
+      SELECT event_type, v4, f1, f7,
+             ABS(v4 - f1) AS ae1, ABS(v4 - f7) AS ae7,
+             CASE WHEN v4 + f7 = 0 THEN 0
+                  ELSE CAST({R('2.0 * ABS(v4 - f7) / (v4 + f7) * 10000', 0)}
+                    AS BIGINT)
+             END AS sm_q4
+      FROM lagged WHERE d >= 8
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ae1) AS BIGINT) AS sae1,
+             CAST(SUM(ae7) AS BIGINT) AS sae7,
+             CAST(SUM(sm_q4) AS BIGINT) AS ssm
+      FROM ev GROUP BY 1
+    )
+    SELECT event_type, n_days,
+           {R4('sae1 * 1.0 / n_days / 10000')} AS mae_naive4,
+           {R4('sae7 * 1.0 / n_days / 10000')} AS mae_snaive4,
+           CASE WHEN sae1 = 0 THEN 0.0
+                ELSE {R4('sae7 * 1.0 / sae1')} END AS mase4,
+           {R4('ssm * 1.0 / n_days / 10000')} AS smape4
+    FROM s
+    """,
+    priority="P2",
+    tags=("temporal", "forecast", "evaluation"),
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation of the two standard zero-parameter
+    baselines on each metric stream — naive (yesterday) and
+    seasonal-naive (same weekday last week) — over the last 23 days:
+    MAE for both, MASE (seasonal-naive MAE scaled by naive MAE — the
+    scale-free Hyndman-Koehler metric that compares across streams of
+    different magnitudes), and sMAPE for the seasonal-naive. The gate
+    every forecasting pipeline runs FIRST: a model that can't beat
+    these baselines isn't a model.
+
+    Determinism: daily sums ride as exact integer ten-thousandths (the
+    LTOB grain device), absolute errors stay integer, sMAPE terms
+    quantize per-day before the sum, and every reported metric is one
+    division of exact integer sums. The v4 + f7 = 0 sMAPE singularity
+    null-guards to 0; MASE's sae1 = 0 (constant stream) guards to 0.
+
+    Scale: one pass to the daily grain (map-side combined), two lags
+    on one calendar-bounded window, exact-integer rollup — billions of
+    events enter only through the daily grain."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "d",
+        "v4",
+        F.lag("v4", 1).over(w).alias("f1"),
+        F.lag("v4", 7).over(w).alias("f7"),
+    )
+    sm_q4 = F.when(F.col("v4") + F.col("f7") == 0, F.lit(0)).otherwise(
+        F.round(
+            2.0 * F.abs(F.col("v4") - F.col("f7"))
+            / (F.col("v4") + F.col("f7"))
+            * 10000,
+            0,
+        ).cast("bigint")
+    )
+    ev = lagged.where(F.col("d") >= 8).select(
+        "event_type",
+        F.abs(F.col("v4") - F.col("f1")).alias("ae1"),
+        F.abs(F.col("v4") - F.col("f7")).alias("ae7"),
+        sm_q4.alias("sm_q4"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("ae1").cast("bigint").alias("sae1"),
+        F.sum("ae7").cast("bigint").alias("sae7"),
+        F.sum("sm_q4").cast("bigint").alias("ssm"),
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        r4(F.col("sae1") * 1.0 / F.col("n_days") / 10000).alias("mae_naive4"),
+        r4(F.col("sae7") * 1.0 / F.col("n_days") / 10000).alias("mae_snaive4"),
+        F.when(F.col("sae1") == 0, F.lit(0.0))
+        .otherwise(r4(F.col("sae7") * 1.0 / F.col("sae1")))
+        .alias("mase4"),
+        r4(F.col("ssm") * 1.0 / F.col("n_days") / 10000).alias("smape4"),
+    )
+
+
+@register(
+    "q_fifo_allocation",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_partkey AS part, l_returnflag = 'R' AS is_sale,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST({R('l_extendedprice * 100', 0)} AS BIGINT) AS ep_c,
+             l_shipdate, l_orderkey, l_linenumber
+      FROM lineitem WHERE l_partkey < 40
+    ), lots AS (
+      SELECT part, qty, ep_c,
+             SUM(qty) OVER (PARTITION BY part
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS lo,
+             SUM(qty) OVER (PARTITION BY part
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+      FROM li WHERE NOT is_sale
+    ), sales AS (
+      SELECT part, qty,
+             SUM(qty) OVER (PARTITION BY part
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS lo,
+             SUM(qty) OVER (PARTITION BY part
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+      FROM li WHERE is_sale
+    ), alloc AS (
+      SELECT l.part,
+             LEAST(l.hi, s.hi) - GREATEST(l.lo, s.lo) AS aq,
+             CAST({R('(LEAST(l.hi, s.hi) - GREATEST(l.lo, s.lo))'
+                     ' * l.ep_c * 1.0 / l.qty', 0)} AS BIGINT) AS cost_c
+      FROM lots l JOIN sales s
+        ON l.part = s.part AND l.lo < s.hi AND s.lo < l.hi
+    ), d AS (
+      SELECT part, CAST(SUM(qty) AS BIGINT) AS demand_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_sales
+      FROM li WHERE is_sale GROUP BY part
+    ), sup AS (
+      SELECT part, CAST(SUM(qty) AS BIGINT) AS supply_qty FROM li
+      WHERE NOT is_sale GROUP BY part
+    )
+    SELECT d.part, d.n_sales, d.demand_qty,
+           CAST(COALESCE(sup.supply_qty, 0) AS BIGINT) AS supply_qty,
+           CAST(COALESCE(a.filled, 0) AS BIGINT) AS filled_qty,
+           CAST(d.demand_qty - COALESCE(a.filled, 0) AS BIGINT)
+             AS unfilled_qty,
+           CAST(COALESCE(a.cogs_c, 0) AS BIGINT) AS cogs_c
+    FROM d
+    LEFT JOIN sup ON d.part = sup.part
+    LEFT JOIN (
+      SELECT part, CAST(SUM(aq) AS BIGINT) AS filled,
+             CAST(SUM(cost_c) AS BIGINT) AS cogs_c
+      FROM alloc GROUP BY part
+    ) a ON d.part = a.part
+    """,
+    priority="P2",
+    tags=("temporal", "inventory", "range-join"),
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory allocation as a RANGE-INTERSECT join of
+    cumulative quantity ranges — the distributed form of the
+    inherently-sequential "consume oldest lot first" loop: per part,
+    receipts (non-returned lines, ship-date order) occupy cumulative
+    intervals [lo, hi), sales (returned lines) likewise; a sale
+    consumes min(hi,hi)−max(lo,lo) units of every lot its interval
+    overlaps, at that lot's unit cost. Emits per-part demand, supply,
+    filled/unfilled quantity, and FIFO cost of goods in exact cents —
+    the inventory-valuation query (FIFO COGS, lot aging) every ERP
+    pipeline ships.
+
+    Determinism: quantities are integral by generator contract (cast
+    BIGINT), cumulative ranges are exact integer window sums over the
+    unique (shipdate, orderkey, linenumber) total order, and each
+    allocation's cost rounds once to integer cents before the sum.
+
+    Scale: the p_partkey < 40 slice bounds THIS demo's output; the
+    shape is per-part windows + a per-part interval overlap join —
+    at 100 TB the overlap join bins on cumulative-quantity ranges
+    exactly like `q_join_range_binned` (each lot/sale pair lands in
+    ⌈span/bin⌉ buckets), and the per-part windows partition cleanly."""
+    prep(spark)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") < 40)
+        .select(
+            F.col("l_partkey").alias("part"),
+            (F.col("l_returnflag") == "R").alias("is_sale"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("ep_c"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .localCheckpoint(eager=False)  # lots + sales + demand + supply legs
+    )
+    w = Window.partitionBy("part").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    cum = F.sum("qty").over(w)
+    lots = li.where(~F.col("is_sale")).select(
+        "part",
+        "qty",
+        "ep_c",
+        (cum - F.col("qty")).alias("lo"),
+        cum.alias("hi"),
+    )
+    sales = li.where(F.col("is_sale")).select(
+        "part",
+        "qty",
+        (cum - F.col("qty")).alias("s_lo"),
+        cum.alias("s_hi"),
+    )
+    aq = F.least(F.col("hi"), F.col("s_hi")) - F.greatest(
+        F.col("lo"), F.col("s_lo")
+    )
+    alloc = (
+        lots.join(
+            sales.select("part", "s_lo", "s_hi"),
+            ["part"],
+        )
+        .where((F.col("lo") < F.col("s_hi")) & (F.col("s_lo") < F.col("hi")))
+        .select(
+            "part",
+            aq.alias("aq"),
+            F.round(aq * F.col("ep_c") * 1.0 / F.col("qty"), 0)
+            .cast("bigint")
+            .alias("cost_c"),
+        )
+        .groupBy("part")
+        .agg(
+            F.sum("aq").cast("bigint").alias("filled"),
+            F.sum("cost_c").cast("bigint").alias("cogs_c"),
+        )
+    )
+    d = li.where(F.col("is_sale")).groupBy("part").agg(
+        F.sum("qty").cast("bigint").alias("demand_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+    )
+    sup = li.where(~F.col("is_sale")).groupBy("part").agg(
+        F.sum("qty").cast("bigint").alias("supply_qty")
+    )
+    return (
+        d.join(sup, "part", "left")
+        .join(alloc, "part", "left")
+        .select(
+            "part",
+            "n_sales",
+            "demand_qty",
+            F.coalesce("supply_qty", F.lit(0)).cast("bigint")
+            .alias("supply_qty"),
+            F.coalesce("filled", F.lit(0)).cast("bigint").alias("filled_qty"),
+            (F.col("demand_qty") - F.coalesce("filled", F.lit(0)))
+            .cast("bigint")
+            .alias("unfilled_qty"),
+            F.coalesce("cogs_c", F.lit(0)).cast("bigint").alias("cogs_c"),
+        )
+    )
