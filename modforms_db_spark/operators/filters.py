@@ -694,3 +694,42 @@ def q_sql_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "seg", "n_customers", r4(F.col("avg_raw")).alias("avg_balance")
     )
+
+
+@register(
+    "q_sql_order_by_all",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R2('SUM(l_quantity)')} AS qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY ALL
+    """,
+    priority="P2",
+    tags=("sql", "surface", "spark4"),
+)
+def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ORDER BY ALL` (Spark 4.0, the DuckDB-pioneered spelling
+    alongside `q_sql_group_by_all`): sort by every select item left to
+    right — the "give me a stable, eyeball-able report" ergonomic that
+    otherwise needs the column list repeated. Resolution happens in
+    the analyzer; the physical sort is identical to the explicit form
+    (which the hash match against DuckDB's own ORDER BY ALL pins —
+    including that BOTH engines order the flag/status pair the same
+    way, i.e. left-to-right ascending).
+
+    Scale: the sort runs on the aggregated frame (bounded by the
+    flag×status domain), never on raw rows."""
+    prep(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("mfdb_oba_l")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(SUM(l_quantity), 2) AS qty
+        FROM mfdb_oba_l
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY ALL
+        """
+    )

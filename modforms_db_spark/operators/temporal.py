@@ -3595,6 +3595,7 @@ def q_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FE_DAILY_V4 = R(f"({R4('SUM(value)')} * 10000)", 0)  # the LTOB grain device
+_FE_DAILY_V2 = R(f"({R4('SUM(value)')} * 100)", 0)  # cents grain (q_cronbach_alpha)
 
 
 @register(
@@ -3857,4 +3858,360 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("unfilled_qty"),
             F.coalesce("cogs_c", F.lit(0)).cast("bigint").alias("cogs_c"),
         )
+    )
+
+
+@register(
+    "q_cronbach_alpha",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V2} AS BIGINT) AS v2
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, dd.d, COALESCE(x.v2, 0) AS v2
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+      LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), item AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v2) AS BIGINT) AS sx,
+             CAST(SUM(v2 * v2) AS BIGINT) AS sxx
+      FROM grid GROUP BY 1
+    ), iv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+             {R4('SUM((CAST(sxx AS DOUBLE)'
+                 ' - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / 10000)')}
+               AS item_var4
+      FROM item
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS sx,
+             CAST(SUM(s * s) AS BIGINT) AS sxx
+      FROM (SELECT d, CAST(SUM(v2) AS BIGINT) AS s FROM grid GROUP BY d)
+    ), tv AS (
+      SELECT {R4('(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)'
+                 ' / (n - 1) / 10000')} AS total_var4
+      FROM tot
+    )
+    SELECT iv.k, iv.n AS n_days, iv.item_var4, tv.total_var4,
+           CASE WHEN tv.total_var4 = 0 THEN 0.0
+                ELSE {R4('iv.k * 1.0 / (iv.k - 1)'
+                         ' * (1.0 - iv.item_var4 / tv.total_var4)')}
+           END AS alpha4
+    FROM iv CROSS JOIN tv
+    """,
+    priority="P2",
+    tags=("temporal", "statistics", "reliability"),
+)
+def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the metric streams — internal-consistency
+    reliability with event types as the k "items" and days as the
+    respondents: alpha = k/(k−1)·(1 − Σ item-variance / total-variance).
+    The composite-metric sanity check: before averaging five health
+    metrics into one dashboard score, alpha says whether they move
+    together enough for the composite to mean anything (near 0 here —
+    the generator's streams are independent, which is itself the
+    informative reading).
+
+    Determinism: the (type, day) grain rides as exact integer
+    hundredths (cents grain, NOT the usual ten-thousandths: the
+    day-TOTAL squared moments overflow bigint at sf0.1 on the finer
+    grid — caught by the three-SF vacuity run) on a ZERO-FILLED dense grid (the dense-spine rule:
+    a missing day must count as 0, not vanish — item and total
+    variances must see the same respondents); variances are single
+    double expressions over exact bigint moments ((Σv)² would overflow
+    bigint at sf0.1, so the squaring happens in double — deterministic
+    because the INPUTS are exact integers and the expression is one
+    formula); total_var = 0 null-guards alpha to 0.
+
+    Scale: one pass to the daily grain; the grid is types × days
+    (calendar-bounded), moments map-side combine."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 100, 0).cast("bigint").alias("v2")
+        )
+        .localCheckpoint(eager=False)  # grid spine legs + value join
+    )
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "d", F.coalesce("v2", F.lit(0)).alias("v2")
+        )
+        .localCheckpoint(eager=False)  # item-variance + day-total legs
+    )
+    item = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v2").cast("bigint").alias("sx"),
+        F.sum(F.col("v2") * F.col("v2")).cast("bigint").alias("sxx"),
+    )
+    iv = item.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.max("n").alias("n"),
+        r4(
+            F.sum(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+                / (F.col("n") - 1)
+                / 10000
+            )
+        ).alias("item_var4"),
+    )
+    tot = (
+        grid.groupBy("d")
+        .agg(F.sum("v2").cast("bigint").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("s").cast("bigint").alias("sx"),
+            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sxx"),
+        )
+    )
+    tv = tot.select(
+        r4(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / 10000
+        ).alias("total_var4")
+    )
+    return (
+        iv.crossJoin(tv)
+        .select(
+            "k",
+            F.col("n").alias("n_days"),
+            "item_var4",
+            "total_var4",
+            F.when(F.col("total_var4") == 0, F.lit(0.0))
+            .otherwise(
+                r4(
+                    F.col("k") * 1.0 / (F.col("k") - 1)
+                    * (1.0 - F.col("item_var4") / F.col("total_var4"))
+                )
+            )
+            .alias("alpha4"),
+        )
+    )
+
+
+# F(0.99; 1, df2) step table — 1%, not 5%: with 20 organic pairs a 5%
+# test is EXPECTED to false-reject ~1 pair per run (observed 1-2 at
+# sf0.001/0.01), while planted F values clear 99 everywhere. Bands are
+# conservative: each uses the crit of its LOWER df bound. Shared
+# literals, both engines.
+_GRANGER_CRIT = "CASE WHEN {df2} >= 30 THEN 7.56 WHEN {df2} >= 20 THEN 8.10 WHEN {df2} >= 10 THEN 10.04 ELSE 16.26 END"
+
+
+@register(
+    "q_granger_lite",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, dd.d, COALESCE(x.v4, 0) AS v4
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+      LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), lagd AS (
+      SELECT event_type, d, v4,
+             lag(v4) OVER (PARTITION BY event_type ORDER BY d) AS prev
+      FROM grid
+    ), tgt AS (
+      SELECT event_type AS target, d, v4 AS z, prev AS u
+      FROM lagd WHERE prev IS NOT NULL
+    ), obs AS (
+      SELECT t.target, c.event_type AS cause, t.z, t.u, c.prev AS w
+      FROM tgt t JOIN lagd c ON t.d = c.d
+      WHERE c.prev IS NOT NULL AND c.event_type != t.target
+      UNION ALL
+      SELECT target, 'lead_self' AS cause, z, u, (z // 1000) * 1000 AS w
+      FROM tgt
+    ), m AS (
+      SELECT target, cause, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(u) AS BIGINT) AS su,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(z * u) AS BIGINT) AS szu,
+             CAST(SUM(z * w) AS BIGINT) AS szw,
+             CAST(SUM(u * w) AS BIGINT) AS suw,
+             CAST(SUM(u * u) AS BIGINT) AS suu,
+             CAST(SUM(w * w) AS BIGINT) AS sww,
+             CAST(SUM(z * z) AS BIGINT) AS szz
+      FROM obs GROUP BY 1, 2
+    ), cm AS (
+      SELECT target, cause, n,
+             CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n AS czz,
+             CAST(szu AS DOUBLE) - CAST(sz AS DOUBLE) * su / n AS czu,
+             CAST(szw AS DOUBLE) - CAST(sz AS DOUBLE) * sw / n AS czw,
+             CAST(suu AS DOUBLE) - CAST(su AS DOUBLE) * su / n AS cuu,
+             CAST(sww AS DOUBLE) - CAST(sw AS DOUBLE) * sw / n AS cww,
+             CAST(suw AS DOUBLE) - CAST(su AS DOUBLE) * sw / n AS cuw
+      FROM m
+    ), rss AS (
+      SELECT target, cause, n,
+             {R4('czz - CASE WHEN cuu = 0 THEN 0 ELSE czu * czu / cuu END')}
+               AS rss_r,
+             {R4('czz - (czu * czu * cww - 2 * czu * czw * cuw'
+                 ' + czw * czw * cuu) / (cuu * cww - cuw * cuw)')} AS rss_f
+      FROM cm
+      WHERE cuu * cww - cuw * cuw > 0
+    ), f AS (
+      SELECT target, cause, n,
+             CASE WHEN rss_f <= 0 THEN 99999.0
+                  ELSE {R4('(rss_r - rss_f) * (n - 3) / rss_f')}
+             END AS f4
+      FROM rss
+    )
+    SELECT target, cause, n, f4,
+           f4 > ({_GRANGER_CRIT.format(df2='n - 3')}) AS reject
+    FROM f
+    """,
+    priority="P2",
+    tags=("temporal", "statistics", "causality"),
+)
+def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen (lag-1, the "lite" form): for every
+    ordered metric-stream pair, does yesterday's CAUSE value improve
+    the prediction of today's TARGET beyond the target's own
+    yesterday? F-test of nested OLS — restricted z~u vs full z~u+w —
+    in closed form from exact integer moment sums (no iterative
+    fitting). The lead-indicator discovery query of metric pipelines.
+
+    Both verdict branches at every SF: organic cross-stream pairs
+    ACCEPT (the generator's streams are independent), and a planted
+    'lead_self' cause — the target's own tomorrow, coarsened to the
+    1000-grid so RSS_f stays > 0 — REJECTS (a near-perfect leading
+    indicator by construction). RSS_f ≤ 0 still sentinel-guards to
+    F = 99999. α = 0.01 (with 20 organic pairs a 5% test false-rejects
+    ~1 pair per run by design — observed 1-2; planted F clears 99
+    everywhere); the F critical value is a conservative step table
+    (each band uses its lower-df crit) shipped as shared literals;
+    both F and RSS are r4-rounded before comparison.
+
+    Determinism: the daily grain rides as exact integer
+    ten-thousandths on the dense zero-filled grid (the `q_cronbach_
+    alpha` spine); all moments are exact bigint sums; the centered
+    algebra runs in double over those exact integers — one formula,
+    engine-identical.
+
+    Scale: one pass to the daily grain; pairs × days frames are
+    calendar-bounded (k²·days rows), moments map-side combine."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)
+    )
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("v4", F.lit(0)).alias("v4"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagd = grid.select(
+        "event_type", "d", "v4", F.lag("v4").over(w).alias("prev")
+    ).localCheckpoint(eager=False)  # target leg + cause leg + planted leg
+    tgt = lagd.where(F.col("prev").isNotNull()).select(
+        F.col("event_type").alias("target"),
+        "d",
+        F.col("v4").alias("z"),
+        F.col("prev").alias("u"),
+    )
+    cse = lagd.where(F.col("prev").isNotNull()).select(
+        F.col("event_type").alias("cause"), "d", F.col("prev").alias("w")
+    )
+    organic = (
+        tgt.join(cse, "d")
+        .where(F.col("cause") != F.col("target"))
+        .select("target", "cause", "z", "u", "w")
+    )
+    planted = tgt.select(
+        "target",
+        F.lit("lead_self").alias("cause"),
+        "z",
+        "u",
+        (F.expr("z div 1000") * 1000).alias("w"),
+    )
+    obs = organic.unionByName(planted)
+    m = obs.groupBy("target", "cause").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("z") * F.col("u")).cast("bigint").alias("szu"),
+        F.sum(F.col("z") * F.col("w")).cast("bigint").alias("szw"),
+        F.sum(F.col("u") * F.col("w")).cast("bigint").alias("suw"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+    )
+
+    def cen(sab: str, sa: str, sb: str):
+        return F.col(sab).cast("double") - F.col(sa).cast("double") * F.col(
+            sb
+        ) / F.col("n")
+
+    cm = m.select(
+        "target",
+        "cause",
+        "n",
+        cen("szz", "sz", "sz").alias("czz"),
+        cen("szu", "sz", "su").alias("czu"),
+        cen("szw", "sz", "sw").alias("czw"),
+        cen("suu", "su", "su").alias("cuu"),
+        cen("sww", "sw", "sw").alias("cww"),
+        cen("suw", "su", "sw").alias("cuw"),
+    )
+    det = F.col("cuu") * F.col("cww") - F.col("cuw") * F.col("cuw")
+    rss = cm.where(det > 0).select(
+        "target",
+        "cause",
+        "n",
+        r4(
+            F.col("czz")
+            - F.when(F.col("cuu") == 0, F.lit(0.0)).otherwise(
+                F.col("czu") * F.col("czu") / F.col("cuu")
+            )
+        ).alias("rss_r"),
+        r4(
+            F.col("czz")
+            - (
+                F.col("czu") * F.col("czu") * F.col("cww")
+                - 2 * F.col("czu") * F.col("czw") * F.col("cuw")
+                + F.col("czw") * F.col("czw") * F.col("cuu")
+            )
+            / det
+        ).alias("rss_f"),
+    )
+    f4 = F.when(F.col("rss_f") <= 0, F.lit(99999.0)).otherwise(
+        r4((F.col("rss_r") - F.col("rss_f")) * (F.col("n") - 3) / F.col("rss_f"))
+    )
+    crit = (
+        F.when(F.col("n") - 3 >= 30, F.lit(7.56))
+        .when(F.col("n") - 3 >= 20, F.lit(8.10))
+        .when(F.col("n") - 3 >= 10, F.lit(10.04))
+        .otherwise(F.lit(16.26))
+    )
+    return rss.select(
+        "target",
+        "cause",
+        "n",
+        f4.alias("f4"),
+        (f4 > crit).alias("reject"),
     )
