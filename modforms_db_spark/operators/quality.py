@@ -2575,3 +2575,165 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("slight"))
         .alias("agreement"),
     )
+
+
+_PRT_Z_CRIT = 2.5758  # two-sided alpha = 0.01
+
+
+@register(
+    "q_poisson_rate_test",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d FROM events
+    ), streams AS (
+      SELECT event_type AS stream, d FROM base
+      UNION ALL
+      SELECT 'burst_planted' AS stream, d FROM base
+      WHERE event_type = 'click' AND d <= 15
+      UNION ALL
+      SELECT 'burst_planted' AS stream, d FROM base
+      WHERE event_type = 'click' AND d >= 16
+      UNION ALL
+      SELECT 'burst_planted' AS stream, d FROM base
+      WHERE event_type = 'click' AND d >= 16
+    ), s AS (
+      SELECT stream,
+             CAST(SUM(CASE WHEN d <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN d >= 16 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM streams GROUP BY 1
+    ), st AS (
+      SELECT stream, c1, c2,
+             CASE WHEN c1 + c2 = 0 THEN 0.0
+                  ELSE {R4('(c1 - c2) / SQRT(c1 + c2 + 0.0)')} END AS z4
+      FROM s
+    )
+    SELECT stream, c1, c2, z4, ABS(z4) > {_PRT_Z_CRIT!r} AS reject
+    FROM st
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "rate-monitor"),
+)
+def q_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-window Poisson rate test per event stream — "did this
+    event's RATE change between the first and second half of the
+    month?", the volume-drift monitor beside the value-drift tests
+    (`q_ks_test`, `q_mann_kendall`): under H0 (equal rates, equal
+    15-day exposures) the count difference is conditionally binomial
+    and z = (c1 − c2)/√(c1 + c2); two-sided α = 0.01. Organic streams
+    ACCEPT (the generator's arrival rate is constant); a planted
+    'burst_planted' stream — click with its second half counted twice,
+    a 2× rate shift — REJECTS at every SF. c1 + c2 = 0 null-guards
+    to z = 0.
+
+    Scale: exact conditional counts off one scan; the test runs on a
+    rows-per-stream frame."""
+    prep(spark)
+    base = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofmonth("ts").cast("bigint").alias("d")
+    ).localCheckpoint(eager=False)  # organic leg + two planted legs
+    click = base.where(F.col("event_type") == "click")
+    streams = (
+        base.select(F.col("event_type").alias("stream"), "d")
+        .unionByName(
+            click.select(F.lit("burst_planted").alias("stream"), "d")
+        )
+        .unionByName(
+            click.where(F.col("d") >= 16).select(
+                F.lit("burst_planted").alias("stream"), "d"
+            )
+        )
+    )
+    s = streams.groupBy("stream").agg(
+        F.sum((F.col("d") <= 15).cast("int")).cast("bigint").alias("c1"),
+        F.sum((F.col("d") >= 16).cast("int")).cast("bigint").alias("c2"),
+    )
+    z4 = F.when(F.col("c1") + F.col("c2") == 0, F.lit(0.0)).otherwise(
+        r4(
+            (F.col("c1") - F.col("c2"))
+            / F.sqrt((F.col("c1") + F.col("c2")).cast("double"))
+        )
+    )
+    return s.select(
+        "stream",
+        "c1",
+        "c2",
+        z4.alias("z4"),
+        (F.abs(z4) > _PRT_Z_CRIT).alias("reject"),
+    )
+
+
+_CRC_NHAT = (
+    "CAST(" + R("(n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0", 0)
+    + " AS BIGINT)"
+)
+
+
+@register(
+    "q_capture_recapture",
+    oracle=f"""
+    WITH c1 AS (
+      SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 20
+    ), c2 AS (
+      SELECT doc_id FROM documents WHERE (doc_id * 40503) % 100 < 20
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM c1 JOIN c2 ON c1.doc_id = c2.doc_id
+    ), s AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n1,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n2,
+             m.m AS m,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS true_n
+      FROM m
+    )
+    SELECT n1, n2, m, true_n,
+           {_CRC_NHAT} AS n_hat,
+           {R4(f'({_CRC_NHAT} - true_n) * 100.0 / true_n')} AS err_pct4
+    FROM s
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "estimation"),
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimate (Chapman-corrected
+    Lincoln-Petersen): two INDEPENDENT deterministic ~20% hash samples
+    of the corpus (different Knuth multipliers — the `q_sample`
+    device, so both "captures" are reproducible on any engine), then
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 from the overlap m. The corpus-size /
+    coverage estimator used when the universe can't be enumerated —
+    how many docs do two crawls jointly imply exist? — here
+    verifiable against the true count, with the signed error %
+    emitted (the m = 0 degenerate case is finite by construction of
+    the Chapman correction).
+
+    Scale: two sargable hash predicates on one scan + a semi-join on
+    the ~4% intersection; the estimator runs on a 1-row frame."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id").localCheckpoint(
+        eager=False
+    )  # capture legs + true count — one scan
+    k1 = (F.col("doc_id") * F.lit(2654435761).cast("bigint")) % 100 < 20
+    k2 = (F.col("doc_id") * F.lit(40503).cast("bigint")) % 100 < 20
+    c1 = d.where(k1)
+    c2 = d.where(k2)
+    m = c1.join(c2, "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    s = (
+        m.crossJoin(c1.agg(F.count(F.lit(1)).cast("bigint").alias("n1")))
+        .crossJoin(c2.agg(F.count(F.lit(1)).cast("bigint").alias("n2")))
+        .crossJoin(d.agg(F.count(F.lit(1)).cast("bigint").alias("true_n")))
+    )
+    n_hat = F.round(
+        (F.col("n1") + 1.0) * (F.col("n2") + 1.0) / (F.col("m") + 1.0) - 1.0,
+        0,
+    ).cast("bigint")
+    return s.select(
+        "n1",
+        "n2",
+        "m",
+        "true_n",
+        n_hat.alias("n_hat"),
+        r4((n_hat - F.col("true_n")) * 100.0 / F.col("true_n")).alias(
+            "err_pct4"
+        ),
+    )

@@ -4215,3 +4215,135 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         f4.alias("f4"),
         (f4 > crit).alias("reject"),
     )
+
+
+_MK_Z_CRIT = 2.5758  # two-sided alpha = 0.01
+
+
+@register(
+    "q_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), streams AS (
+      SELECT event_type AS stream, d, v4 FROM daily
+      UNION ALL
+      SELECT 'trend_planted' AS stream, d, v4 + d * 10000000 AS v4
+      FROM daily WHERE event_type = 'click'
+    ), pairs AS (
+      SELECT a.stream,
+             CAST(SUM(CASE WHEN b.v4 > a.v4 THEN 1
+                           WHEN b.v4 < a.v4 THEN -1 ELSE 0 END) AS BIGINT) AS s
+      FROM streams a JOIN streams b
+        ON a.stream = b.stream AND a.d < b.d
+      GROUP BY a.stream
+    ), nn AS (
+      SELECT stream, CAST(COUNT(*) AS BIGINT) AS n FROM streams GROUP BY 1
+    ), ties AS (
+      SELECT stream,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+      FROM (SELECT stream, v4, CAST(COUNT(*) AS BIGINT) AS t
+            FROM streams GROUP BY stream, v4)
+      GROUP BY stream
+    ), st AS (
+      SELECT p.stream, nn.n, p.s,
+             {R4('(p.s - CASE WHEN p.s > 0 THEN 1'
+                 ' WHEN p.s < 0 THEN -1 ELSE 0 END)'
+                 ' / SQRT((nn.n * (nn.n - 1.0) * (2 * nn.n + 5) - t.tsum)'
+                 ' / 18.0)')} AS z4
+      FROM pairs p JOIN nn ON p.stream = nn.stream
+      JOIN ties t ON p.stream = t.stream
+      WHERE nn.n * (nn.n - 1.0) * (2 * nn.n + 5) > t.tsum
+    )
+    SELECT stream, n, s AS s_stat, z4, ABS(z4) > {_MK_Z_CRIT!r} AS reject
+    FROM st
+    """,
+    priority="P2",
+    tags=("temporal", "statistics", "trend"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per metric stream — the nonparametric
+    "is this metric drifting?" monitor (sign-based, so spikes and
+    heavy tails can't fake a trend the way they bias OLS slopes):
+    S = Σ_{{i<j}} sign(v_j − v_i) over day pairs, tie-corrected normal
+    approximation with continuity correction, two-sided α = 0.01. The
+    monitoring twin of `q_theil_sen` (which estimates the slope MK
+    tests the existence of).
+
+    Both branches at every SF: organic streams ACCEPT (daily sums are
+    i.i.d. by generator), a planted 'trend_planted' stream — click
+    plus a deterministic d-proportional ramp — REJECTS. S and the tie
+    term are exact integers; z is one double formula over them. The
+    all-tied degenerate stream (Var ≤ 0) is filtered rather than
+    divided by zero.
+
+    Scale: pairs are per-stream day² (calendar-bounded, 435 at 30
+    days) off the daily grain — billions of events enter only through
+    that grain; everything downstream is constant-size."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)
+    )
+    streams = daily.select(
+        F.col("event_type").alias("stream"), "d", "v4"
+    ).unionByName(
+        daily.where(F.col("event_type") == "click").select(
+            F.lit("trend_planted").alias("stream"),
+            "d",
+            (F.col("v4") + F.col("d") * 10000000).alias("v4"),
+        )
+    ).localCheckpoint(eager=False)  # pair join (both sides) + n + ties
+    a = streams.select("stream", F.col("d").alias("da"), F.col("v4").alias("va"))
+    b = streams.select("stream", F.col("d").alias("db"), F.col("v4").alias("vb"))
+    pairs = (
+        a.join(b, "stream")
+        .where(F.col("da") < F.col("db"))
+        .groupBy("stream")
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = streams.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tt = F.col("t")
+    ties = (
+        streams.groupBy("stream", "v4")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("stream")
+        .agg(
+            F.sum(tt * (tt - 1) * (2 * tt + 5)).cast("bigint").alias("tsum")
+        )
+    )
+    var18 = F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) - F.col(
+        "tsum"
+    )
+    cc = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    z4 = r4((F.col("s") - cc) / F.sqrt(var18 / 18.0))
+    return (
+        pairs.join(nn, "stream")
+        .join(ties, "stream")
+        .where(var18 > 0)
+        .select(
+            "stream",
+            "n",
+            F.col("s").alias("s_stat"),
+            z4.alias("z4"),
+            (F.abs(z4) > _MK_Z_CRIT).alias("reject"),
+        )
+    )
