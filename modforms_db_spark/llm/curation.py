@@ -2806,3 +2806,223 @@ def q_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s2") & ~F.col("s1"), "col-complement")
         .alias("reason"),
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_apply_oracle() -> str:
+    """Unrolled 3-round BPE training loop: per round, (a) weighted pair
+    counts over the symbol grain, (b) argmax pair (count desc, pair
+    asc), (c) greedy non-overlapping left-to-right merge via the
+    gaps-islands run-parity device (within a maximal run of consecutive
+    matches, keep even run-offsets — exactly greedy left-to-right),
+    (d) rebuild the grain. All counts are exact integers; the argmax
+    is deterministic by tiebreak."""
+    head = """
+    WITH vocab AS MATERIALIZED (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS w
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) >= 1 GROUP BY tok
+    ),
+    g0 AS MATERIALIZED (
+      SELECT tok, w, CAST(i AS BIGINT) AS pos, tok[i] AS sym
+      FROM vocab, unnest(generate_series(1, length(tok))) AS t(i)
+    )"""
+    parts = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        g = f"g{r - 1}"
+        parts.append(f""",
+    p{r} AS MATERIALIZED (
+      SELECT a.tok, a.w, a.pos, a.sym, b.sym AS sym2
+      FROM {g} a JOIN {g} b ON a.tok = b.tok AND b.pos = a.pos + 1
+    ),
+    top{r} AS MATERIALIZED (
+      SELECT sym AS pa, sym2 AS pb, CAST(SUM(w) AS BIGINT) AS n
+      FROM p{r} GROUP BY sym, sym2
+      ORDER BY n DESC, pa, pb LIMIT 1
+    ),
+    mt{r} AS MATERIALIZED (
+      SELECT p.tok, p.w, p.pos,
+             p.pos - row_number() OVER (PARTITION BY p.tok
+               ORDER BY p.pos) AS rid
+      FROM p{r} p JOIN top{r} t ON p.sym = t.pa AND p.sym2 = t.pb
+    ),
+    keep{r} AS MATERIALIZED (
+      SELECT tok, w, pos FROM (
+        SELECT tok, w, pos,
+               pos - MIN(pos) OVER (PARTITION BY tok, rid) AS off
+        FROM mt{r}
+      ) WHERE off % 2 = 0
+    ),
+    g{r} AS MATERIALIZED (
+      SELECT tok, w,
+             CAST(row_number() OVER (PARTITION BY tok ORDER BY pos)
+               AS BIGINT) AS pos,
+             sym
+      FROM (
+        SELECT g.tok, g.w, g.pos,
+               CASE WHEN k.pos IS NOT NULL
+                    THEN t.pa || t.pb ELSE g.sym END AS sym
+        FROM {g} g
+        LEFT JOIN keep{r} k ON g.tok = k.tok AND g.pos = k.pos
+        LEFT JOIN keep{r} k2 ON g.tok = k2.tok AND g.pos = k2.pos + 1
+        CROSS JOIN top{r} t
+        WHERE k2.pos IS NULL
+      )
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT {r} AS round, t.pa || '+' || t.pb AS pair, t.n AS pair_w,
+             (SELECT CAST(SUM(w) AS BIGINT) FROM keep{r}) AS merged_w,
+             (SELECT CAST(SUM(w) AS BIGINT) FROM g{r}) AS syms_after_w
+      FROM top{r} t
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return head + "".join(parts) + " " + union
+
+
+@register(
+    "q_bpe_apply",
+    oracle=_bpe_apply_oracle(),
+    priority="P2",
+    tags=("llm", "curation", "tokenizer", "iterative"),
+)
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE training LOOP (3 rounds), distributed: each round
+    counts weighted adjacent-symbol pairs over the token vocab, picks
+    the argmax merge, and applies it greedily left-to-right
+    corpus-wide — completing the story `q_bpe_merge_pairs` (one
+    counting round) starts. Emits per round: the learned merge, its
+    weighted pair count, the weighted number of positions actually
+    merged, and the weighted symbol count remaining.
+
+    The greedy non-overlapping merge — inherently sequential per
+    token — becomes relational via the gaps-islands run-parity
+    device: positions whose (sym, next-sym) match the pair form
+    maximal runs (overlaps only occur inside runs, e.g. 'aaa' under
+    merge a+a); keeping EVEN run-offsets is exactly greedy
+    left-to-right. A fold/list_reduce formulation would run
+    interpreted per row and isn't portable; this one is windows +
+    joins in both engines, exact integer counts throughout,
+    deterministic argmax by (count desc, pair asc).
+
+    Scale: BPE operates on the VOCAB grain (distinct token × weight),
+    not the corpus stream — the standard trick that makes merge
+    rounds O(|vocab|·len); pair counts map-side combine; each round's
+    grain is checkpointed so round r+1 never recomputes round r."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    grain = vocab.select(
+        "tok",
+        "w",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok")),
+                lambda i: F.substring(F.col("tok"), i, F.lit(1)),
+            )
+        ).alias("p0", "sym"),
+    ).select(
+        "tok", "w", (F.col("p0") + 1).cast("bigint").alias("pos"), "sym"
+    ).localCheckpoint(eager=False)
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        nxt = grain.select(
+            F.col("tok").alias("tok2"),
+            F.col("pos").alias("pos2"),
+            F.col("sym").alias("sym2"),
+        )
+        pairs = (
+            grain.join(
+                nxt,
+                (F.col("tok") == F.col("tok2"))
+                & (F.col("pos2") == F.col("pos") + 1),
+            )
+            .select("tok", "w", "pos", "sym", "sym2")
+            .localCheckpoint(eager=False)  # top-pair agg + match leg
+        )
+        top = (
+            pairs.groupBy(
+                F.col("sym").alias("pa"), F.col("sym2").alias("pb")
+            )
+            .agg(F.sum("w").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "pa", "pb")
+            .limit(1)
+            .localCheckpoint(eager=False)  # match join + stats row
+        )
+        mt = pairs.join(
+            F.broadcast(top),
+            (F.col("sym") == F.col("pa")) & (F.col("sym2") == F.col("pb")),
+        ).select("tok", "w", "pos")
+        wrn = Window.partitionBy("tok").orderBy("pos")
+        runs = mt.select(
+            "tok",
+            "w",
+            "pos",
+            (F.col("pos") - F.row_number().over(wrn)).alias("rid"),
+        )
+        wmin = Window.partitionBy("tok", "rid")
+        keep = (
+            runs.select(
+                "tok",
+                "w",
+                "pos",
+                (F.col("pos") - F.min("pos").over(wmin)).alias("off"),
+            )
+            .where(F.col("off") % 2 == 0)
+            .select("tok", "w", "pos")
+            .localCheckpoint(eager=False)  # merge-at + consumed-next + stats
+        )
+        k1 = keep.select(F.col("tok").alias("tok"), F.col("pos").alias("kpos"))
+        k2 = keep.select(
+            F.col("tok").alias("tok"), (F.col("pos") + 1).alias("cpos")
+        )
+        wpos = Window.partitionBy("tok").orderBy("pos")
+        merged_sym = F.when(
+            F.col("kpos").isNotNull(), F.concat(F.col("pa"), F.col("pb"))
+        ).otherwise(F.col("sym"))
+        grain = (
+            grain.join(
+                k1,
+                (grain.tok == k1.tok) & (grain.pos == F.col("kpos")),
+                "left",
+            )
+            .drop(k1.tok)
+            .join(
+                k2,
+                (grain.tok == k2.tok) & (grain.pos == F.col("cpos")),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(top.select("pa", "pb")))
+            .select(
+                "tok",
+                "w",
+                F.row_number().over(wpos).cast("bigint").alias("pos"),
+                merged_sym.alias("sym"),
+            )
+            .localCheckpoint(eager=False)  # next round + stats
+        )
+        stats = (
+            top.crossJoin(
+                keep.agg(F.sum("w").cast("bigint").alias("merged_w"))
+            )
+            .crossJoin(
+                grain.agg(F.sum("w").cast("bigint").alias("syms_after_w"))
+            )
+            .select(
+                F.lit(r).alias("round"),
+                F.concat(F.col("pa"), F.lit("+"), F.col("pb")).alias("pair"),
+                F.col("n").alias("pair_w"),
+                "merged_w",
+                "syms_after_w",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

@@ -803,3 +803,44 @@ def test_hubness_mass_conservation(spark):
             assert r.max_occ == b
         if b == 6 and r.n_vectors > 0:
             assert r.max_occ >= 6
+
+
+def test_bpe_apply_greedy_overlap_law(spark, tmp_path):
+    """Pin the gaps-islands run-parity device against hand-computed
+    greedy left-to-right BPE on overlap-heavy tokens: corpus of one
+    doc 'aaaa aaa aa' → vocab {aaaa:1, aaa:1, aa:1}; round-1 top pair
+    is (a,a) with weighted count 3+2+1 = 6; greedy merges 2 in
+    'aaaa' (pos 1,3), 1 in 'aaa' (pos 1, pos 2 overlaps), 1 in 'aa'
+    → merged_w = 4; symbols after = 9 − 4 = 5."""
+    import pandas as pd
+
+    from modforms_db_spark.registry import get_registry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["aaaa aaa aa"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [11],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = {
+        r["round"]: r
+        for r in get_registry()["q_bpe_apply"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    r1 = rows[1]
+    assert r1["pair"] == "a+a"
+    assert r1["pair_w"] == 6  # 3 + 2 + 1 adjacent positions
+    assert r1["merged_w"] == 4  # greedy: 2 + 1 + 1 non-overlapping
+    assert r1["syms_after_w"] == 5  # 9 chars - 4 merges
+    # round 2: grain is aa|aa, aa|a, aa → top pair (aa,aa) w=1 from
+    # 'aaaa'; (aa,a) w=1 from 'aaa' — tiebreak pair asc picks (aa,a)
+    r2 = rows[2]
+    assert r2["pair"] in ("aa+a", "aa+aa")
+    assert r2["merged_w"] == 1
