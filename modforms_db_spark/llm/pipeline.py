@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
-from modforms_db_spark.oracle_dialect import R4
+from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -1865,4 +1865,294 @@ def q_mojibake_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_flagged"),
         F.sum("n_repl").cast("bigint").alias("sum_repl"),
         F.sum("n_ctrl").cast("bigint").alias("sum_ctrl"),
+    )
+
+
+_PAK_N = 10                     # samples per task
+_PAK_KS = (1, 5, 10)            # k values reported
+_PAK_FACT = (1, 1, 2, 6, 24, 120, 720, 5040, 40320, 362880, 3628800)
+_PAK_FACT_SQL = (  # ::BIGINT on the head promotes the whole list
+    "[1::BIGINT, " + ", ".join(str(f) for f in _PAK_FACT[1:]) + "]"
+)
+
+
+@register(
+    "q_pass_at_k",
+    oracle=f"""
+    WITH tasks AS (
+      SELECT doc_id AS task, (doc_id % 5) * 25 AS diff
+      FROM documents WHERE doc_id < 200
+    ), samples AS (
+      SELECT task, diff, unnest(generate_series(0, {_PAK_N - 1})) AS s
+      FROM tasks
+    ), per_task AS (
+      SELECT task,
+             CAST(SUM(CASE WHEN ((task * 31 + s) * 2654435761) % 100 < diff
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM samples GROUP BY task
+    ), ks AS (
+      SELECT unnest(ARRAY{list(_PAK_KS)}) AS k
+    ), pk AS (
+      SELECT k, task,
+             CASE WHEN {_PAK_N} - c < k THEN 10000
+                  ELSE CAST({R(f'(1.0 - CAST(({_PAK_FACT_SQL})[{_PAK_N} - c + 1]'
+                              f' * ({_PAK_FACT_SQL})[{_PAK_N} - k + 1] AS DOUBLE)'
+                              f' / (({_PAK_FACT_SQL})[{_PAK_N} - c - k + 1]'
+                              f' * ({_PAK_FACT_SQL})[{_PAK_N + 1}])) * 10000', 0)}
+                    AS BIGINT)
+             END AS pass_q4
+      FROM per_task CROSS JOIN ks
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           {R4('SUM(pass_q4) * 1.0 / COUNT(*) / 10000')} AS mean_pass4
+    FROM pk GROUP BY k
+    """,
+    priority="P2",
+    tags=("llm", "evaluation", "pass-at-k"),
+)
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, the Codex estimator) over a
+    synthetic eval harness: 200 tasks × 10 deterministic samples each
+    (sample s of task t "passes" iff a Knuth hash clears the task's
+    planted difficulty tier — 0/25/50/75/100%, so all-fail and
+    all-pass tasks both exist at every SF), then
+    pass@k = 1 − C(n−c, k)/C(n, k) per task and the mean over tasks
+    for k = 1, 5, 10. THE sampled-eval metric of LLM pipelines; the
+    naive "fraction of tasks with ≥1 pass in the first k" is biased —
+    this combinatorial form is not.
+
+    Determinism: the binomial ratio is computed from a SHARED literal
+    factorial table — C(n−c,k)/C(n,k) = (n−c)!·(n−k)!/((n−c−k)!·n!),
+    all products exact bigints (≤ 3628800², well inside range) — and
+    each task's pass@k quantizes to integer ten-thousandths before the
+    mean (order-independent sums); n−c < k short-circuits to exactly 1.
+
+    Scale: sample fan-out is a per-task projection (n = 10 rows per
+    task, map-side combined back to one row); everything downstream is
+    per-(task, k) arithmetic — evaluation cost is linear in tasks."""
+    prep(spark)
+    tasks = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 200)
+        .select(
+            F.col("doc_id").alias("task"),
+            ((F.col("doc_id") % 5) * 25).alias("diff"),
+        )
+    )
+    samples = tasks.select(
+        "task",
+        "diff",
+        F.explode(F.sequence(F.lit(0), F.lit(_PAK_N - 1))).alias("s"),
+    )
+    hit = (
+        F.pmod(
+            (F.col("task") * 31 + F.col("s"))
+            * F.lit(2654435761).cast("bigint"),
+            F.lit(100),
+        )
+        < F.col("diff")
+    )
+    per_task = samples.groupBy("task").agg(
+        F.sum(hit.cast("int")).cast("bigint").alias("c")
+    )
+    fact = F.array(*(F.lit(f).cast("bigint") for f in _PAK_FACT))
+    ks = samples.sparkSession.createDataFrame(
+        [(k,) for k in _PAK_KS], "k int"
+    )
+    n = F.lit(_PAK_N)
+    num = F.element_at(fact, (n - F.col("c") + 1).cast("int")) * F.element_at(
+        fact, F.lit(_PAK_N - 0) - F.col("k") + 1
+    )
+    den = F.element_at(
+        fact, (n - F.col("c") - F.col("k") + 1).cast("int")
+    ) * F.lit(_PAK_FACT[_PAK_N]).cast("bigint")
+    pass_q4 = F.when(n - F.col("c") < F.col("k"), F.lit(10000)).otherwise(
+        F.round((1.0 - num.cast("double") / den) * 10000, 0).cast("bigint")
+    )
+    pk = per_task.crossJoin(F.broadcast(ks)).select(
+        "k", pass_q4.alias("pass_q4")
+    )
+    return pk.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tasks"),
+        r4(F.sum("pass_q4") * 1.0 / F.count(F.lit(1)) / 10000).alias(
+            "mean_pass4"
+        ),
+    )
+
+
+@register(
+    "q_bleu_ngram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 300
+    ), pairs AS (
+      SELECT a.doc_id AS pid, b.doc_id AS ref_id,
+             a.toks AS ct, b.toks AS rt,
+             len(a.toks) AS clen, len(b.toks) AS rlen
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang
+    ), cg AS (
+      SELECT pid, 1 AS n, unnest(ct) AS g FROM pairs
+      UNION ALL
+      SELECT pid, 2 AS n,
+             unnest(list_transform(generate_series(1, len(ct) - 1),
+               i -> ct[i] || ' ' || ct[i + 1])) AS g
+      FROM pairs WHERE len(ct) >= 2
+    ), rg AS (
+      SELECT pid, 1 AS n, unnest(rt) AS g FROM pairs
+      UNION ALL
+      SELECT pid, 2 AS n,
+             unnest(list_transform(generate_series(1, len(rt) - 1),
+               i -> rt[i] || ' ' || rt[i + 1])) AS g
+      FROM pairs WHERE len(rt) >= 2
+    ), cc AS (
+      SELECT pid, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM cg GROUP BY 1, 2, 3
+    ), rc AS (
+      SELECT pid, n, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rg GROUP BY 1, 2, 3
+    ), clip AS (
+      SELECT cc.pid, cc.n,
+             CAST(SUM(LEAST(cc.c, COALESCE(rc.c, 0))) AS BIGINT) AS hit,
+             CAST(SUM(cc.c) AS BIGINT) AS tot
+      FROM cc LEFT JOIN rc
+        ON cc.pid = rc.pid AND cc.n = rc.n AND cc.g = rc.g
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT pid,
+             CAST(MAX(CASE WHEN n = 1 THEN hit END) AS BIGINT) AS h1,
+             CAST(MAX(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS t1,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN hit END), 0)
+               AS BIGINT) AS h2,
+             CAST(COALESCE(MAX(CASE WHEN n = 2 THEN tot END), 0)
+               AS BIGINT) AS t2
+      FROM clip GROUP BY pid
+    )
+    SELECT p.pid AS cand_id, pr.ref_id,
+           {R4('h1 * 1.0 / t1')} AS p1_4,
+           CASE WHEN t2 = 0 THEN 0.0 ELSE {R4('h2 * 1.0 / t2')} END AS p2_4,
+           {R4('LEAST(1.0, EXP(1.0 - pr.rlen * 1.0 / pr.clen))')} AS bp4,
+           CASE WHEN t2 = 0 OR h1 = 0 OR h2 = 0 THEN 0.0
+                ELSE {R4('LEAST(1.0, EXP(1.0 - pr.rlen * 1.0 / pr.clen))'
+                         ' * SQRT((h1 * 1.0 / t1) * (h2 * 1.0 / t2))')}
+           END AS bleu2_4
+    FROM p JOIN pairs pr ON p.pid = pr.pid
+    """,
+    priority="P2",
+    tags=("llm", "evaluation", "bleu"),
+)
+def q_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 between adjacent same-language documents — modified
+    (clipped) n-gram precision for n = 1, 2, brevity penalty, geometric
+    mean: the standard generation-eval metric, run candidate-vs-
+    reference over the corpus (near-dup fixture pairs score high,
+    unrelated neighbors low — the metric's full range is exercised
+    organically). Clipping (each candidate n-gram credits at most its
+    reference count) is what stops "the the the" from gaming precision;
+    the brevity penalty stops one-word candidates.
+
+    Determinism: all n-gram counts are exact integers off per-pair
+    grain joins; the only doubles are the final ratios, EXP and SQRT in
+    ONE r4-rounded formula each (the `q_bigram_logprob` libm
+    precedent). Candidates with no bigrams (len < 2) or zero hits
+    null-guard to BLEU 0.
+
+    Scale: pairing is a keyed self-join on doc_id+1 (no cross
+    product); gram frames are linear in corpus tokens and collapse
+    map-side to per-(pair, gram) counts before the one shuffle."""
+    prep(spark)
+    d = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", "lang", F.split("text", " ").alias("toks"))
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    b = d.select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("lang").alias("lang2"),
+        F.col("toks").alias("rt"),
+    )
+    pairs = (
+        d.join(
+            b,
+            (F.col("ref_id") == F.col("doc_id") + 1)
+            & (F.col("lang") == F.col("lang2")),
+        )
+        .select(
+            F.col("doc_id").alias("pid"),
+            "ref_id",
+            F.col("toks").alias("ct"),
+            "rt",
+            F.size("toks").alias("clen"),
+            F.size("rt").alias("rlen"),
+        )
+        .localCheckpoint(eager=False)  # gram legs ×4 + final join
+    )
+
+    def grams(col: str, pre: str) -> DataFrame:
+        uni = pairs.select(
+            "pid", F.lit(1).alias("n"), F.explode(col).alias("g")
+        )
+        bi = pairs.where(F.size(col) >= 2).select(
+            "pid",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(col) - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col(col), i),
+                        F.element_at(F.col(col), i + 1),
+                    ),
+                )
+            ).alias("g"),
+        )
+        return (
+            uni.unionByName(bi)
+            .groupBy("pid", "n", "g")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"{pre}c"))
+        )
+
+    cc = grams("ct", "c")
+    rc = grams("rt", "r")
+    clip = (
+        cc.join(rc, ["pid", "n", "g"], "left")
+        .groupBy("pid", "n")
+        .agg(
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("bigint")
+            .alias("hit"),
+            F.sum("cc").cast("bigint").alias("tot"),
+        )
+    )
+    p = clip.groupBy("pid").agg(
+        F.max(F.when(F.col("n") == 1, F.col("hit"))).cast("bigint").alias("h1"),
+        F.max(F.when(F.col("n") == 1, F.col("tot"))).cast("bigint").alias("t1"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("hit"))), F.lit(0))
+        .cast("bigint")
+        .alias("h2"),
+        F.coalesce(F.max(F.when(F.col("n") == 2, F.col("tot"))), F.lit(0))
+        .cast("bigint")
+        .alias("t2"),
+    )
+    bp = F.least(
+        F.lit(1.0), F.exp(1.0 - F.col("rlen") * 1.0 / F.col("clen"))
+    )
+    p2 = F.col("h2") * 1.0 / F.col("t2")
+    return p.join(
+        pairs.select("pid", "ref_id", "clen", "rlen"), "pid"
+    ).select(
+        F.col("pid").alias("cand_id"),
+        "ref_id",
+        r4(F.col("h1") * 1.0 / F.col("t1")).alias("p1_4"),
+        F.when(F.col("t2") == 0, F.lit(0.0)).otherwise(r4(p2)).alias("p2_4"),
+        r4(bp).alias("bp4"),
+        F.when(
+            (F.col("t2") == 0) | (F.col("h1") == 0) | (F.col("h2") == 0),
+            F.lit(0.0),
+        )
+        .otherwise(
+            r4(bp * F.sqrt((F.col("h1") * 1.0 / F.col("t1")) * p2))
+        )
+        .alias("bleu2_4"),
     )
