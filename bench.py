@@ -63,9 +63,10 @@ def main() -> None:
     # Results come back over the Arrow path (toPandas) — columnar exchange,
     # the way a real consumer of a 200k-row result would read it; collect()
     # would time Python row-object construction instead of the engine.
-    # Two timed runs per query, report the min: the first execution of a
-    # query pays one-time JVM JIT + codegen compilation (seconds for the
-    # wide lambda expressions) and single-node VM noise; the min is the
+    # Three timed runs per query, report the min (r7: was two — this
+    # host shows ±30-40% external noise windows that hit BOTH engines;
+    # min-of-3 narrows the band at ~1 min extra wall): the first run
+    # after warmup can still land in a noise window; the min is the
     # steady-state number a long-running deployment sees, which is what
     # this bench claims to measure (see module docstring).
     import gc
@@ -73,7 +74,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             reg[name].builder(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)
@@ -87,7 +88,7 @@ def main() -> None:
     # DuckDB comparison column: run each headline query's oracle SQL on
     # the same parquet (same machine, same data) so every BENCH_r{N}.json
     # carries both engines' per-query times natively instead of relying
-    # on a judge-side measurement. Same policy: min of two timed runs.
+    # on a judge-side measurement. Same policy: min of three timed runs.
     duck: dict[str, float] = {}
     try:
         import duckdb
@@ -106,7 +107,7 @@ def main() -> None:
             if sql is None:
                 continue
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.execute(sql).df()
                 best = min(best, time.perf_counter() - t0)
