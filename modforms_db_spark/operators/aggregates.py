@@ -5623,3 +5623,178 @@ def q_vif(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in rows[1:]:
         out = out.unionByName(r_)
     return out
+
+
+_BT_MODELS = 8
+_BT_TRIALS = 40
+_BT_ROUNDS = 3
+
+
+def _bt_oracle() -> str:
+    """Unrolled Bradley-Terry minorization-maximization: per round,
+    r_a ← W_a / Σ_{b≠a} n_ab/(r_a + r_b), sum-normalized to k and
+    r10-rounded (the PageRank per-round discipline) so three chained
+    rounds are engine-identical."""
+    head = f"""
+    WITH models AS MATERIALIZED (
+      SELECT CAST(n_nationkey AS BIGINT) AS m FROM nation
+      WHERE n_nationkey < {_BT_MODELS}
+    ),
+    matches AS MATERIALIZED (
+      SELECT a.m AS ma, b.m AS mb, t.t,
+             ((a.m * 131 + b.m * 17 + t.t) * 2654435761) % 100
+               < 50 + 5 * (a.m - b.m) AS a_wins
+      FROM models a JOIN models b ON a.m < b.m
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BT_TRIALS - 1})) AS t) t
+    ),
+    wins AS MATERIALIZED (
+      SELECT m, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT ma AS m, CASE WHEN a_wins THEN 1 ELSE 0 END AS w FROM matches
+        UNION ALL
+        SELECT mb AS m, CASE WHEN a_wins THEN 0 ELSE 1 END AS w FROM matches
+      ) GROUP BY m
+    ),
+    nab AS MATERIALIZED (
+      SELECT ma, mb, CAST(COUNT(*) AS BIGINT) AS n FROM matches GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+      SELECT ma AS m, mb AS o, n FROM nab
+      UNION ALL
+      SELECT mb AS m, ma AS o, n FROM nab
+    ),
+    r0 AS (SELECT m, 1.0 AS r FROM models)"""
+    its = []
+    for k in range(1, _BT_ROUNDS + 1):
+        its.append(f""",
+    d{k} AS (
+      SELECT p.m, SUM(p.n / (ra.r + rb.r)) AS denom
+      FROM pairs p
+      JOIN r{k - 1} ra ON p.m = ra.m
+      JOIN r{k - 1} rb ON p.o = rb.m
+      GROUP BY p.m
+    ),
+    u{k} AS (
+      SELECT w.m, w.w / d.denom AS r
+      FROM wins w JOIN d{k} d ON w.m = d.m
+    ),
+    r{k} AS (
+      SELECT m, {R('r * ' + str(_BT_MODELS)
+                   + '.0 / (SELECT SUM(r) FROM u' + str(k) + ')', 10)} AS r
+      FROM u{k}
+    )""")
+    tail = f"""
+    SELECT w.m AS model, w.w AS wins, r.r AS rating10,
+           CAST(row_number() OVER (ORDER BY r.r DESC, w.m) AS BIGINT) AS rank
+    FROM wins w JOIN r{_BT_ROUNDS} r ON w.m = r.m
+    """
+    return head + "".join(its) + tail
+
+
+@register(
+    "q_elo_bradley_terry",
+    oracle=_bt_oracle(),
+    priority="P2",
+    tags=("agg", "statistics", "ranking", "iterative"),
+)
+def q_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength ratings from pairwise win/loss records —
+    the arena-style model-ranking computation (chat-eval leaderboards
+    fit exactly this): 8 contenders with PLANTED strengths (win
+    probability 50 + 5·Δstrength %, deterministic Knuth-hash trials,
+    40 per pair), then 3 minorization-maximization rounds of
+    r_a ← W_a / Σ_b n_ab/(r_a + r_b), sum-normalized each round. The
+    recovered rating ORDER matches the planted strengths — the
+    estimator works, and the driver hash pins it.
+
+    Determinism: match outcomes and win counts are exact integers; each
+    round's ratings are r10-rounded after normalization (the PageRank
+    per-round discipline), so chained rounds cannot drift cross-engine.
+
+    Scale: the iteration runs on k-row state (k models) with k²-row
+    pair stats — at any data size the expensive part is the ONE
+    aggregation from raw match logs to (pair, wins) counts, map-side
+    combined; rounds never touch raw matches again."""
+    prep(spark)
+    models = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < _BT_MODELS)
+        .select(F.col("n_nationkey").cast("bigint").alias("m"))
+    )
+    b = models.select(F.col("m").alias("mb"))
+    trials = models.sparkSession.range(_BT_TRIALS).select(
+        F.col("id").alias("t")
+    )
+    a_wins = (
+        F.pmod(
+            (F.col("m") * 131 + F.col("mb") * 17 + F.col("t"))
+            * F.lit(2654435761).cast("bigint"),
+            F.lit(100),
+        )
+        < 50 + 5 * (F.col("m") - F.col("mb"))
+    )
+    matches = (
+        models.crossJoin(b)
+        .where(F.col("m") < F.col("mb"))
+        .crossJoin(trials)
+        .select(
+            F.col("m").alias("ma"), "mb", "t", a_wins.alias("a_wins")
+        )
+        .localCheckpoint(eager=False)  # wins + pair-count legs
+    )
+    wins = (
+        matches.select(
+            F.col("ma").alias("m"), F.col("a_wins").cast("int").alias("w")
+        )
+        .unionByName(
+            matches.select(
+                F.col("mb").alias("m"),
+                (~F.col("a_wins")).cast("int").alias("w"),
+            )
+        )
+        .groupBy("m")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)  # every round + final join
+    )
+    nab = matches.groupBy("ma", "mb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    pairs = nab.select(
+        F.col("ma").alias("m"), F.col("mb").alias("o"), "n"
+    ).unionByName(
+        nab.select(F.col("mb").alias("m"), F.col("ma").alias("o"), "n")
+    ).localCheckpoint(eager=False)  # reused every round
+    r = models.select("m", F.lit(1.0).alias("r")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(_BT_ROUNDS):
+        ra = r.select(F.col("m").alias("m_a"), F.col("r").alias("r_a"))
+        rb = r.select(F.col("m").alias("m_b"), F.col("r").alias("r_b"))
+        denom = (
+            pairs.join(ra, pairs.m == ra.m_a)
+            .join(rb, pairs.o == rb.m_b)
+            .groupBy("m")
+            .agg(F.sum(F.col("n") / (F.col("r_a") + F.col("r_b"))).alias("denom"))
+        )
+        u = wins.join(denom, "m").select(
+            "m", (F.col("w") / F.col("denom")).alias("r")
+        )
+        tot = u.agg(F.sum("r").alias("s"))
+        r = (
+            u.crossJoin(F.broadcast(tot))
+            .select(
+                "m",
+                F.round(F.col("r") * float(_BT_MODELS) / F.col("s"), 10)
+                .alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    w = Window.orderBy(F.desc("r"), F.asc("m"))
+    return (
+        wins.join(r, "m")
+        .select(
+            F.col("m").alias("model"),
+            F.col("w").alias("wins"),
+            F.col("r").alias("rating10"),
+            F.row_number().over(w).cast("bigint").alias("rank"),
+        )
+    )

@@ -1680,3 +1680,71 @@ def q_join_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(rel).alias("rel_err"),
         (rel < 0.2).alias("within_20pct"),
     )
+
+
+@register(
+    "q_late_arriving_dim",
+    oracle=f"""
+    WITH snap AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 7 != 0
+    ), joined AS (
+      SELECT o.o_custkey, o.o_totalprice,
+             CASE WHEN s.c_custkey IS NULL THEN 'INFERRED'
+                  ELSE 'nation_' || CAST(s.c_nationkey AS VARCHAR)
+             END AS dim_bucket,
+             s.c_custkey IS NULL AS inferred
+      FROM orders o LEFT JOIN snap s ON o.o_custkey = s.c_custkey
+    )
+    SELECT dim_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT CASE WHEN inferred THEN o_custkey END)
+             AS BIGINT) AS n_inferred_keys,
+           {R2('SUM(o_totalprice)')} AS revenue
+    FROM joined GROUP BY dim_bucket
+    """,
+    priority="P2",
+    tags=("join", "warehouse", "late-arriving"),
+)
+def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving dimension handling (the Kimball early-arriving-fact
+    pattern): facts whose dimension key has not landed yet must NOT be
+    dropped or fail the load — they report under an INFERRED member
+    until the dimension row arrives. A 1/7 slice of customers is
+    withheld from the dim snapshot (deterministic, so both engines and
+    every SF see the same gap); orders left-join the snapshot, resolve
+    to per-nation buckets or the inferred bucket, and the report
+    carries the count of distinct unresolved keys — the backfill
+    work-queue size.
+
+    Scale: one left join on the fact key (the dim side is the small
+    one and broadcast-eligible); the inferred bucket is a conditional
+    aggregation, not a second pass. The COUNT(DISTINCT) rides the same
+    grouped aggregate."""
+    prep(spark)
+    snap = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 7 != 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = o.join(
+        F.broadcast(snap), o.o_custkey == snap.c_custkey, "left"
+    ).select(
+        "o_custkey",
+        "o_totalprice",
+        F.when(F.col("c_custkey").isNull(), F.lit("INFERRED"))
+        .otherwise(
+            F.concat(F.lit("nation_"), F.col("c_nationkey").cast("string"))
+        )
+        .alias("dim_bucket"),
+        F.col("c_custkey").isNull().alias("inferred"),
+    )
+    return joined.groupBy("dim_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.countDistinct(
+            F.when(F.col("inferred"), F.col("o_custkey"))
+        )
+        .cast("bigint")
+        .alias("n_inferred_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -19,7 +19,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1409,5 +1409,89 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+
+
+_SHUF_EPOCH_MULT = (2654435761, 40503, 2246822519)
+
+
+@register(
+    "q_shuffle_epochs",
+    oracle=f"""
+    WITH epochs AS (
+      SELECT e, m FROM (VALUES {', '.join(f'({i + 1}, {m})' for i, m in enumerate(_SHUF_EPOCH_MULT))}) AS t(e, m)
+    ), ordered AS (
+      SELECT e, doc_id,
+             row_number() OVER (PARTITION BY e
+               ORDER BY ((doc_id + 1) * m) % 1000000007, doc_id) AS rn
+      FROM documents CROSS JOIN epochs
+    ), head AS (
+      SELECT e, doc_id, rn FROM ordered WHERE rn <= 10
+    ), e1 AS (SELECT doc_id FROM head WHERE e = 1)
+    SELECT h.e AS epoch,
+           string_agg(CAST(h.doc_id AS VARCHAR), ','
+                      ORDER BY h.rn) AS first10_csv,
+           CAST(SUM(CASE WHEN e1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS overlap_with_e1
+    FROM head h LEFT JOIN e1 ON h.doc_id = e1.doc_id
+    GROUP BY h.e
+    """,
+    priority="P2",
+    tags=("source", "training", "shuffle"),
+)
+def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch data shuffling — the reproducibility
+    contract of a training data loader: epoch e orders the corpus by a
+    Knuth hash keyed on (doc_id, epoch multiplier), so (a) every
+    worker/engine/partitioning derives the SAME order (seeded
+    `orderBy(rand)` does not survive a repartition), (b) different
+    epochs see genuinely different orders (the emitted first-10
+    overlap with epoch 1 is ~0 for e ≠ 1), and (c) any shard of the
+    order can be reconstructed independently — the property that lets
+    a 1000-worker job resume mid-epoch without replaying the stream.
+
+    Scale: per epoch the head-of-order is TakeOrdered-shaped (the
+    window here ranks only to slice the demo's first 10; a loader
+    materializes the order lazily by hash-range). The hash is sargable
+    scan-side arithmetic.
+
+    The full-order window on (epoch × corpus) exists to hash-pin the
+    ORDER itself; production reads it as a sort key, not a window."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    epochs = d.sparkSession.createDataFrame(
+        [(i + 1, m) for i, m in enumerate(_SHUF_EPOCH_MULT)], "e int, m long"
+    )
+    w = Window.partitionBy("e").orderBy(
+        F.pmod((F.col("doc_id") + 1) * F.col("m"), F.lit(1000000007)),
+        F.col("doc_id"),
+    )
+    head = (
+        d.crossJoin(F.broadcast(epochs))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("e", "doc_id", "rn")
+        .localCheckpoint(eager=False)  # report leg + epoch-1 overlap leg
+    )
+    e1 = head.where(F.col("e") == 1).select(
+        F.col("doc_id").alias("e1_doc")
+    )
+    return (
+        head.join(F.broadcast(e1), head.doc_id == e1.e1_doc, "left")
+        .groupBy(F.col("e").alias("epoch"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id"))
+                    ),
+                    lambda s: s.getField("doc_id").cast("string"),
+                ),
+                ",",
+            ).alias("first10_csv"),
+            F.sum(F.col("e1_doc").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("overlap_with_e1"),
         )
     )
