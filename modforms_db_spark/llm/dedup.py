@@ -2032,3 +2032,136 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross_m.unionByName(within)
+
+
+_BBIT_ODD = "13579bdf"  # hex chars with last bit set
+
+
+@register(
+    "q_minhash_bbit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+             [{_MHA_SIG_SQL}] AS sig
+      FROM t
+    ), p AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, a.n AS n1, b.n AS n2,
+             CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+               AS BIGINT) AS inter,
+             CAST(len(list_filter(generate_series(1, {_MHA_PERM}),
+               i -> a.sig[i] = b.sig[i])) AS BIGINT) AS m_full,
+             CAST(len(list_filter(generate_series(1, {_MHA_PERM}),
+               i -> (instr('{_BBIT_ODD}', substring(a.sig[i], 32, 1)) > 0)
+                  = (instr('{_BBIT_ODD}', substring(b.sig[i], 32, 1)) > 0)))
+               AS BIGINT) AS m_bit
+      FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT d1, d2, inter, m_full, m_bit,
+           {R4('inter * 1.0 / (n1 + n2 - inter)')} AS jac_exact,
+           {R4(f'm_full * 1.0 / {_MHA_PERM}')} AS est_full4,
+           {R4(f'GREATEST(0.0, 2.0 * m_bit / {_MHA_PERM} - 1.0)')}
+             AS est_1bit4,
+           {R4(f'ABS({R4("inter * 1.0 / (n1 + n2 - inter)")}'
+               f' - {R4(f"m_full * 1.0 / {_MHA_PERM}")})')} AS err_full4,
+           {R4(f'ABS({R4("inter * 1.0 / (n1 + n2 - inter)")}'
+               f' - {R4(f"GREATEST(0.0, 2.0 * m_bit / {_MHA_PERM} - 1.0)")})')}
+             AS err_1bit4
+    FROM p
+    """,
+    priority="P2",
+    tags=("llm", "dedup", "minhash", "sketch-audit"),
+)
+def q_minhash_bbit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash audit (Li & König 2010, b = 1): keep only the LAST
+    BIT of each of the 32 MinHash slots — 128× less sketch storage —
+    and estimate Jaccard as max(0, 2·A − 1) where A is the bit-agreement
+    fraction (non-matching minima agree by coin flip, so agreement is
+    J + (1−J)/2). Reported side by side with the full-width estimate
+    and the exact Jaccard over the same deterministic consecutive-id
+    pair domain as `q_minhash_accuracy` — the storage/accuracy trade
+    quantified per pair (1-bit error is larger at low J, converging at
+    high J, which is exactly the dedup regime b-bit exists for).
+
+    Cross-engine determinism: the bit is the parity of the md5 slot's
+    last hex char (Spark and DuckDB both emit lowercase hex), tested
+    via membership in the shared '13579bdf' literal; counts are exact
+    integers; estimates are single r4 expressions.
+
+    Scale: identical shape to `q_minhash_accuracy` — per-row signature
+    projections, one checkpointed frame, linear consecutive-id pair
+    join; at 100 TB the 1-bit sketch is 4 bytes/doc (32 bits) and the
+    pair stage moves bits, not hex strings."""
+    prep(spark)
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+
+    def _md5_perm(i: int):
+        return lambda t: F.md5(F.concat(F.lit(f"p{i} "), t))
+
+    s = toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("bigint").alias("n"),
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("toks"), _md5_perm(i)))
+                for i in range(_MHA_PERM)
+            ]
+        ).alias("sig"),
+    ).localCheckpoint(eager=False)  # both sides of the pair join
+    a, b = s.alias("a"), s.alias("b")
+
+    def odd(x):
+        return F.instr(F.lit(_BBIT_ODD), F.substring(x, 32, 1)) > 0
+
+    p = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("d1"),
+        F.col("b.doc_id").alias("d2"),
+        F.col("a.n").alias("n1"),
+        F.col("b.n").alias("n2"),
+        F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+        .cast("bigint")
+        .alias("inter"),
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (x == y).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("m_full"),
+        F.aggregate(
+            F.zip_with(
+                F.col("a.sig"),
+                F.col("b.sig"),
+                lambda x, y: (odd(x) == odd(y)).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("m_bit"),
+    )
+    jac_exact = r4(
+        F.col("inter") * 1.0 / (F.col("n1") + F.col("n2") - F.col("inter"))
+    )
+    est_full = r4(F.col("m_full") * 1.0 / _MHA_PERM)
+    est_bit = r4(
+        F.greatest(F.lit(0.0), 2.0 * F.col("m_bit") / _MHA_PERM - 1.0)
+    )
+    return p.select(
+        "d1",
+        "d2",
+        "inter",
+        "m_full",
+        "m_bit",
+        jac_exact.alias("jac_exact"),
+        est_full.alias("est_full4"),
+        est_bit.alias("est_1bit4"),
+        r4(F.abs(jac_exact - est_full)).alias("err_full4"),
+        r4(F.abs(jac_exact - est_bit)).alias("err_1bit4"),
+    )
