@@ -3026,3 +3026,83 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = stats if out is None else out.unionByName(stats)
     return out
+
+
+_PFX_KS = (4, 8, 16)  # shared-prefix depths audited
+
+
+@register(
+    "q_prefix_cache_savings",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), ks AS (SELECT unnest(ARRAY{list(_PFX_KS)}) AS k
+    ), pfx AS (
+      SELECT ks.k, array_to_string(t.toks[1:ks.k], ' ') AS prefix
+      FROM t JOIN ks ON len(t.toks) >= ks.k
+    ), g AS (
+      SELECT k, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pfx GROUP BY 1, 2
+    )
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+             AS docs_in_shared,
+           CAST(SUM((n_docs - 1) * k) AS BIGINT) AS tokens_saved,
+           {R4('SUM((n_docs - 1) * k) * 1.0 / (SUM(n_docs) * k)')}
+             AS savings_frac4
+    FROM g GROUP BY k
+    """,
+    priority="P2",
+    tags=("llm", "curation", "prefix-cache"),
+)
+def q_prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache (KV-cache prefix-sharing) savings planner: group
+    documents by their first-k tokens for k = 4, 8, 16 and report how
+    many prefill tokens a shared-prefix cache saves — (group−1)·k per
+    shared group — as a count and a fraction of total prefix tokens.
+    The capacity-planning query behind prompt caching and radix-tree
+    inference schedulers: how much of this corpus's prefill is
+    redundant at each depth? (The fixture's boilerplate/re-ingest dups
+    give non-trivial sharing at every SF; savings decline with k, which
+    the three depths exhibit.)
+
+    Determinism: prefixes are exact string keys; every statistic is an
+    exact integer; the fraction is one final division.
+
+    Scale: one explode-free pass per k (the prefix is a slice+join of
+    the token array — a per-row projection); the group-by carries
+    (k, prefix) keys that map-side combine, and output is bounded by
+    distinct prefixes."""
+    prep(spark)
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    ks = t.sparkSession.createDataFrame([(k,) for k in _PFX_KS], "k int")
+    pfx = (
+        t.crossJoin(F.broadcast(ks))
+        .where(F.size("toks") >= F.col("k"))
+        .select(
+            "k",
+            F.array_join(F.slice("toks", 1, F.col("k")), " ").alias("prefix"),
+        )
+    )
+    g = pfx.groupBy("k", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return g.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_prefixes"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0))
+        .cast("bigint")
+        .alias("docs_in_shared"),
+        F.sum((F.col("n_docs") - 1) * F.col("k"))
+        .cast("bigint")
+        .alias("tokens_saved"),
+        r4(
+            F.sum((F.col("n_docs") - 1) * F.col("k"))
+            * 1.0
+            / (F.sum("n_docs") * F.first("k"))
+        ).alias("savings_frac4"),
+    )

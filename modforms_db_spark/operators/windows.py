@@ -756,3 +756,84 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_hours"
         ),
     )
+
+
+_SLO_P95 = 145.0  # latency-proxy SLO thresholds (report literals)
+_SLO_P99 = 1000.0
+
+
+@register(
+    "q_tail_latency_slo",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), s AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+             {R2('MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN value END)')}
+               AS p50_2,
+             {R2('MAX(CASE WHEN rn = (95 * n + 99) // 100 THEN value END)')}
+               AS p95_2,
+             {R2('MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN value END)')}
+               AS p99_2
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n, p50_2, p95_2, p99_2,
+           p95_2 > {_SLO_P95!r} AS slo_p95_breach,
+           p99_2 > {_SLO_P99!r} AS slo_p99_breach
+    FROM s
+    """,
+    priority="P2",
+    tags=("window", "percentile", "slo"),
+)
+def q_tail_latency_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-latency SLO report: EXACT nearest-rank p50/p95/p99 per
+    event stream (rank = ⌈p·n/100⌉, selected — never interpolated, so
+    the reported value is a real observation and the selection is pure
+    integer arithmetic + ORDER, engine-portable where interpolated
+    quantiles are fp-fragile), with breach flags against two literal
+    SLO tiers (the p95 tier splits the fixture's streams; the p99 tier
+    passes everywhere — both flag values exercised). The
+    on-call-dashboard twin of `q_agg_percentile`'s interpolated
+    contract row.
+
+    Scale: one ranking window per stream (partitioned — never global)
+    + conditional selection in the same grouped aggregate; at 100 TB
+    the exact form stays a single shuffle per stream, and
+    `q_agg_approx_percentile` is the sketch twin when one pass over
+    raw values is too much."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: int):
+        target = F.expr(f"({p} * n + 99) div 100")
+        return F.round(
+            F.max(F.when(F.col("rn") == target, F.col("value"))), 2
+        )
+
+    s = ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        pick(50).alias("p50_2"),
+        pick(95).alias("p95_2"),
+        pick(99).alias("p99_2"),
+    )
+    return s.select(
+        "event_type",
+        "n",
+        "p50_2",
+        "p95_2",
+        "p99_2",
+        (F.col("p95_2") > _SLO_P95).alias("slo_p95_breach"),
+        (F.col("p99_2") > _SLO_P99).alias("slo_p99_breach"),
+    )
