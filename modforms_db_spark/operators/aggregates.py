@@ -5798,3 +5798,172 @@ def q_elo_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("bigint").alias("rank"),
         )
     )
+
+
+_GINI_THRESHOLDS = (150, 200, 250, 300, 350, 400, 450)
+
+
+@register(
+    "q_gini_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT n_chars, CAST(lang = 'en' AS INT) AS y FROM documents
+    ), th AS (
+      SELECT unnest(ARRAY{list(_GINI_THRESHOLDS)}) AS thr
+    ), sides AS (
+      SELECT th.thr,
+             CAST(SUM(CASE WHEN d.n_chars <= th.thr THEN 1 ELSE 0 END)
+               AS BIGINT) AS nl,
+             CAST(SUM(CASE WHEN d.n_chars <= th.thr THEN y ELSE 0 END)
+               AS BIGINT) AS pl,
+             CAST(SUM(CASE WHEN d.n_chars > th.thr THEN 1 ELSE 0 END)
+               AS BIGINT) AS nr,
+             CAST(SUM(CASE WHEN d.n_chars > th.thr THEN y ELSE 0 END)
+               AS BIGINT) AS pr
+      FROM d CROSS JOIN th GROUP BY th.thr
+    ), g AS (
+      SELECT thr, nl, nr,
+             CASE WHEN nl = 0 OR nr = 0 THEN 0.5
+                  ELSE {R4(
+                      '(nl * (2.0 * pl / nl * (1.0 - CAST(pl AS DOUBLE) / nl))'
+                      ' + nr * (2.0 * pr / nr * (1.0 - CAST(pr AS DOUBLE) / nr)))'
+                      ' / (nl + nr)')}
+             END AS wgini4
+      FROM sides
+    )
+    SELECT thr, nl, nr, wgini4,
+           CAST(row_number() OVER (ORDER BY wgini4, thr) AS BIGINT) = 1
+             AS is_best
+    FROM g
+    """,
+    priority="P2",
+    tags=("agg", "statistics", "decision-stump", "feature-screening"),
+)
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: weighted Gini impurity of the
+    binary label (lang = 'en') at each candidate threshold over
+    n_chars, best split flagged — the inner loop of every tree
+    learner, run as ONE aggregate pass (each threshold is a
+    conditional count, so the scan is not repeated per candidate —
+    the formulation that makes distributed tree training feasible).
+    The fixture's label is nearly independent of length, so the best
+    split's gain is small — itself the informative reading (don't
+    stump on this feature), and the ordering is still fully
+    deterministic.
+
+    Determinism: all side/positive counts are exact integers; each
+    weighted Gini is one double formula over them, r4-rounded BEFORE
+    the best-split ranking (round-before-threshold); empty sides pin
+    impurity to the 0.5 maximum rather than dividing by zero.
+
+    Scale: thresholds arrive as a broadcast literal dim; one
+    conditional-aggregate pass over the fact regardless of candidate
+    count; the argmin runs on the |thresholds|-row frame."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("int").alias("y")
+    )
+    th = d.sparkSession.createDataFrame(
+        [(t,) for t in _GINI_THRESHOLDS], "thr int"
+    )
+    left = F.col("n_chars") <= F.col("thr")
+    sides = (
+        d.crossJoin(F.broadcast(th))
+        .groupBy("thr")
+        .agg(
+            F.sum(left.cast("int")).cast("bigint").alias("nl"),
+            F.sum(F.when(left, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("pl"),
+            F.sum((~left).cast("int")).cast("bigint").alias("nr"),
+            F.sum(F.when(~left, F.col("y")).otherwise(0))
+            .cast("bigint")
+            .alias("pr"),
+        )
+    )
+    nl, pl, nr, pr = (F.col(c) for c in ("nl", "pl", "nr", "pr"))
+    wg = F.when((nl == 0) | (nr == 0), F.lit(0.5)).otherwise(
+        r4(
+            (
+                nl * (2.0 * pl / nl * (1.0 - pl.cast("double") / nl))
+                + nr * (2.0 * pr / nr * (1.0 - pr.cast("double") / nr))
+            )
+            / (nl + nr)
+        )
+    )
+    w = Window.orderBy("wgini4", "thr")
+    return (
+        sides.select("thr", "nl", "nr", wg.alias("wgini4"))
+        .withColumn(
+            "is_best", F.row_number().over(w).cast("bigint") == 1
+        )
+    )
+
+
+_CTR_ALPHA = 5.0   # Beta prior pseudo-successes
+_CTR_BETA = 20.0   # Beta prior pseudo-failures
+
+
+@register(
+    "q_ctr_smoothing",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS views
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, conv, views,
+           CASE WHEN views = 0 THEN 0.0
+                ELSE {R4('conv * 1.0 / views')} END AS raw_rate4,
+           {R4(f'(conv + {_CTR_ALPHA!r}) / (views + {_CTR_ALPHA!r} + {_CTR_BETA!r})')}
+             AS smoothed4,
+           views < 20 AS low_volume
+    FROM u
+    """,
+    priority="P2",
+    tags=("agg", "statistics", "smoothing", "feature-engineering"),
+)
+def q_ctr_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beta-prior rate smoothing (empirical-Bayes CTR shrinkage): each
+    user's purchase-per-view rate shrunk toward the Beta(5, 20) prior
+    mean — (conv + α)/(views + α + β) — the standard fix for the
+    sparse-key rate-feature trap (a 1-view 1-purchase user is NOT a
+    100% converter; the raw and smoothed columns sit side by side with
+    a low-volume flag so the shrinkage is visible exactly where it
+    matters). The Bayesian sibling of `q_target_encode_loo`.
+
+    Determinism: counts exact; both rates are single double formulas
+    over them (prior constants are shared literals), r4-rounded;
+    views = 0 null-guards the raw rate.
+
+    Scale: one conditional-count aggregate keyed by user — map-side
+    combined; no joins, no windows."""
+    prep(spark)
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int"))
+            .cast("bigint")
+            .alias("conv"),
+            F.sum((F.col("event_type") == "view").cast("int"))
+            .cast("bigint")
+            .alias("views"),
+        )
+    )
+    return u.select(
+        "user_id",
+        "conv",
+        "views",
+        F.when(F.col("views") == 0, F.lit(0.0))
+        .otherwise(r4(F.col("conv") * 1.0 / F.col("views")))
+        .alias("raw_rate4"),
+        r4(
+            (F.col("conv") + _CTR_ALPHA)
+            / (F.col("views") + _CTR_ALPHA + _CTR_BETA)
+        ).alias("smoothed4"),
+        (F.col("views") < 20).alias("low_volume"),
+    )

@@ -1495,3 +1495,66 @@ def q_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overlap_with_e1"),
         )
     )
+
+
+@register(
+    "q_source_glob_nested",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE source IN ('src1', 'src3') AND (doc_id // 20) % 2 = 0
+    GROUP BY lang
+    """,
+    priority="P2",
+    tags=("source", "glob", "nested-layout"),
+)
+def q_source_glob_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-directory ingestion surface: write documents into a
+    source/parity/ directory TREE that is NOT a partitioned table
+    (plain nested dirs — the layout crawl dumps and vendor drops
+    actually arrive in), then read back with `recursiveFileLookup` +
+    `pathGlobFilter` so only two source branches' even-parity files
+    are scanned — directory-level pruning when there is no partition
+    metadata to prune with. The oracle recomputes the same slice from
+    the source table, proving the glob selected exactly the right
+    branches.
+
+    Scale: pathGlobFilter prunes at FILE LISTING time — the excluded
+    branches are never opened (no footer reads, no tasks) — which is
+    the only pruning available on non-tabular layouts; at 100 TB you
+    promote such trees to real partitioned tables precisely to trade
+    glob-listing for catalog pruning (q_sink_roundtrip's path)."""
+    prep(spark)
+    base = _scratch("glob_nested_docs")
+    d = load(spark, sf_dir, "documents")
+    shutil.rmtree(base, ignore_errors=True)
+    # Six subtrees: the two globbed sources, a decoy source, × block
+    # parity (doc_id div 20 — raw doc_id parity is DEGENERATE here:
+    # the generator assigns source = src{doc_id % 20}, so src1 docs
+    # are all odd; caught by the fresh-interpreter non-empty check).
+    # Branch list is a literal — no driver-side distinct().collect().
+    for src in ("src1", "src3", "src5"):
+        for par in (0, 1):
+            (
+                d.where(
+                    (F.col("source") == src)
+                    & (F.pmod(F.expr("doc_id div 20"), F.lit(2)) == par)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(base, f"src_{src}", f"par{par}"))
+            )
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(
+            os.path.join(base, "src_src1", "par0"),
+            os.path.join(base, "src_src3", "par0"),
+        )
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -80,6 +80,8 @@ _R_CONTRACT_TWIN = (
 ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_elo_bradley_terry": "final rank over the k-row (k = 8 models) "
     "rating frame — bounded by the contender count, not data size",
+    "q_gini_split": "best-split rank over the |thresholds|-row (7) "
+    "candidate frame — bounded by the literal threshold dim, not data",
     "q_abc_xyz": _R_BANDED_OFFSET,
     "q_negative_sampling": _R_BANDED_OFFSET,
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
