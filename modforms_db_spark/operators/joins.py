@@ -1748,3 +1748,78 @@ def q_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_inferred_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_ASOF_TOL_HOURS = 48
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'purchase')
+    ), w AS (
+      SELECT user_id, event_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+      FROM e
+    )
+    SELECT user_id, event_id, ts AS purchase_ts,
+           CASE WHEN last_signup_ts >= ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+                THEN last_signup_ts END AS signup_ts_within_tol,
+           COALESCE(last_signup_ts >= ts - INTERVAL {_ASOF_TOL_HOURS} HOUR,
+                    FALSE) AS matched
+    FROM w WHERE event_type = 'purchase'
+    """,
+    priority="P2",
+    tags=("join", "asof", "tolerance"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (the pandas `merge_asof(tolerance=...)`
+    semantic the plain as-of family lacks): each purchase matches the
+    latest prior signup only if it happened within 48 h — older matches
+    return NULL with an explicit `matched` flag, because "the user
+    signed up three weeks ago" is a DIFFERENT business fact from
+    "signed up just before buying" (attribution windows, session
+    stitching, sensor-reading staleness all need the cutoff).
+
+    Same one-shuffle window emulation as `q_join_asof` — the tolerance
+    is a post-window predicate, not a join-condition blowup; the
+    `matched` flag is COALESCEd to FALSE (never a NULL boolean — the
+    canonicalization rule).
+
+    Scale: identical to `q_join_asof`: one shuffle on user_id + one
+    window pass; the tolerance predicate is free."""
+    prep(spark)
+    e = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = e.withColumn(
+        "signup_ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.col("last_signup_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_HOURS} HOUR"
+    )
+    return (
+        tagged.withColumn(
+            "last_signup_ts", F.last("signup_ts", ignorenulls=True).over(w)
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(within, F.col("last_signup_ts")).alias(
+                "signup_ts_within_tol"
+            ),
+            F.coalesce(within, F.lit(False)).alias("matched"),
+        )
+    )
