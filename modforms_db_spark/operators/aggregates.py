@@ -5967,3 +5967,124 @@ def q_ctr_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("smoothed4"),
         (F.col("views") < 20).alias("low_volume"),
     )
+
+
+_XI_PAIRS = (
+    ("l_quantity", "l_extendedprice"),  # dependent (price ≈ qty × unit)
+    ("l_quantity", "l_discount"),       # independent → ξ ≈ 0
+    ("l_quantity", "l_quantity"),       # planted perfect dependence → ξ → 1
+)
+
+
+def _xi_oracle() -> str:
+    legs = []
+    for x, y in _XI_PAIRS:
+        legs.append(f"""
+      SELECT l_returnflag AS grp, '{x}->{y}' AS pair,
+             {x} AS x, {y} AS y
+      FROM lineitem""")
+    return f"""
+    WITH obs AS ({" UNION ALL ".join(legs)}),
+    ranked AS (
+      SELECT grp, pair, x,
+             COUNT(*) OVER (PARTITION BY grp, pair ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM obs
+    ), seq AS (
+      SELECT grp, pair, r,
+             lag(r) OVER (PARTITION BY grp, pair ORDER BY x, r) AS r_prev
+      FROM ranked
+    ), s AS (
+      SELECT grp, pair,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ABS(r - r_prev)) AS BIGINT) AS sd
+      FROM seq WHERE r_prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT grp, pair, n + 1 AS n,
+           {R4('1.0 - 3.0 * sd / (CAST(n + 1 AS DOUBLE) * (n + 1) - 1)')}
+             AS xi4
+    FROM s
+    """
+
+
+@register(
+    "q_xi_correlation",
+    oracle=_xi_oracle(),
+    priority="P2",
+    tags=("agg", "statistics", "dependence"),
+)
+def q_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's ξ (2021) — the rank-based dependence coefficient
+    that detects ANY functional relationship y = f(x), not just
+    monotone ones (Pearson and Spearman both miss non-monotone f):
+    ξ = 1 − 3·Σ|r_{{i+1}} − r_i|/(n² − 1) where r_i = #{{y_j ≤ y_i}}
+    and the sequence runs in x-order. Computed per return-flag group
+    for three pairs that pin the coefficient's range organically:
+    quantity→price (dependent, ξ markedly > 0), quantity→discount
+    (independent, ξ ≈ 0), and quantity→quantity (perfect dependence,
+    ξ → 1 — the planted calibration leg).
+
+    Determinism: ranks come from a RANGE-frame count (exact ≤-count,
+    tie-safe), and the sequence orders by (x, r) — ties in x order by
+    the y-rank itself, the deterministic minimal-|Δr| estimator
+    variant. This matters because the fixture's
+    (l_orderkey, l_linenumber) is NOT unique (6000 rows / 4599
+    distinct pairs at sf0.001 — discovered when the first cut's
+    "unique-key" tiebreak produced plan-dependent sums); rows tying
+    on BOTH x and r are interchangeable in Σ|Δr|, so (x, r) is a
+    sufficient total order even with full-duplicate rows. Σ|Δr| is an
+    exact bigint; ξ is one division.
+
+    Scale: two partitioned windows per (group, pair) — a rank pass and
+    a lag pass — never global; the per-group frames shuffle once
+    each."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    ).localCheckpoint(eager=False)  # one scan for all three pair legs
+    obs = None
+    for x, y in _XI_PAIRS:
+        leg = li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.lit(f"{x}->{y}").alias("pair"),
+            F.col(x).alias("x"),
+            F.col(y).alias("y"),
+        )
+        obs = leg if obs is None else obs.unionByName(leg)
+    wr = (
+        Window.partitionBy("grp", "pair")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = obs.select(
+        "grp",
+        "pair",
+        "x",
+        F.count(F.lit(1)).over(wr).alias("r"),
+    )
+    ws = Window.partitionBy("grp", "pair").orderBy("x", "r")
+    seq = ranked.select(
+        "grp", "pair", "r", F.lag("r").over(ws).alias("r_prev")
+    )
+    s = (
+        seq.where(F.col("r_prev").isNotNull())
+        .groupBy("grp", "pair")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.abs(F.col("r") - F.col("r_prev")))
+            .cast("bigint")
+            .alias("sd"),
+        )
+    )
+    n1 = F.col("n") + 1
+    return s.select(
+        "grp",
+        "pair",
+        n1.cast("bigint").alias("n"),
+        r4(1.0 - 3.0 * F.col("sd") / (n1.cast("double") * n1 - 1)).alias(
+            "xi4"
+        ),
+    )

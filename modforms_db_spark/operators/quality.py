@@ -2737,3 +2737,142 @@ def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "err_pct4"
         ),
     )
+
+
+_CQ_CRIT_DF2 = 9.2103  # chi-square upper 1% point, df = k - 1 = 2
+
+
+@register(
+    "q_cochran_q",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_toks
+      FROM documents
+    ), g AS (
+      SELECT 'calibrated' AS scope, doc_id, i,
+             CAST(n_chars + ((doc_id * 131 + i) * 2654435761) % 3 - 1 > 300
+               AS INT) AS pass
+      FROM d CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i)
+      UNION ALL
+      SELECT 'planted' AS scope, doc_id, 1 AS i,
+             CAST(n_toks > 60 AS INT) AS pass FROM d
+      UNION ALL
+      SELECT 'planted' AS scope, doc_id, 2 AS i,
+             CAST(n_chars > 300 AS INT) AS pass FROM d
+      UNION ALL
+      SELECT 'planted' AS scope, doc_id, 3 AS i,
+             CAST(n_chars > 320 AS INT) AS pass FROM d
+    ), cj AS (
+      SELECT scope, i, CAST(SUM(pass) AS BIGINT) AS c FROM g GROUP BY 1, 2
+    ), ri AS (
+      SELECT scope, doc_id, CAST(SUM(pass) AS BIGINT) AS r FROM g GROUP BY 1, 2
+    ), s AS (
+      SELECT cj.scope,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(c * c) AS BIGINT) AS sc2
+      FROM cj GROUP BY 1
+    ), t AS (
+      SELECT scope,
+             CAST(SUM(r) AS BIGINT) AS sr,
+             CAST(SUM(r * r) AS BIGINT) AS sr2
+      FROM ri GROUP BY 1
+    ), q AS (
+      SELECT s.scope, s.k,
+             CASE WHEN s.k * t.sr - t.sr2 = 0 THEN 0.0
+                  ELSE {R4('(s.k - 1.0) * (s.k * s.sc2 - s.sc * s.sc)'
+                           ' / (s.k * t.sr - t.sr2)')}
+             END AS q4
+      FROM s JOIN t ON s.scope = t.scope
+    )
+    SELECT scope, k, q4, q4 > {_CQ_CRIT_DF2!r} AS reject FROM q
+    """,
+    priority="P2",
+    tags=("quality", "statistics", "paired-test"),
+)
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k-treatment generalization of `q_mcnemar`:
+    do k related binary gates pass the SAME items at equal rates?
+    Q = (k−1)(k·ΣCⱼ² − (ΣCⱼ)²)/(k·ΣRᵢ − ΣRᵢ²) over per-gate column
+    totals Cⱼ and per-item row totals Rᵢ — the filter-calibration
+    audit run before swapping one quality gate for another. α = 0.01,
+    df = k−1 = 2.
+
+    Both branches at every SF: 'calibrated' applies three ±1-char
+    hash-jitter variants of the same length gate (equal marginals by
+    symmetry — ACCEPTS), 'planted' compares token-gate / char-gate-300
+    / char-gate-320 (the 320 gate is systematically stricter —
+    REJECTS). The all-identical-rows degenerate denominator
+    null-guards to Q = 0.
+
+    Scale: every statistic is an exact integer from two grouped
+    conditional counts (per gate, per item) over one checkpointed
+    scan; the test runs on k-row and item-count frames."""
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+    ).localCheckpoint(eager=False)  # all gate legs — one scan
+    gates3 = d.crossJoin(
+        F.broadcast(
+            d.sparkSession.createDataFrame([(1,), (2,), (3,)], "i int")
+        )
+    ).select(
+        F.lit("calibrated").alias("scope"),
+        "doc_id",
+        "i",
+        (
+            F.col("n_chars")
+            + F.pmod(
+                (F.col("doc_id") * 131 + F.col("i"))
+                * F.lit(2654435761).cast("bigint"),
+                F.lit(3),
+            )
+            - 1
+            > 300
+        )
+        .cast("int")
+        .alias("pass"),
+    )
+    planted = None
+    for i, cond in (
+        (1, F.col("n_toks") > 60),
+        (2, F.col("n_chars") > 300),
+        (3, F.col("n_chars") > 320),
+    ):
+        leg = d.select(
+            F.lit("planted").alias("scope"),
+            "doc_id",
+            F.lit(i).alias("i"),
+            cond.cast("int").alias("pass"),
+        )
+        planted = leg if planted is None else planted.unionByName(leg)
+    g = gates3.unionByName(planted).localCheckpoint(
+        eager=False
+    )  # column-total + row-total legs
+    cj = g.groupBy("scope", "i").agg(F.sum("pass").cast("bigint").alias("c"))
+    ri = g.groupBy("scope", "doc_id").agg(
+        F.sum("pass").cast("bigint").alias("r")
+    )
+    s = cj.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    t = ri.groupBy("scope").agg(
+        F.sum("r").cast("bigint").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+    )
+    den = F.col("k") * F.col("sr") - F.col("sr2")
+    q4 = F.when(den == 0, F.lit(0.0)).otherwise(
+        r4(
+            (F.col("k") - 1.0)
+            * (F.col("k") * F.col("sc2") - F.col("sc") * F.col("sc"))
+            / den
+        )
+    )
+    return (
+        s.join(t, "scope")
+        .select("scope", "k", q4.alias("q4"), (q4 > _CQ_CRIT_DF2).alias("reject"))
+    )

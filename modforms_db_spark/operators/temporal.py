@@ -3715,16 +3715,20 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), lots AS (
       SELECT part, qty, ep_c,
              SUM(qty) OVER (PARTITION BY part
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS lo,
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, ep_c)
+               - qty AS lo,
              SUM(qty) OVER (PARTITION BY part
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, ep_c)
+               AS hi
       FROM li WHERE NOT is_sale
     ), sales AS (
       SELECT part, qty,
              SUM(qty) OVER (PARTITION BY part
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) - qty AS lo,
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, ep_c)
+               - qty AS lo,
              SUM(qty) OVER (PARTITION BY part
-               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS hi
+               ORDER BY l_shipdate, l_orderkey, l_linenumber, qty, ep_c)
+               AS hi
       FROM li WHERE is_sale
     ), alloc AS (
       SELECT l.part,
@@ -3772,8 +3776,12 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: quantities are integral by generator contract (cast
     BIGINT), cumulative ranges are exact integer window sums over the
-    unique (shipdate, orderkey, linenumber) total order, and each
-    allocation's cost rounds once to integer cents before the sum.
+    (shipdate, orderkey, linenumber, qty, ep_c) order — the fixture's
+    (orderkey, linenumber) is NOT unique (r7 discovery), so qty and
+    price join the key; rows still tying after that are full-duplicate
+    lots/sales whose swap leaves every cumulative range and cost
+    identical. Each allocation's cost rounds once to integer cents
+    before the sum.
 
     Scale: the p_partkey < 40 slice bounds THIS demo's output; the
     shape is per-part windows + a per-part interval overlap join —
@@ -3798,7 +3806,7 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # lots + sales + demand + supply legs
     )
     w = Window.partitionBy("part").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "qty", "ep_c"
     )
     cum = F.sum("qty").over(w)
     lots = li.where(~F.col("is_sale")).select(
@@ -4345,5 +4353,194 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").alias("s_stat"),
             z4.alias("z4"),
             (F.abs(z4) > _MK_Z_CRIT).alias("reject"),
+        )
+    )
+
+
+# chi-square upper 1% points for the two k values that occur
+_FRIEDMAN_CRIT = "CASE WHEN {k} = 6 THEN 15.0863 ELSE 13.2767 END"
+
+
+@register(
+    "q_friedman_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, dd.d, COALESCE(x.v4, 0) AS v4
+      FROM (SELECT DISTINCT event_type FROM daily) t
+      CROSS JOIN (SELECT DISTINCT d FROM daily) dd
+      LEFT JOIN daily x ON x.event_type = t.event_type AND x.d = dd.d
+    ), streams AS (
+      SELECT 'organic' AS scope, event_type AS stream, d, v4 FROM grid
+      UNION ALL
+      SELECT 'planted' AS scope, event_type AS stream, d, v4 FROM grid
+      UNION ALL
+      SELECT 'planted' AS scope, 'shift_planted' AS stream, d,
+             v4 + 50000000 AS v4
+      FROM grid WHERE event_type = 'click'
+    ), ranked AS (
+      SELECT scope, stream, d, v4,
+             COUNT(*) OVER (PARTITION BY scope, d ORDER BY v4
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_le,
+             COUNT(*) OVER (PARTITION BY scope, d, v4) AS c_eq
+      FROM streams
+    ), r2 AS (
+      SELECT scope, stream, d,
+             CAST(2 * (c_le - c_eq) + c_eq + 1 AS BIGINT) AS r2
+      FROM ranked
+    ), rj AS (
+      SELECT scope, stream, CAST(SUM(r2) AS BIGINT) AS r2j FROM r2
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT scope, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(r2j * r2j) AS BIGINT) AS sr2
+      FROM rj GROUP BY 1
+    ), nb AS (
+      SELECT scope, CAST(COUNT(DISTINCT d) AS BIGINT) AS n FROM r2 GROUP BY 1
+    ), ties AS (
+      SELECT scope, CAST(SUM(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT scope, d, v4, CAST(COUNT(*) AS BIGINT) AS t
+            FROM streams GROUP BY 1, 2, 3)
+      GROUP BY scope
+    ), f AS (
+      SELECT s.scope, s.k, nb.n,
+             {R4('3.0 * s.sr2 / (nb.n * s.k * (s.k + 1.0))'
+                 ' - 3.0 * nb.n * (s.k + 1)')} AS fr4,
+             {R4('(3.0 * s.sr2 / (nb.n * s.k * (s.k + 1.0))'
+                 ' - 3.0 * nb.n * (s.k + 1))'
+                 ' / (1.0 - CAST(t.tie3 AS DOUBLE)'
+                 '   / (nb.n * s.k * (CAST(s.k AS DOUBLE) * s.k - 1)))')}
+               AS frc4
+      FROM s JOIN nb ON s.scope = nb.scope JOIN ties t ON s.scope = t.scope
+      WHERE 1.0 - CAST(t.tie3 AS DOUBLE)
+            / (nb.n * s.k * (CAST(s.k AS DOUBLE) * s.k - 1)) > 0
+    )
+    SELECT scope, k, n, fr4, frc4,
+           frc4 > ({_FRIEDMAN_CRIT.format(k='k')}) AS reject
+    FROM f
+    """,
+    priority="P2",
+    tags=("temporal", "statistics", "rank-test"),
+)
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the nonparametric repeated-measures ANOVA: do k
+    related treatments (metric streams) rank the same across blocks
+    (days)? Within-block average ranks carry as 2·rank integers (the
+    ×2 tie device), ΣRⱼ² is an exact bigint, and the statistic (with
+    the tie-corrected variant) is one double formula. The k-sample
+    blocked sibling of `q_kruskal_wallis` (which ignores blocking) —
+    blocking removes day-level noise, which is exactly why this is the
+    multi-metric drift monitor.
+
+    Both branches at every SF (α = 0.01, crit by k from a shared
+    literal CASE): 'organic' ranks the five generator streams
+    (exchangeable — ACCEPTS), 'planted' adds a +5·10⁷-shifted copy of
+    click that pins the top rank every day (REJECTS). The all-tied
+    degenerate correction (C ≤ 0) filters rather than divides.
+
+    Scale: one pass to the daily grain; ranking windows are per-block
+    (k rows each), never global; everything downstream is k-row
+    frames."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)
+    )
+    types = daily.select("event_type").distinct()
+    days = daily.select("d").distinct()
+    grid = (
+        types.crossJoin(days)
+        .join(daily, ["event_type", "d"], "left")
+        .select("event_type", "d", F.coalesce("v4", F.lit(0)).alias("v4"))
+        .localCheckpoint(eager=False)  # organic + planted legs
+    )
+    streams = (
+        grid.select(
+            F.lit("organic").alias("scope"),
+            F.col("event_type").alias("stream"),
+            "d",
+            "v4",
+        )
+        .unionByName(
+            grid.select(
+                F.lit("planted").alias("scope"),
+                F.col("event_type").alias("stream"),
+                "d",
+                "v4",
+            )
+        )
+        .unionByName(
+            grid.where(F.col("event_type") == "click").select(
+                F.lit("planted").alias("scope"),
+                F.lit("shift_planted").alias("stream"),
+                "d",
+                (F.col("v4") + 50000000).alias("v4"),
+            )
+        )
+        .localCheckpoint(eager=False)  # rank leg + tie leg
+    )
+    wle = (
+        Window.partitionBy("scope", "d")
+        .orderBy("v4")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    weq = Window.partitionBy("scope", "d", "v4")
+    ranked = streams.select(
+        "scope",
+        "stream",
+        "d",
+        (
+            2 * (F.count(F.lit(1)).over(wle) - F.count(F.lit(1)).over(weq))
+            + F.count(F.lit(1)).over(weq)
+            + 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    rj = ranked.groupBy("scope", "stream").agg(
+        F.sum("r2").cast("bigint").alias("r2j")
+    )
+    s = rj.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("sr2"),
+    )
+    nb = ranked.groupBy("scope").agg(
+        F.countDistinct("d").cast("bigint").alias("n")
+    )
+    tt = F.col("t")
+    ties = (
+        streams.groupBy("scope", "d", "v4")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("scope")
+        .agg(F.sum(tt * tt * tt - tt).cast("bigint").alias("tie3"))
+    )
+    fr = 3.0 * F.col("sr2") / (
+        F.col("n") * F.col("k") * (F.col("k") + 1.0)
+    ) - 3.0 * F.col("n") * (F.col("k") + 1)
+    corr = 1.0 - F.col("tie3").cast("double") / (
+        F.col("n")
+        * F.col("k")
+        * (F.col("k").cast("double") * F.col("k") - 1)
+    )
+    frc4 = r4(fr / corr)
+    crit = F.when(F.col("k") == 6, F.lit(15.0863)).otherwise(F.lit(13.2767))
+    return (
+        s.join(nb, "scope")
+        .join(ties, "scope")
+        .where(corr > 0)
+        .select(
+            "scope",
+            "k",
+            "n",
+            r4(fr).alias("fr4"),
+            frc4.alias("frc4"),
+            (frc4 > crit).alias("reject"),
         )
     )
