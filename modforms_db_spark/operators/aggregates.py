@@ -6088,3 +6088,139 @@ def q_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xi4"
         ),
     )
+
+
+_TOST_DELTA = 7.0    # equivalence margin (value units; mean ≈ 45)
+_TOST_Z = 1.6449     # one-sided 5% normal point
+
+
+@register(
+    "q_tost_equivalence",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, value FROM events
+    ), arms AS (
+      SELECT 'equivalent' AS scope,
+             CASE WHEN (event_id * 2654435761) % 2 = 0 THEN 'a' ELSE 'b' END
+               AS arm,
+             value
+      FROM base
+      UNION ALL
+      SELECT 'shifted' AS scope, 'a' AS arm, value FROM base
+      UNION ALL
+      SELECT 'shifted' AS scope, 'b' AS arm, value + 20 AS value FROM base
+    ), g AS (
+      SELECT scope, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             {R('AVG(value)', 10)} AS mean,
+             {R('VAR_SAMP(value)', 10)} AS var
+      FROM arms GROUP BY 1, 2
+    ), w AS (
+      SELECT a.scope, a.n AS n_a, b.n AS n_b,
+             {R4('a.mean - b.mean')} AS diff4,
+             {R4(f'(a.mean - b.mean + {_TOST_DELTA!r})'
+                 ' / SQRT(a.var / a.n + b.var / b.n)')} AS t_low4,
+             {R4(f'(a.mean - b.mean - {_TOST_DELTA!r})'
+                 ' / SQRT(a.var / a.n + b.var / b.n)')} AS t_high4
+      FROM (SELECT * FROM g WHERE arm = 'a') a
+      JOIN (SELECT * FROM g WHERE arm = 'b') b ON a.scope = b.scope
+    )
+    SELECT scope, n_a, n_b, diff4, t_low4, t_high4,
+           t_low4 > {_TOST_Z!r} AND t_high4 < -{_TOST_Z!r} AS equivalent
+    FROM w
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest", "equivalence"),
+)
+def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided Welch tests) — the A/B
+    question `q_ab_ttest` CANNOT answer: "prove the treatment did NOT
+    move the metric by more than δ" (a non-significant difference test
+    is absence of evidence; TOST is evidence of absence — the
+    no-regression gate for infra rollouts and model swaps). Declares
+    equivalence iff BOTH one-sided statistics clear the ±δ = 5.0
+    margin at the 5% level.
+
+    Both verdicts at every SF: a deterministic hash split of the FULL
+    event population (same distribution — DECLARES equivalent; the
+    click-only slice was tried first and is genuinely underpowered at
+    sf0.001, where an unlucky 210-row split differs by 21 — TOST
+    correctly refusing to certify a small sample is the method
+    working, but the branch contract wants a powered example) and a
+    planted +20-shifted copy (exceeds the margin — FAILS). Group
+    moments are r10-rounded before the two t formulas (the q_ab_ttest
+    device); both statistics r4 before the threshold.
+
+    Scale: per-scope 1-row moment aggregates off one scan of the
+    filtered stream, joined broadcast-style — the test costs one scan
+    regardless of arm sizes."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .localCheckpoint(eager=False)  # three arm legs — one scan
+    )
+    arms = (
+        base.select(
+            F.lit("equivalent").alias("scope"),
+            F.when(
+                F.pmod(
+                    F.col("event_id") * F.lit(2654435761).cast("bigint"),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+            "value",
+        )
+        .unionByName(
+            base.select(
+                F.lit("shifted").alias("scope"),
+                F.lit("a").alias("arm"),
+                "value",
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("shifted").alias("scope"),
+                F.lit("b").alias("arm"),
+                (F.col("value") + 20).alias("value"),
+            )
+        )
+    )
+    g = arms.groupBy("scope", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("value"), 10).alias("mean"),
+        F.round(F.var_samp("value"), 10).alias("var"),
+    )
+    a = g.where(F.col("arm") == "a").select(
+        "scope",
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.where(F.col("arm") == "b").select(
+        F.col("scope").alias("scope_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    diff = F.col("mean_a") - F.col("mean_b")
+    t_low = r4((diff + _TOST_DELTA) / se)
+    t_high = r4((diff - _TOST_DELTA) / se)
+    return (
+        a.join(F.broadcast(b), a.scope == b.scope_b)
+        .select(
+            "scope",
+            "n_a",
+            "n_b",
+            r4(diff).alias("diff4"),
+            t_low.alias("t_low4"),
+            t_high.alias("t_high4"),
+            ((t_low > _TOST_Z) & (t_high < -_TOST_Z)).alias("equivalent"),
+        )
+    )
