@@ -3106,3 +3106,168 @@ def q_prefix_cache_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("n_docs") * F.first("k"))
         ).alias("savings_frac4"),
     )
+
+
+_TCLOSE_M = 5       # ordered sensitive-attribute buckets
+_TCLOSE_T = 0.2     # closeness threshold
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_mktsegment,
+             CAST(LEAST(4, GREATEST(0,
+               FLOOR((c_acctbal + 1000.0) / 2200.0))) AS BIGINT) AS b
+      FROM customer
+    ), members AS (
+      SELECT c_mktsegment AS group_id, b FROM base
+      UNION ALL
+      SELECT 'LEAK_planted' AS group_id, b FROM base WHERE b = 4
+    ), grp AS (
+      SELECT m.group_id, s.b,
+             CAST(COUNT(CASE WHEN m.b = s.b THEN 1 END) AS BIGINT) AS c
+      FROM members m
+      CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_TCLOSE_M - 1})) AS b) s
+      GROUP BY 1, 2
+    ), gdist AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cg FROM base GROUP BY 1
+    ), globd AS (
+      SELECT s.b, COALESCE(g.cg, 0) AS cg,
+             CAST(SUM(COALESCE(g.cg, 0))
+                  OVER (ORDER BY s.b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_g,
+             CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_total
+      FROM (SELECT UNNEST(GENERATE_SERIES(0, {_TCLOSE_M - 1})) AS b) s
+      LEFT JOIN gdist g ON g.b = s.b
+    ), walk AS (
+      SELECT grp.group_id, grp.b,
+             CAST(SUM(grp.c) OVER (PARTITION BY grp.group_id ORDER BY grp.b
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(SUM(grp.c) OVER (PARTITION BY grp.group_id) AS BIGINT) AS n_g,
+             gd.cum_g, gd.n_total
+      FROM grp JOIN globd gd ON grp.b = gd.b
+    )
+    SELECT group_id, MIN(n_g) AS n,
+           {R4(f'SUM(ABS(cum_c * n_total - cum_g * n_g))'
+               f' / (({_TCLOSE_M} - 1.0) * MIN(n_g) * MIN(n_total))')} AS t4,
+           {R4(f'SUM(ABS(cum_c * n_total - cum_g * n_g))'
+               f' / (({_TCLOSE_M} - 1.0) * MIN(n_g) * MIN(n_total))')}
+             > {_TCLOSE_T!r} AS violates
+    FROM walk
+    WHERE n_g > 0
+    GROUP BY group_id
+    """,
+    priority="P2",
+    tags=("llm", "curation", "governance", "privacy"),
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third leg of the privacy triad:
+    `q_k_anonymity` bounds RE-IDENTIFICATION (class sizes),
+    `q_l_diversity` bounds ATTRIBUTE DISCLOSURE BY UNIQUENESS
+    (distinct sensitive values per class), but a class can pass both
+    while its sensitive DISTRIBUTION still leaks (all distinct values
+    drawn from the top of the range). t-closeness bounds the Earth
+    Mover's Distance between each quasi-identifier class's sensitive
+    distribution and the global one; for an ORDINAL attribute over m
+    ordered buckets, EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i|.
+
+    QI classes are the market segments (coarse on purpose: classes
+    must be large enough that a SMALL class isn't what leaks — that
+    failure mode is `q_k_anonymity`'s job); the sensitive attribute
+    is the account balance in m = 5 fixed-width buckets. A planted 'LEAK_planted' class built from
+    top-bucket customers only scores t ~ 0.6 (VIOLATES the 0.2 bound);
+    organic classes mirror the global distribution (t near 0 — the
+    honest negative) at every SF. The cumulative differences carry as
+    exact cross-multiplied integers (cum_c*N - cum_G*n_g — no
+    per-bucket division), so the sum is order-independent bigint
+    arithmetic; one r4-rounded division at the end.
+
+    Scale: one pass to the (class, bucket) grain (classes x 5 rows),
+    a 5-row global spine broadcast onto it; the EMD walk is a window
+    over 5-row frames. Billions of rows enter through the grain's
+    partial-agg counts only."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            F.least(
+                F.lit(4),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("c_acctbal") + 1000.0) / 2200.0),
+                ),
+            )
+            .cast("bigint")
+            .alias("b"),
+        )
+        .localCheckpoint(eager=False)  # members legs + global dist — one scan
+    )
+    members = base.select(
+        F.col("c_mktsegment").alias("group_id"), "b"
+    ).unionByName(
+        base.where(F.col("b") == 4).select(
+            F.lit("LEAK_planted").alias("group_id"), "b"
+        )
+    )
+    spine = spark.range(_TCLOSE_M).select(F.col("id").cast("bigint").alias("b"))
+    grp = (
+        members.crossJoin(F.broadcast(spine.select(F.col("b").alias("sb"))))
+        .groupBy("group_id", "sb")
+        .agg(
+            F.count(F.when(F.col("b") == F.col("sb"), 1))
+            .cast("bigint")
+            .alias("c")
+        )
+        .withColumnRenamed("sb", "b")
+    )
+    glob = base.groupBy("b").agg(F.count(F.lit(1)).cast("bigint").alias("cg"))
+    n_total = base.count()
+    w_g = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    globd = (
+        spine.join(glob, "b", "left")
+        .select("b", F.coalesce("cg", F.lit(0)).alias("cg"))
+        .select(
+            "b",
+            F.sum("cg").over(w_g).cast("bigint").alias("cum_g"),
+            F.lit(n_total).cast("bigint").alias("n_total"),
+        )
+    )
+    w_c = (
+        Window.partitionBy("group_id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = (
+        grp.join(F.broadcast(globd), "b")
+        .select(
+            "group_id",
+            "b",
+            F.sum("c").over(w_c).cast("bigint").alias("cum_c"),
+            F.sum("c")
+            .over(Window.partitionBy("group_id"))
+            .cast("bigint")
+            .alias("n_g"),
+            "cum_g",
+            "n_total",
+        )
+    )
+    t4 = r4(
+        F.sum(
+            F.abs(
+                F.col("cum_c") * F.col("n_total")
+                - F.col("cum_g") * F.col("n_g")
+            )
+        )
+        / ((_TCLOSE_M - 1.0) * F.min("n_g") * F.min("n_total"))
+    )
+    return (
+        walk.where(F.col("n_g") > 0)
+        .groupBy("group_id")
+        .agg(
+            F.min("n_g").alias("n"),
+            t4.alias("t4"),
+            (t4 > _TCLOSE_T).alias("violates"),
+        )
+    )

@@ -6224,3 +6224,186 @@ def q_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((t_low > _TOST_Z) & (t_high < -_TOST_Z)).alias("equivalent"),
         )
     )
+
+
+# Wald SPRT literals, integer 1e-8ths (shared across both engines so the
+# cumulative walk is exact bigint arithmetic — the libm ulp dodge):
+# H0 p=0.05 vs H1 p=0.10, alpha = beta = 0.05.
+_SPRT_L1 = 69314718     # round(ln(0.10/0.05) * 1e8)  — per conversion
+_SPRT_L0 = -5406722     # round(ln(0.90/0.95) * 1e8)  — per non-conversion
+_SPRT_A = 294443898     # round(ln((1-beta)/alpha) * 1e8) — reject-H0 line
+# accept-H0 line is the negative by symmetry (ln(beta/(1-alpha)))
+
+
+@register(
+    "q_sprt_monitor",
+    oracle=f"""
+    WITH base AS (
+      SELECT epoch_us(ts) AS ord, event_id,
+             (event_id * 2654435761) % 1000 AS h, event_type
+      FROM events
+    ), streams AS (
+      SELECT 'organic_purchase' AS stream, ord, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM base
+      UNION ALL
+      SELECT 'null_5pct' AS stream, ord, event_id,
+             CASE WHEN h < 50 THEN 1 ELSE 0 END AS x
+      FROM base
+      UNION ALL
+      SELECT 'alt_10pct' AS stream, ord, event_id,
+             CASE WHEN h < 100 THEN 1 ELSE 0 END AS x
+      FROM base
+    ), inc AS (
+      SELECT stream, ord, event_id,
+             CASE WHEN x = 1 THEN {_SPRT_L1} ELSE {_SPRT_L0} END AS llr_inc
+      FROM streams
+    ), walk AS (
+      SELECT stream,
+             CAST(SUM(llr_inc) OVER (PARTITION BY stream ORDER BY ord, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS llr8,
+             CAST(ROW_NUMBER() OVER (PARTITION BY stream ORDER BY ord, event_id)
+                  AS BIGINT) AS rn
+      FROM inc
+    ), crossed AS (
+      SELECT stream, CAST(MIN(rn) AS BIGINT) AS n_decide,
+             CAST(MIN_BY(llr8, rn) AS BIGINT) AS llr8_decide
+      FROM walk
+      WHERE llr8 >= {_SPRT_A} OR llr8 <= -{_SPRT_A}
+      GROUP BY 1
+    ), totals AS (
+      SELECT stream, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(llr_inc) AS BIGINT) AS llr8_final
+      FROM inc GROUP BY 1
+    )
+    SELECT t.stream, t.n_obs,
+           CASE WHEN c.stream IS NULL THEN 'undecided'
+                WHEN c.llr8_decide > 0 THEN 'reject_h0'
+                ELSE 'accept_h0' END AS decision,
+           COALESCE(c.n_decide, t.n_obs) AS n_decide,
+           COALESCE(c.llr8_decide, t.llr8_final) AS llr8_decide
+    FROM totals t LEFT JOIN crossed c ON t.stream = c.stream
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest", "sequential"),
+)
+def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test (SPRT) — the SEQUENTIAL
+    A/B decision every other test here lacks: `q_ab_ttest` /
+    `q_ab_proportions` / `q_tost_equivalence` are fixed-horizon (peek
+    early and the error rates are void); SPRT is the test you may
+    look at after EVERY observation, stopping the moment the
+    cumulative log-likelihood ratio leaves the (ln B, ln A) corridor
+    with both error rates still controlled at 5%. Monitors a 5%-vs-10%
+    conversion hypothesis along the time-ordered event stream and
+    reports, per stream: the verdict, how many observations it took,
+    and the LLR at the stopping point.
+
+    Three streams keep every verdict branch live at every SF: a
+    planted 5% Knuth-hash conversion ACCEPTS H0, a planted 10% one
+    REJECTS H0, and the organic purchase share (~20%) rejects fastest
+    — sequential tests stop sooner the further truth is from H0. The
+    LLR walk is exact bigint arithmetic over shared integer-1e-8ths
+    log-likelihood literals (the libm ulp dodge), so the stopping row
+    is identical cross-engine by construction; 'undecided' (corridor
+    never left) is handled, not assumed away.
+
+    Scale: the walk is a per-stream prefix sum in (ts, event_id)
+    order — the banded-window device (32 value-range bands on the
+    timestamp, per-band windows + band-grain offsets), so no global
+    single-task sort; the decision extraction is a 1-row-per-stream
+    conditional aggregate. In production the monitor would read the
+    live stream and stop physically; this batch form is the audit
+    twin that replays the decision path."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ord"),
+            "event_id",
+            F.pmod(
+                F.col("event_id") * F.lit(2654435761).cast("bigint"),
+                F.lit(1000),
+            ).alias("h"),
+            "event_type",
+        )
+        .localCheckpoint(eager=False)  # three stream legs — one scan
+    )
+    streams = (
+        base.select(
+            F.lit("organic_purchase").alias("stream"),
+            "ord",
+            "event_id",
+            (F.col("event_type") == "purchase").cast("int").alias("x"),
+        )
+        .unionByName(
+            base.select(
+                F.lit("null_5pct").alias("stream"),
+                "ord",
+                "event_id",
+                (F.col("h") < 50).cast("int").alias("x"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit("alt_10pct").alias("stream"),
+                "ord",
+                "event_id",
+                (F.col("h") < 100).cast("int").alias("x"),
+            )
+        )
+    )
+    inc = streams.select(
+        "stream",
+        "ord",
+        "event_id",
+        F.when(F.col("x") == 1, F.lit(_SPRT_L1))
+        .otherwise(F.lit(_SPRT_L0))
+        .cast("bigint")
+        .alias("llr_inc"),
+    )
+    walk = with_banded_order(
+        inc,
+        "ord",
+        ["event_id"],
+        group_cols=["stream"],
+        cumsum_col="llr_inc",
+        rn_name="rn",
+        cum_name="llr8",
+    ).localCheckpoint(eager=False)  # crossing leg + totals leg
+    crossed = (
+        walk.where(
+            (F.col("llr8") >= _SPRT_A) | (F.col("llr8") <= -_SPRT_A)
+        )
+        .groupBy("stream")
+        .agg(
+            F.min("rn").cast("bigint").alias("n_decide"),
+            F.min_by("llr8", "rn").cast("bigint").alias("llr8_decide"),
+        )
+    )
+    totals = walk.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("llr_inc").cast("bigint").alias("llr8_final"),
+    )
+    c = crossed.select(
+        F.col("stream").alias("stream_c"), "n_decide", "llr8_decide"
+    )
+    return (
+        totals.join(
+            F.broadcast(c), totals.stream == c.stream_c, "left"
+        )
+        .select(
+            "stream",
+            "n_obs",
+            F.when(F.col("stream_c").isNull(), F.lit("undecided"))
+            .when(F.col("llr8_decide") > 0, F.lit("reject_h0"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.coalesce(F.col("n_decide"), F.col("n_obs")).alias("n_decide"),
+            F.coalesce(F.col("llr8_decide"), F.col("llr8_final")).alias(
+                "llr8_decide"
+            ),
+        )
+    )

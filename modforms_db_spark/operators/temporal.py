@@ -4544,3 +4544,165 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frc4 > crit).alias("reject"),
         )
     )
+
+
+_RUNS_Z_CRIT = 2.5758  # two-sided alpha = 0.01
+_RUNS_Z_SENTINEL = 99999.0  # >= half the values tie the median: sigma = 0
+
+
+@register(
+    "q_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), streams AS (
+      SELECT event_type AS stream, d, v4 FROM daily
+      UNION ALL
+      SELECT 'ramp_planted' AS stream, d, v4 + d * 1000000000000 AS v4
+      FROM daily WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'zigzag_planted' AS stream, d, v4 + (d % 2) * 1000000000000 AS v4
+      FROM daily WHERE event_type = 'click'
+    ), med AS (
+      SELECT stream, MEDIAN(v4) AS med FROM streams GROUP BY 1
+    ), signs AS (
+      SELECT s.stream, s.d,
+             CASE WHEN s.v4 > m.med THEN 1 ELSE -1 END AS sgn
+      FROM streams s JOIN med m ON s.stream = m.stream
+      WHERE s.v4 <> m.med
+    ), runs AS (
+      SELECT stream, d, sgn,
+             LAG(sgn) OVER (PARTITION BY stream ORDER BY d) AS prev_sgn
+      FROM signs
+    ), agg AS (
+      SELECT stream,
+             CAST(SUM(CASE WHEN prev_sgn IS NULL OR sgn <> prev_sgn
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r_runs,
+             CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn
+      FROM runs GROUP BY 1
+    )
+    SELECT stream, r_runs, n_up, n_dn,
+           CASE WHEN n_up = 0 OR n_dn = 0 THEN {_RUNS_Z_SENTINEL!r}
+           ELSE {R4('(r_runs - (1.0 + 2.0 * n_up * n_dn / (n_up + n_dn)))'
+                    ' / SQRT(2.0 * n_up * n_dn'
+                    '   * (2.0 * n_up * n_dn - n_up - n_dn)'
+                    '   / ((n_up + n_dn) * (n_up + n_dn)'
+                    '      * (n_up + n_dn - 1.0)))')}
+           END AS z4,
+           CASE WHEN n_up = 0 OR n_dn = 0 THEN TRUE
+                ELSE ABS({R4('(r_runs - (1.0 + 2.0 * n_up * n_dn / (n_up + n_dn)))'
+                             ' / SQRT(2.0 * n_up * n_dn'
+                             '   * (2.0 * n_up * n_dn - n_up - n_dn)'
+                             '   / ((n_up + n_dn) * (n_up + n_dn)'
+                             '      * (n_up + n_dn - 1.0)))')})
+                     > {_RUNS_Z_CRIT!r}
+           END AS reject
+    FROM agg
+    """,
+    priority="P2",
+    tags=("temporal", "statistics", "randomness"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test (above/below-median form) per metric
+    stream — the randomness monitor orthogonal to `q_mann_kendall`
+    (MK asks "is it drifting?"; runs asks "is the SEQUENCE patterned?"
+    — clustering below/above the median collapses the run count,
+    alternation inflates it, both with zero net trend). Signs are
+    above(+1)/below(-1) the per-stream median (exact-median ties
+    dropped — the textbook treatment, and the split that makes the
+    null EXACT for i.i.d. data: the diffs-sign variant tried first
+    leans z ≈ +2 organically because differences of i.i.d. values are
+    negatively autocorrelated); R = maximal same-sign runs,
+    z = (R - mu)/sigma, two-sided alpha = 0.01.
+
+    Three regimes at every SF: organic daily sums are i.i.d. (ACCEPT),
+    a planted monotone ramp (slope 1e12 dominates any SF's daily
+    variance) is below-median then above — R = 2, z ~ -5 (REJECT,
+    clustering tail), and a planted parity zig-zag alternates sides —
+    R = n, z ~ +5 (REJECT, alternation tail). The median of 30 bigint
+    grain values is the average of the two middle integers — exactly
+    representable, so the sign split is deterministic cross-engine;
+    the sigma = 0 degenerate (half the values AT the median) is
+    guarded with a sentinel rather than divided through.
+
+    Scale: everything happens on the daily grain (calendar-bounded:
+    30 rows per stream regardless of event count); the billions of
+    raw events enter only through the grain's partial-agg sums."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)  # three stream legs — one scan
+    )
+    ramp = F.col("v4") + F.col("d") * F.lit(1000000000000).cast("bigint")
+    zig = F.col("v4") + (F.col("d") % 2) * F.lit(1000000000000).cast("bigint")
+    streams = (
+        daily.select(F.col("event_type").alias("stream"), "d", "v4")
+        .unionByName(
+            daily.where(F.col("event_type") == "click").select(
+                F.lit("ramp_planted").alias("stream"), "d", ramp.alias("v4")
+            )
+        )
+        .unionByName(
+            daily.where(F.col("event_type") == "click").select(
+                F.lit("zigzag_planted").alias("stream"), "d", zig.alias("v4")
+            )
+        )
+        .localCheckpoint(eager=False)  # median leg + sign leg
+    )
+    med = streams.groupBy("stream").agg(F.median("v4").alias("med"))
+    signs = (
+        streams.join(F.broadcast(med), "stream")
+        .where(F.col("v4") != F.col("med"))
+        .select(
+            "stream",
+            "d",
+            F.when(F.col("v4") > F.col("med"), 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    w = Window.partitionBy("stream").orderBy("d")
+    runs = signs.select(
+        "stream", "d", "sgn", F.lag("sgn").over(w).alias("prev_sgn")
+    )
+    agg = runs.groupBy("stream").agg(
+        F.sum(
+            F.when(
+                F.col("prev_sgn").isNull()
+                | (F.col("sgn") != F.col("prev_sgn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r_runs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dn"),
+    )
+    n_up, n_dn, r_runs = F.col("n_up"), F.col("n_dn"), F.col("r_runs")
+    n = n_up + n_dn
+    mu = 1.0 + 2.0 * n_up * n_dn / n
+    sigma = F.sqrt(
+        2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n_up - n_dn)
+        / (n * n * (n - 1.0))
+    )
+    z4 = r4((r_runs - mu) / sigma)
+    degenerate = (n_up == 0) | (n_dn == 0)
+    return agg.select(
+        "stream",
+        "r_runs",
+        "n_up",
+        "n_dn",
+        F.when(degenerate, F.lit(_RUNS_Z_SENTINEL)).otherwise(z4).alias("z4"),
+        F.when(degenerate, F.lit(True))
+        .otherwise(F.abs(z4) > _RUNS_Z_CRIT)
+        .alias("reject"),
+    )

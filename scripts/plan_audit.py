@@ -93,6 +93,9 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "(level-2 rankings are partitioned by region)",
     "q_graph_kcore": "lag over the 6-row peel-round trace frame — "
     "bounded by the round count, not data size",
+    "q_t_closeness": "global-distribution cumsum over the 5-row bucket "
+    "spine — bounded by the literal bucket count m, not data size "
+    "(the per-class EMD walk is partitioned by class)",
     "q_ppl_bucket": _R_BANDED_OFFSET,
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,
