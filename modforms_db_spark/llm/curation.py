@@ -3271,3 +3271,77 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (t4 > _TCLOSE_T).alias("violates"),
         )
     )
+
+
+_CURR_T = 5  # curriculum checkpoints (competence c(t) = sqrt(t/T))
+
+
+@register(
+    "q_curriculum_competence",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS difficulty,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ), ckpt AS (
+      SELECT UNNEST(GENERATE_SERIES(1, {_CURR_T})) AS t
+    ), eligible AS (
+      SELECT c.t, r.difficulty, r.n
+      FROM ranked r JOIN ckpt c
+        ON r.rn * r.rn * {_CURR_T} <= c.t * r.n * r.n
+    )
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS pool_n,
+           {R4('COUNT(*) * 1.0 / MIN(n)')} AS pool_frac4,
+           {R4('AVG(difficulty)')} AS mean_difficulty4,
+           CAST(MAX(difficulty) AS BIGINT) AS hardest
+    FROM eligible GROUP BY t
+    """,
+    priority="P2",
+    tags=("llm", "curation", "curriculum"),
+)
+def q_curriculum_competence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al., NAACL
+    2019) — the training-order planner beside `q_anneal_mix` (which
+    schedules SOURCE mix; this schedules DIFFICULTY): at checkpoint t
+    of T the model's competence is c(t) = sqrt(t/T), and a document is
+    eligible iff its corpus difficulty CDF <= c(t) — so the pool grows
+    sqrt-fast, front-loading easy examples without ever re-shrinking.
+    Difficulty proxy: n_chars (document length), the standard
+    no-trainer-signal choice. Emits the per-checkpoint pool manifest:
+    size, corpus fraction (tracks c(t) = 0.447, 0.632, ..., 1.0 —
+    self-validating), mean and max eligible difficulty.
+
+    The eligibility test is EXACT integer arithmetic: CDF(doc) <=
+    sqrt(t/T) squares to rn^2 * T <= t * n^2 (rn = unique (n_chars,
+    doc_id) rank) — no sqrt, no fp CDF, identical pools cross-engine
+    by construction.
+
+    Scale: the rank is the banded-window device (32 length bands,
+    per-band windows + band-grain offsets — no global sort); the
+    checkpoint spine is a 5-row broadcast; per-checkpoint stats
+    map-side combine. A 100 TB corpus pays one banded rank pass, and
+    the loader consumes (t, rn) as a sort key."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("difficulty")
+    )
+    ranked = with_banded_order(
+        docs, "difficulty", ["doc_id"], rn_name="rn"
+    )
+    n_total = ranked.count()
+    ckpt = spark.range(1, _CURR_T + 1).select(
+        F.col("id").cast("bigint").alias("t")
+    )
+    eligible = ranked.crossJoin(F.broadcast(ckpt)).where(
+        F.col("rn") * F.col("rn") * _CURR_T
+        <= F.col("t") * F.lit(n_total).cast("bigint") * F.lit(n_total)
+    )
+    return eligible.groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pool_n"),
+        r4(F.count(F.lit(1)) * 1.0 / n_total).alias("pool_frac4"),
+        r4(F.avg("difficulty")).alias("mean_difficulty4"),
+        F.max("difficulty").cast("bigint").alias("hardest"),
+    )

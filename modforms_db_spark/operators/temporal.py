@@ -4706,3 +4706,304 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z4) > _RUNS_Z_CRIT)
         .alias("reject"),
     )
+
+
+@register(
+    "q_rsi",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), streams AS (
+      SELECT event_type AS stream, d, v4 FROM daily
+      UNION ALL
+      SELECT 'ramp_planted' AS stream, d, v4 + d * 1000000000000 AS v4
+      FROM daily WHERE event_type = 'click'
+      UNION ALL
+      SELECT 'fade_planted' AS stream, d, v4 - d * 1000000000000 AS v4
+      FROM daily WHERE event_type = 'click'
+    ), diffs AS (
+      SELECT stream, d,
+             v4 - LAG(v4) OVER (PARTITION BY stream ORDER BY d) AS delta
+      FROM streams
+    ), roll AS (
+      SELECT stream, d,
+             CAST(SUM(GREATEST(delta, 0)) OVER w AS BIGINT) AS g,
+             CAST(SUM(GREATEST(-delta, 0)) OVER w AS BIGINT) AS l,
+             COUNT(*) OVER w AS win_n
+      FROM diffs WHERE delta IS NOT NULL
+      WINDOW w AS (PARTITION BY stream ORDER BY d
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT stream, d,
+           CASE WHEN g + l = 0 THEN 50.0
+                ELSE {R4('100.0 * g / (g + l)')} END AS rsi4,
+           CASE WHEN g + l = 0 THEN 'neutral'
+                WHEN {R4('100.0 * g / (g + l)')} > 70 THEN 'overbought'
+                WHEN {R4('100.0 * g / (g + l)')} < 30 THEN 'oversold'
+                ELSE 'neutral' END AS signal
+    FROM roll WHERE win_n = 14
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "finance"),
+)
+def q_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period relative strength index per metric stream — the
+    bounded momentum oscillator beside `q_ewma` (level smoothing) and
+    `q_anomaly_rolling_z` (deviation scoring): RSI = 100·G/(G+L) over
+    the trailing 14 day-over-day moves, where G/L are summed gains/
+    losses (Cutler's simple-average form — deliberately NOT Wilder's
+    recursive smoothing, which is a sequential fold no engine can
+    shuffle; the simple form is windowable and the standard batch
+    variant). Overbought (>70) / oversold (<30) signal bands.
+
+    Branches at every SF: organic daily sums hover near 50 (i.i.d.
+    moves — neutral), a planted +1e12/day ramp pins RSI = 100
+    (overbought: losses are literally zero), a planted mirror fade
+    pins 0 (oversold). Gains/losses are exact bigints off the
+    ten-thousandths daily grain; RSI is one guarded integer ratio
+    (flat-window G+L=0 lands the 50.0/'neutral' convention, not a
+    division crash). Only complete 14-move windows emit.
+
+    Scale: the rolling sums are per-stream partitioned windows over
+    the calendar-bounded daily grain (30 rows/stream at any event
+    count) — raw events enter via the grain's partial aggs only."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)  # three stream legs — one scan
+    )
+    big = F.lit(1000000000000).cast("bigint")
+    streams = (
+        daily.select(F.col("event_type").alias("stream"), "d", "v4")
+        .unionByName(
+            daily.where(F.col("event_type") == "click").select(
+                F.lit("ramp_planted").alias("stream"),
+                "d",
+                (F.col("v4") + F.col("d") * big).alias("v4"),
+            )
+        )
+        .unionByName(
+            daily.where(F.col("event_type") == "click").select(
+                F.lit("fade_planted").alias("stream"),
+                "d",
+                (F.col("v4") - F.col("d") * big).alias("v4"),
+            )
+        )
+    )
+    w_lag = Window.partitionBy("stream").orderBy("d")
+    diffs = streams.select(
+        "stream", "d", (F.col("v4") - F.lag("v4").over(w_lag)).alias("delta")
+    ).where(F.col("delta").isNotNull())
+    w_roll = w_lag.rowsBetween(-13, 0)
+    roll = diffs.select(
+        "stream",
+        "d",
+        F.sum(F.greatest(F.col("delta"), F.lit(0)))
+        .over(w_roll)
+        .cast("bigint")
+        .alias("g"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0)))
+        .over(w_roll)
+        .cast("bigint")
+        .alias("l"),
+        F.count(F.lit(1)).over(w_roll).alias("win_n"),
+    ).where(F.col("win_n") == 14)
+    rsi4 = r4(100.0 * F.col("g") / (F.col("g") + F.col("l")))
+    flat = (F.col("g") + F.col("l")) == 0
+    return roll.select(
+        "stream",
+        "d",
+        F.when(flat, F.lit(50.0)).otherwise(rsi4).alias("rsi4"),
+        F.when(flat, F.lit("neutral"))
+        .when(rsi4 > 70, F.lit("overbought"))
+        .when(rsi4 < 30, F.lit("oversold"))
+        .otherwise(F.lit("neutral"))
+        .alias("signal"),
+    )
+
+
+# Shapley coalition weights for n = 4 channels: w(s) = s!(n-s-1)!/n!
+_SHAP_W = "CASE WHEN {s} = 0 THEN 0.25 WHEN {s} = 3 THEN 0.25 ELSE 1.0/12.0 END"
+
+
+@register(
+    "q_attribution_shapley",
+    oracle=f"""
+    WITH j AS (
+      SELECT user_id, CAST(day(ts) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'  THEN 1 ELSE 0 END) > 0
+                  AS INT) * 1 +
+             CAST(SUM(CASE WHEN event_type = 'view'   THEN 1 ELSE 0 END) > 0
+                  AS INT) * 2 +
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+                  AS INT) * 4 +
+             CAST(SUM(CASE WHEN event_type = 'error'  THEN 1 ELSE 0 END) > 0
+                  AS INT) * 8 AS mask,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+                  AS INT) AS conv
+      FROM events GROUP BY 1, 2
+    ), obs AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM j GROUP BY 1
+    ), spine AS (
+      SELECT UNNEST(GENERATE_SERIES(0, 15)) AS mask
+    ), mv AS (
+      SELECT s.mask,
+             (s.mask // 1) % 2 + (s.mask // 2) % 2
+               + (s.mask // 4) % 2 + (s.mask // 8) % 2 AS sz,
+             COALESCE(o.n_conv * 1.0 / o.n_j, 0.0) AS v
+      FROM spine s LEFT JOIN obs o ON s.mask = o.mask
+    ), ch AS (
+      SELECT * FROM (VALUES ('click', 1), ('view', 2),
+                            ('signup', 4), ('error', 8)) AS t(channel, bit)
+    ), terms AS (
+      SELECT ch.channel,
+             CAST(ROUND(({_SHAP_W.format(s='m0.sz')})
+                        * (m1.v - m0.v) * 100000000, 0) AS BIGINT) AS term8
+      FROM ch
+      JOIN mv m0 ON (m0.mask // ch.bit) % 2 = 0
+      JOIN mv m1 ON m1.mask = m0.mask + ch.bit
+    ), phi AS (
+      SELECT channel, CAST(SUM(term8) AS BIGINT) AS phi8 FROM terms GROUP BY 1
+    ), naive AS (
+      SELECT ch.channel,
+             CAST(SUM(o.n_j) AS BIGINT) AS present_n,
+             CAST(SUM(o.n_conv) AS BIGINT) AS present_conv
+      FROM ch JOIN obs o ON (o.mask // ch.bit) % 2 = 1
+      GROUP BY 1
+    )
+    SELECT p.channel, {R4('p.phi8 / 100000000.0')} AS phi4,
+           n.present_n, {R4('n.present_conv * 1.0 / n.present_n')} AS naive_rate4
+    FROM phi p JOIN naive n ON p.channel = n.channel
+    """,
+    priority="P2",
+    tags=("temporal", "events", "attribution", "shapley"),
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven Shapley-value attribution (Zhao et al. 2018, the
+    game-theoretic model behind ad-platform "data-driven attribution")
+    — the principled answer to the credit question
+    `q_attribution_multitouch` answers with position HEURISTICS
+    (first/last/linear): treat each (user, day) journey's touched
+    channel SET as a coalition, v(S) = conversion rate of journeys
+    with exactly coalition S, and pay each channel its marginal
+    contribution averaged over all coalition orderings:
+    phi_i = sum_{{S not containing i}} w(|S|) * (v(S + i) - v(S)),
+    w(s) = s!(n-s-1)!/n!. Reported beside the naive
+    conversion-rate-when-present, the biased baseline Shapley
+    corrects (a channel present in every converting journey free-rides
+    in the naive rate; Shapley nets out what the OTHER channels
+    already earn). Unobserved coalitions impute v = 0 — the standard
+    sparse-journey treatment, documented not hidden.
+
+    Exactness: coalition masks and counts are exact integers; each of
+    the 8 marginal terms per channel is quantized to integer 1e-8ths
+    BEFORE the sum (order-independent bigint addition — the shared-
+    literal-weights device), one r4 division at the end.
+
+    Scale: one pass to the (user, day) journey grain (conditional
+    aggs, map-side combined), then a 16-row coalition frame — the 2^n
+    blow-up is bounded by the CHANNEL vocabulary (n = 4), never data
+    size; everything after the journey collapse is broadcast-sized."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    has = lambda t: (  # noqa: E731
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)) > 0
+    ).cast("int")
+    j = ev.groupBy(
+        "user_id", F.dayofmonth("ts").cast("bigint").alias("d")
+    ).agg(
+        (
+            has("click") * 1
+            + has("view") * 2
+            + has("signup") * 4
+            + has("error") * 8
+        ).alias("mask"),
+        has("purchase").alias("conv"),
+    )
+    obs = (
+        j.groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_j"),
+            F.sum("conv").cast("bigint").alias("n_conv"),
+        )
+        .localCheckpoint(eager=False)  # coalition frame + naive leg
+    )
+    spine = spark.range(16).select(F.col("id").cast("int").alias("mask"))
+    sz = sum((F.col("mask") / (1 << b)).cast("int") % 2 for b in range(4))
+    mv = (
+        spine.join(F.broadcast(obs), "mask", "left")
+        .select(
+            "mask",
+            sz.alias("sz"),
+            F.coalesce(
+                F.col("n_conv") * 1.0 / F.col("n_j"), F.lit(0.0)
+            ).alias("v"),
+        )
+    )
+    ch = spark.range(4).select(
+        F.element_at(
+            F.array(
+                F.lit("click"), F.lit("view"), F.lit("signup"), F.lit("error")
+            ),
+            (F.col("id") + 1).cast("int"),
+        ).alias("channel"),
+        F.element_at(
+            F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("bit"),
+    )
+    m0 = mv.select(
+        F.col("mask").alias("mask0"), F.col("sz").alias("sz0"),
+        F.col("v").alias("v0"),
+    )
+    m1 = mv.select(F.col("mask").alias("mask1"), F.col("v").alias("v1"))
+    w = (
+        F.when(F.col("sz0") == 0, 0.25)
+        .when(F.col("sz0") == 3, 0.25)
+        .otherwise(1.0 / 12.0)
+    )
+    terms = (
+        ch.join(
+            F.broadcast(m0), (F.col("mask0") / F.col("bit")).cast("int") % 2 == 0
+        )
+        .join(F.broadcast(m1), F.col("mask1") == F.col("mask0") + F.col("bit"))
+        .select(
+            "channel",
+            F.round(w * (F.col("v1") - F.col("v0")) * 100000000, 0)
+            .cast("bigint")
+            .alias("term8"),
+        )
+    )
+    phi = terms.groupBy("channel").agg(
+        F.sum("term8").cast("bigint").alias("phi8")
+    )
+    naive = (
+        ch.join(
+            F.broadcast(obs),
+            (F.col("mask") / F.col("bit")).cast("int") % 2 == 1,
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("n_j").cast("bigint").alias("present_n"),
+            F.sum("n_conv").cast("bigint").alias("present_conv"),
+        )
+    )
+    return (
+        phi.join(naive, "channel")
+        .select(
+            "channel",
+            r4(F.col("phi8") / 100000000.0).alias("phi4"),
+            "present_n",
+            r4(F.col("present_conv") * 1.0 / F.col("present_n")).alias(
+                "naive_rate4"
+            ),
+        )
+    )
