@@ -6407,3 +6407,322 @@ def q_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_JB_CRIT = 9.2103  # chi-square(2) upper 1% point
+_JB_CAP = 1000     # SF-invariant subsample: event_id < 1000 (ids are dense)
+
+
+@register(
+    "q_jarque_bera",
+    oracle=f"""
+    WITH sub AS (
+      SELECT event_id, value FROM events WHERE event_id < {_JB_CAP}
+    ), h1 AS (
+      SELECT event_id, value, (event_id * 2654435761) % {_CMH_MOD} AS h
+      FROM sub
+    ), h2 AS (
+      SELECT event_id, value,
+             (xor(h, h >> 16) * 1013904223) % {_CMH_MOD} AS h FROM h1
+    ), h3 AS (
+      SELECT event_id, value,
+             (xor(h, h >> 13) * 1000000007) % {_CMH_MOD} AS h FROM h2
+    ), scopes AS (
+      SELECT 'binomial_planted' AS scope,
+             CAST({' + '.join(f'((h >> {i}) & 1)' for i in range(16))}
+                  AS DOUBLE) AS y
+      FROM h3
+      UNION ALL SELECT 'organic_value' AS scope, value AS y FROM h3
+      UNION ALL SELECT 'uniform_planted' AS scope,
+                       (h % 10000) / 10000.0 AS y FROM h3
+    ), mu AS (
+      SELECT scope, AVG(y) AS m FROM scopes GROUP BY 1
+    ), cm AS (
+      SELECT s.scope, CAST(COUNT(*) AS BIGINT) AS n,
+             AVG(POWER(s.y - mu.m, 2)) AS m2,
+             AVG(POWER(s.y - mu.m, 3)) AS m3,
+             AVG(POWER(s.y - mu.m, 4)) AS m4
+      FROM scopes s JOIN mu ON s.scope = mu.scope GROUP BY 1
+    ), st AS (
+      SELECT scope, n,
+             {R4('m3 / POWER(m2, 1.5)')} AS skew4,
+             {R4('m4 / POWER(m2, 2) - 3')} AS exkurt4
+      FROM cm
+    )
+    SELECT scope, n, skew4, exkurt4,
+           {R4('n * (POWER(skew4, 2) / 6.0 + POWER(exkurt4, 2) / 24.0)')}
+             AS jb4,
+           {R4('n * (POWER(skew4, 2) / 6.0 + POWER(exkurt4, 2) / 24.0)')}
+             > {_JB_CRIT!r} AS reject
+    FROM st
+    """,
+    priority="P2",
+    tags=("agg", "stats", "normality"),
+)
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test — the moment-based gate beside
+    `q_ks_test` (distribution-vs-distribution) and `q_agg_moments`
+    (which REPORTS skew/kurtosis; JB turns them into a verdict):
+    JB = n*(S^2/6 + K^2/24) ~ chi-square(2) under normality, so it is
+    THE cheap screen before any procedure that assumes normal errors
+    (t-tests, OLS prediction bands, control charts).
+
+    Statistic size scales with n, so the test runs on an SF-INVARIANT
+    subsample (event_id < 1000 — ids are dense from 0, the same
+    decision panel at every SF; an unbounded n turns microscopic
+    deviations into rejections, the known JB-at-scale trap,
+    documented not hidden). Three scopes keep both verdicts live:
+    a planted Binomial(16, 1/2) popcount of AVALANCHED hash bits
+    (exact symmetric, excess kurtosis -0.125 — ACCEPTS; raw Knuth-
+    uniform sums tried first had hash-correlation kurtosis +1.03,
+    the q_ams_f2 lesson again), the organic heavy-tailed value
+    column (skew ~2 — REJECTS leptokurtic), and a planted unit
+    uniform (excess kurtosis -1.2 — REJECTS platykurtic, the other
+    tail). Central moments follow the q_agg_moments two-pass device;
+    skew/kurtosis are r4-rounded BEFORE the JB formula so the verdict
+    derives from already-identical inputs.
+
+    Scale: the subsample predicate is sargable (pushed to the scan);
+    two 1-row-per-scope aggregate passes over a constant-size panel —
+    at 100 TB the scan prunes to the id range and everything
+    downstream is constant."""
+    prep(spark)
+    sub = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") < _JB_CAP)
+        .select("event_id", "value")
+    )
+    h = F.pmod(
+        F.col("event_id") * F.lit(2654435761).cast("bigint"), F.lit(_CMH_MOD)
+    )
+    h1 = sub.select("event_id", "value", h.alias("h"))
+    h2 = h1.select(
+        "event_id",
+        "value",
+        F.pmod(
+            F.col("h").bitwiseXOR(F.shiftright(F.col("h"), 16))
+            * F.lit(1013904223).cast("bigint"),
+            F.lit(_CMH_MOD),
+        ).alias("h"),
+    )
+    h3 = h2.select(
+        "event_id",
+        "value",
+        F.pmod(
+            F.col("h").bitwiseXOR(F.shiftright(F.col("h"), 13))
+            * F.lit(1000000007).cast("bigint"),
+            F.lit(_CMH_MOD),
+        ).alias("h"),
+    ).localCheckpoint(eager=False)  # three scope legs — one scan
+    popcount16 = sum(
+        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) for i in range(16)
+    )
+    scopes = (
+        h3.select(
+            F.lit("binomial_planted").alias("scope"),
+            popcount16.cast("double").alias("y"),
+        )
+        .unionByName(
+            h3.select(
+                F.lit("organic_value").alias("scope"),
+                F.col("value").alias("y"),
+            )
+        )
+        .unionByName(
+            h3.select(
+                F.lit("uniform_planted").alias("scope"),
+                (F.pmod(F.col("h"), F.lit(10000)) / 10000.0).alias("y"),
+            )
+        )
+        .localCheckpoint(eager=False)  # mean pass + moment pass
+    )
+    mu = scopes.groupBy("scope").agg(F.avg("y").alias("m"))
+    cm = (
+        scopes.join(F.broadcast(mu), "scope")
+        .groupBy("scope")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.avg(F.pow(F.col("y") - F.col("m"), 2)).alias("m2"),
+            F.avg(F.pow(F.col("y") - F.col("m"), 3)).alias("m3"),
+            F.avg(F.pow(F.col("y") - F.col("m"), 4)).alias("m4"),
+        )
+    )
+    st = cm.select(
+        "scope",
+        "n",
+        r4(F.col("m3") / F.pow(F.col("m2"), 1.5)).alias("skew4"),
+        r4(F.col("m4") / F.pow(F.col("m2"), 2) - 3).alias("exkurt4"),
+    )
+    jb4 = r4(
+        F.col("n")
+        * (F.pow(F.col("skew4"), 2) / 6.0 + F.pow(F.col("exkurt4"), 2) / 24.0)
+    )
+    return st.select(
+        "scope", "n", "skew4", "exkurt4",
+        jb4.alias("jb4"), (jb4 > _JB_CRIT).alias("reject"),
+    )
+
+
+_BP_CRIT = 6.6349  # chi-square(1) upper 1% point
+
+
+@register(
+    "q_breusch_pagan",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(day(ts) AS BIGINT) AS x,
+             CAST({R('value * 100', 0)} AS BIGINT) AS y2_org,
+             CAST({R('value * (10 + day(ts)) * 10', 0)} AS BIGINT) AS y2_pla
+      FROM events
+    ), scopes AS (
+      SELECT 'organic' AS scope, x, y2_org AS y2 FROM base
+      UNION ALL
+      SELECT 'planted' AS scope, x, y2_pla AS y2 FROM base
+    ), p1 AS (
+      SELECT scope, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y2) AS BIGINT) AS sy,
+             CAST(SUM(x * y2) AS BIGINT) AS sxy
+      FROM scopes GROUP BY 1
+    ), fit AS (
+      SELECT scope, n, sx, sxx,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS b
+      FROM p1
+    ), fit2 AS (
+      SELECT f.scope, f.n, f.sx, f.sxx, f.b,
+             (p1.sy - f.b * f.sx) / f.n AS a
+      FROM fit f JOIN p1 ON f.scope = p1.scope
+    ), p2 AS (
+      SELECT s.scope,
+             CAST(SUM(CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                  AS BIGINT)) AS BIGINT) AS sz,
+             CAST(SUM(s.x * CAST(
+                  {R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                  AS BIGINT)) AS BIGINT) AS sxz,
+             SUM(CAST(CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                 AS BIGINT) AS DOUBLE)
+                 * CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                        AS DOUBLE)) AS szz
+      FROM scopes s JOIN fit2 f ON s.scope = f.scope
+      GROUP BY 1
+    )
+    SELECT f.scope, f.n,
+           {R4('f.n * POWER(CAST(f.n * p2.sxz - f.sx * p2.sz AS DOUBLE), 2)'
+               ' / (CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE)'
+               '    * (CAST(f.n AS DOUBLE) * p2.szz'
+               '       - CAST(p2.sz AS DOUBLE) * CAST(p2.sz AS DOUBLE)))')}
+             AS lm4,
+           {R4('f.n * POWER(CAST(f.n * p2.sxz - f.sx * p2.sz AS DOUBLE), 2)'
+               ' / (CAST(f.n * f.sxx - f.sx * f.sx AS DOUBLE)'
+               '    * (CAST(f.n AS DOUBLE) * p2.szz'
+               '       - CAST(p2.sz AS DOUBLE) * CAST(p2.sz AS DOUBLE)))')}
+             > {_BP_CRIT!r} AS heteroscedastic
+    FROM fit2 f JOIN p2 ON f.scope = p2.scope
+    """,
+    priority="P2",
+    tags=("agg", "stats", "regression", "diagnostics"),
+)
+def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan heteroscedasticity test (Koenker's studentized
+    form) — the regression DIAGNOSTIC beside `q_grouped_ols` /
+    `q_agg_regression` (which fit lines; this asks whether the error
+    VARIANCE is constant, the assumption that decides whether those
+    fits' standard errors mean anything): LM = n * R-squared of the
+    auxiliary regression of squared residuals on the regressor,
+    ~ chi-square(1) under homoscedasticity. Koenker's form (aux R^2,
+    not the ESS/2 original) on purpose: the organic metric is heavy-
+    tailed and the original's 2*sigma^4 denominator assumes normal
+    errors — the robust variant is the one a pipeline should run.
+
+    Two scopes at every SF: the organic value-vs-day regression
+    (i.i.d. across days — ACCEPTS) and a planted multiplicative fan
+    y*(1 + d/10) (variance grows ~(1+d/10)^2 along the regressor;
+    the MEAN growth is linear so the first-stage OLS absorbs it and
+    only the variance signal remains — REJECTS).
+
+    Exactness: y quantized to integer cents at the source, so the
+    first-pass OLS moments are exact bigints and (a, b) are single
+    double formulas over them; per-row squared residuals are
+    Spark-ROUND-quantized to whole dollar-squared integers (the R()
+    dialect device), making second-pass sums order-independent
+    bigints (szz pairs a bigint with itself in double — deterministic
+    one-multiply products); LM is one r4 double formula at the end.
+
+    Scale: two aggregate passes over one checkpointed scan (the OLS
+    moments, then the aux moments with (a, b) broadcast back), both
+    map-side combined; no shuffle beyond the 2-row scope grain."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.dayofmonth("ts").cast("bigint").alias("x"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y2_org"),
+            F.round(F.col("value") * (10 + F.dayofmonth("ts")) * 10, 0)
+            .cast("bigint")
+            .alias("y2_pla"),
+        )
+    )
+    scopes = (
+        base.select(F.lit("organic").alias("scope"), "x", F.col("y2_org").alias("y2"))
+        .unionByName(
+            base.select(
+                F.lit("planted").alias("scope"), "x", F.col("y2_pla").alias("y2")
+            )
+        )
+        .localCheckpoint(eager=False)  # OLS pass + aux pass — one scan
+    )
+    p1 = scopes.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y2").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y2")).cast("bigint").alias("sxy"),
+    )
+    b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    fit = p1.select(
+        "scope", "n", "sx", "sxx", b.alias("b"),
+        ((F.col("sy") - b * F.col("sx")) / F.col("n")).alias("a"),
+    )
+    z = (
+        F.round(F.pow((F.col("y2") - F.col("a") - F.col("b") * F.col("x")) / 100.0, 2), 0)
+        .cast("bigint")
+    )
+    p2 = (
+        scopes.join(F.broadcast(fit.select("scope", "a", "b")), "scope")
+        .groupBy("scope")
+        .agg(
+            F.sum(z).cast("bigint").alias("sz"),
+            F.sum(F.col("x") * z).cast("bigint").alias("sxz"),
+            F.sum(z.cast("double") * z.cast("double")).alias("szz"),
+        )
+    )
+    lm4 = r4(
+        F.col("n")
+        * F.pow(
+            (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).cast(
+                "double"
+            ),
+            2,
+        )
+        / (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            * (
+                F.col("n").cast("double") * F.col("szz")
+                - F.col("sz").cast("double") * F.col("sz").cast("double")
+            )
+        )
+    )
+    return (
+        fit.select("scope", "n", "sx", "sxx")
+        .join(p2, "scope")
+        .select(
+            "scope", "n",
+            lm4.alias("lm4"), (lm4 > _BP_CRIT).alias("heteroscedastic"),
+        )
+    )

@@ -1558,3 +1558,64 @@ def q_source_glob_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "q_sink_parquet_bloom",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {R2('SUM(o_totalprice)')} AS total
+    FROM orders
+    WHERE o_custkey IN (7, 42, 99)
+    GROUP BY o_orderpriority
+    """,
+    priority="P2",
+    tags=("sink", "layout", "bloom", "scale-path"),
+)
+def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter layout: rewrite orders with a column bloom
+    filter on o_custkey (parquet.bloom.filter.enabled#o_custkey, NDV
+    hint sized to the key domain, per-column dictionary off — see the
+    inline note), then answer a point-lookup IN query from the bloom
+    copy. Min/max row-group stats (the
+    `q_sink_sorted_pruning` device) are useless for point lookups on
+    a UNSORTED high-cardinality key — every row group's [min, max]
+    straddles any probe — but the bloom filter answers "definitely
+    absent" per row group at ~10 bits/key, so a 100 TB fact table
+    skips the row groups that cannot contain the customer. This is
+    the layout trick behind needle-in-haystack serving queries
+    (order history for ONE customer) on fact tables too big to sort
+    by every access path.
+
+    The oracle runs the same IN-filter aggregate on the SOURCE table,
+    proving the bloom rewrite is lossless; the unit test reads the
+    written footers and asserts a bloom offset is recorded for the
+    o_custkey column chunks (the property the skip relies on).
+
+    Scale: the rewrite is one map-only pass (no shuffle — bloom
+    filters accumulate per row group at write time); the probe scan
+    prunes row groups before decoding any page."""
+    prep(spark)
+    path = _scratch("orders_bloom_custkey")
+    (
+        load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        # parquet-mr silently OMITS the bloom filter for a column whose
+        # pages all landed dictionary-encoded (the dict is already an
+        # exact filter) — at test SFs the key domain is small enough to
+        # dict-encode, so force plain encoding to keep the written
+        # artifact the one the 100 TB layout would have (discovered by
+        # the footprint law test: zero growth with dictionary on).
+        .option("parquet.enable.dictionary#o_custkey", "false")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("o_custkey").isin(7, 42, 99)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
