@@ -3056,3 +3056,345 @@ def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked = picked.unionByName(nxt).localCheckpoint(eager=False)
     return picked
+
+
+_LOF_K = 5       # neighborhood size
+_LOF_NQ = 32     # organic query panel (plus one planted scale outlier)
+_LOF_CRIT = 1.5  # flag threshold
+
+# Euclidean-distance kNN of a small panel against the corpus, as oracle
+# SQL: d4 = integer ten-thousandths of list_distance, ties by vec_id.
+_LOF_KNN = """
+      SELECT * FROM (
+        SELECT a.{ka} AS {ka_out}, b.vec_id AS {kb_out},
+               CAST(ROUND(list_distance(a.emb, b.emb) * 10000, 0)
+                    AS BIGINT) AS d4,
+               row_number() OVER (PARTITION BY a.{ka}
+                 ORDER BY CAST(ROUND(list_distance(a.emb, b.emb) * 10000, 0)
+                               AS BIGINT), b.vec_id) AS rn
+        FROM {pa} a JOIN e b ON a.{ka} != b.vec_id
+      ) WHERE rn <= {k}
+"""
+
+
+@register(
+    "q_lof_panel",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), organic AS (
+      SELECT vec_id, emb FROM e
+      ORDER BY (vec_id * 2654435761) % 100000, vec_id LIMIT {_LOF_NQ}
+    ), q0 AS (
+      SELECT vec_id, emb FROM organic
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT) AS vec_id,
+             list_transform(emb, x -> x * 5.0) AS emb
+      FROM e WHERE vec_id = 0
+    ), knn1 AS ({_LOF_KNN.format(ka='vec_id', ka_out='q_id',
+                                 kb_out='o_id', pa='q0', k=_LOF_K)}),
+    n1 AS (SELECT DISTINCT o_id FROM knn1),
+    p1 AS (SELECT e.vec_id, e.emb FROM e JOIN n1 ON e.vec_id = n1.o_id),
+    knn2 AS ({_LOF_KNN.format(ka='vec_id', ka_out='o_id',
+                              kb_out='p_id', pa='p1', k=_LOF_K)}),
+    kdist_o AS (SELECT o_id, MAX(d4) AS kdist4 FROM knn2 GROUP BY 1),
+    n2 AS (SELECT DISTINCT p_id FROM knn2),
+    p2 AS (SELECT e.vec_id, e.emb FROM e JOIN n2 ON e.vec_id = n2.p_id),
+    knn3 AS ({_LOF_KNN.format(ka='vec_id', ka_out='p_id',
+                              kb_out='x_id', pa='p2', k=_LOF_K)}),
+    kdist_p AS (SELECT p_id, MAX(d4) AS kdist4 FROM knn3 GROUP BY 1),
+    lrd_o AS (
+      SELECT k2.o_id,
+             CAST(ROUND(50000000000.0
+                        / SUM(GREATEST(kp.kdist4, k2.d4)), 0) AS BIGINT)
+               AS lrd6
+      FROM knn2 k2 JOIN kdist_p kp ON k2.p_id = kp.p_id GROUP BY 1
+    ), lrd_q AS (
+      SELECT k1.q_id,
+             CAST(ROUND(50000000000.0
+                        / SUM(GREATEST(ko.kdist4, k1.d4)), 0) AS BIGINT)
+               AS lrd6
+      FROM knn1 k1 JOIN kdist_o ko ON k1.o_id = ko.o_id GROUP BY 1
+    )
+    SELECT k1.q_id,
+           {R4('SUM(lo.lrd6) / 5.0 / MIN(lq.lrd6)')} AS lof4,
+           {R4('SUM(lo.lrd6) / 5.0 / MIN(lq.lrd6)')} > {_LOF_CRIT!r}
+             AS outlier
+    FROM knn1 k1
+    JOIN lrd_o lo ON k1.o_id = lo.o_id
+    JOIN lrd_q lq ON k1.q_id = lq.q_id
+    GROUP BY 1
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "outlier", "quality"),
+)
+def q_lof_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (Breunig et al. 2000, k = 5) over a
+    constant query panel — DENSITY-aware embedding outlier detection
+    beside `q_hubness_audit` (which profiles the k-NN graph globally):
+    LOF(q) = mean(lrd(o)) / lrd(q) over q's neighbors o, where lrd is
+    the inverse mean reachability distance — a point in a sparse
+    region scores >> 1 no matter the absolute distance scale, the
+    property that makes LOF the standard embedding-corpus QUALITY
+    gate (mis-embedded / out-of-domain vectors before training).
+    Euclidean metric on purpose: the corpus is near-isotropic, so in
+    COSINE space everything is equidistant and no direction can be an
+    outlier (measured: max cosine-LOF 1.04) — magnitude is where real
+    embedding defects (normalization bugs, truncated inputs) live.
+
+    Panel: the 32 lowest Knuth-hash vec_ids (organic — all score
+    ~1.0, the honest negative) plus one PLANTED 5x-scaled vector
+    (q_id = -1), which scores LOF ~ 3.9 at every SF — flagged at the
+    1.5 threshold. Exactness: pair distances quantized to integer
+    ten-thousandths (selection and MAX are then exact), per-point lrd
+    quantized to integer 1e-6ths before the final r4 ratio — every
+    aggregation is over exact bigints.
+
+    Scale: LOF is notoriously O(n^2); this is the BOUNDED-PANEL form —
+    three linear corpus passes with broadcast panels of 33, <=165,
+    <=825 points (panel -> neighbors -> neighbors-of-neighbors), each
+    a TakeOrdered-style top-k per panel point. Constant evaluation
+    cost at any corpus size; full-corpus LOF would ride the ANN twins
+    (`q_dedup_embedding_ann`) for candidate generation."""
+    prep(spark)
+    e = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "emb")
+        .localCheckpoint(eager=False)  # three kNN passes + panel legs
+    )
+
+    def knn(panel: DataFrame, qcol: str, ocol: str) -> DataFrame:
+        """Top-k Euclidean neighbors of each panel row against e."""
+        p = panel.select(
+            F.col("vec_id").alias(qcol), F.col("emb").alias("q_emb")
+        )
+        d4 = (
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q_emb"),
+                            F.col("emb"),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("d4")
+        )
+        pairs = e.crossJoin(F.broadcast(p)).where(
+            F.col(qcol) != F.col("vec_id")
+        )
+        w = Window.partitionBy(qcol).orderBy("d4", ocol)
+        return (
+            pairs.select(qcol, F.col("vec_id").alias(ocol), d4)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _LOF_K)
+            .drop("rn")
+        )
+
+    organic = (
+        e.orderBy(
+            F.pmod(
+                F.col("vec_id").cast("bigint")
+                * F.lit(2654435761).cast("bigint"),
+                F.lit(100000),
+            ),
+            "vec_id",
+        )
+        .limit(_LOF_NQ)
+        .select("vec_id", "emb")
+    )
+    planted = e.where(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("bigint").alias("vec_id"),
+        F.transform("emb", lambda x: x * 5.0).alias("emb"),
+    )
+    q0 = organic.unionByName(planted)
+    knn1 = knn(q0, "q_id", "o_id").localCheckpoint(eager=False)
+    p1 = e.join(
+        F.broadcast(knn1.select(F.col("o_id").alias("vec_id")).distinct()),
+        "vec_id",
+    )
+    knn2 = knn(p1, "o_id", "p_id").localCheckpoint(eager=False)
+    kdist_o = knn2.groupBy("o_id").agg(F.max("d4").alias("kdist4"))
+    p2 = e.join(
+        F.broadcast(knn2.select(F.col("p_id").alias("vec_id")).distinct()),
+        "vec_id",
+    )
+    knn3 = knn(p2, "p_id", "x_id")
+    kdist_p = knn3.groupBy("p_id").agg(F.max("d4").alias("kdist4"))
+    lrd6 = (
+        F.round(F.lit(50000000000.0) / F.sum(F.greatest(F.col("kdist4"), F.col("d4"))), 0)
+        .cast("bigint")
+        .alias("lrd6")
+    )
+    lrd_o = (
+        knn2.join(F.broadcast(kdist_p), "p_id").groupBy("o_id").agg(lrd6)
+    )
+    lrd_q = (
+        knn1.join(F.broadcast(kdist_o), "o_id").groupBy("q_id").agg(lrd6)
+    )
+    lof4 = r4(F.sum("lrd6_o") / 5.0 / F.min("lrd6_q"))
+    return (
+        knn1.join(
+            F.broadcast(lrd_o.withColumnRenamed("lrd6", "lrd6_o")), "o_id"
+        )
+        .join(
+            F.broadcast(lrd_q.withColumnRenamed("lrd6", "lrd6_q")), "q_id"
+        )
+        .groupBy("q_id")
+        .agg(lof4.alias("lof4"), (lof4 > _LOF_CRIT).alias("outlier"))
+    )
+
+
+_RECO_NQ = 64  # constant recommendation panel (the q_retrieval_metrics device)
+
+
+@register(
+    "q_reco_coverage",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+      SELECT * FROM e
+      ORDER BY (vec_id * 2654435761) % 100000, vec_id LIMIT {_RECO_NQ}
+    ), top AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS q_id, b.vec_id AS nb_id, b.label AS nb_label,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY {R4(_COS)} DESC, b.vec_id) AS rn
+        FROM q a JOIN e b ON a.vec_id != b.vec_id
+      ) WHERE rn <= 5
+    ), cat AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS catalog_n FROM e
+    ), expo AS (
+      SELECT nb_id, CAST(COUNT(*) AS BIGINT) AS c FROM top GROUP BY 1
+    ), ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c, nb_id) AS BIGINT) AS i
+      FROM expo
+    ), gin AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rec,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(i * c) AS BIGINT) AS sic
+      FROM ranked
+    ), lists AS (
+      SELECT q_id, CAST(COUNT(DISTINCT nb_label) AS BIGINT) AS n_labels
+      FROM top GROUP BY 1
+    ), ild AS (
+      SELECT CAST(SUM(n_labels) AS BIGINT) AS sum_labels,
+             CAST(COUNT(*) AS BIGINT) AS n_q
+      FROM lists
+    )
+    SELECT cat.catalog_n, gin.n_rec,
+           {R4('gin.n_rec * 1.0 / cat.catalog_n')} AS coverage4,
+           {R4('(2.0 * gin.sic) / (gin.n_rec * gin.tot)'
+               ' - (gin.n_rec + 1.0) / gin.n_rec')} AS exposure_gini4,
+           {R4('ild.sum_labels * 1.0 / ild.n_q')} AS mean_list_labels4
+    FROM cat CROSS JOIN gin CROSS JOIN ild
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "retrieval", "evaluation"),
+)
+def q_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate recommendation-quality metrics over the exact cosine
+    top-5 lists of the constant 64-query panel — the BEYOND-ACCURACY
+    evaluation beside `q_retrieval_metrics` (MRR/P@k measure whether
+    lists are RIGHT; these measure what the system DOES TO THE
+    CATALOG): catalog coverage@5 (share of items that appear in any
+    list — low coverage = a popularity feedback loop starving the
+    tail), exposure Gini over per-item recommendation counts (0 =
+    every recommended item shown equally, 1 = all exposure on one
+    item — the standard aggregate-diversity number), and mean
+    distinct labels per list (intra-list diversity under the label
+    taxonomy).
+
+    Exactness: exposure counts and the Gini rank are exact integers
+    (rank ties broken by item id); all three metrics are single r4
+    formulas over exact bigints. Same panel, scoring, and tiebreaks
+    as `q_retrieval_metrics`, so the two read as one evaluation
+    suite.
+
+    Scale: one linear candidate pass against the O(1) broadcast
+    panel; the exposure frame is bounded by panel*k (<= 320 rows), so
+    its ranking window is constant-size regardless of corpus."""
+    prep(spark)
+    e = (
+        _emb(spark, sf_dir)
+        .withColumn("nrm", _norm("emb"))
+        .localCheckpoint(eager=False)  # panel leg + candidate leg + catalog
+    )
+    q = (
+        e.orderBy(
+            F.pmod(
+                F.col("vec_id").cast("bigint")
+                * F.lit(2654435761).cast("bigint"),
+                F.lit(100000),
+            ),
+            "vec_id",
+        )
+        .limit(_RECO_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    cos4 = F.round(
+        _dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm")), 4
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos4"), F.asc("nb_id"))
+    top = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("nb_id"),
+            F.col("label").alias("nb_label"),
+            cos4.alias("cos4"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .localCheckpoint(eager=False)  # exposure leg + list-diversity leg
+    )
+    catalog_n = e.count()
+    expo = top.groupBy("nb_id").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ranked = expo.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy("c", "nb_id"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    gin = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rec"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("sic"),
+    )
+    ild = (
+        top.groupBy("q_id")
+        .agg(F.countDistinct("nb_label").cast("bigint").alias("n_labels"))
+        .agg(
+            F.sum("n_labels").cast("bigint").alias("sum_labels"),
+            F.count(F.lit(1)).cast("bigint").alias("n_q"),
+        )
+    )
+    return (
+        gin.crossJoin(F.broadcast(ild))
+        .select(
+            F.lit(catalog_n).cast("bigint").alias("catalog_n"),
+            "n_rec",
+            r4(F.col("n_rec") * 1.0 / catalog_n).alias("coverage4"),
+            r4(
+                (2.0 * F.col("sic")) / (F.col("n_rec") * F.col("tot"))
+                - (F.col("n_rec") + 1.0) / F.col("n_rec")
+            ).alias("exposure_gini4"),
+            r4(F.col("sum_labels") * 1.0 / F.col("n_q")).alias(
+                "mean_list_labels4"
+            ),
+        )
+    )

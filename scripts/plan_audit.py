@@ -97,6 +97,9 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_t_closeness": "global-distribution cumsum over the 5-row bucket "
     "spine — bounded by the literal bucket count m, not data size "
     "(the per-class EMD walk is partitioned by class)",
+    "q_reco_coverage": "Gini exposure rank over the recommendation "
+    "frame — bounded by panel x k (<= 320 rows by construction), "
+    "never data size (the scoring window is partitioned per query)",
     "q_ppl_bucket": _R_BANDED_OFFSET,
     "q_rfm_segmentation": _R_BANDED_OFFSET,
     "q_win_ranking_scaled": _R_BANDED_OFFSET,
