@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
-from modforms_db_spark.oracle_dialect import R, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -2155,4 +2155,169 @@ def q_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(bp * F.sqrt((F.col("h1") * 1.0 / F.col("t1")) * p2))
         )
         .alias("bleu2_4"),
+    )
+
+
+_CONF_ALPHAS = (10, 20)  # miscoverage levels, in percent
+
+
+@register(
+    "q_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST({R('o_totalprice * 100', 0)} AS BIGINT) AS y2,
+             (o_orderkey * 2654435761) % 4294967296 % 4 AS fold
+      FROM orders
+    ), train AS (SELECT * FROM base WHERE fold < 2),
+    cal AS (SELECT * FROM base WHERE fold = 2),
+    test AS (SELECT * FROM base WHERE fold = 3),
+    model AS (
+      SELECT o_orderpriority,
+             CAST({R('AVG(y2)', 0)} AS BIGINT) AS yhat2
+      FROM train GROUP BY 1
+    ), gmean AS (
+      SELECT CAST({R('AVG(y2)', 0)} AS BIGINT) AS g2 FROM train
+    ), cal_r AS (
+      SELECT ABS(c.y2 - COALESCE(m.yhat2, g.g2)) AS r,
+             c.o_orderkey
+      FROM cal c LEFT JOIN model m ON c.o_orderpriority = m.o_orderpriority
+      CROSS JOIN gmean g
+    ), cal_rank AS (
+      SELECT r, CAST(ROW_NUMBER() OVER (ORDER BY r, o_orderkey) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+      FROM cal_r
+    ), alphas AS (
+      SELECT UNNEST({list(_CONF_ALPHAS)}) AS alpha_pct
+    ), qhat AS (
+      SELECT a.alpha_pct, cr.n_cal, CAST(cr.r AS BIGINT) AS qhat2
+      FROM alphas a JOIN cal_rank cr
+        ON cr.rn = CAST(CEIL((cr.n_cal + 1) * (100 - a.alpha_pct) / 100.0)
+                        AS BIGINT)
+    ), cov AS (
+      SELECT q.alpha_pct, q.n_cal, q.qhat2,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(t.y2 - COALESCE(m.yhat2, g.g2))
+                                <= q.qhat2
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM test t
+      LEFT JOIN model m ON t.o_orderpriority = m.o_orderpriority
+      CROSS JOIN gmean g
+      JOIN qhat q ON true
+      GROUP BY 1, 2, 3
+    )
+    SELECT alpha_pct, n_cal, n_test,
+           {R2('qhat2 / 100.0')} AS qhat_dollars2,
+           {R4('n_covered * 1.0 / n_test')} AS coverage4,
+           {R4('n_covered * 1.0 / n_test - (100 - alpha_pct) / 100.0')}
+             AS gap4
+    FROM cov
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "uncertainty"),
+)
+def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al.) — the
+    DISTRIBUTION-FREE uncertainty wrapper every point predictor in
+    this repo lacks: fit any model on a train split (here the
+    per-priority mean, deliberately crude — conformal corrects the
+    model's confidence, not its accuracy), take the
+    ceil((n_cal+1)(1-alpha))-th smallest absolute calibration
+    residual as the interval half-width q-hat, and the marginal
+    test coverage of [y-hat +/- q-hat] is GUARANTEED >= 1-alpha in
+    expectation over exchangeable splits — no normality, no variance
+    model (contrast `q_mde_power`'s parametric machinery). Reported
+    per alpha in {{10%, 20%}} with the observed test coverage and
+    its gap to the nominal level (small-sample fluctuation around a
+    guaranteed-in-expectation target, NOT a bug — the law test pins
+    the tolerance).
+
+    Folds are a deterministic Knuth-hash split (50/25/25); prices
+    carry as exact integer cents, residuals as exact bigints, the
+    q-hat selection is a pure integer nearest-rank (never
+    interpolated — the `q_tail_latency_slo` device), and coverage is
+    one exact ratio r4.
+
+    Scale: model and q-hat are broadcast-sized (5-row model, 2-row
+    quantile); the calibration ranking is the banded-window device
+    (no global single-task sort); train/cal/test legs are three
+    sargable hash-predicate scans of one checkpointed projection."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y2"),
+            F.pmod(
+                F.pmod(
+                    F.col("o_orderkey") * F.lit(2654435761).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                F.lit(4),
+            ).alias("fold"),
+        )
+        .localCheckpoint(eager=False)  # train + cal + test legs — one scan
+    )
+    train = base.where(F.col("fold") < 2)
+    cal = base.where(F.col("fold") == 2)
+    test = base.where(F.col("fold") == 3)
+    model = train.groupBy("o_orderpriority").agg(
+        F.round(F.avg("y2"), 0).cast("bigint").alias("yhat2")
+    )
+    g2 = F.lit(
+        train.agg(F.round(F.avg("y2"), 0).cast("bigint")).collect()[0][0]
+    ).cast("bigint")
+    cal_r = (
+        cal.join(F.broadcast(model), "o_orderpriority", "left")
+        .select(
+            F.abs(F.col("y2") - F.coalesce(F.col("yhat2"), g2)).alias("r"),
+            "o_orderkey",
+        )
+    )
+    ranked = with_banded_order(cal_r, "r", ["o_orderkey"], rn_name="rn")
+    n_cal = ranked.count()
+    alphas = spark.range(len(_CONF_ALPHAS)).select(
+        F.element_at(
+            F.array(*[F.lit(a) for a in _CONF_ALPHAS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("alpha_pct")
+    )
+    k = F.ceil((n_cal + 1) * (100 - F.col("alpha_pct")) / 100.0).cast(
+        "bigint"
+    )
+    qhat = (
+        alphas.crossJoin(F.broadcast(ranked.select("r", "rn")))
+        .where(F.col("rn") == k)
+        .select(
+            "alpha_pct",
+            F.lit(n_cal).cast("bigint").alias("n_cal"),
+            F.col("r").cast("bigint").alias("qhat2"),
+        )
+    )
+    cov = (
+        test.join(F.broadcast(model), "o_orderpriority", "left")
+        .select(
+            F.abs(F.col("y2") - F.coalesce(F.col("yhat2"), g2)).alias("r_t")
+        )
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("alpha_pct", "n_cal", "qhat2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r_t") <= F.col("qhat2"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    coverage = F.col("n_covered") * 1.0 / F.col("n_test")
+    return cov.select(
+        "alpha_pct",
+        "n_cal",
+        "n_test",
+        F.round(F.col("qhat2") / 100.0, 2).alias("qhat_dollars2"),
+        r4(coverage).alias("coverage4"),
+        r4(coverage - (100 - F.col("alpha_pct")) / 100.0).alias("gap4"),
     )

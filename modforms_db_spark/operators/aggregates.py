@@ -6726,3 +6726,142 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
             lm4.alias("lm4"), (lm4 > _BP_CRIT).alias("heteroscedastic"),
         )
     )
+
+
+_QTE_PS = (25, 50, 90)  # quantile levels, percent
+
+
+@register(
+    "q_quantile_treatment_effect",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST({R('value * 100', 0)} AS BIGINT) AS y2,
+             CASE WHEN (event_id * 2654435761) % 2 = 0 THEN 'a' ELSE 'b' END
+               AS arm
+      FROM events
+    ), arms AS (
+      SELECT 'null' AS scope, arm, event_id, y2 FROM base
+      UNION ALL
+      SELECT 'shifted' AS scope, arm, event_id,
+             CASE WHEN arm = 'b' THEN y2 + 2000 ELSE y2 END AS y2
+      FROM base
+    ), ranked AS (
+      SELECT scope, arm, y2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY scope, arm
+                    ORDER BY y2, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY scope, arm) AS BIGINT) AS n
+      FROM arms
+    ), ps AS (
+      SELECT UNNEST({list(_QTE_PS)}) AS p
+    ), qs AS (
+      SELECT r.scope, r.arm, ps.p, CAST(r.y2 AS BIGINT) AS q2
+      FROM ranked r JOIN ps
+        ON r.rn = CAST(CEIL(ps.p * r.n / 100.0) AS BIGINT)
+    )
+    SELECT a.scope, a.p,
+           {R2('a.q2 / 100.0')} AS q_a2,
+           {R2('b.q2 / 100.0')} AS q_b2,
+           {R2('(b.q2 - a.q2) / 100.0')} AS qte2
+    FROM (SELECT * FROM qs WHERE arm = 'a') a
+    JOIN (SELECT * FROM qs WHERE arm = 'b') b
+      ON a.scope = b.scope AND a.p = b.p
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest", "quantile"),
+)
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the DISTRIBUTIONAL A/B view the
+    mean-based tests (`q_ab_ttest`, `q_cuped`) cannot give: QTE(p) =
+    Q_b(p) - Q_a(p) at p in {{25, 50, 90}} shows WHERE in the
+    distribution a treatment acts (a tail-only regression hides
+    inside a flat mean; a constant shift moves every quantile
+    equally). Quantiles are exact nearest-rank selections (rank =
+    ceil(p*n/100), never interpolated — the `q_tail_latency_slo`
+    device) on integer-cents values, so every reported number is a
+    real observed value and engine-portable by construction.
+
+    Two scopes, self-validating at every SF: a deterministic hash
+    split of the same population (QTE ~ 0 at all three quantiles —
+    the honest null, small hash-split noise) and a planted +20.00
+    shift on arm b, whose QTE(p) exceeds the null scope's by EXACTLY
+    20.00 at every p (the constant-shift signature, exact by integer
+    construction, not approximately).
+
+    Scale: per-(scope, arm) ranking is the banded-window device in
+    the Spark plan (value-range bands, no global sort); the quantile
+    extraction joins a 3-row literal spine; output is 6 rows."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y2"),
+            F.when(
+                F.pmod(
+                    F.col("event_id") * F.lit(2654435761).cast("bigint"),
+                    F.lit(2),
+                )
+                == 0,
+                F.lit("a"),
+            )
+            .otherwise(F.lit("b"))
+            .alias("arm"),
+        )
+        .localCheckpoint(eager=False)  # two scope legs — one scan
+    )
+    arms = base.select(
+        F.lit("null").alias("scope"), "arm", "event_id", "y2"
+    ).unionByName(
+        base.select(
+            F.lit("shifted").alias("scope"),
+            "arm",
+            "event_id",
+            F.when(F.col("arm") == "b", F.col("y2") + 2000)
+            .otherwise(F.col("y2"))
+            .alias("y2"),
+        )
+    )
+    ranked = with_banded_order(
+        arms.withColumn("grp", F.concat_ws("|", "scope", "arm")),
+        "y2",
+        ["event_id"],
+        group_cols=["grp"],
+        rn_name="rn",
+    )
+    wn = Window.partitionBy("grp")
+    ranked = ranked.withColumn("n", F.count(F.lit(1)).over(wn).cast("bigint"))
+    ps = spark.range(len(_QTE_PS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in _QTE_PS]), (F.col("id") + 1).cast("int")
+        ).alias("p")
+    )
+    qs = (
+        ranked.crossJoin(F.broadcast(ps))
+        .where(
+            F.col("rn")
+            == F.ceil(F.col("p") * F.col("n") / 100.0).cast("bigint")
+        )
+        .select("scope", "arm", "p", F.col("y2").cast("bigint").alias("q2"))
+    )
+    a = qs.where(F.col("arm") == "a").select(
+        "scope", "p", F.col("q2").alias("qa2")
+    )
+    b = qs.where(F.col("arm") == "b").select(
+        F.col("scope").alias("scope_b"), F.col("p").alias("p_b"),
+        F.col("q2").alias("qb2"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (a.scope == b.scope_b) & (a.p == b.p_b),
+        )
+        .select(
+            "scope",
+            "p",
+            F.round(F.col("qa2") / 100.0, 2).alias("q_a2"),
+            F.round(F.col("qb2") / 100.0, 2).alias("q_b2"),
+            F.round((F.col("qb2") - F.col("qa2")) / 100.0, 2).alias("qte2"),
+        )
+    )

@@ -745,3 +745,127 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_dedup_wm",
         spark,
     )
+
+
+@register(
+    "q_stream_sprt",
+    oracle=None,  # rows-only; ≡ q_sprt_monitor (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming", "abtest", "sequential"),
+)
+def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Wald SPRT monitor (`q_sprt_monitor`) run AS A STREAM — the
+    deployment shape sequential testing exists for: the batch twin
+    replays the whole decision path after the fact; this one carries
+    (cumulative LLR, n, decided?) as per-stream GroupState via
+    applyInPandasWithState and could stop the experiment the
+    micro-batch the corridor is left. Same three monitored streams,
+    same integer-1e-8ths LLR literals, same (ln B, ln A) corridor.
+
+    Within each micro-batch rows are sorted by (ts, event_id) before
+    the walk resumes from the carried state; once a stream decides,
+    later batches only advance n_obs (the decision is sticky — the
+    SPRT contract). The availableNow file source delivers batches in
+    file order, so a continuous deployment would put an event-time
+    ordering stage (or per-key sequence numbers) in front — the same
+    caveat every stateful-order streaming op here documents.
+
+    Law test: final per-stream (decision, n_decide, llr8_decide,
+    n_obs) equals the batch twin exactly."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from modforms_db_spark.operators.aggregates import (
+        _SPRT_A,
+        _SPRT_L0,
+        _SPRT_L1,
+    )
+
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    h = F.pmod(
+        F.col("event_id") * F.lit(2654435761).cast("bigint"), F.lit(1000)
+    )
+    arm = lambda name, x: F.struct(  # noqa: E731
+        F.lit(name).alias("stream"), x.cast("int").alias("x")
+    )
+    streams = (
+        events.select(
+            "ts",
+            "event_id",
+            F.explode(
+                F.array(
+                    arm("organic_purchase", F.col("event_type") == "purchase"),
+                    arm("null_5pct", h < 50),
+                    arm("alt_10pct", h < 100),
+                )
+            ).alias("s"),
+        )
+        .select(F.col("s.stream").alias("stream"), "ts", "event_id", "s.x")
+    )
+
+    out_schema = (
+        "stream string, n_obs bigint, decision string, "
+        "n_decide bigint, llr8_decide bigint"
+    )
+    state_schema = (
+        "llr8 bigint, n bigint, decided int, n_decide bigint, "
+        "llr8_decide bigint"
+    )
+
+    def walk(key, pdf_iter, state: GroupState):
+        llr8, n, decided, n_decide, llr8_decide = (
+            state.get if state.exists else (0, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        inc = batch["x"].map({1: _SPRT_L1, 0: _SPRT_L0}).astype("int64")
+        cum = inc.cumsum() + llr8
+        if not decided:
+            crossed = (cum >= _SPRT_A) | (cum <= -_SPRT_A)
+            if crossed.any():
+                i = int(crossed.to_numpy().argmax())
+                decided = 1
+                n_decide = n + i + 1
+                llr8_decide = int(cum.iloc[i])
+        llr8 = int(cum.iloc[-1]) if len(cum) else llr8
+        n += len(batch)
+        state.update((llr8, n, decided, n_decide, llr8_decide))
+        decision = (
+            "undecided"
+            if not decided
+            else ("reject_h0" if llr8_decide > 0 else "accept_h0")
+        )
+        yield pd.DataFrame(
+            {
+                "stream": [key[0]],
+                "n_obs": [n],
+                "decision": [decision],
+                "n_decide": [n_decide if decided else n],
+                "llr8_decide": [llr8_decide if decided else llr8],
+            }
+        )
+
+    walked = streams.groupBy("stream").applyInPandasWithState(
+        walk,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_table(
+        walked.writeStream.format("memory").outputMode("update"),
+        "stream_sprt",
+        spark,
+    )
+    # update mode appends one row per (batch, stream); the final state
+    # per stream is the row with the largest n_obs.
+    return (
+        sink.groupBy("stream")
+        .agg(
+            F.max("n_obs").alias("n_obs"),
+            F.max_by("decision", "n_obs").alias("decision"),
+            F.max_by("n_decide", "n_obs").alias("n_decide"),
+            F.max_by("llr8_decide", "n_obs").alias("llr8_decide"),
+        )
+    )

@@ -198,3 +198,12 @@ def test_stream_dedup_watermark_recovers_ids(spark):
         .toPandas()
     )
     assert got.equals(want)
+
+
+def test_stream_sprt_equals_batch_monitor(spark):
+    """The streaming SPRT's final per-stream verdict/stop-point must equal
+    the batch twin q_sprt_monitor exactly — decision, stopping row, LLR at
+    stop, and total observations."""
+    got = canon(_run(spark, "q_stream_sprt").toPandas())
+    want = canon(_run(spark, "q_sprt_monitor").toPandas())
+    assert got.equals(want), (got, want)
