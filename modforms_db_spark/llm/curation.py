@@ -3345,3 +3345,119 @@ def q_curriculum_competence(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.avg("difficulty")).alias("mean_difficulty4"),
         F.max("difficulty").cast("bigint").alias("hardest"),
     )
+
+
+_IPF_ROUNDS = 3
+
+
+@register(
+    "q_ipf_raking",
+    oracle=f"""
+    WITH cells AS (
+      SELECT c_nationkey AS i, c_mktsegment AS j,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS big_n,
+             CAST(COUNT(DISTINCT i) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT j) AS BIGINT) AS n_cols
+      FROM cells
+    ), w0 AS (
+      SELECT i, j, n, CAST(n AS DOUBLE) AS w FROM cells
+    ),
+    r1 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_rows FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY i)', 10)} AS w
+      FROM w0
+    ), c1 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_cols FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY j)', 10)} AS w
+      FROM r1
+    ),
+    r2 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_rows FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY i)', 10)} AS w
+      FROM c1
+    ), c2 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_cols FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY j)', 10)} AS w
+      FROM r2
+    ),
+    r3 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_rows FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY i)', 10)} AS w
+      FROM c2
+    ), c3 AS (
+      SELECT i, j, n,
+             {R('w * (SELECT big_n * 1.0 / n_cols FROM tot)'
+                ' / SUM(w) OVER (PARTITION BY j)', 10)} AS w
+      FROM r3
+    )
+    SELECT i AS c_nationkey, j AS c_mktsegment, n,
+           {R4('w / n')} AS rake_factor4,
+           {R4('w')} AS w4
+    FROM c3
+    """,
+    priority="P2",
+    tags=("llm", "curation", "weighting"),
+)
+def q_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the customer
+    nation x segment contingency table to UNIFORM target margins —
+    the survey-weighting / dataset-rebalancing primitive beside
+    `q_importance_resample` (which reweights by a density ratio;
+    raking solves for weights that hit MARGINAL totals exactly, the
+    post-stratification every production panel/corpus balancer runs):
+    {_IPF_ROUNDS} Sinkhorn-style rounds of alternating row- and
+    column-scaling, each round's weights r10-rounded (the PageRank
+    iteration discipline — both engines walk identical fixed points).
+    Emits per-cell final weight and rake factor w/n (the
+    design-effect input: extreme factors = variance blow-up).
+
+    The margins after round 3 match the uniform targets to ~1e-3
+    relative (law-testable: column margins are EXACT after a column
+    step by construction; the residual row error is the
+    convergence-rate witness).
+
+    Scale: the state is the CELL GRAIN (|nations| x |segments| = 125
+    rows), rebuilt once per round with partitioned window sums —
+    the data-sized work is the single pass that builds the grain;
+    at 100 TB that one groupBy is the whole cost."""
+    prep(spark)
+    cells = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_nationkey").alias("i"), F.col("c_mktsegment").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # grain reused across rounds + totals
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.countDistinct("i").cast("bigint").alias("n_rows"),
+        F.countDistinct("j").cast("bigint").alias("n_cols"),
+    ).collect()[0]
+    row_target = tot.big_n * 1.0 / tot.n_rows
+    col_target = tot.big_n * 1.0 / tot.n_cols
+    w = cells.withColumn("w", F.col("n").cast("double"))
+    wi = Window.partitionBy("i")
+    wj = Window.partitionBy("j")
+    for _ in range(_IPF_ROUNDS):
+        w = w.withColumn(
+            "w", F.round(F.col("w") * row_target / F.sum("w").over(wi), 10)
+        )
+        w = w.withColumn(
+            "w", F.round(F.col("w") * col_target / F.sum("w").over(wj), 10)
+        )
+    return w.select(
+        F.col("i").alias("c_nationkey"),
+        F.col("j").alias("c_mktsegment"),
+        "n",
+        r4(F.col("w") / F.col("n")).alias("rake_factor4"),
+        r4(F.col("w")).alias("w4"),
+    )

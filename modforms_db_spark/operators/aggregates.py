@@ -6865,3 +6865,201 @@ def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("qb2") - F.col("qa2")) / 100.0, 2).alias("qte2"),
         )
     )
+
+
+_OBF_K = 5  # interim looks
+# O'Brien-Fleming two-sided 5% boundaries for 5 equally-spaced looks
+_OBF_BOUNDS = (4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+_OBF_BOUND_SQL = (
+    "CASE lb WHEN 1 THEN 4.8769 WHEN 2 THEN 3.3569 WHEN 3 THEN 2.6803 "
+    "WHEN 4 THEN 2.2898 ELSE 2.0310 END"
+)
+
+
+@register(
+    "q_group_sequential_obf",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, epoch_us(ts) AS ord,
+             (event_id * 2654435761) % 2 AS arm,
+             (xor((event_id * 1013904223) % 4294967296,
+                  ((event_id * 1013904223) % 4294967296) >> 16)) % 100 AS h2
+      FROM events
+    ), ranked AS (
+      SELECT arm, h2,
+             CAST(ROW_NUMBER() OVER (ORDER BY ord, event_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM base
+    ), looks AS (
+      SELECT arm, h2,
+             CAST(FLOOR((rn - 1) * {_OBF_K} / n) + 1 AS BIGINT) AS lb
+      FROM ranked
+    ), scoped AS (
+      SELECT 'null' AS scope, lb, arm,
+             CASE WHEN h2 < 20 THEN 1 ELSE 0 END AS x
+      FROM looks
+      UNION ALL
+      SELECT 'planted' AS scope, lb, arm,
+             CASE WHEN h2 < CASE WHEN arm = 1 THEN 28 ELSE 20 END
+                  THEN 1 ELSE 0 END AS x
+      FROM looks
+    ), cells AS (
+      SELECT scope, lb, arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS c
+      FROM scoped GROUP BY 1, 2, 3
+    ), cum AS (
+      SELECT scope, lb, arm,
+             CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+             CAST(SUM(c) OVER w AS BIGINT) AS c_cum
+      FROM cells
+      WINDOW w AS (PARTITION BY scope, arm ORDER BY lb
+                   ROWS UNBOUNDED PRECEDING)
+    ), wide AS (
+      SELECT a.scope, a.lb, a.n_cum AS n_a, a.c_cum AS c_a,
+             b.n_cum AS n_b, b.c_cum AS c_b
+      FROM (SELECT * FROM cum WHERE arm = 0) a
+      JOIN (SELECT * FROM cum WHERE arm = 1) b
+        ON a.scope = b.scope AND a.lb = b.lb
+    )
+    SELECT scope, lb AS look, n_a + n_b AS n_cum,
+           {R4('(c_b * 1.0 / n_b - c_a * 1.0 / n_a)'
+               ' / SQRT((c_a + c_b) * 1.0 / (n_a + n_b)'
+               '        * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))'
+               '        * (1.0 / n_a + 1.0 / n_b))')} AS z4,
+           {_OBF_BOUND_SQL} AS bound,
+           ABS({R4('(c_b * 1.0 / n_b - c_a * 1.0 / n_a)'
+                   ' / SQRT((c_a + c_b) * 1.0 / (n_a + n_b)'
+                   '        * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))'
+                   '        * (1.0 / n_a + 1.0 / n_b))')})
+             > {_OBF_BOUND_SQL} AS crossed
+    FROM wide
+    """,
+    priority="P2",
+    tags=("agg", "stats", "abtest", "sequential"),
+)
+def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming group-sequential design — the SCHEDULED interim
+    analysis between `q_ab_proportions` (one fixed look) and
+    `q_sprt_monitor` (a look after EVERY observation): K = 5
+    equally-spaced looks along the time-ordered stream, each a pooled
+    two-proportion z-test against the OBF spending boundaries
+    (4.88, 3.36, 2.68, 2.29, 2.03) — nearly unspendable early, close
+    to the fixed-horizon 1.96 at the end, which is why it is the
+    clinical-trial / experimentation-platform standard for "peek 5
+    times, pay almost nothing".
+
+    Arms are a Knuth-hash split; conversion is a synthetic avalanched
+    rate (20% vs 20% in the 'null' scope — never crosses ANY look;
+    20% vs 28% in 'planted' — crosses at an interim or final look at
+    every SF, later at smaller SFs exactly as the design intends:
+    information accrues with n). Look assignment is an exact integer
+    bucketing of the global (ts, event_id) rank; cumulative cell
+    counts are exact bigints; each z is one r4 double formula.
+
+    Scale: the global rank is the banded-window device; everything
+    after the (scope, look, arm) cell collapse (20 rows) is
+    broadcast-sized. A deployment would look at WALL-CLOCK
+    checkpoints; rank-spaced looks make the test reproducible here."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    h2 = F.pmod(
+        F.pmod(
+            F.col("event_id") * F.lit(1013904223).cast("bigint"),
+            F.lit(4294967296),
+        ).bitwiseXOR(
+            F.shiftright(
+                F.pmod(
+                    F.col("event_id") * F.lit(1013904223).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                16,
+            )
+        ),
+        F.lit(100),
+    )
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ord"),
+        F.pmod(
+            F.col("event_id") * F.lit(2654435761).cast("bigint"), F.lit(2)
+        ).alias("arm"),
+        h2.alias("h2"),
+    )
+    ranked = with_banded_order(base, "ord", ["event_id"], rn_name="rn")
+    n_total = ranked.count()
+    looks = ranked.select(
+        "arm",
+        "h2",
+        (F.floor((F.col("rn") - 1) * _OBF_K / n_total) + 1)
+        .cast("bigint")
+        .alias("lb"),
+    ).localCheckpoint(eager=False)  # two scope legs
+    scoped = looks.select(
+        F.lit("null").alias("scope"),
+        "lb",
+        "arm",
+        (F.col("h2") < 20).cast("int").alias("x"),
+    ).unionByName(
+        looks.select(
+            F.lit("planted").alias("scope"),
+            "lb",
+            "arm",
+            (
+                F.col("h2")
+                < F.when(F.col("arm") == 1, 28).otherwise(20)
+            )
+            .cast("int")
+            .alias("x"),
+        )
+    )
+    cells = scoped.groupBy("scope", "lb", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy("scope", "arm")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.select(
+        "scope",
+        "lb",
+        "arm",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("c").over(w).cast("bigint").alias("c_cum"),
+    )
+    a = cum.where(F.col("arm") == 0).select(
+        "scope", "lb", F.col("n_cum").alias("n_a"), F.col("c_cum").alias("c_a")
+    )
+    b = cum.where(F.col("arm") == 1).select(
+        F.col("scope").alias("scope_b"),
+        F.col("lb").alias("lb_b"),
+        F.col("n_cum").alias("n_b"),
+        F.col("c_cum").alias("c_b"),
+    )
+    wide = a.join(
+        F.broadcast(b), (a.scope == b.scope_b) & (a.lb == b.lb_b)
+    )
+    p_pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z4 = r4(
+        (F.col("c_b") * 1.0 / F.col("n_b") - F.col("c_a") * 1.0 / F.col("n_a"))
+        / F.sqrt(
+            p_pool * (1 - p_pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        )
+    )
+    bound = (
+        F.when(F.col("lb") == 1, _OBF_BOUNDS[0])
+        .when(F.col("lb") == 2, _OBF_BOUNDS[1])
+        .when(F.col("lb") == 3, _OBF_BOUNDS[2])
+        .when(F.col("lb") == 4, _OBF_BOUNDS[3])
+        .otherwise(_OBF_BOUNDS[4])
+    )
+    return wide.select(
+        "scope",
+        F.col("lb").alias("look"),
+        (F.col("n_a") + F.col("n_b")).alias("n_cum"),
+        z4.alias("z4"),
+        bound.alias("bound"),
+        (F.abs(z4) > bound).alias("crossed"),
+    )

@@ -5007,3 +5007,123 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_spc_xbar",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({R('value * 100', 0)} AS BIGINT) AS y2
+      FROM events
+    ), scoped AS (
+      SELECT 'organic' AS scope, event_type AS stream, d, y2 FROM base
+      UNION ALL
+      SELECT 'planted' AS scope, event_type AS stream, d,
+             CASE WHEN d = 17 THEN y2 + 10000 ELSE y2 END AS y2
+      FROM base WHERE event_type = 'click'
+    ), sub AS (
+      SELECT scope, stream, d, CAST(COUNT(*) AS BIGINT) AS n_d,
+             CAST(SUM(y2) AS BIGINT) AS s_d,
+             CAST(SUM(y2 * y2) AS BIGINT) AS ss_d
+      FROM scoped GROUP BY 1, 2, 3
+    ), pooled AS (
+      SELECT scope, stream,
+             {R('SUM(s_d) * 1.0 / SUM(n_d)', 10)} AS grand,
+             {R('SUM(ss_d - s_d * s_d * 1.0 / n_d) * 1.0 / SUM(n_d - 1)', 10)}
+               AS wvar
+      FROM sub GROUP BY 1, 2
+    )
+    SELECT s.scope, s.stream, s.d,
+           {R4('s.s_d * 1.0 / s.n_d / 100')} AS xbar4,
+           {R4('(p.grand - 3 * SQRT(p.wvar / s.n_d)) / 100')} AS lcl4,
+           {R4('(p.grand + 3 * SQRT(p.wvar / s.n_d)) / 100')} AS ucl4,
+           s.s_d * 1.0 / s.n_d < p.grand - 3 * SQRT(p.wvar / s.n_d)
+             OR s.s_d * 1.0 / s.n_d > p.grand + 3 * SQRT(p.wvar / s.n_d)
+             AS out_of_control
+    FROM sub s JOIN pooled p
+      ON s.scope = p.scope AND s.stream = p.stream
+    """,
+    priority="P2",
+    tags=("temporal", "quality", "spc"),
+)
+def q_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart X-bar control chart per metric stream — the SPC
+    discipline beside `q_anomaly_rolling_z` (whose adaptive window
+    LEARNS a drifting baseline; a control chart's limits come from
+    pooled WITHIN-subgroup variation, so a between-day assignable
+    cause can't inflate its own detection threshold): daily subgroup
+    means against grand-mean +/- 3*sqrt(s2_within / n_d) limits
+    (variable subgroup sizes — the unequal-n X-bar form; the A2*Rbar
+    textbook constants assume fixed n).
+
+    Branches at every SF: organic days stay inside the limits
+    (within-day variance dominates day-mean wobble by ~sqrt(n_d)
+    — sized so even sf0.001's ~7-row subgroups separate),
+    and a planted +100.00 shift of day 17 in a copied stream is an
+    assignable cause that lands far outside UCL — while barely
+    moving the pooled-within estimate, which is exactly the property
+    that makes X-bar charts work. Values carry as integer cents;
+    within-variance pools via the exact-sums identity
+    ss - s^2/n (bigint-safe: cents^2 * rows < 2^63 at sf0.1);
+    grand mean and pooled variance are r10-rounded before the limit
+    formulas (the q_ab_ttest device).
+
+    Scale: one pass to the (scope, stream, day) grain with exact
+    partial-agg sums; limits join back broadcast; flags are per-grain
+    row arithmetic. Calendar-bounded output (30 rows per stream)."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("y2"),
+        )
+        .localCheckpoint(eager=False)  # organic + planted legs — one scan
+    )
+    scoped = base.select(
+        F.lit("organic").alias("scope"),
+        F.col("event_type").alias("stream"),
+        "d",
+        "y2",
+    ).unionByName(
+        base.where(F.col("event_type") == "click").select(
+            F.lit("planted").alias("scope"),
+            F.col("event_type").alias("stream"),
+            "d",
+            F.when(F.col("d") == 17, F.col("y2") + 10000)
+            .otherwise(F.col("y2"))
+            .alias("y2"),
+        )
+    )
+    sub = scoped.groupBy("scope", "stream", "d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("y2").cast("bigint").alias("s_d"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("ss_d"),
+    )
+    pooled = sub.groupBy("scope", "stream").agg(
+        F.round(F.sum("s_d") * 1.0 / F.sum("n_d"), 10).alias("grand"),
+        F.round(
+            F.sum(
+                F.col("ss_d") - F.col("s_d") * F.col("s_d") * 1.0 / F.col("n_d")
+            )
+            * 1.0
+            / F.sum(F.col("n_d") - 1),
+            10,
+        ).alias("wvar"),
+    )
+    j = sub.join(F.broadcast(pooled), ["scope", "stream"])
+    xbar = F.col("s_d") * 1.0 / F.col("n_d")
+    half = 3 * F.sqrt(F.col("wvar") / F.col("n_d"))
+    return j.select(
+        "scope",
+        "stream",
+        "d",
+        r4(xbar / 100).alias("xbar4"),
+        r4((F.col("grand") - half) / 100).alias("lcl4"),
+        r4((F.col("grand") + half) / 100).alias("ucl4"),
+        (
+            (xbar < F.col("grand") - half) | (xbar > F.col("grand") + half)
+        ).alias("out_of_control"),
+    )
