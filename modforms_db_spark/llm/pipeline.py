@@ -2321,3 +2321,220 @@ def q_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(coverage).alias("coverage4"),
         r4(coverage - (100 - F.col("alpha_pct")) / 100.0).alias("gap4"),
     )
+
+
+@register(
+    "q_canary_audit",
+    oracle="""
+    WITH organic AS (
+      SELECT doc_id, text AS payload, 'organic' AS family FROM documents
+    ), eval_set AS (
+      SELECT doc_id, substr(text, 1, 40) AS probe
+      FROM documents WHERE doc_id % 97 = 0
+    ), clean AS (
+      SELECT -i AS doc_id,
+             'canary unique tok' || i || ' alpha beta gamma delta epsilon'
+               AS payload,
+             'clean' AS family
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 20)) AS i)
+    ), dup AS (
+      SELECT -(20 + i) AS doc_id,
+             'dupcanary tok' || ((i - 1) % 10 + 1)
+               || ' zeta eta theta iota kappa' AS payload,
+             'duplicate' AS family
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 20)) AS i)
+    ), rep AS (
+      SELECT -(40 + i) AS doc_id,
+             'spam' || i || ' spam' || i || ' spam' || i || ' spam' || i
+               || ' spam' || i AS payload,
+             'repetitive' AS family
+      FROM (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS i)
+    ), leak AS (
+      SELECT -(50 + ROW_NUMBER() OVER (ORDER BY e.doc_id)) AS doc_id,
+             'canaryleak ' || substr(d.text, 1, 60) AS payload,
+             'leaked' AS family
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+            ORDER BY doc_id LIMIT 10) e
+      JOIN documents d ON d.doc_id = e.doc_id
+    ), corpus AS (
+      SELECT * FROM organic UNION ALL SELECT * FROM clean
+      UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM rep
+      UNION ALL SELECT * FROM leak
+    ), s1 AS (
+      SELECT * FROM corpus
+      WHERE doc_id IN (SELECT MIN(doc_id) FROM corpus GROUP BY payload)
+    ), tok AS (
+      SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS max_c
+      FROM (SELECT doc_id, t, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(string_split(payload, ' ')) AS t
+                  FROM s1)
+            GROUP BY doc_id, t)
+      GROUP BY doc_id
+    ), s2 AS (
+      SELECT s1.* FROM s1 JOIN tok ON s1.doc_id = tok.doc_id
+      WHERE tok.max_c * 2 < tok.n_tok OR tok.n_tok < 2
+    ), s3 AS (
+      SELECT s2.* FROM s2
+      WHERE NOT EXISTS (SELECT 1 FROM eval_set e
+                        WHERE contains(s2.payload, e.probe))
+    )
+    SELECT c.family,
+           CAST(COUNT(*) AS BIGINT) AS n_injected,
+           CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS after_dedup,
+           CAST(SUM(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS after_repfilter,
+           CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS after_decontam
+    FROM corpus c
+    LEFT JOIN (SELECT doc_id FROM s1) s1 ON c.doc_id = s1.doc_id
+    LEFT JOIN (SELECT doc_id FROM s2) s2 ON c.doc_id = s2.doc_id
+    LEFT JOIN (SELECT doc_id FROM s3) s3 ON c.doc_id = s3.doc_id
+    GROUP BY c.family
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "audit", "canary"),
+)
+def q_canary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-survival audit of the cleaning pipeline — the
+    VALIDATION harness for the cleaning ops themselves (the
+    data-side analog of memorization canaries: before trusting a
+    pipeline on 100 TB, inject labeled probes and verify each gate
+    catches exactly its own family): four planted canary families —
+    clean (must survive everything), exact duplicates (the dedup
+    gate halves them), repetitive spam (the repetition gate zeroes
+    them), and eval-set leaks (the decontamination gate zeroes
+    them) — ride through dedup -> repetition-filter -> decontaminate
+    beside the organic corpus, with per-family survival counts at
+    every stage. A gate that leaks its family, or bites a family it
+    shouldn't, shows up as a wrong integer — the audit is exact, not
+    statistical.
+
+    Gates are the house rules in miniature: keep-min-id exact dedup
+    (`q_dedup_exact`), max-token-frequency >= 1/2 repetition rule
+    (`q_repetition_filter`'s family), and 40-char eval-prefix
+    containment (`q_decontaminate`'s family). Canary ids are
+    negative — disjoint from the corpus by construction.
+
+    Scale: dedup is one hash shuffle on payload; the repetition gate
+    is a token explode + two-level agg (map-side combined); the
+    containment gate broadcasts the (corpus/97)-sized probe set — at
+    100 TB that leg swaps to the bloom/LSH device `q_decontaminate`
+    ships. Canary mass is constant (60 docs) at any corpus size."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    organic = docs.select(
+        "doc_id", F.col("text").alias("payload"), F.lit("organic").alias("family")
+    )
+    eval_set = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.substring("text", 1, 40).alias("probe"))
+        .localCheckpoint(eager=False)  # probe leg + leak-canary build
+    )
+    r20 = spark.range(1, 21).select(F.col("id").alias("i"))
+    clean = r20.select(
+        (-F.col("i")).alias("doc_id"),
+        F.concat(
+            F.lit("canary unique tok"),
+            F.col("i"),
+            F.lit(" alpha beta gamma delta epsilon"),
+        ).alias("payload"),
+        F.lit("clean").alias("family"),
+    )
+    dup = r20.select(
+        (-(20 + F.col("i"))).alias("doc_id"),
+        F.concat(
+            F.lit("dupcanary tok"),
+            ((F.col("i") - 1) % 10 + 1),
+            F.lit(" zeta eta theta iota kappa"),
+        ).alias("payload"),
+        F.lit("duplicate").alias("family"),
+    )
+    r10 = spark.range(1, 11).select(F.col("id").alias("i"))
+    spam = F.concat(
+        F.lit("spam"), F.col("i"), F.lit(" spam"), F.col("i"),
+        F.lit(" spam"), F.col("i"), F.lit(" spam"), F.col("i"),
+        F.lit(" spam"), F.col("i"),
+    )
+    rep = r10.select(
+        (-(40 + F.col("i"))).alias("doc_id"),
+        spam.alias("payload"),
+        F.lit("repetitive").alias("family"),
+    )
+    w_eval = Window.orderBy("doc_id")
+    leak = (
+        docs.join(
+            F.broadcast(eval_set.select(F.col("doc_id").alias("e_id"))),
+            F.col("doc_id") == F.col("e_id"),
+        )
+        .select("doc_id", "text")
+        .withColumn("rn", F.row_number().over(w_eval))
+        .where(F.col("rn") <= 10)
+        .select(
+            (-(50 + F.col("rn"))).cast("bigint").alias("doc_id"),
+            F.concat(F.lit("canaryleak "), F.substring("text", 1, 60)).alias(
+                "payload"
+            ),
+            F.lit("leaked").alias("family"),
+        )
+    )
+    corpus = (
+        organic.unionByName(clean)
+        .unionByName(dup)
+        .unionByName(rep)
+        .unionByName(leak)
+        .localCheckpoint(eager=False)  # stage legs + per-family report
+    )
+    keep = corpus.groupBy("payload").agg(F.min("doc_id").alias("doc_id"))
+    s1 = corpus.join(keep.select("doc_id"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    tok = (
+        s1.select("doc_id", F.explode(F.split("payload", " ")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_tok"), F.max("c").alias("max_c"))
+    )
+    s2 = (
+        s1.join(tok, "doc_id")
+        .where((F.col("max_c") * 2 < F.col("n_tok")) | (F.col("n_tok") < 2))
+        .select("doc_id", "payload")
+        .localCheckpoint(eager=False)
+    )
+    probes = eval_set.select("probe")
+    hit = (
+        s2.join(F.broadcast(probes), F.expr("contains(payload, probe)"))
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(hit, "doc_id", "left_anti")
+    rep_join = (
+        corpus.join(
+            s1.select(F.col("doc_id").alias("d1")),
+            F.col("doc_id") == F.col("d1"),
+            "left",
+        )
+        .join(
+            s2.select(F.col("doc_id").alias("d2")),
+            F.col("doc_id") == F.col("d2"),
+            "left",
+        )
+        .join(
+            s3.select(F.col("doc_id").alias("d3")),
+            F.col("doc_id") == F.col("d3"),
+            "left",
+        )
+    )
+    return rep_join.groupBy("family").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_injected"),
+        F.sum(F.when(F.col("d1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("after_dedup"),
+        F.sum(F.when(F.col("d2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("after_repfilter"),
+        F.sum(F.when(F.col("d3").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("after_decontam"),
+    )

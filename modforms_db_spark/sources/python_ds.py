@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from modforms_db_spark.io import load
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -322,4 +323,87 @@ def q_source_python_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     cal = spark.read.format("mfdb_calendar_year").load()
     return cal.where(F.col("m") == _PUSH_MONTH).select(
         "m", F.col("d").cast("timestamp").alias("d"), "dow"
+    )
+
+
+def _region_sink_source(out_dir: str):
+    """Python DataSource WRITER (Spark 4) — nested for by-value pickling
+    (same rule as `_calendar_source`)."""
+    import json
+    import os
+    import uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class _JsonlWriter(DataSourceWriter):
+        """One JSON-lines file per input partition (= per Spark task)."""
+
+        def write(self, iterator):
+            rows = 0
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    rows += 1
+            return WriterCommitMessage()
+
+    class RegionSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "mfdb_jsonl_sink"
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter()
+
+    return RegionSinkDataSource
+
+
+@register(
+    "q_sink_python_ds",
+    oracle="""
+    SELECT n_regionkey AS r_key, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY 1
+    """,
+    priority="P2",
+    tags=("sink", "python-datasource"),
+)
+def q_sink_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE through a custom Python DataSource (the writer half of the
+    Spark 4 API — `q_source_python_ds` proves the reader half): each
+    input partition's rows stream through `DataSourceWriter.write` on
+    an executor, emit a JSON-lines file, and return a
+    WriterCommitMessage the driver collects for commit — the same
+    task-commit protocol real connectors (JDBC sinks, vendor APIs)
+    implement. The written files are then read back with the ordinary
+    JSON reader and aggregated; the oracle recomputes from the source
+    table, proving the custom-sink round trip lossless.
+
+    Scale: writes are per-partition streaming (no driver collect, no
+    global state); commit messages are the only driver traffic —
+    bytes-per-task, not rows. The file sink here stands in for any
+    per-executor push connector."""
+    if not _HAVE_PYDS:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark 4+")
+    import os
+    import shutil
+    import tempfile
+
+    prep(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "mfdb_spark_pyds_sink", "nation_jsonl"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    spark.dataSource.register(_region_sink_source(out_dir))
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    nat.write.format("mfdb_jsonl_sink").mode("append").save()
+    back = spark.read.schema("n_nationkey bigint, n_regionkey bigint").json(
+        out_dir
+    )
+    return back.groupBy(F.col("n_regionkey").alias("r_key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nations")
     )

@@ -1619,3 +1619,73 @@ def q_sink_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+@register(
+    "q_sink_csv_quoting",
+    oracle="""
+    WITH tricky AS (
+      SELECT doc_id,
+             'x,"y' || chr(10) || substr(text, 1, 20) || ',' || lang
+               AS payload
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(payload)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT payload) AS BIGINT) AS n_distinct
+    FROM tricky
+    """,
+    priority="P2",
+    tags=("sink", "csv", "fidelity"),
+)
+def q_sink_csv_quoting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip fidelity under the three classic corruptors —
+    embedded DELIMITERS, embedded QUOTES, and embedded NEWLINES
+    (`q_source_csv_roundtrip` proves the happy path; every real CSV
+    incident is one of these three): build a payload column that
+    contains all of them, write RFC 4180 CSV (quote-doubling escape,
+    not backslash — the dialect every spreadsheet and COPY command
+    speaks), read it back with multiLine=true (without it the
+    embedded newline SPLITS ROWS — silent corruption, not an error),
+    and aggregate count / total chars / distinct payloads. The
+    oracle recomputes the same aggregates from the SOURCE table —
+    byte-exact payload survival is the assertion.
+
+    Scale: multiLine=true is the documented cost of embedded
+    newlines — files can no longer be split at newline boundaries,
+    so parallelism drops to one task per FILE; the write side
+    controls file count (partition count) to keep that parallel.
+    Production guidance in the docstring is the op's point: quote
+    discipline is a correctness gate BEFORE a performance choice."""
+    prep(spark)
+    path = _scratch("docs_csv_quoting")
+    tricky = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('x,"y'),
+            F.lit("\n"),
+            F.substring("text", 1, 20),
+            F.lit(","),
+            F.col("lang"),
+        ).alias("payload"),
+    )
+    (
+        tricky.write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')  # RFC 4180 quote doubling
+        .csv(path)
+    )
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema("doc_id bigint, payload string")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.length("payload")).cast("bigint").alias("total_chars"),
+        F.countDistinct("payload").cast("bigint").alias("n_distinct"),
+    )
