@@ -3398,3 +3398,259 @@ def q_reco_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CV_K = 10  # label clusters
+
+
+@register(
+    "q_cluster_validity",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), pts AS (
+      SELECT 'organic' AS scope, vec_id, label,
+             generate_subscripts(emb, 1) AS dim, UNNEST(emb) AS x
+      FROM e
+      UNION ALL
+      SELECT 'planted' AS scope, vec_id, label,
+             generate_subscripts(emb, 1) AS dim,
+             UNNEST(emb) AS x
+      FROM e
+    ), shifted AS (
+      SELECT scope, vec_id, label, dim,
+             CASE WHEN scope = 'planted' AND dim = 1
+                  THEN x + label * 10.0 ELSE x END AS x
+      FROM pts
+    ), cent AS (
+      SELECT scope, label, dim, {R('AVG(x)', 10)} AS c
+      FROM shifted GROUP BY 1, 2, 3
+    ), gcent AS (
+      SELECT scope, dim, {R('AVG(x)', 10)} AS g
+      FROM shifted GROUP BY 1, 2
+    ), counts AS (
+      SELECT scope, label, CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_k
+      FROM shifted GROUP BY 1, 2
+    ), within_pt AS (
+      SELECT s.scope, s.vec_id, s.label,
+             CAST(SUM(CAST(ROUND((s.x - c.c) * (s.x - c.c) * 100000000, 0)
+                           AS BIGINT)) AS BIGINT) AS d8
+      FROM shifted s JOIN cent c
+        ON s.scope = c.scope AND s.label = c.label AND s.dim = c.dim
+      GROUP BY 1, 2, 3
+    ), within AS (
+      SELECT scope, CAST(SUM(d8) AS BIGINT) AS w8,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM within_pt GROUP BY 1
+    ), between_k AS (
+      SELECT c.scope, c.label,
+             CAST(SUM(CAST(ROUND((c.c - g.g) * (c.c - g.g) * 100000000, 0)
+                           AS BIGINT)) AS BIGINT) AS b8
+      FROM cent c JOIN gcent g ON c.scope = g.scope AND c.dim = g.dim
+      GROUP BY 1, 2
+    ), between_tot AS (
+      SELECT b.scope, CAST(SUM(k.n_k * b.b8) AS BIGINT) AS b8
+      FROM between_k b JOIN counts k
+        ON b.scope = k.scope AND b.label = k.label
+      GROUP BY 1
+    ), s_k AS (
+      SELECT scope, label,
+             CAST(ROUND(AVG(CAST(ROUND(SQRT(d8 / 100000000.0) * 10000, 0)
+                                 AS BIGINT)), 0) AS BIGINT) AS sk4
+      FROM within_pt GROUP BY 1, 2
+    ), cdist AS (
+      SELECT a.scope, a.label AS la, b.label AS lb,
+             CAST(ROUND(SQRT(SUM(CAST(ROUND((a.c - b.c) * (a.c - b.c)
+                                             * 100000000, 0) AS BIGINT))
+                             / 100000000.0) * 10000, 0) AS BIGINT) AS m4
+      FROM cent a JOIN cent b
+        ON a.scope = b.scope AND a.dim = b.dim AND a.label != b.label
+      GROUP BY 1, 2, 3
+    ), r_jk AS (
+      SELECT d.scope, d.la,
+             MAX(CAST(ROUND((sa.sk4 + sb.sk4) * 10000.0 / d.m4, 0)
+                      AS BIGINT)) AS r4max
+      FROM cdist d
+      JOIN s_k sa ON d.scope = sa.scope AND d.la = sa.label
+      JOIN s_k sb ON d.scope = sb.scope AND d.lb = sb.label
+      GROUP BY 1, 2
+    ), db AS (
+      SELECT scope, {R4('AVG(r4max) / 10000.0')} AS db4 FROM r_jk GROUP BY 1
+    )
+    SELECT w.scope, w.n, CAST({_CV_K} AS BIGINT) AS k,
+           {R4(f'(bt.b8 / ({_CV_K} - 1.0)) / (w.w8 / (w.n - {_CV_K} * 1.0))')}
+             AS ch4,
+           db.db4
+    FROM within w
+    JOIN between_tot bt ON w.scope = bt.scope
+    JOIN db ON w.scope = db.scope
+    """,
+    priority="P2",
+    tags=("llm", "similarity", "clustering", "evaluation"),
+)
+def q_cluster_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal cluster-validity indices over the label partition of
+    the embedding space — the EVALUATION half `q_cluster_kmeans`
+    lacks: Calinski-Harabasz (between-dispersion / within-dispersion,
+    bigger = tighter) and Davies-Bouldin (mean worst-pair overlap
+    ratio, smaller = better), the two standard no-ground-truth
+    indices for "did this clustering / labeling actually separate
+    the space?". Run on two scopes at every SF: the organic labels
+    over near-isotropic embeddings score CH ~ 1 / DB >> 1 (labels do
+    NOT separate raw space — an honest negative most dashboards
+    never show), and a planted scope shifting dim 1 by label*10
+    scores CH in the thousands / DB << 1 — the separable control.
+
+    Exactness: per-dim squared deviations quantize to integer
+    1e-8ths BEFORE every sum (order-independent bigints); point
+    distances and centroid distances quantize to 1e-4ths before
+    averaging; centroids are r10 means (the PageRank discipline);
+    CH and DB are single r4 formulas over exact integers.
+
+    Scale: everything reduces through the (scope, label, dim) grain
+    — two linear passes over the exploded vectors (centroids, then
+    deviations) with the K x dim centroid frame broadcast back; the
+    DB pair frame is K^2 rows. No pairwise point work anywhere."""
+    prep(spark)
+    pts = (
+        _emb(spark, sf_dir)
+        .select(
+            "vec_id", "label", F.posexplode("emb").alias("dim0", "x")
+        )
+        .select(
+            "vec_id", "label", (F.col("dim0") + 1).alias("dim"), "x"
+        )
+    )
+    scoped = (
+        pts.select(F.lit("organic").alias("scope"), "vec_id", "label", "dim", "x")
+        .unionByName(
+            pts.select(
+                F.lit("planted").alias("scope"),
+                "vec_id",
+                "label",
+                "dim",
+                F.when(F.col("dim") == 1, F.col("x") + F.col("label") * 10.0)
+                .otherwise(F.col("x"))
+                .alias("x"),
+            )
+        )
+        .localCheckpoint(eager=False)  # centroid pass + deviation pass
+    )
+    cent = scoped.groupBy("scope", "label", "dim").agg(
+        F.round(F.avg("x"), 10).alias("c")
+    ).localCheckpoint(eager=False)  # within + between + cdist legs
+    gcent = scoped.groupBy("scope", "dim").agg(
+        F.round(F.avg("x"), 10).alias("g")
+    )
+    counts = scoped.groupBy("scope", "label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_k")
+    )
+    q8 = lambda col: F.round(col * 100000000, 0).cast("bigint")  # noqa: E731
+    within_pt = (
+        scoped.join(F.broadcast(cent), ["scope", "label", "dim"])
+        .groupBy("scope", "vec_id", "label")
+        .agg(
+            F.sum(q8((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))))
+            .cast("bigint")
+            .alias("d8")
+        )
+        .localCheckpoint(eager=False)  # within total + s_k legs
+    )
+    within = within_pt.groupBy("scope").agg(
+        F.sum("d8").cast("bigint").alias("w8"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    between_k = (
+        cent.join(F.broadcast(gcent), ["scope", "dim"])
+        .groupBy("scope", "label")
+        .agg(
+            F.sum(q8((F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))))
+            .cast("bigint")
+            .alias("b8")
+        )
+    )
+    between_tot = (
+        between_k.join(F.broadcast(counts), ["scope", "label"])
+        .groupBy("scope")
+        .agg(F.sum(F.col("n_k") * F.col("b8")).cast("bigint").alias("b8"))
+    )
+    s_k = within_pt.groupBy("scope", "label").agg(
+        F.round(
+            F.avg(
+                F.round(F.sqrt(F.col("d8") / 100000000.0) * 10000, 0).cast(
+                    "bigint"
+                )
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("sk4")
+    )
+    ca = cent.select(
+        "scope", F.col("label").alias("la"), "dim", F.col("c").alias("c_a")
+    )
+    cb = cent.select(
+        F.col("scope").alias("scope_b"),
+        F.col("label").alias("lb"),
+        F.col("dim").alias("dim_b"),
+        F.col("c").alias("c_b"),
+    )
+    cdist = (
+        ca.join(
+            F.broadcast(cb),
+            (F.col("scope") == F.col("scope_b"))
+            & (F.col("dim") == F.col("dim_b"))
+            & (F.col("la") != F.col("lb")),
+        )
+        .groupBy("scope", "la", "lb")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        q8(
+                            (F.col("c_a") - F.col("c_b"))
+                            * (F.col("c_a") - F.col("c_b"))
+                        )
+                    )
+                    / 100000000.0
+                )
+                * 10000,
+                0,
+            )
+            .cast("bigint")
+            .alias("m4")
+        )
+    )
+    sa = s_k.select("scope", F.col("label").alias("la"), F.col("sk4").alias("sk4_a"))
+    sb = s_k.select(
+        F.col("scope").alias("s_b"), F.col("label").alias("lb_b"),
+        F.col("sk4").alias("sk4_b"),
+    )
+    r_jk = (
+        cdist.join(F.broadcast(sa), ["scope", "la"])
+        .join(
+            F.broadcast(sb),
+            (F.col("scope") == F.col("s_b")) & (F.col("lb") == F.col("lb_b")),
+        )
+        .groupBy("scope", "la")
+        .agg(
+            F.max(
+                F.round(
+                    (F.col("sk4_a") + F.col("sk4_b")) * 10000.0 / F.col("m4"),
+                    0,
+                ).cast("bigint")
+            ).alias("r4max")
+        )
+    )
+    db = r_jk.groupBy("scope").agg(r4(F.avg("r4max") / 10000.0).alias("db4"))
+    ch4 = r4(
+        (F.col("b8") / (_CV_K - 1.0)) / (F.col("w8") / (F.col("n") - _CV_K * 1.0))
+    )
+    return (
+        within.join(between_tot, "scope")
+        .join(db, "scope")
+        .select(
+            "scope", "n", F.lit(_CV_K).cast("bigint").alias("k"),
+            ch4.alias("ch4"), "db4",
+        )
+    )

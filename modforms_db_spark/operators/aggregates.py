@@ -7063,3 +7063,179 @@ def q_group_sequential_obf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bound.alias("bound"),
         (F.abs(z4) > bound).alias("crossed"),
     )
+
+
+_SOBEL_CRIT = 2.5758  # two-sided alpha = 0.01
+
+
+@register(
+    "q_mediation_sobel",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST({R('value * 100', 0)} AS BIGINT) AS u1,
+             CASE WHEN (xor((event_id * 2654435761) % 4294967296,
+                            ((event_id * 2654435761) % 4294967296) >> 16))
+                       % 100 < 50 THEN 1 ELSE 0 END AS x,
+             (xor((event_id * 1013904223) % 4294967296,
+                  ((event_id * 1013904223) % 4294967296) >> 13)) % 10000
+               AS u2
+      FROM events
+    ), scoped AS (
+      SELECT 'null' AS scope, x, u1 AS m, 2 * u1 + u2 AS y FROM base
+      UNION ALL
+      SELECT 'planted' AS scope, x, 1000 * x + u1 AS m,
+             2 * (1000 * x + u1) + u2 AS y
+      FROM base
+    ), sums AS (
+      SELECT scope, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * m) AS BIGINT) AS sxm,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(m * y) AS BIGINT) AS smy,
+             CAST(SUM(m * m) AS BIGINT) AS smm,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM scoped GROUP BY 1
+    ), cm AS (
+      SELECT scope, n,
+             sx - sx * CAST(sx AS DOUBLE) / n AS cxx,
+             sxm - CAST(sx AS DOUBLE) * sm / n AS cxm,
+             sxy - CAST(sx AS DOUBLE) * sy / n AS cxy,
+             smm - CAST(sm AS DOUBLE) * sm / n AS cmm,
+             smy - CAST(sm AS DOUBLE) * sy / n AS cmy,
+             syy - CAST(sy AS DOUBLE) * sy / n AS cyy
+      FROM sums
+    ), fit AS (
+      SELECT scope, n,
+             cxm / cxx AS a,
+             (cxx * cmy - cxm * cxy) / (cxx * cmm - cxm * cxm) AS b,
+             (cmm * cxy - cxm * cmy) / (cxx * cmm - cxm * cxm) AS cp,
+             cxx, cxm, cxy, cmm, cmy, cyy
+      FROM cm
+    ), se AS (
+      SELECT scope, n, a, b,
+             (cmm - a * a * cxx) / (n - 2) / cxx AS se_a2,
+             (cyy - b * cmy - cp * cxy) / (n - 3)
+               * cxx / (cxx * cmm - cxm * cxm) AS se_b2
+      FROM fit
+    )
+    SELECT scope, n, {R4('a / 100.0')} AS a4, {R4('b')} AS b4,
+           {R4('a * b / 100.0')} AS indirect4,
+           {R4('a * b / SQRT(a * a * se_b2 + b * b * se_a2)')} AS sobel_z4,
+           ABS({R4('a * b / SQRT(a * a * se_b2 + b * b * se_a2)')})
+             > {_SOBEL_CRIT!r} AS mediated
+    FROM se
+    """,
+    priority="P2",
+    tags=("agg", "stats", "causal", "mediation"),
+)
+def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mediation analysis with the Sobel test — the PATHWAY question
+    the causal shelf (`q_ipw_ate` effect size, `q_diff_in_diff`
+    trends, `q_causal_iv` instruments) cannot answer: does X move Y
+    THROUGH mediator M? Two OLS stages — a = coef(X -> M),
+    b = coef(M -> Y | X) — and the indirect effect a*b tested with
+    Sobel's delta-method z = ab / sqrt(a^2 se_b^2 + b^2 se_a^2).
+
+    Two synthetic panels keep both verdicts live at every SF: a
+    planted chain M = 1000X + u1, Y = 2M + u2 (true a = 10.00 in
+    value units, b = 2, indirect = 20.00 — recovered within
+    noise, MEDIATED), and a null panel where M ignores X but still
+    drives Y (a ~ 0: no pathway, NOT mediated — the case that trips
+    naive 'X and Y correlate, M correlates with both' reasoning,
+    since b is large in BOTH panels). Treatment and noise are
+    independent avalanched hashes (the q_ipw_ate lesson); all nine
+    raw moments are exact bigints from one pass per scope; centered
+    moments, both fits, both standard errors, and the z are single
+    double formulas over them, r4 at the end.
+
+    Scale: ONE aggregate pass to a 2-row moment frame (map-side
+    combined) — the entire test is O(scan), no joins, no windows."""
+    prep(spark)
+    h = lambda k, sh: F.pmod(  # noqa: E731
+        F.pmod(F.col("event_id") * F.lit(k).cast("bigint"), F.lit(4294967296))
+        .bitwiseXOR(
+            F.shiftright(
+                F.pmod(
+                    F.col("event_id") * F.lit(k).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                sh,
+            )
+        ),
+        F.lit(10000),
+    )
+    base = load(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("u1"),
+        (F.pmod(h(2654435761, 16), F.lit(100)) < 50).cast("bigint").alias("x"),
+        h(1013904223, 13).alias("u2"),
+    ).localCheckpoint(eager=False)  # two scope legs — one scan
+    scoped = base.select(
+        F.lit("null").alias("scope"),
+        "x",
+        F.col("u1").alias("m"),
+        (2 * F.col("u1") + F.col("u2")).alias("y"),
+    ).unionByName(
+        base.select(
+            F.lit("planted").alias("scope"),
+            "x",
+            (1000 * F.col("x") + F.col("u1")).alias("m"),
+            (2 * (1000 * F.col("x") + F.col("u1")) + F.col("u2")).alias("y"),
+        )
+    )
+    sums = scoped.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("m")).cast("bigint").alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("m") * F.col("y")).cast("bigint").alias("smy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.col("sx") - F.col("sx") * F.col("sx").cast("double") / n
+    cxm = F.col("sxm") - F.col("sx").cast("double") * F.col("sm") / n
+    cxy = F.col("sxy") - F.col("sx").cast("double") * F.col("sy") / n
+    cmm = F.col("smm") - F.col("sm").cast("double") * F.col("sm") / n
+    cmy = F.col("smy") - F.col("sm").cast("double") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n
+    cm = sums.select(
+        "scope", "n",
+        cxx.alias("cxx"), cxm.alias("cxm"), cxy.alias("cxy"),
+        cmm.alias("cmm"), cmy.alias("cmy"), cyy.alias("cyy"),
+    )
+    det = F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm")
+    a = F.col("cxm") / F.col("cxx")
+    b = (F.col("cxx") * F.col("cmy") - F.col("cxm") * F.col("cxy")) / det
+    cp = (F.col("cmm") * F.col("cxy") - F.col("cxm") * F.col("cmy")) / det
+    fit = cm.select(
+        "scope", "n", a.alias("a"), b.alias("b"), cp.alias("cp"),
+        "cxx", "cxm", "cxy", "cmm", "cmy", "cyy",
+    )
+    se_a2 = (
+        (F.col("cmm") - F.col("a") * F.col("a") * F.col("cxx"))
+        / (F.col("n") - 2)
+        / F.col("cxx")
+    )
+    se_b2 = (
+        (F.col("cyy") - F.col("b") * F.col("cmy") - F.col("cp") * F.col("cxy"))
+        / (F.col("n") - 3)
+        * F.col("cxx")
+        / (F.col("cxx") * F.col("cmm") - F.col("cxm") * F.col("cxm"))
+    )
+    se = fit.select("scope", "n", "a", "b", se_a2.alias("se_a2"), se_b2.alias("se_b2"))
+    z = F.col("a") * F.col("b") / F.sqrt(
+        F.col("a") * F.col("a") * F.col("se_b2")
+        + F.col("b") * F.col("b") * F.col("se_a2")
+    )
+    z4 = r4(z)
+    return se.select(
+        "scope", "n",
+        r4(F.col("a") / 100.0).alias("a4"),
+        r4(F.col("b")).alias("b4"),
+        r4(F.col("a") * F.col("b") / 100.0).alias("indirect4"),
+        z4.alias("sobel_z4"),
+        (F.abs(z4) > _SOBEL_CRIT).alias("mediated"),
+    )

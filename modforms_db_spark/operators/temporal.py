@@ -5127,3 +5127,140 @@ def q_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
             (xbar < F.col("grand") - half) | (xbar > F.col("grand") + half)
         ).alias("out_of_control"),
     )
+
+
+_ES_EVENT_DAYS = (8, 17, 26)  # deterministic "deploy days"
+_ES_WIN = 3                   # relative-day window: tau in [-3, +3]
+
+
+@register(
+    "q_event_study",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_FE_DAILY_V4} AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    ), scoped AS (
+      SELECT 'organic' AS scope, event_type AS stream, d, v4 FROM daily
+      UNION ALL
+      SELECT 'planted' AS scope, event_type AS stream, d,
+             CASE WHEN d IN {_ES_EVENT_DAYS}
+                  THEN v4 + 500000000
+                  WHEN d - 1 IN {_ES_EVENT_DAYS}
+                  THEN v4 + 250000000
+                  ELSE v4 END AS v4
+      FROM daily WHERE event_type = 'click'
+    ), events_spine AS (
+      SELECT UNNEST({list(_ES_EVENT_DAYS)}) AS e_d
+    ), baseline AS (
+      SELECT s.scope, s.stream,
+             {R('AVG(s.v4)', 10)} AS base
+      FROM scoped s
+      WHERE NOT EXISTS (SELECT 1 FROM events_spine e
+                        WHERE ABS(s.d - e.e_d) <= {_ES_WIN})
+      GROUP BY 1, 2
+    ), panel AS (
+      SELECT s.scope, s.d - e.e_d AS tau, s.v4 - b.base AS abn
+      FROM scoped s
+      JOIN events_spine e ON ABS(s.d - e.e_d) <= {_ES_WIN}
+      JOIN baseline b ON s.scope = b.scope AND s.stream = b.stream
+    )
+    SELECT scope, CAST(tau AS BIGINT) AS tau,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           {R4('AVG(abn) / 10000')} AS mean_abnormal4
+    FROM panel GROUP BY 1, 2
+    """,
+    priority="P2",
+    tags=("temporal", "events", "causal"),
+)
+def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-study panel — the AROUND-THE-EVENT view beside
+    `q_diff_in_diff` (one pre/post split) and `q_changepoint_cusum`
+    (detects WHEN; this measures the response SHAPE): for a set of
+    known intervention days (deploys, launches, incidents), average
+    the baseline-adjusted metric at each relative day tau in
+    [-{_ES_WIN}, +{_ES_WIN}] across all events and streams — the
+    standard pre-trend / impact / decay panel (flat left half =
+    no anticipation, the identifying assumption made VISIBLE).
+
+    Branches at every SF: the organic scope is flat around the
+    (arbitrary) day spine — mean abnormal stays within daily noise
+    (orders of magnitude below the planted jump), the honest
+    negative; a planted scope adds a +50k spike on event days
+    decaying to +25k the day after, so the panel shows the classic
+    zero / jump / half-decay shape and nothing before tau = 0.
+    Baselines come from OUTSIDE every event window (the estimation-
+    window discipline); daily sums ride the exact ten-thousandths
+    grain, baselines r10, one r4 average at the end.
+
+    Scale: the event spine is a literal broadcast; everything runs
+    on the calendar-bounded daily grain — billions of raw events
+    enter through one partial-agg pass."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.sum("value")) * 10000, 0).cast("bigint").alias("v4")
+        )
+        .localCheckpoint(eager=False)  # two scope legs — one scan
+    )
+    ev = list(_ES_EVENT_DAYS)
+    plant = (
+        F.when(F.col("d").isin(ev), F.col("v4") + 500000000)
+        .when((F.col("d") - 1).isin(ev), F.col("v4") + 250000000)
+        .otherwise(F.col("v4"))
+    )
+    scoped = (
+        daily.select(
+            F.lit("organic").alias("scope"),
+            F.col("event_type").alias("stream"),
+            "d",
+            "v4",
+        )
+        .unionByName(
+            daily.where(F.col("event_type") == "click").select(
+                F.lit("planted").alias("scope"),
+                F.col("event_type").alias("stream"),
+                "d",
+                plant.alias("v4"),
+            )
+        )
+        .localCheckpoint(eager=False)  # baseline leg + panel leg
+    )
+    spine = spark.range(len(ev)).select(
+        F.element_at(
+            F.array(*[F.lit(e) for e in ev]), (F.col("id") + 1).cast("int")
+        )
+        .cast("bigint")
+        .alias("e_d")
+    )
+    in_any_window = scoped.join(
+        F.broadcast(spine),
+        F.abs(F.col("d") - F.col("e_d")) <= _ES_WIN,
+        "left_semi",
+    )
+    baseline = (
+        scoped.join(
+            F.broadcast(spine),
+            F.abs(F.col("d") - F.col("e_d")) <= _ES_WIN,
+            "left_anti",
+        )
+        .groupBy("scope", "stream")
+        .agg(F.round(F.avg("v4"), 10).alias("base"))
+    )
+    panel = (
+        in_any_window.join(
+            F.broadcast(spine), F.abs(F.col("d") - F.col("e_d")) <= _ES_WIN
+        )
+        .join(F.broadcast(baseline), ["scope", "stream"])
+        .select(
+            "scope",
+            (F.col("d") - F.col("e_d")).cast("bigint").alias("tau"),
+            (F.col("v4") - F.col("base")).alias("abn"),
+        )
+    )
+    return panel.groupBy("scope", "tau").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        r4(F.avg("abn") / 10000).alias("mean_abnormal4"),
+    )
