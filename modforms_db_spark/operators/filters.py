@@ -733,3 +733,129 @@ def q_sql_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@register(
+    "q_sql_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(l_quantity) AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linesum
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, metric, val
+    FROM wide UNPIVOT (val FOR metric IN (qty, cnt, linesum))
+    """,
+    priority="P2",
+    tags=("sql", "surface", "unpivot"),
+)
+def q_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL `UNPIVOT` clause (Spark 3.4+ / DuckDB native) —
+    `q_unpivot` proves the DataFrame `unpivot()`/`stack` form; this
+    row pins the SQL-SYNTAX surface hash-equal to DuckDB's own
+    UNPIVOT, including its null-dropping default and column-name
+    capitalization behavior (both engines lowercase the IN-list
+    aliases here by using explicit lowercase names). Wide-to-long is
+    the reporting primitive; the clause is sugar over the same
+    expand + filter Catalyst plans for stack().
+
+    Scale: UNPIVOT is a per-row map expansion (3 rows out per row
+    in) — embarrassingly parallel, no shuffle; the shuffle in this
+    query is the upstream groupBy to the 3-row wide frame."""
+    prep(spark)
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "li_unpivot_src"
+    )
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT l_returnflag,
+                 CAST(SUM(l_quantity) AS BIGINT) AS qty,
+                 CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS linesum
+          FROM li_unpivot_src GROUP BY 1
+        )
+        SELECT l_returnflag, metric, val
+        FROM wide UNPIVOT (val FOR metric IN (qty, cnt, linesum))
+        """
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH v AS (
+      SELECT * FROM (VALUES
+        (1, TRUE), (2, FALSE), (3, NULL)
+      ) AS t(id, b)
+    ), pairs AS (
+      SELECT a.id AS ida, b.id AS idb, a.b AS x, b.b AS y
+      FROM v a CROSS JOIN v b
+    )
+    SELECT ida, idb,
+           CASE WHEN (x AND y) IS NULL THEN 'N'
+                WHEN x AND y THEN 'T' ELSE 'F' END AS and_xy,
+           CASE WHEN (x OR y) IS NULL THEN 'N'
+                WHEN x OR y THEN 'T' ELSE 'F' END AS or_xy,
+           CASE WHEN (NOT x) IS NULL THEN 'N'
+                WHEN NOT x THEN 'T' ELSE 'F' END AS not_x,
+           CASE WHEN x IS NOT DISTINCT FROM y THEN 'T' ELSE 'F' END
+             AS ndistinct,
+           CASE WHEN COALESCE(x, y) IS NULL THEN 'N'
+                WHEN COALESCE(x, y) THEN 'T' ELSE 'F' END AS coal,
+           CASE WHEN x THEN 'then' ELSE 'else' END AS case_null_is_else,
+           CASE WHEN CAST(x AS VARCHAR) IS NULL THEN 'T' ELSE 'F' END
+             AS cast_keeps_null
+    FROM pairs
+    """,
+    priority="P2",
+    tags=("sql", "surface", "null-semantics"),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic truth table, hash-matched across engines —
+    the NULL-semantics contract every filter and join in this repo
+    silently relies on, pinned EXPLICITLY: Kleene AND/OR/NOT over
+    {TRUE, FALSE, NULL} x {TRUE, FALSE, NULL} (NULL AND FALSE =
+    FALSE, NULL OR TRUE = TRUE — the two rows people guess wrong),
+    IS NOT DISTINCT FROM as the null-safe equality (the `q_join_
+    nullsafe` predicate in scalar form), COALESCE fallback, CASE's
+    null-is-else branch, and cast null-propagation. An engine (or
+    refactor) that deviates on any cell flips the hash.
+
+    Scale: a 9-row literal frame — the op is a CONTRACT, not a
+    computation; it exists so the 100 TB filters built on these
+    rules have a pinned, driver-verified truth table behind them.
+    Cells are encoded 'T'/'F'/'N' STRINGS, never nullable booleans:
+    a NULL boolean stringifies as 'None' in pandas-from-Spark but
+    'nan' from DuckDB, so the driver canonicalizer would hash-split
+    on representation, not semantics (measured here) — the same
+    hazard class as the r4/complex-column standing rules."""
+    prep(spark)
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT * FROM VALUES
+            (1, TRUE), (2, FALSE), (3, CAST(NULL AS BOOLEAN))
+          AS t(id, b)
+        ), pairs AS (
+          SELECT a.id AS ida, b.id AS idb, a.b AS x, b.b AS y
+          FROM v a CROSS JOIN v b
+        )
+        SELECT ida, idb,
+               CASE WHEN (x AND y) IS NULL THEN 'N'
+                    WHEN x AND y THEN 'T' ELSE 'F' END AS and_xy,
+               CASE WHEN (x OR y) IS NULL THEN 'N'
+                    WHEN x OR y THEN 'T' ELSE 'F' END AS or_xy,
+               CASE WHEN (NOT x) IS NULL THEN 'N'
+                    WHEN NOT x THEN 'T' ELSE 'F' END AS not_x,
+               CASE WHEN x <=> y THEN 'T' ELSE 'F' END AS ndistinct,
+               CASE WHEN COALESCE(x, y) IS NULL THEN 'N'
+                    WHEN COALESCE(x, y) THEN 'T' ELSE 'F' END AS coal,
+               CASE WHEN x THEN 'then' ELSE 'else' END AS case_null_is_else,
+               CASE WHEN CAST(x AS STRING) IS NULL THEN 'T' ELSE 'F' END
+                 AS cast_keeps_null
+        FROM pairs
+        """
+    )

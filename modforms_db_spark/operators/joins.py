@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
-from modforms_db_spark.oracle_dialect import R2, R4
+from modforms_db_spark.oracle_dialect import R, R2, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
@@ -1822,4 +1822,237 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.coalesce(within, F.lit(False)).alias("matched"),
         )
+    )
+
+
+_MATCH_CALIPER = 200  # cents
+_MATCH_BIN = 500      # cents; bin width >= caliper so nearest is in own/adjacent bin
+_MATCH_TAU = 500      # planted treatment effect, cents
+
+
+@register(
+    "q_matching_att",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id AS id,
+             CAST({R('value * 100', 0)} AS BIGINT) AS c,
+             (xor((event_id * 1013904223) % 4294967296,
+                  ((event_id * 1013904223) % 4294967296) >> 13)) % 1000 AS u2,
+             (xor((event_id * 2654435761) % 4294967296,
+                  ((event_id * 2654435761) % 4294967296) >> 16)) % 100 AS h
+      FROM events
+    ), units AS (
+      SELECT id, c,
+             CASE WHEN h < LEAST(90, 5 + c // 700) THEN 1 ELSE 0 END AS t,
+             2 * c + {_MATCH_TAU}
+               * CASE WHEN h < LEAST(90, 5 + c // 700) THEN 1 ELSE 0 END
+               + u2 AS y
+      FROM base
+    ), ctl AS (
+      SELECT id, c, y, c // {_MATCH_BIN} AS bin FROM units WHERE t = 0
+      UNION ALL
+      SELECT id, c, y, c // {_MATCH_BIN} + 1 AS bin FROM units
+      WHERE t = 0 AND ({_MATCH_BIN} - c % {_MATCH_BIN}) <= {_MATCH_CALIPER}
+      UNION ALL
+      SELECT id, c, y, c // {_MATCH_BIN} - 1 AS bin FROM units
+      WHERE t = 0 AND c % {_MATCH_BIN} < {_MATCH_CALIPER}
+    ), mixed AS (
+      SELECT bin, c, id, y, 0 AS is_treated FROM ctl
+      UNION ALL
+      SELECT c // {_MATCH_BIN} AS bin, c, id, y, 1 AS is_treated
+      FROM units WHERE t = 1
+    ), scanned AS (
+      SELECT bin, c, id, y, is_treated,
+             LAST_VALUE(CASE WHEN is_treated = 0 THEN c END IGNORE NULLS)
+               OVER wb AS pc,
+             LAST_VALUE(CASE WHEN is_treated = 0 THEN y END IGNORE NULLS)
+               OVER wb AS py,
+             FIRST_VALUE(CASE WHEN is_treated = 0 THEN c END IGNORE NULLS)
+               OVER wf AS nc,
+             FIRST_VALUE(CASE WHEN is_treated = 0 THEN y END IGNORE NULLS)
+               OVER wf AS ny
+      FROM mixed
+      WINDOW wb AS (PARTITION BY bin ORDER BY c, is_treated, id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             wf AS (PARTITION BY bin ORDER BY c, is_treated, id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), matched AS (
+      SELECT id, y,
+             CASE
+               WHEN pc IS NULL AND nc IS NULL THEN NULL
+               WHEN nc IS NULL THEN py
+               WHEN pc IS NULL THEN ny
+               WHEN c - pc <= nc - c THEN py ELSE ny END AS my,
+             CASE
+               WHEN pc IS NULL AND nc IS NULL THEN NULL
+               WHEN nc IS NULL THEN c - pc
+               WHEN pc IS NULL THEN nc - c
+               WHEN c - pc <= nc - c THEN c - pc ELSE nc - c END AS gap
+      FROM scanned WHERE is_treated = 1
+    ), naive AS (
+      SELECT
+        {R('AVG(CASE WHEN t = 1 THEN CAST(y AS DOUBLE) END)'
+           ' - AVG(CASE WHEN t = 0 THEN CAST(y AS DOUBLE) END)', 10)} AS nd
+      FROM units
+    ), att AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_treated,
+             CAST(COUNT(CASE WHEN gap <= {_MATCH_CALIPER} THEN 1 END)
+                  AS BIGINT) AS n_matched,
+             CAST(SUM(CASE WHEN gap <= {_MATCH_CALIPER} THEN y - my END)
+                  AS BIGINT) AS diff_sum
+      FROM matched
+    )
+    SELECT a.n_treated, a.n_matched,
+           {R4('a.n_matched * 1.0 / a.n_treated')} AS match_rate4,
+           {R2('n.nd / 100.0')} AS naive_diff2,
+           {R2('a.diff_sum * 1.0 / a.n_matched / 100.0')} AS att2
+    FROM att a CROSS JOIN naive n
+    """,
+    priority="P2",
+    tags=("join", "causal", "matching"),
+)
+def q_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN covariate matching with a caliper — the MATCHING
+    estimator beside `q_ipw_ate`'s weighting (same identification,
+    different estimator; matching is what applied teams reach for
+    because each treated unit gets a VISIBLE counterfactual): units
+    with confounded treatment (uptake probability rises with the
+    covariate c) and outcome y = 2c + tau*T + noise; the naive
+    treated-vs-control difference is badly biased upward, and
+    matching each treated unit to its nearest control within a
+    200-cent caliper recovers tau = 5.00 within noise — both numbers
+    emitted side by side, plus the match rate the caliper costs.
+
+    Distributed matching device (the scale point): sort-merge
+    nearest-neighbor via BINNING — controls are replicated into
+    adjacent bins only within a caliper of the boundary (bin width
+    >= caliper guarantees the true nearest is in the own-or-adjacent
+    bin), then prev/next control per treated unit come from ONE
+    bin-partitioned window pass (the `q_join_asof_nearest` frames).
+    No global sort, no cross join; the replication factor is bounded
+    by 1 + 2*caliper/bin_width.
+
+    Exactness: covariate and outcome are exact integer cents
+    (avalanched independent hashes for treatment and noise — the
+    q_ipw_ate lesson); gaps and tie-breaks compare integers; the ATT
+    is an exact integer sum over matched pairs divided once."""
+    prep(spark)
+    h = lambda k, sh: F.pmod(  # noqa: E731
+        F.pmod(F.col("event_id") * F.lit(k).cast("bigint"), F.lit(4294967296))
+        .bitwiseXOR(
+            F.shiftright(
+                F.pmod(
+                    F.col("event_id") * F.lit(k).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                sh,
+            )
+        ),
+        F.lit(10000),
+    )
+    base = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        F.pmod(h(1013904223, 13), F.lit(1000)).alias("u2"),
+        F.pmod(h(2654435761, 16), F.lit(100)).alias("h"),
+    )
+    t = (
+        F.col("h")
+        < F.least(F.lit(90), 5 + F.floor(F.col("c") / 700))
+    ).cast("int")
+    units = base.select(
+        "id",
+        "c",
+        t.alias("t"),
+        (2 * F.col("c") + _MATCH_TAU * t + F.col("u2")).alias("y"),
+    ).localCheckpoint(eager=False)  # control legs + treated leg + naive
+    bin_ = F.floor(F.col("c") / _MATCH_BIN).cast("bigint")
+    ctl0 = units.where(F.col("t") == 0)
+    ctl = (
+        ctl0.select("id", "c", "y", bin_.alias("bin"))
+        .unionByName(
+            ctl0.where(
+                (_MATCH_BIN - F.pmod(F.col("c"), F.lit(_MATCH_BIN)))
+                <= _MATCH_CALIPER
+            ).select("id", "c", "y", (bin_ + 1).alias("bin"))
+        )
+        .unionByName(
+            ctl0.where(
+                F.pmod(F.col("c"), F.lit(_MATCH_BIN)) < _MATCH_CALIPER
+            ).select("id", "c", "y", (bin_ - 1).alias("bin"))
+        )
+    )
+    mixed = ctl.select(
+        "bin", "c", "id", "y", F.lit(0).alias("is_treated")
+    ).unionByName(
+        units.where(F.col("t") == 1).select(
+            bin_.alias("bin"), "c", "id", "y", F.lit(1).alias("is_treated")
+        )
+    )
+    order = [F.asc("c"), F.asc("is_treated"), F.asc("id")]
+    wb = (
+        Window.partitionBy("bin")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("bin")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ctl_c = F.when(F.col("is_treated") == 0, F.col("c"))
+    ctl_y = F.when(F.col("is_treated") == 0, F.col("y"))
+    scanned = mixed.select(
+        "bin",
+        "c",
+        "id",
+        "y",
+        "is_treated",
+        F.last(ctl_c, ignorenulls=True).over(wb).alias("pc"),
+        F.last(ctl_y, ignorenulls=True).over(wb).alias("py"),
+        F.first(ctl_c, ignorenulls=True).over(wf).alias("nc"),
+        F.first(ctl_y, ignorenulls=True).over(wf).alias("ny"),
+    ).where(F.col("is_treated") == 1)
+    prev_closer = (F.col("c") - F.col("pc")) <= (F.col("nc") - F.col("c"))
+    my = (
+        F.when(F.col("pc").isNull() & F.col("nc").isNull(), F.lit(None))
+        .when(F.col("nc").isNull(), F.col("py"))
+        .when(F.col("pc").isNull(), F.col("ny"))
+        .when(prev_closer, F.col("py"))
+        .otherwise(F.col("ny"))
+    )
+    gap = (
+        F.when(F.col("pc").isNull() & F.col("nc").isNull(), F.lit(None))
+        .when(F.col("nc").isNull(), F.col("c") - F.col("pc"))
+        .when(F.col("pc").isNull(), F.col("nc") - F.col("c"))
+        .when(prev_closer, F.col("c") - F.col("pc"))
+        .otherwise(F.col("nc") - F.col("c"))
+    )
+    matched = scanned.select("id", "y", my.alias("my"), gap.alias("gap"))
+    att = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_treated"),
+        F.count(F.when(F.col("gap") <= _MATCH_CALIPER, 1))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            F.when(F.col("gap") <= _MATCH_CALIPER, F.col("y") - F.col("my"))
+        )
+        .cast("bigint")
+        .alias("diff_sum"),
+    )
+    naive = units.agg(
+        F.round(
+            F.avg(F.when(F.col("t") == 1, F.col("y").cast("double")))
+            - F.avg(F.when(F.col("t") == 0, F.col("y").cast("double"))),
+            10,
+        ).alias("nd")
+    )
+    return att.crossJoin(F.broadcast(naive)).select(
+        "n_treated",
+        "n_matched",
+        r4(F.col("n_matched") * 1.0 / F.col("n_treated")).alias("match_rate4"),
+        F.round(F.col("nd") / 100.0, 2).alias("naive_diff2"),
+        F.round(F.col("diff_sum") * 1.0 / F.col("n_matched") / 100.0, 2).alias(
+            "att2"
+        ),
     )
