@@ -869,3 +869,120 @@ def q_stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("llr8_decide", "n_obs").alias("llr8_decide"),
         )
     )
+
+
+@register(
+    "q_stream_topk",
+    oracle=None,  # rows-only; ≡ batch top-5 (tests/test_streaming.py)
+    priority="P3",
+    tags=("streaming", "topk"),
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained top-k: readStream → complete-mode
+    per-user count aggregation → memory sink, then the top-5 users by
+    (count DESC, user_id) from the final materialization — the
+    leaderboard shape (live dashboards, trending-items) where the
+    RANKING is the product, not the aggregate. Complete output mode is
+    what makes a streaming ranking consistent: update mode would emit
+    per-key deltas the sink-side reader would have to re-rank.
+
+    Law test: equals the batch groupBy-count top-5 exactly (same
+    tiebreak). State is one long per user — bounded by key
+    cardinality, not stream length; at scale the complete-mode
+    re-emission cost is the documented trade (update mode + a
+    sink-side ranking view is the alternative)."""
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    agg = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    sink = _run_to_table(
+        agg.writeStream.format("memory").outputMode("complete"),
+        "stream_topk",
+        spark,
+    )
+    return (
+        sink.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(5)
+        .select("user_id", "n_events")
+    )
+
+
+@register(
+    "q_stream_online_moments",
+    oracle=None,  # rows-only; moments ≡ batch aggregates (law test)
+    priority="P3",
+    tags=("streaming", "stats", "anomaly"),
+)
+def q_stream_online_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online per-stream moment tracking with prequential anomaly
+    counting — the STREAMING feeder for every batch test that
+    consumes (n, sum, sum-of-squares): per event type, GroupState
+    carries exact integer cents (n, s2, ss2), and each micro-batch
+    counts events whose value sits more than 4 pre-batch standard
+    deviations from the pre-batch mean (prequential = scored by the
+    state BEFORE the batch touched it, the honest online protocol —
+    an in-batch mean would peek at the anomaly itself).
+
+    Law test: final (n, s2, ss2) equal the batch aggregates EXACTLY
+    (integer sums are order- and batch-split-independent — the same
+    argument the house makes for every exact carry; the anomaly
+    count is prequential by design and asserted only to be a sane
+    bound, since it legitimately depends on batch arrival).
+
+    Scale: state is three longs per stream key; the anomaly rule is
+    vectorized numpy inside the state function — no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    prep(spark)
+    events = _stream_events(spark, sf_dir)
+    vals = events.select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("bigint").alias("y2")
+    )
+
+    out_schema = (
+        "event_type string, n bigint, s2 bigint, ss2 bigint, "
+        "n_anomalies bigint"
+    )
+    state_schema = "n bigint, s2 bigint, ss2 bigint, anom bigint"
+
+    def track(key, pdf_iter, state: GroupState):
+        n, s2, ss2, anom = state.get if state.exists else (0, 0, 0, 0)
+        batch = pd.concat(list(pdf_iter), ignore_index=True)
+        y = batch["y2"].to_numpy()
+        if n >= 2:
+            mean = s2 / n
+            var = (ss2 - s2 * s2 / n) / (n - 1)
+            if var > 0:
+                anom += int(((abs(y - mean) / var**0.5) > 4).sum())
+        n += len(y)
+        s2 += int(y.sum())
+        ss2 += int((y.astype("int64") ** 2).sum())
+        state.update((n, s2, ss2, anom))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "s2": [s2],
+                "ss2": [ss2],
+                "n_anomalies": [anom],
+            }
+        )
+
+    tracked = vals.groupBy("event_type").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = _run_to_table(
+        tracked.writeStream.format("memory").outputMode("update"),
+        "stream_moments",
+        spark,
+    )
+    return sink.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max_by("s2", "n").alias("s2"),
+        F.max_by("ss2", "n").alias("ss2"),
+        F.max_by("n_anomalies", "n").alias("n_anomalies"),
+    )

@@ -207,3 +207,43 @@ def test_stream_sprt_equals_batch_monitor(spark):
     got = canon(_run(spark, "q_stream_sprt").toPandas())
     want = canon(_run(spark, "q_sprt_monitor").toPandas())
     assert got.equals(want), (got, want)
+
+
+def test_stream_topk_equals_batch_top5(spark):
+    got = canon(_run(spark, "q_stream_topk").toPandas())
+    want = canon(
+        load(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(5)
+        .toPandas()
+    )
+    assert got.equals(want), (got, want)
+
+
+def test_stream_online_moments_equal_batch(spark):
+    """Integer moment carries are batch-split-independent: the streaming
+    final (n, s2, ss2) per stream must equal the batch aggregates
+    exactly; the prequential anomaly count is bounded by n."""
+    got = _run(spark, "q_stream_online_moments").toPandas()
+    want = (
+        load(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s2"),
+            F.sum(
+                F.pow(F.round(F.col("value") * 100, 0).cast("bigint"), 2)
+            )
+            .cast("bigint")
+            .alias("ss2"),
+        )
+        .toPandas()
+    )
+    g = canon(got[["event_type", "n", "s2", "ss2"]])
+    w = canon(want)
+    assert g.equals(w), (g, w)
+    assert (got["n_anomalies"] <= got["n"]).all()
