@@ -5264,3 +5264,262 @@ def q_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_obs"),
         r4(F.avg("abn") / 10000).alias("mean_abnormal4"),
     )
+
+
+_MA_CHANNELS = ("click", "view", "signup", "error")
+_MA_ROUNDS = 12  # value-iteration rounds (absorption is geometric)
+
+
+def _ma_round_sql(i: int) -> str:
+    """One value-iteration round as SQL: v'(variant, s) = sum_t
+    P_variant(s, t) * v(variant, t) for transient s; absorbing states
+    pinned. r10 per round (the PageRank discipline)."""
+    prev = f"v{i - 1}"
+    from modforms_db_spark.oracle_dialect import R
+
+    # the absorbing rows are CONSTANTS (conv = 1, null = 0), emitted as
+    # literals so each round references the previous round exactly ONCE —
+    # a second back-reference makes un-materialized CTE inlining expand
+    # the upstream tree 2^rounds times (DuckDB ran out of file handles
+    # re-opening events.parquet ~4096 times; caught at build).
+    return f"""
+    v{i} AS (
+      SELECT p.variant, p.s AS state,
+             {R(f"SUM(p.pr * {prev}.val)", 10)} AS val
+      FROM pmat p JOIN {prev} ON p.variant = {prev}.variant
+                              AND p.t = {prev}.state
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT variant, 'conv' AS state, 1.0 AS val FROM variants
+      UNION ALL
+      SELECT variant, 'null' AS state, 0.0 AS val FROM variants
+    )"""
+
+
+_MA_ORACLE = (
+    """
+    WITH all_ev AS (
+      SELECT user_id, CAST(day(ts) AS BIGINT) AS d, ts, event_id, event_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, CAST(day(ts) AS BIGINT)) AS conv
+      FROM events
+    ), t2 AS (
+      SELECT *, LEAD(event_type) OVER w AS nxt, ROW_NUMBER() OVER w AS rn
+      FROM (SELECT * FROM all_ev WHERE event_type != 'purchase')
+      WINDOW w AS (PARTITION BY user_id, d ORDER BY ts, event_id)
+    ), trans AS (
+      SELECT 'start' AS s, event_type AS t FROM t2 WHERE rn = 1
+      UNION ALL
+      SELECT event_type AS s, nxt AS t FROM t2 WHERE nxt IS NOT NULL
+      UNION ALL
+      SELECT event_type AS s,
+             CASE WHEN conv = 1 THEN 'conv' ELSE 'null' END AS t
+      FROM t2 WHERE nxt IS NULL
+    ), counts AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2
+    ), variants AS (
+      SELECT UNNEST(['full', 'no_click', 'no_view', 'no_signup', 'no_error'])
+        AS variant
+    ), redirected AS (
+      SELECT v.variant, c.s,
+             CASE WHEN v.variant != 'full'
+                   AND c.t = regexp_replace(v.variant, '^no_', '')
+                  THEN 'null' ELSE c.t END AS t,
+             c.c
+      FROM counts c CROSS JOIN variants v
+    ), aggm AS (
+      SELECT variant, s, t, CAST(SUM(c) AS BIGINT) AS c
+      FROM redirected GROUP BY 1, 2, 3
+    ), pmat AS (
+      SELECT variant, s, t,
+             """
+    + R("c * 1.0 / SUM(c) OVER (PARTITION BY variant, s)", 10)
+    + """ AS pr
+      FROM aggm
+    ), v0 AS (
+      SELECT v.variant, st.state,
+             CASE WHEN st.state = 'conv' THEN 1.0 ELSE 0.0 END AS val
+      FROM variants v CROSS JOIN
+           (SELECT UNNEST(['start', 'click', 'view', 'signup', 'error',
+                           'conv', 'null']) AS state) st
+    ),
+    """
+    + ",".join(_ma_round_sql(i) for i in range(1, _MA_ROUNDS + 1))
+    + f"""
+    , p_start AS (
+      SELECT variant, val AS p_conv FROM v{_MA_ROUNDS} WHERE state = 'start'
+    ), full_p AS (
+      SELECT p_conv AS p_full FROM p_start WHERE variant = 'full'
+    ), rem AS (
+      SELECT regexp_replace(variant, '^no_', '') AS channel,
+             """
+    + R("(f.p_full - p.p_conv) / f.p_full", 10)
+    + f"""
+               AS re, p.p_conv, f.p_full
+      FROM p_start p CROSS JOIN full_p f
+      WHERE p.variant != 'full'
+    ), tot AS (SELECT SUM(re) AS tot_re FROM rem)
+    SELECT channel,
+           {R4('p_conv')} AS p_removed4,
+           {R4('re')} AS removal_effect4,
+           {R4('re / tot.tot_re')} AS share4
+    FROM rem CROSS JOIN tot
+    """
+)
+
+
+@register(
+    "q_markov_attribution",
+    oracle=_MA_ORACLE,
+    priority="P2",
+    tags=("temporal", "events", "attribution", "markov"),
+)
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al.) — the
+    industry counterpart to `q_attribution_shapley` (Shapley prices
+    coalition PRESENCE; the Markov model prices PATH structure, so
+    order and repetition matter): fit a first-order chain over
+    (user, day) journeys (start -> touches -> conv/null), compute the
+    absorbing conversion probability from 'start' by value
+    iteration, then for each channel REDIRECT every edge into it to
+    'null' and recompute — the relative drop is the channel's
+    removal effect, normalized into attribution shares.
+
+    All five chain variants (full + 4 removals) iterate as ONE keyed
+    frame: the transition matrix is (variant, from, to, p) with r10
+    probabilities, and each of the {_MA_ROUNDS} rounds is a single
+    join + groupBy over that ~250-row frame — the `q_ipf_raking` /
+    PageRank iteration discipline, identical in both engines.
+    Absorption is geometric (every journey ends), so {_MA_ROUNDS}
+    rounds converge far past the r4 reporting grain.
+
+    Scale: the data-sized work is ONE pass to journey transitions
+    (window lead over (user, day) orderings); everything after the
+    (from, to) count collapse is a broadcast-sized matrix. Removal
+    variants multiply the TINY frame, never the data."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    touches = (
+        ev.select(
+            "user_id",
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            "ts",
+            "event_id",
+            "event_type",
+        )
+        .withColumn(
+            "conv",
+            F.max((F.col("event_type") == "purchase").cast("int")).over(
+                Window.partitionBy("user_id", "d")
+            ),
+        )
+        .where(F.col("event_type") != "purchase")
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    ends = F.when(F.col("conv") == 1, F.lit("conv")).otherwise(F.lit("null"))
+    trans = (
+        touches.where(F.col("rn") == 1)
+        .select(F.lit("start").alias("s"), F.col("event_type").alias("t"))
+        .unionByName(
+            touches.where(F.col("nxt").isNotNull()).select(
+                F.col("event_type").alias("s"), F.col("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            touches.where(F.col("nxt").isNull()).select(
+                F.col("event_type").alias("s"), ends.alias("t")
+            )
+        )
+    )
+    counts = trans.groupBy("s", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).localCheckpoint(eager=False)  # five variant projections
+    variants = ["full"] + [f"no_{c}" for c in _MA_CHANNELS]
+    vdim = spark.range(len(variants)).select(
+        F.element_at(
+            F.array(*[F.lit(v) for v in variants]), (F.col("id") + 1).cast("int")
+        ).alias("variant")
+    )
+    removed = F.regexp_replace("variant", "^no_", "")
+    redirected = counts.crossJoin(F.broadcast(vdim)).select(
+        "variant",
+        "s",
+        F.when(
+            (F.col("variant") != "full") & (F.col("t") == removed),
+            F.lit("null"),
+        )
+        .otherwise(F.col("t"))
+        .alias("t"),
+        "c",
+    )
+    agg = redirected.groupBy("variant", "s", "t").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    wsum = Window.partitionBy("variant", "s")
+    pmat = agg.select(
+        "variant",
+        "s",
+        "t",
+        F.round(F.col("c") * 1.0 / F.sum("c").over(wsum), 10).alias("pr"),
+    ).localCheckpoint(eager=False)  # reused every iteration round
+    states = ["start", *_MA_CHANNELS, "conv", "null"]
+    sdim = spark.range(len(states)).select(
+        F.element_at(
+            F.array(*[F.lit(s) for s in states]), (F.col("id") + 1).cast("int")
+        ).alias("state")
+    )
+    v = vdim.crossJoin(F.broadcast(sdim)).select(
+        "variant",
+        "state",
+        F.when(F.col("state") == "conv", 1.0).otherwise(0.0).alias("val"),
+    )
+    for _ in range(_MA_ROUNDS):
+        trans_v = (
+            pmat.join(
+                v.select(
+                    F.col("variant").alias("v_var"),
+                    F.col("state").alias("t_state"),
+                    "val",
+                ),
+                (F.col("variant") == F.col("v_var"))
+                & (F.col("t") == F.col("t_state")),
+            )
+            .groupBy("variant", F.col("s").alias("state"))
+            .agg(F.round(F.sum(F.col("pr") * F.col("val")), 10).alias("val"))
+        )
+        absorbing = vdim.select(
+            "variant", F.lit("conv").alias("state"), F.lit(1.0).alias("val")
+        ).unionByName(
+            vdim.select(
+                "variant", F.lit("null").alias("state"),
+                F.lit(0.0).alias("val"),
+            )
+        )
+        v = trans_v.unionByName(absorbing).localCheckpoint(eager=False)
+    p_start = v.where(F.col("state") == "start").select(
+        "variant", F.col("val").alias("p_conv")
+    )
+    full = p_start.where(F.col("variant") == "full").select(
+        F.col("p_conv").alias("p_full")
+    )
+    rem = (
+        p_start.where(F.col("variant") != "full")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.regexp_replace("variant", "^no_", "").alias("channel"),
+            F.round((F.col("p_full") - F.col("p_conv")) / F.col("p_full"), 10)
+            .alias("re"),
+            "p_conv",
+            "p_full",
+        )
+        .localCheckpoint(eager=False)  # share normalization re-reads
+    )
+    tot = rem.agg(F.sum("re").alias("tot_re"))
+    return rem.crossJoin(F.broadcast(tot)).select(
+        "channel",
+        r4(F.col("p_conv")).alias("p_removed4"),
+        r4(F.col("re")).alias("removal_effect4"),
+        r4(F.col("re") / F.col("tot_re")).alias("share4"),
+    )

@@ -212,3 +212,19 @@ def test_canary_audit_gate_specificity(spark):
     assert df.loc["repetitive", "after_dedup"] == df.loc["repetitive", "n_injected"]
     assert df.loc["leaked", "after_decontam"] == 0
     assert df.loc["leaked", "after_repfilter"] == df.loc["leaked", "n_injected"]
+
+
+def test_wasserstein_shift_dominates(spark):
+    df = _run(spark, "q_wasserstein_drift").set_index("scope")
+    w_null = df.loc["null", "w1_dollars4"]
+    w_shift = df.loc["shifted", "w1_dollars4"]
+    assert abs(w_shift - 20.0) < w_null  # the shift dominates
+    assert w_null < 5  # hash-split noise, priced in dollars
+
+
+def test_markov_attribution_shares(spark):
+    df = _run(spark, "q_markov_attribution")
+    assert len(df) == 4
+    assert abs(df["share4"].sum() - 1.0) < 0.01
+    assert (df["removal_effect4"] > 0).all()  # every channel carries paths
+    assert (df["p_removed4"] < df["removal_effect4"] * 0 + 1).all()
