@@ -2538,3 +2538,132 @@ def q_canary_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("after_decontam"),
     )
+
+
+@register(
+    "q_fairness_parity",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CASE WHEN len(string_split(text, ' ')) >= 55
+                  THEN 1 ELSE 0 END AS gold
+      FROM documents
+    ), scoped AS (
+      SELECT 'uniform_gate' AS scope, lang, gold,
+             CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS pred
+      FROM base
+      UNION ALL
+      SELECT 'biased_gate' AS scope, lang, gold,
+             CASE WHEN n_chars > CASE WHEN lang = 'de' THEN 400 ELSE 250 END
+                  THEN 1 ELSE 0 END AS pred
+      FROM base
+    ), per_group AS (
+      SELECT scope, lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pred) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN pred = 1 AND gold = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN pred = 1 AND gold = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(gold) AS BIGINT) AS n_gold_pos
+      FROM scoped GROUP BY 1, 2
+    ), overall AS (
+      SELECT scope,
+             {R('SUM(n_pos) * 1.0 / SUM(n)', 10)} AS rate_all
+      FROM per_group GROUP BY 1
+    )
+    SELECT g.scope, g.lang, g.n,
+           {R4('g.n_pos * 1.0 / g.n')} AS select_rate4,
+           {R4('g.n_pos * 1.0 / g.n / o.rate_all')} AS parity_ratio4,
+           {R4('g.tp * 1.0 / NULLIF(g.n_gold_pos, 0)')} AS tpr4,
+           {R4('g.fp * 1.0 / NULLIF(g.n - g.n_gold_pos, 0)')} AS fpr4,
+           {R4('g.n_pos * 1.0 / g.n / o.rate_all')} >= 0.8 AS passes_80pct
+    FROM per_group g JOIN overall o ON g.scope = o.scope
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "fairness", "audit"),
+)
+def q_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a selection gate — demographic parity
+    (four-fifths rule) plus equalized-odds ingredients (per-group
+    TPR/FPR against a gold label) — the audit every CORPUS FILTER in
+    this repo should face before running at 100 TB: a quality gate
+    that silently under-selects one language group is a dataset bias
+    amplifier (documented repeatedly for web-corpus filters), and
+    the 80% rule is the standard first screen.
+
+    Two scopes at every SF: a uniform length gate (every language's
+    selection rate within family of the global rate — parity holds,
+    honest negative) and a planted gate that holds 'de' to a stricter
+    threshold — its parity ratio collapses and the 80% flag fires for
+    exactly that group. Gold is the whitespace-token proxy (the
+    `q_eval_confusion` device, thresholded above the gate's implied
+    token count so all four confusion cells are populated), so
+    TPR/FPR are real confusion rates,
+    exact integer counts with NULLIF degenerate guards; one r4 ratio
+    per metric.
+
+    Scale: one pass to the (scope, lang) conditional-count grain,
+    map-side combined; the overall rate joins back broadcast."""
+    prep(spark)
+    base = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.size(F.split("text", " ")) >= 55).cast("int").alias("gold"),
+        )
+        .localCheckpoint(eager=False)  # two scope legs — one scan
+    )
+    scoped = base.select(
+        F.lit("uniform_gate").alias("scope"),
+        "lang",
+        "gold",
+        (F.col("n_chars") > 250).cast("int").alias("pred"),
+    ).unionByName(
+        base.select(
+            F.lit("biased_gate").alias("scope"),
+            "lang",
+            "gold",
+            (
+                F.col("n_chars")
+                > F.when(F.col("lang") == "de", 400).otherwise(250)
+            )
+            .cast("int")
+            .alias("pred"),
+        )
+    )
+    per_group = scoped.groupBy("scope", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pred").cast("bigint").alias("n_pos"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("gold") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("gold") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum("gold").cast("bigint").alias("n_gold_pos"),
+    )
+    overall = per_group.groupBy("scope").agg(
+        F.round(F.sum("n_pos") * 1.0 / F.sum("n"), 10).alias("rate_all")
+    )
+    j = per_group.join(F.broadcast(overall), "scope")
+    rate = F.col("n_pos") * 1.0 / F.col("n")
+    parity = r4(rate / F.col("rate_all"))
+    return j.select(
+        "scope",
+        "lang",
+        "n",
+        r4(rate).alias("select_rate4"),
+        parity.alias("parity_ratio4"),
+        r4(
+            F.col("tp") * 1.0 / F.nullif(F.col("n_gold_pos"), F.lit(0))
+        ).alias("tpr4"),
+        r4(
+            F.col("fp")
+            * 1.0
+            / F.nullif(F.col("n") - F.col("n_gold_pos"), F.lit(0))
+        ).alias("fpr4"),
+        (parity >= 0.8).alias("passes_80pct"),
+    )

@@ -7239,3 +7239,365 @@ def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         z4.alias("sobel_z4"),
         (F.abs(z4) > _SOBEL_CRIT).alias("mediated"),
     )
+
+
+@register(
+    "q_tail_dependence",
+    oracle=f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST({R('l_extendedprice * 100', 0)} AS BIGINT) AS x,
+             -- mixture copula: 30% comonotone (y = x, scaled to own the
+             -- y-tail), 70% independent — lambda_U ~ the mixture weight
+             CASE WHEN (xor((l_orderkey * 7 + l_linenumber) * 1013904223
+                            % 4294967296,
+                            ((l_orderkey * 7 + l_linenumber) * 1013904223
+                             % 4294967296) >> 13)) % 100 < 30
+                  THEN CAST({R('l_extendedprice * 100', 0)} AS BIGINT) * 1000
+                  ELSE (xor((l_orderkey * 7 + l_linenumber) * 2654435761
+                            % 4294967296,
+                            ((l_orderkey * 7 + l_linenumber) * 2654435761
+                             % 4294967296) >> 16)) % 1000000 END AS y_dep,
+             (xor((l_orderkey * 7 + l_linenumber) * 2654435761 % 4294967296,
+                  ((l_orderkey * 7 + l_linenumber) * 2654435761
+                   % 4294967296) >> 16)) % 1000000 AS y_ind
+      FROM lineitem
+    ), scoped AS (
+      SELECT 'dependent' AS scope, l_orderkey, l_linenumber, x,
+             y_dep AS y FROM base
+      UNION ALL
+      SELECT 'independent' AS scope, l_orderkey, l_linenumber, x,
+             y_ind AS y FROM base
+    ), ranked AS (
+      SELECT scope, x, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY scope
+               ORDER BY x, l_orderkey, l_linenumber) AS BIGINT) AS rx,
+             CAST(ROW_NUMBER() OVER (PARTITION BY scope
+               ORDER BY y, l_orderkey, l_linenumber) AS BIGINT) AS ry,
+             CAST(COUNT(*) OVER (PARTITION BY scope) AS BIGINT) AS n
+      FROM scoped
+    )
+    SELECT scope, MIN(n) AS n,
+           CAST(SUM(CASE WHEN rx * 20 > 19 * n THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_x_tail,
+           CAST(SUM(CASE WHEN rx * 20 > 19 * n AND ry * 20 > 19 * n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+           {R4('SUM(CASE WHEN rx * 20 > 19 * n AND ry * 20 > 19 * n'
+               '         THEN 1 ELSE 0 END) * 1.0'
+               ' / SUM(CASE WHEN rx * 20 > 19 * n THEN 1 ELSE 0 END)')}
+             AS lambda_u4,
+           {R4('SUM(CASE WHEN rx * 20 > 19 * n AND ry * 20 > 19 * n'
+               '         THEN 1 ELSE 0 END) * 1.0'
+               ' / SUM(CASE WHEN rx * 20 > 19 * n THEN 1 ELSE 0 END)')}
+             > 0.2 AS tail_dependent
+    FROM ranked GROUP BY scope
+    """,
+    priority="P2",
+    tags=("agg", "stats", "dependence", "extremes"),
+)
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper tail-dependence coefficient lambda_U = P(Y in its top 5%
+    | X in its top 5%) — the EXTREMES question the whole-body
+    dependence measures (`q_agg_corr_matrix` Pearson,
+    `q_corr_spearman`, `q_xi_correlation`) cannot answer: risk, SLO
+    breach, and fraud analysis all care whether extremes CO-OCCUR,
+    and a Gaussian copula with rho = 0.8 still has lambda_U = 0.
+    Rank-based (copula territory: marginals factored out by ranking
+    each variable separately), with EXACT integer rank thresholds
+    (rank*20 > 19*n <=> rank/n > 0.95 — no fp quantile).
+
+    Two scopes at every SF: a planted MIXTURE copula — 30% of rows
+    comonotone with price (scaled so the comonotone component OWNS
+    y's upper tail), 70% independent — whose joint exceedances are
+    exactly the comonotone rows inside x's tail: lambda_U ~ 0.30,
+    recovered to the third decimal at every SF (the
+    first pair tried, price-vs-quantity, measured lambda_U = 0.043:
+    TPC-H unit prices decouple the extremes — a real finding, kept
+    in the independent scope's family) — and price-vs-avalanched-
+    hash (independent: lambda_U ~ 0.05 = q, the honest calibration
+    that the estimator's floor is the tail mass q, not 0).
+
+    Scale: two banded rankings per scope (value-range bands, no
+    global sort), then one conditional-count aggregate; thresholds
+    are integer arithmetic on (rank, n)."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    key = F.col("l_orderkey") * 7 + F.col("l_linenumber")
+    hbase = F.pmod(key * F.lit(2654435761).cast("bigint"), F.lit(4294967296))
+    base = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("bigint")
+            .alias("x"),
+            F.when(
+                F.pmod(
+                    F.pmod(
+                        key * F.lit(1013904223).cast("bigint"),
+                        F.lit(4294967296),
+                    ).bitwiseXOR(
+                        F.shiftright(
+                            F.pmod(
+                                key * F.lit(1013904223).cast("bigint"),
+                                F.lit(4294967296),
+                            ),
+                            13,
+                        )
+                    ),
+                    F.lit(100),
+                )
+                < 30,
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                * 1000,
+            )
+            .otherwise(
+                F.pmod(
+                    F.pmod(
+                        key * F.lit(2654435761).cast("bigint"),
+                        F.lit(4294967296),
+                    ).bitwiseXOR(
+                        F.shiftright(
+                            F.pmod(
+                                key * F.lit(2654435761).cast("bigint"),
+                                F.lit(4294967296),
+                            ),
+                            16,
+                        )
+                    ),
+                    F.lit(1000000),
+                )
+            )
+            .alias("y_dep"),
+            F.pmod(
+                hbase.bitwiseXOR(F.shiftright(hbase, 16)), F.lit(1000000)
+            ).alias("y_ind"),
+        )
+        .localCheckpoint(eager=False)  # two scope legs — one scan
+    )
+    scoped = base.select(
+        F.lit("dependent").alias("scope"),
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        F.col("y_dep").alias("y"),
+    ).unionByName(
+        base.select(
+            F.lit("independent").alias("scope"),
+            "l_orderkey",
+            "l_linenumber",
+            "x",
+            F.col("y_ind").alias("y"),
+        )
+    )
+    rx = with_banded_order(
+        scoped, "x", ["l_orderkey", "l_linenumber"],
+        group_cols=["scope"], rn_name="rx",
+    )
+    rxy = with_banded_order(
+        rx, "y", ["l_orderkey", "l_linenumber"],
+        group_cols=["scope"], rn_name="ry",
+    )
+    wn = Window.partitionBy("scope")
+    ranked = rxy.withColumn(
+        "n", F.count(F.lit(1)).over(wn).cast("bigint")
+    )
+    x_tail = (F.col("rx") * 20 > 19 * F.col("n")).cast("int")
+    joint = (
+        (F.col("rx") * 20 > 19 * F.col("n"))
+        & (F.col("ry") * 20 > 19 * F.col("n"))
+    ).cast("int")
+    lam = F.sum(joint) * 1.0 / F.sum(x_tail)
+    return ranked.groupBy("scope").agg(
+        F.min("n").alias("n"),
+        F.sum(x_tail).cast("bigint").alias("n_x_tail"),
+        F.sum(joint).cast("bigint").alias("n_joint"),
+        r4(lam).alias("lambda_u4"),
+        (r4(lam) > 0.2).alias("tail_dependent"),
+    )
+
+
+_META_K = 8  # strata
+
+
+@register(
+    "q_meta_analysis",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id % {_META_K} AS stratum,
+             CAST({R('value * 100', 0)} AS BIGINT) AS y2,
+             CASE WHEN (xor((event_id * 2654435761) % 4294967296,
+                            ((event_id * 2654435761) % 4294967296) >> 16))
+                       % 2 = 0 THEN 1 ELSE 0 END AS t
+      FROM events
+    ), scoped AS (
+      SELECT 'organic' AS scope, stratum, t, y2 FROM base
+      UNION ALL
+      SELECT 'planted' AS scope, stratum, t,
+             CASE WHEN stratum = 0 AND t = 1 THEN y2 + 3000 ELSE y2 END AS y2
+      FROM base
+    ), g AS (
+      SELECT scope, stratum, t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y2) AS BIGINT) AS s,
+             CAST(SUM(y2 * y2) AS BIGINT) AS ss
+      FROM scoped GROUP BY 1, 2, 3
+    ), eff AS (
+      SELECT a.scope, a.stratum,
+             {R('a.s * 1.0 / a.n - b.s * 1.0 / b.n', 10)} AS d,
+             {R('(a.ss - a.s * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1) / a.n'
+                ' + (b.ss - b.s * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1)'
+                '   / b.n', 10)} AS v
+      FROM (SELECT * FROM g WHERE t = 1) a
+      JOIN (SELECT * FROM g WHERE t = 0) b
+        ON a.scope = b.scope AND a.stratum = b.stratum
+    ), pooled AS (
+      SELECT scope,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             {R('SUM(d / v) / SUM(1.0 / v)', 10)} AS d_pool
+      FROM eff GROUP BY 1
+    ), het AS (
+      SELECT e.scope, p.k, p.d_pool,
+             {R('SUM((e.d - p.d_pool) * (e.d - p.d_pool) / e.v)', 10)} AS q
+      FROM eff e JOIN pooled p ON e.scope = p.scope
+      GROUP BY 1, 2, 3
+    )
+    SELECT scope, k,
+           {R4('d_pool / 100.0')} AS pooled_effect4,
+           {R4('q')} AS q_het4,
+           {R4('GREATEST(0.0, (q - (k - 1)) / q)')} AS i2_4,
+           {R4('GREATEST(0.0, (q - (k - 1)) / q)')} > 0.5 AS heterogeneous
+    FROM het
+    """,
+    priority="P2",
+    tags=("agg", "stats", "meta-analysis"),
+)
+def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis with Cochran's Q and Higgins' I² —
+    the POOLING discipline for per-stratum experiment results
+    (regional rollouts, per-cohort re-runs): inverse-variance-weighted
+    pooled effect, then the heterogeneity statistics that say whether
+    pooling was LEGITIMATE (Q ~ chi-square(k-1) under homogeneity;
+    I² = share of variance from between-strata disagreement — the
+    number that should send you to a random-effects model when it's
+    large). The missing-by-design complement to `q_cmh_test` (which
+    pools 2x2 counts; this pools mean effects with their variances).
+
+    Two scopes at every SF: organic strata share a true null effect
+    (I² ~ 0 — pooling legitimate, honest negative), and a planted
+    +30.00 treatment effect in stratum 0 only (Q explodes, I² > 0.5 —
+    the heterogeneity flag firing exactly when pooling would lie).
+    Per-stratum moments are exact bigint sums in ONE pass; d and its
+    variance are r10 doubles over them; Q, I², and the pooled effect
+    are single r4 formulas.
+
+    Scale: one pass to the (scope, stratum, arm) grain (map-side
+    combined), then k-row frames throughout."""
+    prep(spark)
+    h = F.pmod(
+        F.pmod(
+            F.col("event_id") * F.lit(2654435761).cast("bigint"),
+            F.lit(4294967296),
+        ).bitwiseXOR(
+            F.shiftright(
+                F.pmod(
+                    F.col("event_id") * F.lit(2654435761).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                16,
+            )
+        ),
+        F.lit(2),
+    )
+    base = load(spark, sf_dir, "events").select(
+        F.pmod(F.col("event_id"), F.lit(_META_K)).alias("stratum"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y2"),
+        (h == 0).cast("int").alias("t"),
+    ).localCheckpoint(eager=False)  # two scope legs — one scan
+    scoped = base.select(
+        F.lit("organic").alias("scope"), "stratum", "t", "y2"
+    ).unionByName(
+        base.select(
+            F.lit("planted").alias("scope"),
+            "stratum",
+            "t",
+            F.when(
+                (F.col("stratum") == 0) & (F.col("t") == 1),
+                F.col("y2") + 3000,
+            )
+            .otherwise(F.col("y2"))
+            .alias("y2"),
+        )
+    )
+    g = scoped.groupBy("scope", "stratum", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y2").cast("bigint").alias("s"),
+        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("ss"),
+    )
+    a = g.where(F.col("t") == 1).select(
+        "scope", "stratum",
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = g.where(F.col("t") == 0).select(
+        F.col("scope").alias("scope_b"), F.col("stratum").alias("stratum_b"),
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    var_leg = lambda ss, sc, n: (  # noqa: E731
+        (F.col(ss) - F.col(sc) * F.col(sc).cast("double") / F.col(n))
+        / (F.col(n) - 1)
+        / F.col(n)
+    )
+    eff = (
+        a.join(
+            F.broadcast(b),
+            (a.scope == b.scope_b) & (a.stratum == b.stratum_b),
+        )
+        .select(
+            "scope",
+            "stratum",
+            F.round(
+                F.col("s_a") * 1.0 / F.col("n_a")
+                - F.col("s_b") * 1.0 / F.col("n_b"),
+                10,
+            ).alias("d"),
+            F.round(
+                var_leg("ss_a", "s_a", "n_a") + var_leg("ss_b", "s_b", "n_b"),
+                10,
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)  # pooled + heterogeneity legs
+    )
+    pooled = eff.groupBy("scope").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.round(
+            F.sum(F.col("d") / F.col("v")) / F.sum(1.0 / F.col("v")), 10
+        ).alias("d_pool"),
+    )
+    het = (
+        eff.join(F.broadcast(pooled), "scope")
+        .groupBy("scope", "k", "d_pool")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("d") - F.col("d_pool"))
+                    * (F.col("d") - F.col("d_pool"))
+                    / F.col("v")
+                ),
+                10,
+            ).alias("q")
+        )
+    )
+    i2 = r4(
+        F.greatest(F.lit(0.0), (F.col("q") - (F.col("k") - 1)) / F.col("q"))
+    )
+    return het.select(
+        "scope",
+        "k",
+        r4(F.col("d_pool") / 100.0).alias("pooled_effect4"),
+        r4(F.col("q")).alias("q_het4"),
+        i2.alias("i2_4"),
+        (i2 > 0.5).alias("heterogeneous"),
+    )

@@ -228,3 +228,32 @@ def test_markov_attribution_shares(spark):
     assert abs(df["share4"].sum() - 1.0) < 0.01
     assert (df["removal_effect4"] > 0).all()  # every channel carries paths
     assert (df["p_removed4"] < df["removal_effect4"] * 0 + 1).all()
+
+
+def test_tail_dependence_branches(spark):
+    df = _run(spark, "q_tail_dependence").set_index("scope")
+    assert df.loc["dependent", "tail_dependent"]
+    assert not df.loc["independent", "tail_dependent"]
+    # independent lambda_U floors at the tail mass q = 0.05, not 0
+    assert 0.0 <= df.loc["independent", "lambda_u4"] < 0.15
+    assert abs(df.loc["dependent", "lambda_u4"] - 0.30) < 0.05
+
+
+def test_meta_analysis_heterogeneity_flag(spark):
+    df = _run(spark, "q_meta_analysis").set_index("scope")
+    assert df.loc["planted", "heterogeneous"]
+    assert not df.loc["organic", "heterogeneous"]
+    assert df.loc["organic", "i2_4"] < 0.5
+    assert df.loc["planted", "q_het4"] > df.loc["organic", "q_het4"]
+
+
+def test_fairness_flags_only_biased_group(spark):
+    df = _run(spark, "q_fairness_parity")
+    uniform = df[df["scope"] == "uniform_gate"]
+    assert uniform["passes_80pct"].all()
+    biased = df[df["scope"] == "biased_gate"].set_index("lang")
+    assert not biased.loc["de", "passes_80pct"]
+    others = biased.drop(index="de")
+    assert others["passes_80pct"].all()
+    # the biased gate also degrades de's TPR (equalized-odds view)
+    assert biased.loc["de", "tpr4"] < others["tpr4"].min()
