@@ -7601,3 +7601,144 @@ def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         i2.alias("i2_4"),
         (i2 > 0.5).alias("heterogeneous"),
     )
+
+
+_HT_N0 = 100  # target expected sample size per design
+
+
+@register(
+    "q_ht_estimator",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST({R('o_totalprice * 100', 0)} AS BIGINT) AS y2,
+             (xor((o_orderkey * 2654435761) % 4294967296,
+                  ((o_orderkey * 2654435761) % 4294967296) >> 16))
+               % 1000000 AS u
+      FROM orders
+    ), tot AS (
+      SELECT CAST(SUM(y2) AS BIGINT) AS true2,
+             CAST(COUNT(*) AS BIGINT) AS n_pop
+      FROM base
+    ), srs AS (
+      SELECT b.y2, t.true2, {_HT_N0} * 1.0 / t.n_pop AS pi
+      FROM base b CROSS JOIN tot t
+      WHERE b.u < {_HT_N0} * 1.0 / t.n_pop * 1000000
+    ), walk AS (
+      SELECT b.y2, t.true2, t.n_pop,
+             CAST(SUM(b.y2) OVER (ORDER BY b.u, b.o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM base b CROSS JOIN tot t
+    ), pps AS (
+      SELECT y2, true2,
+             LEAST(1.0, y2 * {_HT_N0} * 1.0 / true2) AS pi
+      FROM walk
+      WHERE cum // CAST(CEIL(true2 * 1.0 / {_HT_N0}) AS BIGINT)
+            > (cum - y2) // CAST(CEIL(true2 * 1.0 / {_HT_N0}) AS BIGINT)
+    ), sampled AS (
+      SELECT 'srs' AS method, true2,
+             CAST({R('y2 / pi', 0)} AS BIGINT) AS ht_term2
+      FROM srs
+      UNION ALL
+      SELECT 'pps' AS method, true2,
+             CAST({R('y2 / pi', 0)} AS BIGINT) AS ht_term2
+      FROM pps
+    ), est AS (
+      SELECT method, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(ht_term2) AS BIGINT) AS est2,
+             MIN(true2) AS true2
+      FROM sampled GROUP BY 1
+    )
+    SELECT method, n_sampled,
+           {R2('est2 / 100.0')} AS est_total2,
+           {R2('true2 / 100.0')} AS true_total2,
+           {R4('ABS(est2 - true2) * 1.0 / true2')} AS rel_err4
+    FROM est
+    """,
+    priority="P2",
+    tags=("agg", "sampling", "estimation"),
+)
+def q_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation under two sampling designs —
+    the SURVEY-SAMPLING estimator behind every "estimate the 100 TB
+    total from a 0.01% sample" query (`q_join_sample_estimate`
+    samples for JOIN sizes; this estimates population TOTALS with
+    unequal inclusion probabilities): include row i with probability
+    pi_i, estimate T = sum over the sample of y_i / pi_i — unbiased
+    for ANY pi > 0. Two designs side by side: Poisson SRS (pi
+    constant — carries BOTH per-row and sample-SIZE noise; measured
+    ~15% rel err at n0 = 100) and SYSTEMATIC PPS (fixed-size by
+    construction: take the rows whose cumulative-size interval
+    contains a multiple of T/n0, hash-ordered against periodicity —
+    the textbook pps implementation), whose HT terms are all ~ T/n0
+    when the size measure IS the target variable, so the total comes
+    back within ~1/n0. The first build used POISSON pps and measured
+    16% error — the random sample SIZE multiplies the estimate even
+    when every term is perfect (est = T * n/n0); the fixed-size
+    rework is the fix, and the contrast is the lesson.
+
+    Determinism: inclusion is an avalanched unit hash compared to
+    pi (sargable predicate, no RNG); HT terms are Spark-ROUND
+    quantized to integer cents before the order-independent bigint
+    sum; estimates and errors are single r2/r4 formulas.
+
+    Scale: one 1-row total pass, one sargable SRS scan, and one
+    banded cumulative walk for the systematic selection (no global
+    sort); the estimator never shuffles row data."""
+    prep(spark)
+    hbase = F.pmod(
+        F.col("o_orderkey") * F.lit(2654435761).cast("bigint"),
+        F.lit(4294967296),
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y2"),
+            F.pmod(
+                hbase.bitwiseXOR(F.shiftright(hbase, 16)), F.lit(1000000)
+            ).alias("u"),
+        )
+        .localCheckpoint(eager=False)  # totals + two design legs
+    )
+    t = base.agg(
+        F.sum("y2").cast("bigint").alias("true2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pop"),
+    ).collect()[0]
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    srs_pi = _HT_N0 * 1.0 / t.n_pop
+    srs = base.where(F.col("u") < srs_pi * 1000000).select(
+        F.lit("srs").alias("method"),
+        F.round(F.col("y2") / srs_pi, 0).cast("bigint").alias("ht_term2"),
+    )
+    step = int(-(-t.true2 // _HT_N0))  # ceil(T / n0), exact integer
+    walk = with_banded_order(
+        base, "u", ["o_orderkey"], cumsum_col="y2", rn_name="rn",
+        cum_name="cum",
+    )
+    pps = walk.where(
+        F.floor(F.col("cum") / step)
+        > F.floor((F.col("cum") - F.col("y2")) / step)
+    ).select(
+        F.lit("pps").alias("method"),
+        F.round(
+            F.col("y2")
+            / F.least(F.lit(1.0), F.col("y2") * _HT_N0 * 1.0 / t.true2),
+            0,
+        )
+        .cast("bigint")
+        .alias("ht_term2"),
+    )
+    sampled = srs.unionByName(pps)
+    est = sampled.groupBy("method").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("ht_term2").cast("bigint").alias("est2"),
+    )
+    return est.select(
+        "method",
+        "n_sampled",
+        F.round(F.col("est2") / 100.0, 2).alias("est_total2"),
+        F.round(F.lit(t.true2) / 100.0, 2).alias("true_total2"),
+        r4(F.abs(F.col("est2") - t.true2) * 1.0 / t.true2).alias("rel_err4"),
+    )

@@ -5523,3 +5523,155 @@ def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("re")).alias("removal_effect4"),
         r4(F.col("re") / F.col("tot_re")).alias("share4"),
     )
+
+
+_LB_LAGS = 5
+_LB_CRIT = 15.0863  # chi-square(5) upper 1% point
+# daily grain for Ljung-Box: r4 MEAN in cents (means keep the n-scaled
+# centered products inside bigint at every SF; daily SUMS overflow)
+_LB_DAILY_M2 = R(f"({R4('AVG(value)')} * 100)", 0)
+
+
+@register(
+    "q_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_LB_DAILY_M2} AS BIGINT) AS m2
+      FROM events GROUP BY 1, 2
+    ), walk AS (
+      SELECT event_type, d,
+             CAST(SUM(m2) OVER (PARTITION BY event_type ORDER BY d
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+      FROM daily
+    ), streams AS (
+      SELECT event_type AS stream, d, m2 AS x FROM daily
+      UNION ALL
+      SELECT 'randomwalk_planted' AS stream, d, cum2 AS x
+      FROM walk WHERE event_type = 'click'
+    ), stats AS (
+      SELECT stream, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+      FROM streams GROUP BY 1
+    ), w AS (
+      SELECT t.stream, t.d, st.n, t.x * st.n - st.s AS wv
+      FROM streams t JOIN stats st ON t.stream = st.stream
+    ), rho AS (
+      SELECT a.stream, k.k, MIN(a.n) AS n,
+             {R('SUM(a.wv * b.wv) * 1.0'
+                ' / MIN(den.d0)', 10)} AS rho
+      FROM w a
+      JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_LB_LAGS})) AS k) k ON TRUE
+      JOIN w b ON a.stream = b.stream AND b.d = a.d + k.k
+      JOIN (SELECT stream, CAST(SUM(wv * wv) AS BIGINT) AS d0
+            FROM w GROUP BY 1) den ON a.stream = den.stream
+      GROUP BY a.stream, k.k
+    )
+    , terms AS (
+      SELECT stream, n, rho * rho / (n - k) AS term FROM rho
+    )
+    SELECT stream, MIN(n) AS n,
+           {R4('MIN(n) * (MIN(n) + 2.0) * SUM(term)')} AS lb4,
+           {R4('MIN(n) * (MIN(n) + 2.0) * SUM(term)')} > {_LB_CRIT!r}
+             AS reject
+    FROM terms GROUP BY stream
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "statistics"),
+)
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test over lags 1..{_LB_LAGS} — the
+    VERDICT layer for `q_autocorrelation` (which reports the ACF;
+    LB asks "is there ANY serial structure?", jointly across lags —
+    the whiteness gate run on model residuals and on metrics before
+    trusting i.i.d.-assuming monitors): LB = n(n+2) * sum rho_k^2 /
+    (n-k) ~ chi-square(m) under independence, alpha = 0.01.
+
+    Streams on the CENTS-MEAN daily grain (means, not sums — the
+    n-scaled centered products w_t = n*x_t - S stay inside bigint at
+    every SF; the sum grain overflows at sf0.1, sized before
+    shipping): organic daily means are i.i.d. (ACCEPT), and the
+    planted stream is the running CUMSUM of click means — a random
+    walk, the canonical serially-dependent process (rho_1 ~ 0.9, LB
+    explodes — REJECT). Autocovariances are exact bigint
+    cross-products over exact centered integers; each rho is one r10
+    division; LB is one r4 formula over the 5-row rho frame.
+
+    Scale: lag joins and the LB reduction run on the calendar-bounded
+    daily grain; raw events enter through one partial-agg pass."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(
+            F.round(r4(F.avg("value")) * 100, 0).cast("bigint").alias("m2")
+        )
+        .localCheckpoint(eager=False)  # organic + walk legs — one scan
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = daily.select(
+        "event_type", "d", F.sum("m2").over(w_cum).cast("bigint").alias("cum2")
+    )
+    streams = (
+        daily.select(F.col("event_type").alias("stream"), "d", F.col("m2").alias("x"))
+        .unionByName(
+            walk.where(F.col("event_type") == "click").select(
+                F.lit("randomwalk_planted").alias("stream"),
+                "d",
+                F.col("cum2").alias("x"),
+            )
+        )
+        .localCheckpoint(eager=False)  # stats + centered legs
+    )
+    stats = streams.groupBy("stream").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    w = streams.join(F.broadcast(stats), "stream").select(
+        "stream",
+        "d",
+        "n",
+        (F.col("x") * F.col("n") - F.col("s")).alias("wv"),
+    ).localCheckpoint(eager=False)  # lag join (both sides) + denominator
+    den = w.groupBy("stream").agg(
+        F.sum(F.col("wv") * F.col("wv")).cast("bigint").alias("d0")
+    )
+    ks = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("k"))
+    b = w.select(
+        F.col("stream").alias("stream_b"),
+        F.col("d").alias("d_b"),
+        F.col("wv").alias("wv_b"),
+    )
+    rho = (
+        w.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("stream") == F.col("stream_b"))
+            & (F.col("d_b") == F.col("d") + F.col("k")),
+        )
+        .join(F.broadcast(den), "stream")
+        .groupBy("stream", "k")
+        .agg(
+            F.min("n").alias("n"),
+            F.round(
+                F.sum(F.col("wv") * F.col("wv_b")) * 1.0 / F.min("d0"), 10
+            ).alias("rho"),
+        )
+    )
+    terms = rho.select(
+        "stream",
+        "n",
+        (F.col("rho") * F.col("rho") / (F.col("n") - F.col("k"))).alias(
+            "term"
+        ),
+    )
+    lb4 = r4(F.min("n") * (F.min("n") + 2.0) * F.sum("term"))
+    return terms.groupBy("stream").agg(
+        F.min("n").alias("n"),
+        lb4.alias("lb4"),
+        (lb4 > _LB_CRIT).alias("reject"),
+    )

@@ -86,6 +86,7 @@ ALLOW_GLOBAL_WINDOW: dict[str, str] = {
     "q_negative_sampling": _R_BANDED_OFFSET,
     "q_curriculum_competence": _R_BANDED_OFFSET,
     "q_conformal_interval": _R_BANDED_OFFSET,
+    "q_ht_estimator": _R_BANDED_OFFSET,
     "q_pareto_abc_scaled": _R_BANDED_OFFSET,
     "q_quantile_normalize": _R_BANDED_OFFSET,
     "q_importance_resample": _R_BANDED_OFFSET,

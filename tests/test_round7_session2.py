@@ -257,3 +257,21 @@ def test_fairness_flags_only_biased_group(spark):
     assert others["passes_80pct"].all()
     # the biased gate also degrades de's TPR (equalized-odds view)
     assert biased.loc["de", "tpr4"] < others["tpr4"].min()
+
+
+def test_ljung_box_branches(spark):
+    df = _run(spark, "q_ljung_box").set_index("stream")
+    assert df.loc["randomwalk_planted", "reject"]
+    organic = df.drop(index="randomwalk_planted")
+    assert not organic["reject"].any()
+    assert df.loc["randomwalk_planted", "lb4"] > 5 * organic["lb4"].max()
+
+
+def test_ht_systematic_pps_beats_poisson_srs(spark):
+    df = _run(spark, "q_ht_estimator").set_index("method")
+    # fixed-size systematic pps with a perfect size measure: ~1/n0 error
+    assert df.loc["pps", "rel_err4"] < 0.02
+    # Poisson SRS carries per-row AND size noise
+    assert df.loc["pps", "rel_err4"] < df.loc["srs", "rel_err4"]
+    # systematic selection is fixed-size by construction (n0 +- 1)
+    assert abs(df.loc["pps", "n_sampled"] - 100) <= 1
