@@ -2667,3 +2667,176 @@ def q_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fpr4"),
         (parity >= 0.8).alias("passes_80pct"),
     )
+
+
+@register(
+    "q_pr_auc",
+    oracle=f"""
+    WITH s AS ({{scored}}
+    ), g AS (
+      SELECT source, score,
+             CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS nn
+      FROM s GROUP BY source, score
+    ), c AS (
+      SELECT source, score, np, nn,
+             CAST(SUM(np) OVER w AS BIGINT) AS tp,
+             CAST(SUM(nn) OVER w AS BIGINT) AS fp
+      FROM g
+      WINDOW w AS (PARTITION BY source ORDER BY score DESC
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT source,
+           CAST(SUM(np) AS BIGINT) AS n_pos,
+           CAST(SUM(nn) AS BIGINT) AS n_neg,
+           CASE WHEN SUM(np) > 0 THEN
+             {R4('SUM(np * (tp * 1.0 / (tp + fp))) / SUM(np)')}
+           END AS ap
+    FROM c GROUP BY source
+    """.format(scored=_qc_scored_sql()),
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "classifier"),
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the hashed quality classifier —
+    the IMBALANCE-honest companion to `q_roc_auc`: ROC-AUC stays
+    high when negatives dominate because false positives drown in
+    the big denominator; average precision scores against the
+    positive class only, which is why retrieval and rare-defect
+    gates report it. Tie-aware step form: score groups descend
+    atomically, AP = sum over groups of np_g * P(at group boundary)
+    / n_pos — every term an exact integer ratio off the cumulative
+    (tp, fp) walk; one r4 at the end; degenerate no-positive sources
+    report NULL (the textbook undefined case).
+
+    Same scored frame, grain, and tiebreaks as `q_roc_auc`, so the
+    two read as one evaluation suite.
+
+    Scale: one scan to the (source, score) grain (bounded by 4-dp
+    score quantization x sources), a source-partitioned cumulative
+    window, a per-source reduce."""
+    prep(spark)
+    s = _qc_scored(spark, sf_dir)
+    g = s.groupBy("source", "score").agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = g.select(
+        "source",
+        "np",
+        "nn",
+        F.sum("np").over(w).cast("bigint").alias("tp"),
+        F.sum("nn").over(w).cast("bigint").alias("fp"),
+    )
+    ap = r4(
+        F.sum(F.col("np") * (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))))
+        / F.sum("np")
+    )
+    return c.groupBy("source").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum("nn").cast("bigint").alias("n_neg"),
+        F.when(F.sum("np") > 0, ap).alias("ap"),
+    )
+
+
+@register(
+    "q_brier_decomposition",
+    oracle=f"""
+    WITH s AS ({{scored}}
+    ), binned AS (
+      SELECT source,
+             LEAST(9, GREATEST(0, CAST(FLOOR(score * 10) AS BIGINT))) AS b,
+             CASE WHEN label THEN 1 ELSE 0 END AS o,
+             score
+      FROM s
+    ), per_bin AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(o) AS BIGINT) AS o_k,
+             {R('AVG(score)', 10)} AS p_k
+      FROM binned GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, CAST(SUM(n_k) AS BIGINT) AS n,
+             CAST(SUM(o_k) AS BIGINT) AS o_all
+      FROM per_bin GROUP BY 1
+    )
+    SELECT p.source, t.n,
+           {R4('SUM(p.n_k * (p.p_k - p.o_k * 1.0 / p.n_k)'
+               '        * (p.p_k - p.o_k * 1.0 / p.n_k)) / MIN(t.n)')}
+             AS reliability4,
+           {R4('SUM(p.n_k * (p.o_k * 1.0 / p.n_k - t.o_all * 1.0 / t.n)'
+               '        * (p.o_k * 1.0 / p.n_k - t.o_all * 1.0 / t.n))'
+               ' / MIN(t.n)')} AS resolution4,
+           {R4('(t.o_all * 1.0 / t.n) * (1 - t.o_all * 1.0 / t.n)')}
+             AS uncertainty4
+    FROM per_bin p JOIN tot t ON p.source = t.source
+    GROUP BY p.source, t.n, t.o_all
+    """.format(scored=_qc_scored_sql()),
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "calibration"),
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — Brier = RELIABILITY
+    - RESOLUTION + UNCERTAINTY — the diagnostic layer
+    `q_calibration_ece` (which reports only the reliability-ish gap)
+    cannot give: reliability says how far the forecast probabilities
+    sit from observed rates (lower better), resolution says how much
+    the forecasts actually DISCRIMINATE between outcomes (higher
+    better), and uncertainty is the irreducible base-rate term — a
+    forecaster can be perfectly calibrated and useless (resolution
+    0), which is exactly the failure ECE hides.
+
+    Uses the house scored frame (q_quality_classifier's score as
+    probability proxy, C4 verdict as outcome) on the ECE 10-bin
+    grid; per-bin forecast means r10, observed rates exact integer
+    ratios, each component one r4 formula over the 10-row bin frame
+    — with the binned forecast as the forecast, the three-term
+    identity is exact by construction.
+
+    Scale: one scan to the (source, bin) grain, map-side combined;
+    everything downstream is 10-row frames per source."""
+    prep(spark)
+    s = _qc_scored(spark, sf_dir)
+    binned = s.select(
+        "source",
+        F.least(
+            F.lit(9), F.greatest(F.lit(0), F.floor(F.col("score") * 10))
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.when(F.col("label"), 1).otherwise(0).alias("o"),
+        "score",
+    )
+    per_bin = binned.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_k"),
+        F.sum("o").cast("bigint").alias("o_k"),
+        F.round(F.avg("score"), 10).alias("p_k"),
+    ).localCheckpoint(eager=False)  # totals leg + component join — one scan
+    tot = per_bin.groupBy("source").agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("o_k").cast("bigint").alias("o_all"),
+    )
+    j = per_bin.join(F.broadcast(tot), "source")
+    o_rate = F.col("o_k") * 1.0 / F.col("n_k")
+    base = F.col("o_all") * 1.0 / F.col("n")
+    rel = r4(
+        F.sum(F.col("n_k") * (F.col("p_k") - o_rate) * (F.col("p_k") - o_rate))
+        / F.min("n")
+    )
+    res = r4(
+        F.sum(F.col("n_k") * (o_rate - base) * (o_rate - base)) / F.min("n")
+    )
+    unc = r4(base * (1 - base))
+    return j.groupBy("source", "n", "o_all").agg(
+        rel.alias("reliability4"),
+        res.alias("resolution4"),
+        unc.alias("uncertainty4"),
+    ).select("source", "n", "reliability4", "resolution4", "uncertainty4")

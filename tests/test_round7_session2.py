@@ -275,3 +275,27 @@ def test_ht_systematic_pps_beats_poisson_srs(spark):
     assert df.loc["pps", "rel_err4"] < df.loc["srs", "rel_err4"]
     # systematic selection is fixed-size by construction (n0 +- 1)
     assert abs(df.loc["pps", "n_sampled"] - 100) <= 1
+
+
+def test_pr_auc_vs_roc_relationship(spark):
+    pr = _run(spark, "q_pr_auc").set_index("source")
+    roc = _run(spark, "q_roc_auc").set_index("source")
+    both = pr.join(roc[["auc"]], how="inner").dropna()
+    # AP is bounded (0, 1]; and must beat the random baseline
+    # (prevalence) wherever ROC-AUC does better than chance
+    for src, r in both.iterrows():
+        prev = r["n_pos"] / (r["n_pos"] + r["n_neg"])
+        assert 0 < r["ap"] <= 1
+        if r["auc"] > 0.55:
+            assert r["ap"] > prev, (src, r["ap"], prev)
+
+
+def test_brier_murphy_identity_components(spark):
+    df = _run(spark, "q_brier_decomposition")
+    # all three components live in their ranges; reliability small for a
+    # roughly calibrated score, uncertainty = p(1-p) <= 0.25
+    assert (df["reliability4"] >= 0).all()
+    assert (df["resolution4"] >= 0).all()
+    assert (df["uncertainty4"] <= 0.25 + 1e-9).all()
+    # resolution can never exceed uncertainty (Murphy bound)
+    assert (df["resolution4"] <= df["uncertainty4"] + 1e-4).all()
