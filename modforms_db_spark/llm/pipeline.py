@@ -2840,3 +2840,150 @@ def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.alias("resolution4"),
         unc.alias("uncertainty4"),
     ).select("source", "n", "reliability4", "resolution4", "uncertainty4")
+
+
+@register(
+    "q_uplift_qini",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST({R('value * 100', 0)} AS BIGINT) AS s,
+             (xor((event_id * 2654435761) % 4294967296,
+                  ((event_id * 2654435761) % 4294967296) >> 16)) % 2 AS t,
+             (xor((event_id * 1013904223) % 4294967296,
+                  ((event_id * 1013904223) % 4294967296) >> 13)) % 100 AS u
+      FROM events
+    ), ranked AS (
+      SELECT event_id, s, t, u,
+             CAST(ROW_NUMBER() OVER (ORDER BY s DESC, event_id) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM base
+    ), units AS (
+      SELECT t,
+             CAST(CEIL(rn * 10.0 / n) AS BIGINT) AS decile,
+             CASE WHEN u < 10 + 15 * t * (CASE WHEN rn * 10 <= 3 * n
+                                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS y
+      FROM ranked
+    ), cells AS (
+      SELECT decile, t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS c
+      FROM units GROUP BY 1, 2
+    ), cum AS (
+      SELECT a.decile,
+             CAST(SUM(b.n) FILTER (b.t = 1) AS BIGINT) AS nt,
+             CAST(SUM(b.c) FILTER (b.t = 1) AS BIGINT) AS ct,
+             CAST(SUM(b.n) FILTER (b.t = 0) AS BIGINT) AS nc,
+             CAST(SUM(b.c) FILTER (b.t = 0) AS BIGINT) AS cc
+      FROM (SELECT DISTINCT decile FROM cells) a
+      JOIN cells b ON b.decile <= a.decile
+      GROUP BY 1
+    )
+    SELECT decile, nt, nc,
+           {R4('ct - cc * nt * 1.0 / nc')} AS qini4,
+           {R4(f"(SELECT {R4('ct - cc * nt * 1.0 / nc')}"
+               " FROM cum WHERE decile = 10) * decile / 10.0")}
+             AS random_baseline4
+    FROM cum
+    """,
+    priority="P2",
+    tags=("llm", "pipeline", "evaluation", "uplift"),
+)
+def q_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift-model evaluation — the INCREMENTALITY
+    twin of `q_lift_gains` (gains curves score RESPONSE; Qini scores
+    the treatment EFFECT captured by targeting depth k: cumulative
+    treated conversions minus scaled control conversions among the
+    top-k scored units, against the random-targeting straight line):
+    the metric that decides "whom should we treat?" rather than "who
+    will convert?".
+
+    Synthetic panel with a known heterogeneous effect at every SF:
+    treatment lifts conversion (+15 points) ONLY for the top-30%
+    scored units (the score is a real uplift signal by construction),
+    so the Qini curve must rise through deciles 1-3 and go FLAT
+    after — sitting above the random baseline everywhere in between
+    (law-pinned). Treatment and outcome come from independent
+    avalanched hashes (the q_ipw_ate lesson); the decile split is an
+    exact integer rank bucketing (banded rank in the Spark plan);
+    cumulative cell counts are exact bigints; Qini values are single
+    r4 formulas.
+
+    Scale: one banded rank pass + a (decile, arm) cell collapse; the
+    cumulative walk runs on the 20-row cell frame."""
+    from modforms_db_spark.operators.banded import with_banded_order
+
+    prep(spark)
+    h = lambda k, sh: F.pmod(  # noqa: E731
+        F.pmod(F.col("event_id") * F.lit(k).cast("bigint"), F.lit(4294967296))
+        .bitwiseXOR(
+            F.shiftright(
+                F.pmod(
+                    F.col("event_id") * F.lit(k).cast("bigint"),
+                    F.lit(4294967296),
+                ),
+                sh,
+            )
+        ),
+        F.lit(10000),
+    )
+    base = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("s"),
+        F.pmod(h(2654435761, 16), F.lit(2)).alias("t"),
+        F.pmod(h(1013904223, 13), F.lit(100)).alias("u"),
+    )
+    ranked = with_banded_order(
+        base, "s", ["event_id"], rn_name="rn", descending=True
+    )
+    n_total = ranked.count()
+    units = ranked.select(
+        "t",
+        F.ceil(F.col("rn") * 10.0 / n_total).cast("bigint").alias("decile"),
+        F.when(
+            F.col("u")
+            < 10
+            + 15
+            * F.col("t")
+            * F.when(F.col("rn") * 10 <= 3 * n_total, 1).otherwise(0),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    cells = units.groupBy("decile", "t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("c"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wide = (
+        cells.groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("t") == 1, F.col("n"))).alias("n_t"),
+            F.sum(F.when(F.col("t") == 1, F.col("c"))).alias("c_t"),
+            F.sum(F.when(F.col("t") == 0, F.col("n"))).alias("n_c"),
+            F.sum(F.when(F.col("t") == 0, F.col("c"))).alias("c_c"),
+        )
+        .select(
+            "decile",
+            F.sum("n_t").over(w).cast("bigint").alias("nt"),
+            F.sum("c_t").over(w).cast("bigint").alias("ct"),
+            F.sum("n_c").over(w).cast("bigint").alias("nc"),
+            F.sum("c_c").over(w).cast("bigint").alias("cc"),
+        )
+        .localCheckpoint(eager=False)  # final-point lookup + per-decile rows
+    )
+    qini = F.col("ct") - F.col("cc") * F.col("nt") * 1.0 / F.col("nc")
+    final = wide.where(F.col("decile") == 10).select(
+        r4(qini).alias("q_final")
+    )
+    return wide.crossJoin(F.broadcast(final)).select(
+        "decile",
+        "nt",
+        "nc",
+        r4(qini).alias("qini4"),
+        r4(F.col("q_final") * F.col("decile") / 10.0).alias(
+            "random_baseline4"
+        ),
+    )

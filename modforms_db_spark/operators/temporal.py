@@ -5675,3 +5675,222 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         lb4.alias("lb4"),
         (lb4 > _LB_CRIT).alias("reject"),
     )
+
+
+_BINSEG_REL = 0.45   # accept a split iff gain > REL * segment SS
+_BINSEG_MINSIDE = 4  # minimum points on each side of a split
+_BINSEG_SHIFT = 100000  # planted level shift, cents (~20x daily-mean scale)
+
+
+def _binseg_round_sql(i: int) -> str:
+    """One binary-segmentation round as SQL over seg{i-1}(stream, seg,
+    d, x): per-segment prefix stats, best admissible split by gain
+    (ties to the earliest day), segments re-keyed where accepted.
+    Also emits cps{i} with the accepted changepoints."""
+    p = f"seg{i - 1}"
+    from modforms_db_spark.oracle_dialect import R4
+
+    return f"""
+    st{i} AS (
+      SELECT stream, seg, d, x,
+             CAST(SUM(x) OVER w AS BIGINT) AS c1,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS c2,
+             CAST(ROW_NUMBER() OVER (PARTITION BY stream, seg ORDER BY d)
+                  AS BIGINT) AS r,
+             CAST(SUM(x) OVER p AS BIGINT) AS t1,
+             CAST(SUM(x * x) OVER p AS BIGINT) AS t2,
+             CAST(COUNT(*) OVER p AS BIGINT) AS n
+      FROM {p}
+      WINDOW w AS (PARTITION BY stream, seg ORDER BY d
+                   ROWS UNBOUNDED PRECEDING),
+             p AS (PARTITION BY stream, seg)
+    ), g{i} AS (
+      SELECT stream, seg, d, r, n,
+             (t2 - t1 * CAST(t1 AS DOUBLE) / n)
+               - ((c2 - c1 * CAST(c1 AS DOUBLE) / r)
+                  + ((t2 - c2) - (t1 - c1) * CAST(t1 - c1 AS DOUBLE)
+                     / (n - r))) AS gain,
+             t2 - t1 * CAST(t1 AS DOUBLE) / n AS ss_seg
+      FROM st{i}
+      WHERE r >= {_BINSEG_MINSIDE} AND n - r >= {_BINSEG_MINSIDE}
+        AND n >= 2 * {_BINSEG_MINSIDE}
+    ), best{i} AS (
+      SELECT * FROM (
+        SELECT stream, seg, d AS cp_d, gain, ss_seg,
+               ROW_NUMBER() OVER (PARTITION BY stream, seg
+                 ORDER BY gain DESC, d) AS rk
+        FROM g{i}
+      ) WHERE rk = 1 AND ss_seg > 0 AND gain > {_BINSEG_REL} * ss_seg
+    ), cps{i} AS (
+      SELECT stream, CAST({i} AS BIGINT) AS level, cp_d,
+             {R4('gain / ss_seg')} AS rel_gain4
+      FROM best{i}
+    ), seg{i} AS (
+      SELECT s.stream,
+             s.seg * 2 + CASE WHEN b.cp_d IS NOT NULL AND s.d > b.cp_d
+                              THEN 1 ELSE 0 END AS seg,
+             s.d, s.x
+      FROM {p} s LEFT JOIN best{i} b
+        ON s.stream = b.stream AND s.seg = b.seg
+    )"""
+
+
+@register(
+    "q_changepoint_binseg",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(day(ts) AS BIGINT) AS d,
+             CAST({_LB_DAILY_M2} AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), seg0 AS (
+      SELECT event_type AS stream, 1 AS seg, d, x FROM daily
+      UNION ALL
+      SELECT 'shifts_planted' AS stream, 1 AS seg, d,
+             x + CASE WHEN d >= 11 THEN {_BINSEG_SHIFT} ELSE 0 END
+               + CASE WHEN d >= 21 THEN {_BINSEG_SHIFT} ELSE 0 END AS x
+      FROM daily WHERE event_type = 'click'
+    ),
+    {_binseg_round_sql(1)},
+    {_binseg_round_sql(2)}
+    SELECT stream, level, cp_d, rel_gain4 FROM cps1
+    UNION ALL
+    SELECT stream, level, cp_d, rel_gain4 FROM cps2
+    """,
+    priority="P2",
+    tags=("temporal", "timeseries", "changepoint"),
+)
+def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline MULTI-changepoint detection by binary segmentation
+    (depth 2, up to 3 changepoints) — the retrospective complement to
+    `q_changepoint_cusum`'s single-change online monitor: repeatedly
+    split the series at the point maximizing the between-segment
+    sum-of-squares reduction, accept a split only when it explains >
+    {_BINSEG_REL:.0%} of the segment's SS with >= {_BINSEG_MINSIDE}
+    points per side (measured organic max relative gain is 0.21
+    across shipped SFs — the threshold clears it with margin), then
+    recurse into the accepted halves.
+
+    Planted: the click stream plus two level shifts (d >= 11 and
+    d >= 21, each ~20x the daily-mean scale) — the two candidate
+    first splits (d = 10, d = 20) are gain-TIED in theory (equal
+    thirds), so organic noise picks one and level 2 recovers the
+    other inside the remaining long half; both boundaries emitted
+    at every SF is the law. Organic streams emit NOTHING (no admissible split
+    clears the threshold — the honest negative is an empty group,
+    not a row of false positives). Segment stats are exact bigint
+    prefix sums on the cents-mean daily grain (shift sized so x^2
+    stays far inside bigint); gains are single double formulas over
+    them; acceptance compares r4-stable ratios.
+
+    Scale: every window is (stream, segment)-partitioned over the
+    calendar-bounded daily grain; depth-2 recursion is two identical
+    relational rounds (the q_ipf_raking loop discipline), each a
+    constant number of window passes regardless of data size."""
+    prep(spark)
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.dayofmonth("ts").cast("bigint").alias("d"))
+        .agg(F.round(r4(F.avg("value")) * 100, 0).cast("bigint").alias("x"))
+        .localCheckpoint(eager=False)  # organic + planted legs
+    )
+    plant = (
+        F.col("x")
+        + F.when(F.col("d") >= 11, _BINSEG_SHIFT).otherwise(0)
+        + F.when(F.col("d") >= 21, _BINSEG_SHIFT).otherwise(0)
+    )
+    seg = daily.select(
+        F.col("event_type").alias("stream"),
+        F.lit(1).cast("bigint").alias("seg"),
+        "d",
+        "x",
+    ).unionByName(
+        daily.where(F.col("event_type") == "click").select(
+            F.lit("shifts_planted").alias("stream"),
+            F.lit(1).cast("bigint").alias("seg"),
+            "d",
+            plant.alias("x"),
+        )
+    )
+    cps = None
+    for level in (1, 2):
+        seg = seg.localCheckpoint(eager=False)  # stats + split legs
+        wp = Window.partitionBy("stream", "seg")
+        wo = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+        st = seg.select(
+            "stream",
+            "seg",
+            "d",
+            "x",
+            F.sum("x").over(wo).cast("bigint").alias("c1"),
+            F.sum(F.col("x") * F.col("x")).over(wo).cast("bigint").alias("c2"),
+            F.row_number().over(wp.orderBy("d")).cast("bigint").alias("r"),
+            F.sum("x").over(wp).cast("bigint").alias("t1"),
+            F.sum(F.col("x") * F.col("x")).over(wp).cast("bigint").alias("t2"),
+            F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        )
+        ss_seg = F.col("t2") - F.col("t1") * F.col("t1").cast("double") / F.col("n")
+        gain = ss_seg - (
+            (F.col("c2") - F.col("c1") * F.col("c1").cast("double") / F.col("r"))
+            + (
+                (F.col("t2") - F.col("c2"))
+                - (F.col("t1") - F.col("c1"))
+                * (F.col("t1") - F.col("c1")).cast("double")
+                / (F.col("n") - F.col("r"))
+            )
+        )
+        g = st.where(
+            (F.col("r") >= _BINSEG_MINSIDE)
+            & (F.col("n") - F.col("r") >= _BINSEG_MINSIDE)
+            & (F.col("n") >= 2 * _BINSEG_MINSIDE)
+        ).select(
+            "stream", "seg", "d",
+            gain.alias("gain"), ss_seg.alias("ss_seg"),
+        )
+        w_rk = Window.partitionBy("stream", "seg").orderBy(
+            F.desc("gain"), F.asc("d")
+        )
+        best = (
+            g.withColumn("rk", F.row_number().over(w_rk))
+            .where(
+                (F.col("rk") == 1)
+                & (F.col("ss_seg") > 0)
+                & (F.col("gain") > _BINSEG_REL * F.col("ss_seg"))
+            )
+            .select(
+                "stream", "seg", F.col("d").alias("cp_d"),
+                r4(F.col("gain") / F.col("ss_seg")).alias("rel_gain4"),
+            )
+            .localCheckpoint(eager=False)  # cps leg + split leg
+        )
+        level_cps = best.select(
+            "stream", F.lit(level).cast("bigint").alias("level"),
+            "cp_d", "rel_gain4",
+        )
+        cps = level_cps if cps is None else cps.unionByName(level_cps)
+        b = best.select(
+            F.col("stream").alias("stream_b"),
+            F.col("seg").alias("seg_b"),
+            "cp_d",
+        )
+        seg = (
+            seg.join(
+                F.broadcast(b),
+                (F.col("stream") == F.col("stream_b"))
+                & (F.col("seg") == F.col("seg_b")),
+                "left",
+            )
+            .select(
+                "stream",
+                (
+                    F.col("seg") * 2
+                    + F.when(
+                        F.col("cp_d").isNotNull()
+                        & (F.col("d") > F.col("cp_d")),
+                        1,
+                    ).otherwise(0)
+                ).alias("seg"),
+                "d",
+                "x",
+            )
+        )
+    return cps

@@ -299,3 +299,27 @@ def test_brier_murphy_identity_components(spark):
     assert (df["uncertainty4"] <= 0.25 + 1e-9).all()
     # resolution can never exceed uncertainty (Murphy bound)
     assert (df["resolution4"] <= df["uncertainty4"] + 1e-4).all()
+
+
+def test_binseg_recovers_both_boundaries(spark):
+    df = _run(spark, "q_changepoint_binseg")
+    planted = df[df["stream"] == "shifts_planted"]
+    assert sorted(planted["cp_d"].tolist()) == [10, 20]
+    assert (planted["rel_gain4"] > 0.45).all()
+    # organic streams emit nothing — the honest negative
+    assert (df["stream"] == "shifts_planted").all()
+
+
+def test_qini_rises_then_flattens_above_baseline(spark):
+    df = _run(spark, "q_uplift_qini").sort_values("decile")
+    # above the random-targeting line strictly inside the curve
+    mid = df[(df["decile"] >= 2) & (df["decile"] <= 9)]
+    assert (mid["qini4"] > mid["random_baseline4"]).all()
+    # effect concentrates in the top 3 deciles: by decile 3 the curve
+    # is already near its plateau
+    q3 = df[df["decile"] == 3]["qini4"].iloc[0]
+    qmax = df["qini4"].max()
+    assert q3 > 0.75 * qmax
+    # endpoint equals the baseline endpoint by construction
+    last = df[df["decile"] == 10]
+    assert abs(last["qini4"].iloc[0] - last["random_baseline4"].iloc[0]) < 1e-9
