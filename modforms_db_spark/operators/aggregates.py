@@ -6601,10 +6601,10 @@ _BP_CRIT = 6.6349  # chi-square(1) upper 1% point
              CAST(SUM(s.x * CAST(
                   {R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
                   AS BIGINT)) AS BIGINT) AS sxz,
-             SUM(CAST(CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
-                 AS BIGINT) AS DOUBLE)
-                 * CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
-                        AS DOUBLE)) AS szz
+             CAST(SUM(CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                  AS BIGINT)
+                  * CAST({R('POWER((s.y2 - f.a - f.b * s.x) / 100.0, 2)', 0)}
+                         AS BIGINT)) AS BIGINT) AS szz
       FROM scopes s JOIN fit2 f ON s.scope = f.scope
       GROUP BY 1
     )
@@ -6646,9 +6646,9 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-pass OLS moments are exact bigints and (a, b) are single
     double formulas over them; per-row squared residuals are
     Spark-ROUND-quantized to whole dollar-squared integers (the R()
-    dialect device), making second-pass sums order-independent
-    bigints (szz pairs a bigint with itself in double — deterministic
-    one-multiply products); LM is one r4 double formula at the end.
+    dialect device), making ALL second-pass sums (sz, sxz, szz)
+    order-independent exact bigints; LM is one r4 double formula at
+    the end.
 
     Scale: two aggregate passes over one checkpointed scan (the OLS
     moments, then the aux moments with (a, b) broadcast back), both
@@ -6697,7 +6697,11 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(z).cast("bigint").alias("sz"),
             F.sum(F.col("x") * z).cast("bigint").alias("sxz"),
-            F.sum(z.cast("double") * z.cast("double")).alias("szz"),
+            # z*z summed as exact bigint like sz/sxz (r7 ADVICE): the
+            # double-product sum was order-dependent past 2^53. z ~ 1e6
+            # (whole dollars²), so z² ~ 1e12 and the sum clears int64 up
+            # to ~10^6 rows per scope; ANSI raises loudly beyond.
+            F.sum(z * z).cast("bigint").alias("szz"),
         )
     )
     lm4 = r4(
@@ -7319,7 +7323,15 @@ def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two banded rankings per scope (value-range bands, no
     global sort), then one conditional-count aggregate; thresholds
-    are integer arithmetic on (rank, n)."""
+    are integer arithmetic on (rank, n).
+
+    SF bound (r7 ADVICE, documented like q_ljung_box): the planted
+    copula hashes (l_orderkey*7 + l_linenumber) * 1013904223 BEFORE
+    its mod-2^32 reduction, so the int64 product overflows once
+    l_orderkey exceeds ~1.3e9 — i.e. beyond SF ~200, where DuckDB
+    raises while Spark would wrap. The shipped fixture tops out at
+    SF 0.1; rework the plant (reduce the key mod 2^32 first) before
+    running the oracle comparison above that bound."""
     from modforms_db_spark.operators.banded import with_banded_order
 
     prep(spark)
@@ -7717,9 +7729,12 @@ def q_ht_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, "u", ["o_orderkey"], cumsum_col="y2", rn_name="rn",
         cum_name="cum",
     )
+    # Integer `div` (r7 ADVICE), not floor(double /): the double form
+    # agrees with the oracle's bigint `//` only while cum <= 2^53;
+    # `div` keeps both engines on exact integer floor division at any
+    # cumulative total (cum is a nonneg bigint, step a positive int).
     pps = walk.where(
-        F.floor(F.col("cum") / step)
-        > F.floor((F.col("cum") - F.col("y2")) / step)
+        F.expr(f"cum div {step}") > F.expr(f"(cum - y2) div {step}")
     ).select(
         F.lit("pps").alias("method"),
         F.round(
