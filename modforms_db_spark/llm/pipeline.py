@@ -2061,9 +2061,13 @@ def q_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     product); gram frames are linear in corpus tokens and collapse
     map-side to per-(pair, gram) counts before the one shuffle."""
     prep(spark)
+    # spread(): the gram legs below explode + transform every token of
+    # every pair — compute that must not inherit the single-file scan's
+    # (or the bench panel's 4-way shuffle) parallelism (io.spread).
     d = (
-        load(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 300)
+        spread(
+            load(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+        )
         .select("doc_id", "lang", F.split("text", " ").alias("toks"))
         .localCheckpoint(eager=False)  # both sides of the pair join
     )
@@ -2086,8 +2090,14 @@ def q_bleu_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("toks").alias("clen"),
             F.size("rt").alias("rlen"),
         )
-        .localCheckpoint(eager=False)  # gram legs ×4 + final join
     )
+    # spread() AFTER the pair join: the four gram legs explode +
+    # per-token transform off this frame, and the join's output would
+    # otherwise carry the shuffle-partition count (4 on the bench
+    # panel) into all of that compute. ~300 rows of token arrays move.
+    pairs = spread(pairs).localCheckpoint(
+        eager=False
+    )  # gram legs ×4 + final join
 
     def grams(col: str, pre: str) -> DataFrame:
         uni = pairs.select(

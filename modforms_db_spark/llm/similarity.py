@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from modforms_db_spark.io import load
+from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R, R4
 from modforms_db_spark.parity import r4
 from modforms_db_spark.registry import register
@@ -192,7 +192,10 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-row norms hoisted out of the pair loop (see q_sim_cosine_topk):
     # the 64-element fold runs once per ROW, not twice per N² pair.
     # FP-identical — same expression over the same data.
-    e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
+    # spread(): the N² cosine folds downstream inherit the STREAM side's
+    # partitioning — a single-file scan (or a 4-way bench shuffle) would
+    # run the op's entire compute peak on a few cores (io.spread).
+    e = spread(_emb(spark, sf_dir)).withColumn("nrm", _norm("emb"))
     a = e.select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
