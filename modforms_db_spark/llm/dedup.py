@@ -889,6 +889,9 @@ def connected_components(
     e = e.localCheckpoint()
 
     def _is_star_forest(df: DataFrame) -> bool:
+        # (A fused single-agg variant — explode both endpoints, one
+        # groupBy — measured SLOWER at sf0.1: the explode doubles the
+        # shuffled rows; the semi-join + dup-agg pair stays.)
         chain = not df.alias("x").join(
             df.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi"
         ).isEmpty()
@@ -901,8 +904,14 @@ def connected_components(
             .isEmpty()
         )
 
+    # Do-while, not while: real inputs (dense near-dup graphs) are never
+    # converged on arrival, and the pre-loop forest check would run its
+    # two jobs over the FULL edge set — the most expensive check of the
+    # whole loop (measured ~2 s of a 4.5 s CC at sf0.1). Halving first
+    # costs one identity pass on already-star inputs (tiny by
+    # definition) and skips the big check everywhere else.
     rounds = 0
-    while not _is_star_forest(e):
+    while True:
         # Defensive bound: the alternation provably converges in
         # O(log² n) (Kiveris et al. Thm 1; observed ≤ 4 on every shipped
         # graph) — a trip here means the forest test is wrong, and an
@@ -911,6 +920,8 @@ def connected_components(
             raise RuntimeError("connected_components failed to converge")
         e = _star_halve(_star_halve(e, large=True), large=False).localCheckpoint()
         rounds += 1
+        if _is_star_forest(e):
+            break
     labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("component")).union(
         e.select(F.col("b").alias("doc_id"), F.col("b").alias("component")).distinct()
     )
