@@ -830,30 +830,60 @@ _KMEANS_K = 8
 _KMEANS_ITERS = 3
 
 
-def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """(vec_id, qe, cluster, d2q6): nearest centroid per QUANTIZED
-    vector (`qe` = round(x·1000) bigints — see :func:`kmeans_fit`).
-    Centroids (≤ k rows) are broadcast; squared distance is an
+def _kmeans_best():
+    """Argmin expression over a packed ``cents`` column (array of
+    (cluster, c_qe) structs): squared distance per centroid is an
     element-order zip_with/aggregate fold over exact bigints (units of
-    10⁻⁶), and ties break on the lower cluster id via min on
-    (d2q6, cluster) — integer comparisons, so the argmin chain is
-    engine-portable (no fp-tie coupling)."""
-    d2 = F.aggregate(
-        F.zip_with("qe", "c_qe", lambda x, y: (x - y) * (x - y)),
+    10⁻⁶); ``array_min`` over (d2q6, cluster) structs breaks ties on the
+    lower cluster id with integer comparisons, so the argmin chain is
+    engine-portable (no fp-tie coupling). One distance fold per centroid
+    — the r9 rewrite's when/otherwise running fold evaluated each fold
+    TWICE (condition + value), measured ~20% slower."""
+    d2 = lambda c: F.aggregate(  # noqa: E731 — local expression factory
+        F.zip_with("qe", c.getField("c_qe"), lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "qe", "cluster", d2.alias("d2q6")
+    return F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                d2(c).alias("d2q6"), c.getField("cluster").alias("cluster")
+            ),
+        )
     )
-    best = scored.groupBy("vec_id").agg(
-        F.min(F.struct("d2q6", "cluster")).alias("b"),
-        F.first("qe").alias("qe"),
+
+
+def _kmeans_assign_packed(vecs: DataFrame, packed: DataFrame) -> DataFrame:
+    """Assignment against a 1-row packed centroid frame: a broadcast
+    1-row crossJoin plus a pure projection — NO shuffle of the vector
+    side and no per-vector argmin aggregation (the r1–r8 k-row
+    crossJoin + groupBy(vec_id) form shuffled k copies of every
+    quantized vector per round; measured 2.08 → 1.47 s at sf0.1)."""
+    best = _kmeans_best()
+    return vecs.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "qe",
+        best.getField("cluster").alias("cluster"),
+        best.getField("d2q6").alias("d2q6"),
     )
-    return best.select(
-        "vec_id", "qe", F.col("b.cluster").alias("cluster"),
-        F.col("b.d2q6").alias("d2q6"),
+
+
+def _pack_centroids(centroids: DataFrame) -> DataFrame:
+    """(cluster, c_qe) k-row frame → 1-row (cents: array<struct>) frame.
+    Assignment is order-independent (array_min), so the collect_list
+    order never reaches the result."""
+    return centroids.agg(
+        F.collect_list(F.struct("cluster", "c_qe")).alias("cents")
     )
+
+
+def kmeans_assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, qe, cluster, d2q6): nearest centroid per QUANTIZED
+    vector (`qe` = round(x·1000) bigints — see :func:`kmeans_fit`).
+    The k-row centroid frame is packed to one array-of-structs row and
+    broadcast; see `_kmeans_assign_packed` for the argmin shape."""
+    return _kmeans_assign_packed(vecs, _pack_centroids(centroids))
 
 
 def kmeans_fit(vecs: DataFrame, k: int, iters: int) -> DataFrame:
@@ -868,49 +898,75 @@ def kmeans_fit(vecs: DataFrame, k: int, iters: int) -> DataFrame:
     embeddings of the k lowest vec_ids. Returns (vec_id, cluster, d2q6)
     with d2q6 in squared-grid units (10⁻⁶ of embedding units²).
 
-    Scale shape per iteration: one broadcast crossJoin (k rows — never a
-    shuffle of the vector side) + one assignment agg on vec_id + one
-    centroid recompute via posexplode to (cluster, dim) partial-agg
-    integer sums — linear in vectors×dims, k·dims rows of state, and the
-    centroid table re-broadcasts each round. `localCheckpoint` truncates
-    the per-round lineage (same device as q_dedup_components); lazy
-    (eager=False) so the checkpoints materialize inside the final
-    action instead of one serialized job per round (measured −15% at
-    sf0.1, bit-identical results)."""
+    Scale shape per iteration (r9 rewrite, measured 2.08 → 1.47 s
+    min-of-3 at sf0.1, bit-identical at 3 SFs): assignment is a 1-row
+    broadcast crossJoin + projection (`_kmeans_assign_packed` — the
+    vector side NEVER shuffles); the centroid update is one
+    posexplode → (cluster, dim) partial-agg integer-sum shuffle fused
+    straight into a global 1-row collect_list, and the per-cluster
+    array regroup is a pure expression over those ≤ k·dims structs —
+    so a round is exactly TWO shuffle boundaries (both over ≤ k·dims
+    rows after map-side combine) and zero k-row intermediates. Exact
+    integer centroid on the grid: truncating div (matches DuckDB // —
+    both toward zero; off the fp mean by < 1 grid unit, which the
+    oracle reproduces exactly). State is k·dims bigints per round —
+    O(model), not O(data) — and the whole fit is ONE action with a
+    linearly growing plan (no per-round checkpoint: measured faster
+    than checkpointing at iters=3; bound plan depth with a checkpoint
+    every ~8 rounds if iters grows).
+
+    Measured-dead levers (r9 probes, don't re-try without new data):
+    driver-side per-round centroid collect (2.7 s — round-trip job
+    scheduling dominates), literal centroid arrays baked into the plan
+    (4.6 s — every run recompiles the generated code; column-generic
+    expressions hit the codegen cache), early-convergence stop
+    (centroids never stabilize within 6 rounds at sf0.01 OR sf0.1, so
+    the check is pure overhead on this data)."""
     qv = vecs.select(
         "vec_id",
         F.transform(
             "emb", lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint")
         ).alias("qe"),
     ).localCheckpoint(eager=False)  # quantize once; reused every round
-    init = (
+    packed = _pack_centroids(
         qv.orderBy("vec_id")
         .limit(k)
         .select(
             F.row_number().over(Window.orderBy("vec_id")).alias("cluster"),
             F.col("qe").alias("c_qe"),
         )
-    ).localCheckpoint(eager=False)
-    centroids = init
+    )
     assigned = None
     for _ in range(iters):
-        assigned = kmeans_assign(qv, centroids)
-        centroids = (
+        assigned = _kmeans_assign_packed(qv, packed)
+        # (cluster, dim) exact integer sums, collected straight into one
+        # sorted flat array (deterministic: array_sort on the full
+        # struct) — the k-row regroup happens in the projection below,
+        # never as another shuffle.
+        flat = (
             assigned.select("cluster", F.posexplode("qe").alias("pos", "val"))
             .groupBy("cluster", "pos")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
-            # Exact integer centroid on the same grid: truncating div
-            # (matches DuckDB // — both toward zero; (s div n) is the
-            # deterministic stand-in for the fp mean, off by < 1 grid
-            # unit, which the oracle reproduces exactly).
-            .select("cluster", "pos", F.expr("s div n").alias("c"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-            .select(
-                "cluster",
-                F.transform("pc", lambda s: s.getField("c")).alias("c_qe"),
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("cluster", "pos", F.expr("s div n").alias("c"))
+                    )
+                ).alias("f")
             )
-        ).localCheckpoint(eager=False)
+        )
+        packed = flat.select(
+            F.transform(
+                F.array_distinct(F.transform("f", lambda s: s.getField("cluster"))),
+                lambda cl: F.struct(
+                    cl.cast("int").alias("cluster"),
+                    F.transform(
+                        F.filter("f", lambda s: s.getField("cluster") == cl),
+                        lambda s: s.getField("c"),
+                    ).alias("c_qe"),
+                ),
+            ).alias("cents")
+        )
     return assigned.select("vec_id", "cluster", "d2q6")
 
 
