@@ -480,9 +480,10 @@ def _lsh_groups_rep_pairs(
     exact-verified near-dup REPRESENTATIVE pairs (r1 < r2, both reps,
     with member arrays m1/m2 and the rounded Jaccard). Factored out of
     `q_dedup_minhash_lsh` so `q_dedup_fuzzy_apply` can run connected
-    components over the rep graph DIRECTLY — at sf0.1 that is ~3.9 k
-    nodes / few-thousand edges instead of the 755 k member-expanded
-    pairs (intra-group cliques alone are quadratic in group size; the
+    components over the rep graph DIRECTLY — at sf0.1 that is ~290 k
+    verified edges over ~2.9 k nodes (measured r9: 289,702 / 2,868, of
+    4,266 groups total) instead of the 755 k member-expanded pairs
+    (intra-group cliques alone are quadratic in group size; the
     expansion exists only for the pair-emitting query's contract).
     Component min-labels are invariant under the expansion: rep =
     min(member) per group, so min(doc_id) over an expanded component
@@ -914,7 +915,9 @@ def connected_components(
         # Callers whose edge list is already unique (e.g. the verified
         # LSH rep pairs: distinct candidates joined through unique-key
         # group tables) skip this shuffle; duplicates would not break
-        # the algorithm, only pad every round.
+        # the algorithm, and _star_halve's trailing .distinct() absorbs
+        # them after the first halve — they pad round 1 only (r8
+        # ADVICE correction).
         e = e.distinct()
     e = e.localCheckpoint()
 
@@ -1200,7 +1203,8 @@ def q_dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     member-expanded pair set — identical labels by construction (rep =
     min member per group, so an expanded component's min doc_id is the
     min rep of its rep component; intra-group clique edges never change
-    a component). At sf0.1 that is ~3.9 k nodes instead of 755 k edges;
+    a component). At sf0.1 that is ~290 k rep edges over ~2.9 k nodes
+    (measured r9) instead of 755 k member-expanded edges;
     at 100 TB the rep graph shrinks by the full exact-dup factor while
     the clique expansion it skips is QUADRATIC in group size. Each
     member's label is then one broadcast-join projection through the

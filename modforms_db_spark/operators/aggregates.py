@@ -6700,7 +6700,11 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
             # z*z summed as exact bigint like sz/sxz (r7 ADVICE): the
             # double-product sum was order-dependent past 2^53. z ~ 1e6
             # (whole dollars²), so z² ~ 1e12 and the sum clears int64 up
-            # to ~10^6 rows per scope; ANSI raises loudly beyond.
+            # to ~10^6 rows per scope. Beyond that, overflow raises only
+            # under ANSI mode (spark.sql.ansi.enabled — NOT pinned by
+            # prep() or our factory; the driver's session wraps
+            # silently): a >10^6-rows-per-scope deployment must pin ANSI
+            # or widen to decimal(38,0) here (r8 ADVICE).
             F.sum(z * z).cast("bigint").alias("szz"),
         )
     )
