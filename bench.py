@@ -196,6 +196,30 @@ def main() -> None:
     # they matter (round-6 review finding: writing the durable file
     # without READING it left the original failure in place). Its round
     # is recorded inside as family_panel_round_idx.
+    # bench_history.json: the durable per-name timing ledger (r10,
+    # VERDICT r9 item 5 — family_panel_deltas was structurally {} most
+    # rounds because the rotation picks a DIFFERENT name per family each
+    # round and bench_last.json only survives one round, so a name's
+    # prior from len(eligible) rounds ago was long gone). Every run
+    # appends its panel + headline + quadratic timings here (bounded per
+    # name), so when the rotation wraps back to a name its last
+    # same-scale timing is still available for a real delta.
+    hist_path = os.path.join(repo_dir, "bench_history.json")
+    history: dict[str, list[dict]] = {}
+    try:
+        with open(hist_path) as fh:
+            history = json.load(fh)
+    except Exception:
+        history = {}
+    for qn, entries in history.items():
+        for ent in entries:
+            try:
+                rnd_h, sec_h = int(ent["round"]), float(ent["sec"])
+            except Exception:
+                continue
+            if qn not in prior or prior[qn][0] < rnd_h:
+                prior[qn] = (rnd_h, sec_h, _norm_dir(ent.get("sf_dir")))
+
     for f in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))) + [
         os.path.join(repo_dir, "bench_last.json")
     ]:
@@ -224,6 +248,14 @@ def main() -> None:
                     continue
                 if qn not in prior or prior[qn][0] < rnd:
                     prior[qn] = (rnd, sec, _norm_dir(ent_dir))
+            # Headline timings (the "queries" dict) feed headline_deltas
+            # (r10): same names every round, timed at the run's main
+            # sf_dir — the guaranteed-nonempty drift signal.
+            for qn, sec in (data.get("queries") or {}).items():
+                if not isinstance(sec, (int, float)):
+                    continue
+                if qn not in prior or prior[qn][0] < rnd:
+                    prior[qn] = (rnd, sec, _norm_dir(legacy_dir))
         except Exception:
             continue  # a truncated BENCH capture must not kill the bench
     round_idx += 1  # this run belongs to the round AFTER the last record
@@ -301,6 +333,57 @@ def main() -> None:
         if qn in prior and prior[qn][2] == ent["sf_dir"]
     }
 
+    # Headline drift (r10): same names every round at the same sf_dir,
+    # so this delta table is non-empty from round 2 on — the "panel
+    # drift visible without diffing files by hand" signal (VERDICT r9
+    # item 5). Read with the noise band in mind (SCALE.md §14: ±40%
+    # host co-tenancy); the committed floor run is the comparable one.
+    main_dir = _norm_dir(sf_dir)
+    headline_deltas = {
+        qn: {
+            "sec": sec,
+            "prev_sec": prior[qn][1],
+            "prev_round": prior[qn][0],
+            "delta_pct": round(
+                100.0 * (sec - prior[qn][1]) / prior[qn][1], 1
+            )
+            if prior[qn][1]
+            else None,
+        }
+        for qn, sec in timings.items()
+        if qn in prior and prior[qn][2] == main_dir
+    }
+
+    # Append this run's timings to the durable ledger (bounded per name)
+    # so future rounds' rotations find same-scale priors.
+    def _hist_add(qn: str, sec: float, ent_dir: str | None) -> None:
+        entries = history.setdefault(qn, [])
+        # One entry per (round, sf_dir): same-round re-runs (floor
+        # hunting) overwrite instead of appending noise.
+        entries[:] = [
+            e
+            for e in entries
+            if not (
+                e.get("round") == round_idx
+                and _norm_dir(e.get("sf_dir")) == _norm_dir(ent_dir)
+            )
+        ]
+        entries.append({"round": round_idx, "sec": sec, "sf_dir": ent_dir})
+        del entries[:-20]  # keep the last 20 rounds per name
+
+    for qn, sec in timings.items():
+        _hist_add(qn, sec, main_dir)
+    for qn, ent in panel.items():
+        _hist_add(qn, ent["sec"], ent["sf_dir"])
+    for qn, sec in quad_timings.items():
+        _hist_add(qn, sec, _norm_dir(quad_dir))
+    try:
+        with open(hist_path, "w") as fh:
+            json.dump(history, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except Exception as exc:
+        print(f"bench_history.json write skipped: {exc}", file=sys.stderr)
+
     spark_cmp = round(sum(timings[n] for n in comparable), 4)
     duck_cmp = round(sum(duck[n] for n in comparable), 4)
     # Totals lead the line (BENCH_r03's capture was head-truncated and
@@ -324,6 +407,7 @@ def main() -> None:
         "quadratic_watch_sf_dir": quad_dir,
         "family_panel": panel,
         "family_panel_deltas": panel_deltas,
+        "headline_deltas": headline_deltas,
         "family_panel_round_idx": round_idx,
         "family_panel_sf_overrides": panel_sf_overrides,
         "totals_tail": {

@@ -6697,15 +6697,17 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(z).cast("bigint").alias("sz"),
             F.sum(F.col("x") * z).cast("bigint").alias("sxz"),
-            # z*z summed as exact bigint like sz/sxz (r7 ADVICE): the
-            # double-product sum was order-dependent past 2^53. z ~ 1e6
-            # (whole dollars²), so z² ~ 1e12 and the sum clears int64 up
-            # to ~10^6 rows per scope. Beyond that, overflow raises only
-            # under ANSI mode (spark.sql.ansi.enabled — NOT pinned by
-            # prep() or our factory; the driver's session wraps
-            # silently): a >10^6-rows-per-scope deployment must pin ANSI
-            # or widen to decimal(38,0) here (r8 ADVICE).
-            F.sum(z * z).cast("bigint").alias("szz"),
+            # z*z summed as exact DECIMAL(38,0) (r9 ADVICE — was bigint,
+            # which silently wraps past ~10^6 rows per scope with ANSI
+            # off; neither prep() nor our factory pins ANSI). z ~ 1e6
+            # (whole dollars²), so z² ~ 1e12: decimal(38,0) holds ~10^26
+            # such terms — unreachable — and matches the oracle, whose
+            # DuckDB SUM(BIGINT) accumulates in HUGEINT (int128). The
+            # exact integer value is identical to the old bigint path
+            # wherever that didn't wrap; downstream use casts to double
+            # either way. Order-independent like sz/sxz: integer-exact
+            # addition commutes.
+            F.sum((z * z).cast("decimal(38,0)")).alias("szz"),
         )
     )
     lm4 = r4(

@@ -131,17 +131,30 @@ def test_lsh_core_cache_keyed_by_dataset(spark):
     first's."""
     import modforms_db_spark.llm.dedup as dd
 
-    dd._LSH_CORE_CACHE.clear()
-    g1, _ = dd._lsh_groups_rep_pairs(spark, SF_DIR)
-    # trailing slash must normalize onto the SAME entry, not a second one
-    g1b, _ = dd._lsh_groups_rep_pairs(spark, SF_DIR + "/")
-    assert g1 is g1b, "normpath must collapse trailing-slash duplicates"
-    # sf0.1 as the second dataset: sf0.001 and sf0.01 ship the SAME
-    # 500-doc documents table (identical group counts), so only the
-    # 5000-doc tier can distinguish frames by content.
-    other = "/root/testdata/sf0.1"
-    if os.path.isdir(other) and os.path.normpath(other) != os.path.normpath(SF_DIR):
-        g2, _ = dd._lsh_groups_rep_pairs(spark, other)
-        assert g1 is not g2
-        assert g1.count() != g2.count(), "distinct datasets, distinct groups"
-    dd._LSH_CORE_CACHE.clear()
+    # The identity assertions below need the cache ON; an exported
+    # MFDB_LSH_CACHE=0 (the documented cold-path mode) would fail them
+    # spuriously (r9 ADVICE) — pin and restore.
+    prev = os.environ.get("MFDB_LSH_CACHE")
+    try:
+        os.environ["MFDB_LSH_CACHE"] = "1"
+        dd._LSH_CORE_CACHE.clear()
+        g1, _ = dd._lsh_groups_rep_pairs(spark, SF_DIR)
+        # trailing slash must normalize onto the SAME entry, not a second one
+        g1b, _ = dd._lsh_groups_rep_pairs(spark, SF_DIR + "/")
+        assert g1 is g1b, "normpath must collapse trailing-slash duplicates"
+        # sf0.1 as the second dataset: sf0.001 and sf0.01 ship the SAME
+        # 500-doc documents table (identical group counts), so only the
+        # 5000-doc tier can distinguish frames by content.
+        other = "/root/testdata/sf0.1"
+        if os.path.isdir(other) and os.path.normpath(other) != os.path.normpath(
+            SF_DIR
+        ):
+            g2, _ = dd._lsh_groups_rep_pairs(spark, other)
+            assert g1 is not g2
+            assert g1.count() != g2.count(), "distinct datasets, distinct groups"
+    finally:
+        if prev is None:
+            os.environ.pop("MFDB_LSH_CACHE", None)
+        else:
+            os.environ["MFDB_LSH_CACHE"] = prev
+        dd._LSH_CORE_CACHE.clear()
