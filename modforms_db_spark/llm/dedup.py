@@ -1595,6 +1595,13 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_semantic",
+    headline=True,  # r10: VERDICT r9 directed a measured floor for this
+    # query ("the most expensive headline query"); it was only ever
+    # family-panel-sampled, so its timing appeared once per rotation
+    # wrap. Headline from r10 on — NOTE for round-over-round readers:
+    # headline_total grows by this query's ~2 s from r10 (composition
+    # change, not a regression); the spark/duck comparable totals are
+    # unaffected (no oracle → not in the comparable set).
     oracle=None,  # k-means assignment is a chained fp argmin — exactly
     # the cross-engine fp-tie coupling the parity rules forbid
     # (q_cluster_kmeans precedent); laws pinned in tests instead:
