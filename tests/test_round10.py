@@ -55,9 +55,12 @@ def test_kmeans_core_cache_cannot_change_results(spark):
         sim.kmeans_core_cache_clear()
         miss_k = sorted(map(tuple, q_k(spark, SF_DIR).collect()))
         hit_k = sorted(map(tuple, q_k(spark, SF_DIR).collect()))
+        # first semantic call with the cache on = MISS for the
+        # _SEM_LABELS_CACHE (populates it); second = HIT (serves it).
+        miss_s = sorted(map(tuple, q_s(spark, SF_DIR).collect()))
         hit_s = sorted(map(tuple, q_s(spark, SF_DIR).collect()))
         assert cold_k == miss_k == hit_k
-        assert cold_s == hit_s
+        assert cold_s == miss_s == hit_s
     finally:
         _restore_env("MFDB_KMEANS_CACHE", prev)
         sim.kmeans_core_cache_clear()
