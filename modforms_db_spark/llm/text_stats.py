@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load, spread
 from modforms_db_spark.oracle_dialect import R, R4
-from modforms_db_spark.parity import r4
+from modforms_db_spark.parity import d38, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -2310,7 +2310,7 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = pc.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df"),
         F.sum("c").cast("bigint").alias("cf"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+        F.sum(d38("c") * F.col("c")).alias("ss"),
     )
     top = ts.orderBy(F.desc("cf"), "tok").limit(_BURST_TOP)
     mean = F.col("cf") * 1.0 / F.col("df")

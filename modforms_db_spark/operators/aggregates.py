@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R2, R4
-from modforms_db_spark.parity import r2, r4
+from modforms_db_spark.parity import d38, r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -3047,12 +3047,12 @@ def q_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = y.groupBy("test", "grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum("cents").cast("bigint").alias("s_g"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss_g"),
+        F.sum(d38("cents") * F.col("cents")).alias("ss_g"),
     )
     tot = g.groupBy("test").agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("bigint").alias("s"),
-        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.sum("ss_g").alias("ss"),  # decimal(38,0) through: see d38
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum(F.pow(F.col("s_g") * 1.0, 2) / F.col("n_g")).alias(
             "sum_sq_means"
@@ -3145,7 +3145,7 @@ def q_lorenz_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("tot"),
-        F.sum(F.col("rn") * F.col("cents")).cast("bigint").alias("sixi"),
+        F.sum(d38("rn") * F.col("cents")).alias("sixi"),
     )
     b50 = r.join(
         F.broadcast(s), F.col("rn") == F.floor(F.col("n") / 2)
@@ -3750,12 +3750,12 @@ def q_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = z.groupBy("test", "grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_g"),
         F.sum("z").cast("bigint").alias("s_g"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("ss_g"),
+        F.sum(d38("z") * F.col("z")).alias("ss_g"),
     )
     tot = g.groupBy("test").agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.sum("s_g").cast("bigint").alias("s"),
-        F.sum("ss_g").cast("bigint").alias("ss"),
+        F.sum("ss_g").alias("ss"),  # decimal(38,0) through: see d38
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum(F.pow(F.col("s_g") * 1.0, 2) / F.col("n_g")).alias(
             "sum_sq_means"
@@ -3873,7 +3873,7 @@ def q_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.groupBy("test").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("d4").cast("bigint").alias("sd4"),
-        F.sum(F.col("d4") * F.col("d4")).cast("bigint").alias("ssq4"),
+        F.sum(d38("d4") * F.col("d4")).alias("ssq4"),
     )
     var_units = (
         F.col("ssq4") - 1.0 * F.col("sd4") * F.col("sd4") / F.col("n")
@@ -3999,17 +3999,11 @@ def q_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g")
         .agg(
             F.sum("c").cast("bigint").alias("n"),
-            F.sum(F.col("c") * F.col("rx2")).cast("bigint").alias("sx"),
-            F.sum(F.col("c") * F.col("ry2")).cast("bigint").alias("sy"),
-            F.sum(F.col("c") * F.col("rx2") * F.col("rx2"))
-            .cast("bigint")
-            .alias("sxx"),
-            F.sum(F.col("c") * F.col("ry2") * F.col("ry2"))
-            .cast("bigint")
-            .alias("syy"),
-            F.sum(F.col("c") * F.col("rx2") * F.col("ry2"))
-            .cast("bigint")
-            .alias("sxy"),
+            F.sum(d38("c") * F.col("rx2")).alias("sx"),
+            F.sum(d38("c") * F.col("ry2")).alias("sy"),
+            F.sum(d38("c") * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(d38("c") * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(d38("c") * F.col("rx2") * F.col("ry2")).alias("sxy"),
         )
     )
     n = F.col("n")
@@ -4222,15 +4216,15 @@ def q_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = t.groupBy("g").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum("z").cast("bigint").alias("sz"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("z")).cast("bigint").alias("sxz"),
-        F.sum(F.col("y") * F.col("z")).cast("bigint").alias("syz"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("z")).alias("sz"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
+        F.sum(d38("z") * F.col("z")).alias("szz"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("x") * F.col("z")).alias("sxz"),
+        F.sum(d38("y") * F.col("z")).alias("syz"),
     )
     n = F.col("n") * 1.0
 
@@ -4550,10 +4544,8 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mom = cells.groupBy("variant", "arm").agg(
         F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("c") * F.col("q")).cast("bigint").alias("s1"),
-        F.sum(F.col("c") * F.col("q") * F.col("q"))
-        .cast("bigint")
-        .alias("s2"),
+        F.sum(d38("c") * F.col("q")).alias("s1"),
+        F.sum(d38("c") * F.col("q") * F.col("q")).alias("s2"),
     )
     a, b = mom.alias("a"), mom.alias("b")
     wide = a.join(
@@ -4583,19 +4575,15 @@ def q_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("c1.q") > F.col("c0.q"),
-                    F.col("c1.c") * F.col("c0.c"),
+                    d38(F.col("c1.c")) * F.col("c0.c"),
                 ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("gt"),
+            ).alias("gt"),
             F.sum(
                 F.when(
                     F.col("c1.q") < F.col("c0.q"),
-                    F.col("c1.c") * F.col("c0.c"),
+                    d38(F.col("c1.c")) * F.col("c0.c"),
                 ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("lt"),
+            ).alias("lt"),
         )
     )
     mean_a = F.col("s1a").cast("double") / F.col("n_a")
@@ -4710,7 +4698,7 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("k"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    aggs = [F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"),
+    aggs = [F.sum(d38("c") * F.col("c")).cast("bigint").alias("f2_exact"),
             F.count(F.lit(1)).cast("bigint").alias("n_keys")]
     for j, m in enumerate(_AMS_MULT):
         h = F.col("k") * F.lit(m).cast("bigint") % _CMH_MOD
@@ -4719,7 +4707,11 @@ def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
         sign = 1 - 2 * h.bitwiseXOR(F.shiftright(h, 16)).bitwiseAND(1)
         aggs.append(F.sum(sign * F.col("c")).cast("bigint").alias(f"z{j}"))
     wide = g.agg(*aggs)
-    zz = F.array(*[F.col(f"z{j}") * F.col(f"z{j}") for j in range(_AMS_K)])
+    # square in DOUBLE: a long z_j > ~3e9 would overflow the int64
+    # product per-term (see d38) — the estimate is double math anyway
+    zz = F.array(
+        *[F.col(f"z{j}").cast("double") * F.col(f"z{j}") for j in range(_AMS_K)]
+    )
     est = wide.select(
         "n_keys",
         "f2_exact",
@@ -4858,8 +4850,8 @@ def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("t").cast("bigint").alias("n1"),
         F.sum(F.when(t1, F.col("y"))).cast("bigint").alias("s1"),
         F.sum(F.when(~t1, F.col("y"))).cast("bigint").alias("s0"),
-        F.sum(F.when(t1, F.col("y") * F.col("kt"))).cast("bigint").alias("wt"),
-        F.sum(F.when(~t1, F.col("y") * F.col("kc"))).cast("bigint").alias("wc"),
+        F.sum(F.when(t1, d38("y") * F.col("kt"))).alias("wt"),
+        F.sum(F.when(~t1, d38("y") * F.col("kc"))).alias("wc"),
         F.sum(F.when(t1, F.col("kt"))).cast("bigint").alias("sum_kt"),
         F.sum(F.when(~t1, F.col("kc"))).cast("bigint").alias("sum_kc"),
     )
@@ -5091,7 +5083,7 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     cl = pool.groupBy("variant", "user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_i"),
         F.sum("v").cast("bigint").alias("s_i"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ss_i"),
+        F.sum(d38("v") * F.col("v")).alias("ss_i"),
     )
     cl = cl.select(
         "*",
@@ -5107,9 +5099,9 @@ def q_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("s_i").cast("bigint").alias("s"),
-        F.sum("ss_i").cast("bigint").alias("ss"),
-        F.sum("bterm_q").cast("bigint").alias("bsum_q"),
-        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("nn"),
+        F.sum("ss_i").alias("ss"),  # decimal(38,0) through: see d38
+        F.sum(d38("bterm_q")).alias("bsum_q"),
+        F.sum(d38("n_i") * F.col("n_i")).alias("nn"),
     )
     bsum = F.col("bsum_q") / 10000.0
     msb = (bsum - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
@@ -6675,10 +6667,10 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p1 = scopes.groupBy("scope").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum("y2").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y2")).cast("bigint").alias("sxy"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y2")).alias("sy"),
+        F.sum(d38("x") * F.col("y2")).alias("sxy"),
     )
     b = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
@@ -6695,8 +6687,8 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         scopes.join(F.broadcast(fit.select("scope", "a", "b")), "scope")
         .groupBy("scope")
         .agg(
-            F.sum(z).cast("bigint").alias("sz"),
-            F.sum(F.col("x") * z).cast("bigint").alias("sxz"),
+            F.sum(d38(z)).alias("sz"),
+            F.sum(d38("x") * z).alias("sxz"),
             # z*z summed as exact DECIMAL(38,0) (r9 ADVICE — was bigint,
             # which silently wraps past ~10^6 rows per scope with ANSI
             # off; neither prep() nor our factory pins ANSI). z ~ 1e6
@@ -7198,11 +7190,11 @@ def q_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("m").cast("bigint").alias("sm"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("m")).cast("bigint").alias("sxm"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("m") * F.col("y")).cast("bigint").alias("smy"),
-        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(d38("x") * F.col("m")).alias("sxm"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("m") * F.col("y")).alias("smy"),
+        F.sum(d38("m") * F.col("m")).alias("smm"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
     )
     n = F.col("n").cast("double")
     cxx = F.col("sx") - F.col("sx") * F.col("sx").cast("double") / n
@@ -7551,7 +7543,7 @@ def q_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = scoped.groupBy("scope", "stratum", "t").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y2").cast("bigint").alias("s"),
-        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("ss"),
+        F.sum(d38("y2") * F.col("y2")).alias("ss"),
     )
     a = g.where(F.col("t") == 1).select(
         "scope", "stratum",

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R4
-from modforms_db_spark.parity import r4
+from modforms_db_spark.parity import d38, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -828,11 +828,11 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = ed.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(d38("x")).alias("sx"),
+        F.sum(d38("y")).alias("sy"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
     )
     nsrc = od.agg(F.count(F.lit(1)).cast("bigint").alias("n_srcs"))
     ndst = idg.agg(F.count(F.lit(1)).cast("bigint").alias("n_dsts"))
@@ -1102,7 +1102,7 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("dc"))
     )
     s = degc.groupBy("variant").agg(
-        F.sum(F.col("dc") * F.col("dc")).cast("bigint").alias("sumd2"),
+        F.sum(d38("dc") * F.col("dc")).alias("sumd2"),
         F.count(F.lit(1)).cast("bigint").alias("n_comms"),
     )
     q = F.col("intra").cast("double") / F.col("m") - F.col(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R2, R4
-from modforms_db_spark.parity import r2, r4
+from modforms_db_spark.parity import d38, r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -1052,11 +1052,9 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     tg = F.col("c_a") + F.col("c_b")
     s = cum.groupBy("la", "lb", "n_a", "n_b").agg(
         F.sum(
-            F.col("c_a") * (2 * (F.col("cum_b") - F.col("c_b")) + F.col("c_b"))
-        )
-        .cast("bigint")
-        .alias("u2"),
-        F.sum(tg * tg * tg - tg).cast("bigint").alias("tie3"),
+            d38("c_a") * (2 * (F.col("cum_b") - F.col("c_b")) + F.col("c_b"))
+        ).alias("u2"),
+        F.sum(d38(tg) * tg * tg - tg).alias("tie3"),
     )
     nn = F.col("n_a") + F.col("n_b")
     z = r4(
@@ -1266,7 +1264,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     s = b.groupBy("event_type").agg(
         F.sum("c").cast("bigint").alias("n"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+        F.sum(d38("c") * F.col("c")).alias("ssq"),
     )
     chi2 = r4(5.0 * F.col("ssq") / F.col("n") - F.col("n"))
     p = s.select(
@@ -1416,9 +1414,9 @@ def q_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(d38("x") * F.col("x")).alias("sxx"),
+        F.sum(d38("y") * F.col("y")).alias("syy"),
+        F.sum(d38("x") * F.col("y")).alias("sxy"),
     )
     n = F.col("n")
     s = m.select(
@@ -2319,7 +2317,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ct = F.col("c_tot")
     ties = cum.groupBy("scope").agg(
-        F.sum(ct * ct * ct - ct).cast("bigint").alias("tie3")
+        F.sum(d38(ct) * ct * ct - ct).alias("tie3")
     )
     h = 12.0 / (F.col("n") * (F.col("n") + 1.0)) * (
         F.col("s4") / 10000.0
@@ -2857,12 +2855,12 @@ def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = cj.groupBy("scope").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum("c").cast("bigint").alias("sc"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+        F.sum(d38("c")).alias("sc"),
+        F.sum(d38("c") * F.col("c")).alias("sc2"),
     )
     t = ri.groupBy("scope").agg(
         F.sum("r").cast("bigint").alias("sr"),
-        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"),
+        F.sum(d38("r") * F.col("r")).alias("sr2"),
     )
     den = F.col("k") * F.col("sr") - F.col("sr2")
     q4 = F.when(den == 0, F.lit(0.0)).otherwise(

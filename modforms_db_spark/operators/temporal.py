@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from modforms_db_spark.io import load
 from modforms_db_spark.oracle_dialect import R, R2, R4
-from modforms_db_spark.parity import r2, r4
+from modforms_db_spark.parity import d38, r2, r4
 from modforms_db_spark.registry import register
 from modforms_db_spark.session import prep
 
@@ -3131,10 +3131,10 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pool.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         F.sum("c").cast("bigint").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.sum(d38("c") * F.col("c")).alias("s2"),
     )
     disp = r4(
-        (F.col("n_days") * F.col("s2") - F.col("s") * F.col("s")).cast(
+        (F.col("n_days") * F.col("s2") - d38("s") * F.col("s")).cast(
             "double"
         )
         / ((F.col("n_days") - 1.0) * F.col("s"))
@@ -3958,7 +3958,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = grid.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v2").cast("bigint").alias("sx"),
-        F.sum(F.col("v2") * F.col("v2")).cast("bigint").alias("sxx"),
+        F.sum(d38("v2") * F.col("v2")).alias("sxx"),
     )
     iv = item.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
@@ -3980,7 +3980,7 @@ def q_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("s").cast("bigint").alias("sx"),
-            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("sxx"),
+            F.sum(d38("s") * F.col("s")).alias("sxx"),
         )
     )
     tv = tot.select(
@@ -4162,12 +4162,12 @@ def q_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("z").cast("bigint").alias("sz"),
         F.sum("u").cast("bigint").alias("su"),
         F.sum("w").cast("bigint").alias("sw"),
-        F.sum(F.col("z") * F.col("u")).cast("bigint").alias("szu"),
-        F.sum(F.col("z") * F.col("w")).cast("bigint").alias("szw"),
-        F.sum(F.col("u") * F.col("w")).cast("bigint").alias("suw"),
-        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
-        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sww"),
-        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(d38("z") * F.col("u")).alias("szu"),
+        F.sum(d38("z") * F.col("w")).alias("szw"),
+        F.sum(d38("u") * F.col("w")).alias("suw"),
+        F.sum(d38("u") * F.col("u")).alias("suu"),
+        F.sum(d38("w") * F.col("w")).alias("sww"),
+        F.sum(d38("z") * F.col("z")).alias("szz"),
     )
 
     def cen(sab: str, sa: str, sb: str):
@@ -4333,7 +4333,7 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
         .groupBy("stream")
         .agg(
-            F.sum(tt * (tt - 1) * (2 * tt + 5)).cast("bigint").alias("tsum")
+            F.sum(d38(tt) * (tt - 1) * (2 * tt + 5)).alias("tsum")
         )
     )
     var18 = F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5) - F.col(
@@ -4505,11 +4505,11 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("r2"),
     )
     rj = ranked.groupBy("scope", "stream").agg(
-        F.sum("r2").cast("bigint").alias("r2j")
+        F.sum(d38("r2")).alias("r2j")
     )
     s = rj.groupBy("scope").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.sum(F.col("r2j") * F.col("r2j")).cast("bigint").alias("sr2"),
+        F.sum(F.col("r2j") * F.col("r2j")).alias("sr2"),  # decimal through
     )
     nb = ranked.groupBy("scope").agg(
         F.countDistinct("d").cast("bigint").alias("n")
@@ -4519,7 +4519,7 @@ def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         streams.groupBy("scope", "d", "v4")
         .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
         .groupBy("scope")
-        .agg(F.sum(tt * tt * tt - tt).cast("bigint").alias("tie3"))
+        .agg(F.sum(d38(tt) * tt * tt - tt).alias("tie3"))
     )
     fr = 3.0 * F.col("sr2") / (
         F.col("n") * F.col("k") * (F.col("k") + 1.0)
@@ -5100,13 +5100,13 @@ def q_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub = scoped.groupBy("scope", "stream", "d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_d"),
         F.sum("y2").cast("bigint").alias("s_d"),
-        F.sum(F.col("y2") * F.col("y2")).cast("bigint").alias("ss_d"),
+        F.sum(d38("y2") * F.col("y2")).alias("ss_d"),
     )
     pooled = sub.groupBy("scope", "stream").agg(
         F.round(F.sum("s_d") * 1.0 / F.sum("n_d"), 10).alias("grand"),
         F.round(
             F.sum(
-                F.col("ss_d") - F.col("s_d") * F.col("s_d") * 1.0 / F.col("n_d")
+                F.col("ss_d") - F.col("s_d") * 1.0 * F.col("s_d") / F.col("n_d")
             )
             * 1.0
             / F.sum(F.col("n_d") - 1),
@@ -5638,7 +5638,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") * F.col("n") - F.col("s")).alias("wv"),
     ).localCheckpoint(eager=False)  # lag join (both sides) + denominator
     den = w.groupBy("stream").agg(
-        F.sum(F.col("wv") * F.col("wv")).cast("bigint").alias("d0")
+        F.sum(d38("wv") * F.col("wv")).alias("d0")
     )
     ks = spark.range(1, _LB_LAGS + 1).select(F.col("id").alias("k"))
     b = w.select(
@@ -5658,7 +5658,7 @@ def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("n").alias("n"),
             F.round(
-                F.sum(F.col("wv") * F.col("wv_b")) * 1.0 / F.min("d0"), 10
+                F.sum(d38("wv") * F.col("wv_b")) * 1.0 / F.min("d0"), 10
             ).alias("rho"),
         )
     )
@@ -5822,10 +5822,10 @@ def q_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             "x",
             F.sum("x").over(wo).cast("bigint").alias("c1"),
-            F.sum(F.col("x") * F.col("x")).over(wo).cast("bigint").alias("c2"),
+            F.sum(d38("x") * F.col("x")).over(wo).alias("c2"),
             F.row_number().over(wp.orderBy("d")).cast("bigint").alias("r"),
             F.sum("x").over(wp).cast("bigint").alias("t1"),
-            F.sum(F.col("x") * F.col("x")).over(wp).cast("bigint").alias("t2"),
+            F.sum(d38("x") * F.col("x")).over(wp).alias("t2"),
             F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
         )
         ss_seg = F.col("t2") - F.col("t1") * F.col("t1").cast("double") / F.col("n")
