@@ -6690,8 +6690,8 @@ def q_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d38(z)).alias("sz"),
             F.sum(d38("x") * z).alias("sxz"),
             # z*z summed as exact DECIMAL(38,0) (r9 ADVICE — was bigint,
-            # which silently wraps past ~10^6 rows per scope with ANSI
-            # off; neither prep() nor our factory pins ANSI). z ~ 1e6
+            # which past ~10^6 rows/scope dies under ANSI (Spark 4
+            # default) or wraps silently under ANSI-off; see d38). z ~ 1e6
             # (whole dollars²), so z² ~ 1e12: decimal(38,0) holds ~10^26
             # such terms — unreachable — and matches the oracle, whose
             # DuckDB SUM(BIGINT) accumulates in HUGEINT (int128). The

@@ -17,10 +17,12 @@ def d38(c: Column | str) -> Column:
     """Widen an integer operand to DECIMAL(38,0) so the product and the
     sum accumulating it stay integer-exact at any realistic scale.
 
-    Spark accumulates SUM(BIGINT) in a raw long, and with ANSI off
-    (neither prep() nor the session factory pins spark.sql.ansi.enabled)
-    a partial sum past 2^63 silently WRAPS — a wrong answer with no
-    error. The exact-integer stats substrate multiplies ~1e6-scale
+    Spark accumulates SUM(BIGINT) in a raw long. A partial sum past
+    2^63 is a hard arithmeticOverflowError under ANSI (Spark 4's
+    default — a dead query at scale) and a silent WRAP to a wrong value
+    under the common ANSI-off compatibility setting (neither prep() nor
+    the session factory pins spark.sql.ansi.enabled, so deployments can
+    be either). The exact-integer stats substrate multiplies ~1e6-scale
     integers (scaled cents, per-scope ranks, tie sizes) and sums them
     over whole table scopes, so the wrap thresholds are low:
     Σcents² wraps past ~8e6 rows/scope, Σrank² past n ≈ 3e6, a single
@@ -30,9 +32,8 @@ def d38(c: Column | str) -> Column:
     |v| < 10^38) and the decimal accumulator wrap-proof; DuckDB oracles
     already agree because its SUM(BIGINT) accumulates in HUGEINT
     (int128). Casting the widened sum back to bigint keeps output
-    schemas unchanged, is value-identical wherever the old path did not
-    wrap, and on true overflow yields NULL (ANSI off) — loud, never
-    silently wrong. Precedent: the r10 q_breusch_pagan fix (r9 ADVICE);
+    schemas unchanged and is value-identical wherever the old path did
+    not overflow. Precedent: the r10 q_breusch_pagan fix (r9 ADVICE);
     the r10 sweep then widened every integer product-sum/rank-sum whose
     accumulated magnitude can cross 2^63 at large-scale row counts
     (squares, cross-moments, tie cubes, count-squared frequency

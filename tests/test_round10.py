@@ -207,3 +207,49 @@ def test_kmeans_assign_empty_centroids_returns_zero_rows(spark):
         F.lit(1).alias("cluster"), F.col("qe").alias("c_qe")
     )
     assert kmeans_assign(qv, empty).count() == 0
+
+
+def test_d38_widened_sum_is_exact_where_long_sum_wraps(spark):
+    """The r10 overflow sweep's mechanism. Spark accumulates SUM(BIGINT)
+    in a raw long, so a partial sum past 2^63 either kills the job
+    (ANSI on — Spark 4's default, what our sessions run) or silently
+    WRAPS to a wrong value (ANSI off, the common compatibility
+    setting). parity.d38 widens the operand to decimal(38,0), whose
+    accumulator is exact to 1e38, so the same sum is simply CORRECT
+    under both configs — the fix applied to every wrap-prone moment
+    sum (squares, cross-moments, tie cubes, rank sums); see d38's
+    docstring for the threshold arithmetic."""
+    import pytest
+
+    from modforms_db_spark.parity import d38
+
+    df = spark.range(3).select(F.lit(2**62).alias("v"))
+    # ANSI on (default): the long accumulator overflow is a hard error —
+    # at 100 TB that's a dead query, not a wrong number.
+    with pytest.raises(Exception, match="(?i)overflow"):
+        df.agg(F.sum("v")).collect()
+    # ANSI off: the same sum silently wraps negative — worse.
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        wrapped = df.agg(F.sum("v").alias("s")).collect()[0]["s"]
+        assert wrapped < 0
+        # d38 is exact under ANSI off...
+        exact = df.agg(F.sum(d38("v")).alias("s")).collect()[0]["s"]
+        assert int(exact) == 3 * 2**62
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    # ...and under the default config too.
+    exact_default = df.agg(F.sum(d38("v")).alias("s")).collect()[0]["s"]
+    assert int(exact_default) == 3 * 2**62
+
+    # per-term product overflow (the tie-cube case): long*long overflows
+    # in the MULTIPLY; d38 on the first operand keeps the product exact.
+    big = spark.range(1).select(F.lit(2**40).alias("t"))
+    with pytest.raises(Exception, match="(?i)overflow"):
+        big.select((F.col("t") * F.col("t")).alias("p")).collect()
+    prod_dec = big.select((d38("t") * F.col("t")).alias("p")).collect()[0]["p"]
+    assert int(prod_dec) == 2**80
