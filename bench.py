@@ -14,6 +14,14 @@ build-plan + execute + collect to the driver, the end-to-end latency a
 user observes. A warmup run of the flagship primes the JVM (codegen,
 parquet footer caches) before timing starts — we measure steady-state
 engine throughput, not first-query JIT noise.
+
+r10 (optimization round): the dedup/kmeans index consumers additionally
+report "<name>__cold" entries — one timed run each with the session
+index caches disabled and cleared (MFDB_LSH_CACHE=0 /
+MFDB_KMEANS_CACHE=0), i.e. a full per-call rebuild from the parquet
+inputs — so both the steady-state AND the build cost are on the record
+every round. The original headline names and headline_total are
+unchanged (entries may be added, never removed or renamed).
 """
 
 from __future__ import annotations
@@ -371,7 +379,54 @@ def main() -> None:
         entries.append({"round": round_idx, "sec": sec, "sf_dir": ent_dir})
         del entries[:-20]  # keep the last 20 rounds per name
 
+    # Cold-path entries (r10, optimization round): the dedup/kmeans index
+    # consumers are timed above in their steady state (the session-cached
+    # index built during warmup — the persisted-index deployment shape the
+    # bench has always claimed to measure). So no number depends on that
+    # reuse, ALSO time each consumer with the caches disabled and cleared:
+    # one full per-call rebuild from the parquet inputs, reported as
+    # "<name>__cold" ADDED entries (the headline names and headline_total
+    # keep their meaning; additions are allowed, removals are not).
+    cold_consumers = [
+        n
+        for n in (
+            "q_cluster_kmeans",
+            "q_dedup_minhash_lsh",
+            "q_dedup_fuzzy_apply",
+            "q_dedup_semantic",
+        )
+        if n in headline
+    ]
+    cold_timings: dict[str, float] = {}
+    if cold_consumers:
+        from modforms_db_spark.llm.dedup import lsh_core_cache_clear
+        from modforms_db_spark.llm.similarity import kmeans_core_cache_clear
+
+        saved_env = {
+            k: os.environ.get(k) for k in ("MFDB_LSH_CACHE", "MFDB_KMEANS_CACHE")
+        }
+        os.environ["MFDB_LSH_CACHE"] = "0"
+        os.environ["MFDB_KMEANS_CACHE"] = "0"
+        try:
+            lsh_core_cache_clear()
+            kmeans_core_cache_clear()
+            for name in cold_consumers:
+                t0 = time.perf_counter()
+                reg[name].builder(spark, sf_dir).toPandas()
+                cold_timings[f"{name}__cold"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                gc.collect()
+        finally:
+            for k, v in saved_env.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
     for qn, sec in timings.items():
+        _hist_add(qn, sec, main_dir)
+    for qn, sec in cold_timings.items():
         _hist_add(qn, sec, main_dir)
     for qn, ent in panel.items():
         _hist_add(qn, ent["sec"], ent["sf_dir"])
@@ -398,7 +453,8 @@ def main() -> None:
         "spark_comparable_total": spark_cmp,
         "duckdb_comparable_total": duck_cmp,
         "duckdb_total": round(sum(duck.values()), 4),
-        "queries": timings,
+        "queries": {**timings, **cold_timings},
+        "cold_path_queries": sorted(cold_timings),
         "duckdb_oracle": duck,
         "comparable_queries": comparable,
         "write_path_queries": write_path,
