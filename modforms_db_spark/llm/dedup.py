@@ -911,11 +911,29 @@ def _star_halve(edges: DataFrame, large: bool) -> DataFrame:
     Both preserve connectivity; their alternation converges to per-
     component stars in O(log n) rounds, each pass = one agg + one join
     on node id (the same primitives as everything else here, so AQE /
-    skew handling apply). Output is re-canonicalized (m is the min, so
-    (v, m) is already (big, small)) and deduped."""
+    skew handling apply).
+
+    r10 lean form (measured with the per-halve checkpoint in
+    `connected_components`: CC over the 290 k-edge rep graph 2.3–3.6 s
+    → 1.7–1.8 s at sf0.1, labels and round count identical):
+
+    - ``sym`` is one ``explode(array(struct…))`` over the edge frame
+      instead of a two-scan union — the upstream is read once per pass.
+    - The output is emitted as ``(v, m)`` / ``(u, m)`` directly, no
+      trailing greatest/least re-canonicalization: m = min(Γ(u) ∪ {u})
+      ≤ every emitted partner (large: m ≤ u < v; small: m ≤ v resp.
+      m ≤ u, with the a = b equalities filtered), so every emitted row
+      is already (big, small). The old greatest/least was a provable
+      no-op that also defeated exchange-reuse canonicalization between
+      the two halves' replicated subtrees."""
     sym = edges.select(
-        F.col("a").alias("u"), F.col("b").alias("v")
-    ).union(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+            )
+        ).alias("s")
+    ).select("s.u", "s.v")
     mn = (
         sym.groupBy("u")
         .agg(F.min("v").alias("mv"))
@@ -932,13 +950,7 @@ def _star_halve(edges: DataFrame, large: bool) -> DataFrame:
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .union(mn.select(F.col("u").alias("a"), F.col("m").alias("b")))
         )
-    return (
-        out.where(F.col("a") != F.col("b"))
-        .select(
-            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
-        )
-        .distinct()
-    )
+    return out.where(F.col("a") != F.col("b")).distinct()
 
 
 def connected_components(
@@ -991,18 +1003,26 @@ def connected_components(
     def _is_star_forest(df: DataFrame) -> bool:
         # (A fused single-agg variant — explode both endpoints, one
         # groupBy — measured SLOWER at sf0.1: the explode doubles the
-        # shuffled rows; the semi-join + dup-agg pair stays.)
-        chain = not df.alias("x").join(
-            df.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi"
-        ).isEmpty()
-        if chain:
-            return False
-        return (
+        # shuffled rows; the semi-join + dup-agg PROBES stay.)
+        # r10: the two probes run as ONE action — a union of 1-column
+        # violation indicators under a single isEmpty — instead of two
+        # sequential isEmpty jobs. On the converged round that halves
+        # the test's job count; on non-converged rounds it trades the
+        # old chain-found early exit (1 job) for the same single job.
+        # Measured (CC over the 290 k-edge rep graph, with the
+        # per-halve checkpoint below): 1.9-2.2 s → 1.7-1.8 s.
+        chain = (
+            df.alias("x")
+            .join(df.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
+            .select(F.lit(1).alias("viol"))
+        )
+        dup = (
             df.groupBy("a")
             .agg(F.count(F.lit(1)).alias("c"))
             .where(F.col("c") > 1)
-            .isEmpty()
+            .select(F.lit(1).alias("viol"))
         )
+        return chain.union(dup).isEmpty()
 
     # Do-while, not while: real inputs (dense near-dup graphs) are never
     # converged on arrival, and the pre-loop forest check would run its
@@ -1018,7 +1038,19 @@ def connected_components(
         # exception beats a silent infinite loop.
         if rounds > 64:
             raise RuntimeError("connected_components failed to converge")
-        e = _star_halve(_star_halve(e, large=True), large=False).localCheckpoint()
+        # Checkpoint BETWEEN the halves, not only after the pair (r10):
+        # fused, the small-star's plan inlines the large-star subtree
+        # three times (its two sym branches + its mn branch) and
+        # exchange reuse failed to dedupe most of them (executed round-1
+        # plan at sf0.1: 7 SortMergeJoins, 22 exchanges, 5 reused, 11
+        # jobs, 2.2 s warm). Materializing the large-star output (tiny:
+        # ≤ one edge per node) makes the small-star read a checkpointed
+        # RDD instead; round 1 drops to ~6 jobs. Measured with the lean
+        # `_star_halve` + fused forest test: CC 2.3-3.6 s → 1.7-1.8 s,
+        # identical labels and round count.
+        e = _star_halve(
+            _star_halve(e, large=True).localCheckpoint(), large=False
+        ).localCheckpoint()
         rounds += 1
         if _is_star_forest(e):
             break
