@@ -1189,63 +1189,107 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same cross-engine-fp dodge as the rolling-z integer moments;
     per-round normalized vectors are r10-rounded (PageRank discipline).
 
-    Scale: the Gram explode is flatten(transform×transform) over the
-    upper triangle — dim(dim+1)/2 structs per row, map-side combined
-    into ≤2 080 groups before the one shuffle; at wider dims you swap
-    in a numpy partial-Gram per partition (mapInPandas, same 2 080-row
-    combine) — noted, not needed at 64. Matvec rounds are joins on a
-    2 080-row DF with a 1-row broadcast norm; eigvec state never lives
-    on the driver."""
+    Scale: the DATA pass is a numpy partial-Gram per partition behind
+    one `mapInArrow` (r10 — the guide-§4 shape this docstring had
+    pencilled in for wider dims: vectorized batch compute, heavyweight
+    init once per task, ONLY the quantized column crossing the
+    boundary). Each partition emits its dim(dim+1)/2 upper-triangle
+    partial sums (int64-exact, so partial order can never change the
+    result), combined into ≤2 080 groups by the one shuffle. The r1–r9
+    form built the triangle as flatten(transform×transform) structs —
+    2 080 interpreted-HOF allocations per row; measured at sf0.1 the
+    Gram leg drops 2.36 → 0.60 s (full query 3.9 → ~2.1 s), Gram
+    bit-identical. Matvec rounds run on a ONE-ROW packed Gram (r10,
+    second leg): the full dim² matrix is collect_list-packed to a flat
+    array once, and each round is a pure projection over that row —
+    w = per-dim fold of G·v, nrm, v — with a lazy 1-row checkpoint per
+    round (without it CollapseProject inlines each round's expressions
+    into the next and the plan grows exponentially — measured as a
+    planner hang at 3 rounds; with it a round is one sub-millisecond
+    1-row job). Replaces 3×(broadcast join + groupBy + crossJoin) on
+    the 2 080-row frame; measured full query 1.73-1.81 → 1.19-1.22 s
+    at sf0.1, frames bit-identical at all 3 shipped SFs (the 1e-10
+    roundings absorb fold-order vs groupBy-order ulps exactly as they
+    absorb the cross-engine ones — analysis in SCALE.md §15). Eigvec
+    state still never lives on the driver."""
     prep(spark)
     e = load(spark, sf_dir, "embeddings")
     qarr = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint")
     )
-    tri_pairs = F.flatten(
-        F.transform(
-            "q",
-            lambda x, i: F.filter(
-                F.transform(
-                    "q",
-                    lambda y, j: F.struct(
-                        (i + 1).alias("i"), (j + 1).alias("j"), (x * y).alias("p")
-                    ),
-                ),
-                lambda s: s["j"] >= s["i"],
-            ),
-        )
-    )
+
+    def _partial_gram(batches):
+        # int64 partial Gram per arrow batch stream: Σ qᵀq over the
+        # partition's rows, upper triangle only. Exact: products ≤1e6,
+        # so the accumulator is overflow-safe to ~10¹² rows/partition.
+        import numpy as np
+        import pyarrow as pa
+
+        acc = None
+        for b in batches:
+            col = b.column("q")
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(len(col), -1)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            iu = np.triu_indices(acc.shape[0])
+            yield pa.record_batch(
+                {
+                    "i": pa.array((iu[0] + 1).astype(np.int64)),
+                    "j": pa.array((iu[1] + 1).astype(np.int64)),
+                    "p": pa.array(acc[iu]),
+                }
+            )
+
     tri = (
-        e.select(qarr.alias("q"))
-        .select(F.explode(tri_pairs).alias("s"))
-        .groupBy(F.col("s.i").alias("i"), F.col("s.j").alias("j"))
-        .agg(F.sum("s.p").alias("g"))
+        spread(e.select(qarr.alias("q")))
+        .mapInArrow(_partial_gram, "i long, j long, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("g"))
     )
     gramf = tri.union(
         tri.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "g"
         )
-    ).localCheckpoint(eager=False)  # reused every matvec round
-    v = gramf.select("i").distinct().select("i", F.lit(0.125).alias("val"))
-    w = None
-    for _ in range(_PCA_ITERS):
-        w = (
-            gramf.join(
-                F.broadcast(v.select(F.col("i").alias("j"), "val")), "j"
-            )
-            .groupBy("i")
-            .agg(F.round(F.sum(F.col("g") * F.col("val")), 10).alias("w"))
-        )
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-        v = w.crossJoin(F.broadcast(nrm)).select(
-            "i", F.round(F.col("w") / F.col("nrm"), 10).alias("val")
-        )
-        last_nrm = nrm
-    return v.crossJoin(F.broadcast(last_nrm)).select(
-        F.col("i").alias("dim"),
-        F.col("val").alias("loading"),
-        F.round("nrm", 0).cast("bigint").alias("lam"),
     )
+    # Pack the dim² matrix to one row: flat row-major double array,
+    # dim recovered from its size (sqrt is exact on a square count).
+    packed = (
+        gramf.agg(F.array_sort(F.collect_list(F.struct("i", "j", "g"))).alias("t"))
+        .select(F.transform("t", lambda s: s.getField("g").cast("double")).alias("G"))
+        .withColumn("n", F.sqrt(F.size("G")).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    df = packed.withColumn("v", F.array_repeat(F.lit(0.125), F.col("n")))
+    for _ in range(_PCA_ITERS):
+        w = F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.round(
+                F.aggregate(
+                    F.sequence(F.lit(1), F.col("n")),
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.element_at("G", (i - 1) * F.col("n") + j)
+                    * F.element_at("v", j),
+                ),
+                10,
+            ),
+        )
+        df = (
+            df.withColumn("w", w)
+            .withColumn(
+                "nrm",
+                F.sqrt(F.aggregate("w", F.lit(0.0), lambda a, x: a + x * x)),
+            )
+            .withColumn("v", F.transform("w", lambda x: F.round(x / F.col("nrm"), 10)))
+            # plan-growth barrier, NOT a perf cache: see docstring
+            .localCheckpoint(eager=False)
+        )
+    return df.select(
+        F.posexplode("v").alias("p", "loading"),
+        F.round("nrm", 0).cast("bigint").alias("lam"),
+    ).select((F.col("p") + 1).alias("dim"), "loading", "lam")
 
 
 @register(

@@ -253,3 +253,43 @@ def test_d38_widened_sum_is_exact_where_long_sum_wraps(spark):
         big.select((F.col("t") * F.col("t")).alias("p")).collect()
     prod_dec = big.select((d38("t") * F.col("t")).alias("p")).collect()[0]["p"]
     assert int(prod_dec) == 2**80
+
+
+def test_star_halve_emits_canonical_rows_without_recanonicalization(spark):
+    """r10 lean `_star_halve` contract: every emitted row is already
+    (a, b) with a > b — the old trailing greatest/least was a provable
+    no-op (m = min(Γ(u) ∪ {u}) is ≤ every emitted partner) and its
+    removal must never surface a reversed pair. Exercised on a graph
+    with chains, a clique, and reversed input orientations."""
+    from modforms_db_spark.llm.dedup import _star_halve
+
+    edges = spark.createDataFrame(
+        [(5, 1), (2, 5), (9, 2), (7, 3), (3, 8), (10, 10), (4, 6), (6, 4)],
+        "d1 long, d2 long",
+    ).select(
+        F.greatest("d1", "d2").alias("a"), F.least("d1", "d2").alias("b")
+    ).where(F.col("a") != F.col("b"))
+    for large in (True, False):
+        out = _star_halve(edges, large=large)
+        assert out.where(F.col("a") <= F.col("b")).isEmpty(), (
+            "non-canonical row from _star_halve(large=%s)" % large
+        )
+
+
+def test_pca_matvec_runs_on_packed_row_no_joins(spark):
+    """r10 q_pca_power contract: after the Gram pack, every power-
+    iteration round is a projection over a one-row frame — the final
+    plan must contain no join and no embeddings scan (the single
+    data-sized pass lives behind the packed checkpoint)."""
+    from modforms_db_spark.registry import get_registry
+
+    df = get_registry()["q_pca_power"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FileScan parquet" not in plan
+    assert "Join" not in plan and "Exchange" not in plan
+    # and the result is still the 64-dim loading vector
+    assert df.count() == 64
