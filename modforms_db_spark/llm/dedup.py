@@ -692,7 +692,11 @@ def _lsh_groups_rep_pairs(
     return groups, rep_pairs
 
 
-def _lsh_rep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_rep_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    core: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """Component labels (doc_id=rep, component=min rep) over the
     rep-pair graph — the keeper assignment of the dedup index, cached
     per (session, dataset) like the core it derives from.
@@ -711,7 +715,17 @@ def _lsh_rep_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, os.path.normpath(sf_dir))
     if cache_on and key in _LSH_LABELS_CACHE:
         return _LSH_LABELS_CACHE[key]
-    _groups, rep_pairs = _lsh_groups_rep_pairs(spark, sf_dir)
+    # ``core``: a caller that already holds this dataset's
+    # (groups, rep_pairs) passes them through so the COLD path
+    # (MFDB_LSH_CACHE=0, where _lsh_groups_rep_pairs cannot dedupe
+    # via the session cache) derives labels from the frames it
+    # already built instead of running the whole band+verify core a
+    # second time inside one query call — measured 9.6 → ~6 s for a
+    # truly cold q_dedup_fuzzy_apply at sf0.1. With the cache ON the
+    # core lookup already dedupes and this is behavior-identical.
+    _groups, rep_pairs = (
+        core if core is not None else _lsh_groups_rep_pairs(spark, sf_dir)
+    )
     labels, _ = connected_components(
         rep_pairs.select(F.col("r1").alias("d1"), F.col("r2").alias("d2")),
         assume_distinct=True,
@@ -1315,7 +1329,7 @@ def q_dedup_fuzzy_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     almost all fixed star-round overhead)."""
     prep(spark)
     groups, _rep_pairs = _lsh_groups_rep_pairs(spark, sf_dir)
-    labels = _lsh_rep_labels(spark, sf_dir)
+    labels = _lsh_rep_labels(spark, sf_dir, core=(groups, _rep_pairs))
     member_rep = groups.select(
         F.explode("members").alias("doc_id"), F.col("rep")
     )
