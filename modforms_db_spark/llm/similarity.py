@@ -323,29 +323,35 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the data via partition pruning, and centroids come from MLlib KMeans on
     a sample. Recall vs exact kNN is measured in tests/test_llm.py.
 
-    Plan shape (round-5 rework, judge item 3): the round-4 form
-    window-ranked an exploded (vector × centroid) frame CARRYING the
-    embedding payload, and its two consumers (assignment, probe set)
-    each recomputed it. Now (a) assignment is a grouped
-    ``max_by(cid, struct(cs, −cid))`` over the NARROW
+    Plan shape (round-5 rework + r10 packed probe leg): (a) assignment
+    is a grouped ``max_by(cid, struct(cs, −cid))`` over the NARROW
     :func:`ivf_cell_cs` frame — partial-aggregable, so map-side combine
     collapses to one 3-column row per vector before the only
     assignment-side shuffle, and no window at all; (b) the probe leg
     filters vec_id < 20 FIRST (parquet pushdown — at 100 TB with a
-    vec_id-sorted layout this is a footer-pruned point read) and only
-    then scores+ranks its 20×16 rows; (c) the tiny probe frame
-    (20 queries × 4 cells) broadcasts into the candidate equi-join.
+    vec_id-sorted layout this is a footer-pruned point read), then
+    (r10) takes its 4 probe cells as a PROJECTION over the 16 centroids
+    packed into one broadcast row — `slice(array_sort(struct(−cs,
+    cid)), 1, 4)`, the `kmeans_fit` packed trick — instead of the
+    round-5 window-rank + join-back-to-eq pair of jobs (ascending
+    (−cs, cid) ≡ row_number over (cs DESC, cid ASC), and the per-cell
+    cosine is the identical rounded fold, so results are bit-identical
+    — frame-equal at 3 SFs + oracle hash, r10); (c) the tiny probe
+    frame (20 queries × 4 cells) broadcasts into the candidate
+    equi-join.
 
-    Measured floor note (round 5, sf0.1): this query's runtime is
-    topology, not data — the identical plan over 24 vectors runs in
-    0.97 s vs 1.0–1.3 s over all 2000 (≥75% is local-mode stage/
-    broadcast-exchange scaffolding; three shape variants — windowed,
-    grouped max_by, per-row sorted-struct arrays — measure within noise
-    of each other, and per-row HOF arrays are 4× SLOWER since Spark
-    higher-order functions don't participate in whole-stage codegen).
-    The DuckDB oracle runs the same math in ~0.12 s with no exchange
-    scaffolding, so the per-query ratio at this SF measures the fixed
-    floor, not the per-row work that scales."""
+    Measured note (r10 session 4, sf0.1, interleaved A/B min/median of
+    7): packing the probe leg cut 1.31/1.59 → 1.08/1.41 s noop (the
+    probe's interpreted 16-cell HOF runs on 20 rows — free — while two
+    jobs and a broadcast build disappear). Packing the ASSIGNMENT leg
+    the same way was probed and measured SLOWER (1.38/2.03 s): there
+    the per-row cost multiplies by every vector, and building a
+    16-struct array + array_max in interpreted HOF eval per vector
+    loses to the per-pair codegen'd max_by partial aggregate it would
+    replace — the kmeans packed-argmin trick pays off per ROUND of an
+    iterative fit, not on a one-shot assignment whose groupBy already
+    collapses map-side. (Round-5's floor note stands: the residual
+    runtime is local-mode stage scaffolding, not data.)"""
     prep(spark)
     e = _emb(spark, sf_dir).withColumn("nrm", _norm("emb"))
     c = ivf_centroids(e)
@@ -359,19 +365,42 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     asg = e.join(asg_ids, "vec_id")
-    eq = e.where(F.col("vec_id") < 20)
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cid"))
-    probe = (
-        ivf_cell_cs(eq, c)
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= 4)
-        .join(F.broadcast(eq), "vec_id")
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("nrm").alias("q_nrm"),
-            "cid",
+    packed = c.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cemb", "cnrm"))).alias(
+            "cells"
         )
+    )
+
+    def _cell_cs(cell: Column) -> Column:
+        # Identical arithmetic to ivf_cell_cs: the rounded cosine fold.
+        return F.round(
+            _dot(F.col("emb"), cell["cemb"]) / (F.col("nrm") * cell["cnrm"]),
+            4,
+        )
+
+    eq = e.where(F.col("vec_id") < 20)
+    probe = eq.crossJoin(F.broadcast(packed)).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            "cells",
+                            lambda cell: F.struct(
+                                (-_cell_cs(cell)).alias("ns"),
+                                cell["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    4,
+                ),
+                lambda st: st["cid"],
+            )
+        ).alias("cid"),
     )
     cand = asg.join(F.broadcast(probe), "cid").where(
         F.col("vec_id") != F.col("q_id")
