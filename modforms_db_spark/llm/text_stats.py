@@ -373,17 +373,42 @@ def q_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    all_t = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    dl = all_t.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = all_t.agg(
-        F.countDistinct("doc_id").alias("n"),
-        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+    toks = F.split("text", " ")
+    # r10 rework (guide §2.3/§2.4) — doc_id is UNIQUE in documents, so
+    # two of the four r7 legs never needed their corpus explode at all:
+    # - dl: COUNT(*) per doc over the exploded stream ≡ size(split(text))
+    #   — a pure projection; the explode + doc_id shuffle are gone.
+    # - stats: COUNT(DISTINCT doc_id) / COUNT(*) over the stream ≡
+    #   COUNT(text) / SUM(size(...)) over documents — a narrow 1-row agg
+    #   straight off the scan; the 4th corpus explode AND the mixed
+    #   distinct-aggregate Expand (2× the token stream) are gone. The
+    #   `where(text IS NOT NULL)` guards keep the doc set identical to
+    #   the exploded form's (explode of split(NULL) emits nothing).
+    # - df: per-token doc counts over a per-doc array_distinct'ed
+    #   explode — plain partial-aggregable COUNT(*), no
+    #   distinct-aggregate expand (the q_decontaminate §9 trick).
+    # - tf: explodes only the doc_id < 30 slice (filter below the
+    #   generate, pushed to the parquet scan).
+    # Values are identical integers feeding identical double arithmetic
+    # (frame-equal at 3 SFs + oracle hash). Measured 0.57/0.64 →
+    # 0.39/0.43 s noop min/median-of-7 interleaved A/B at sf0.1;
+    # 11 → 8 jobs/run.
+    nn = d.where(F.col("text").isNotNull())
+    dl = nn.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    stats = nn.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.size(toks)).cast("double") / F.count(F.lit(1))).alias(
             "avgdl"
         ),
     )
-    df_ = all_t.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = (
+        nn.select("doc_id", F.explode(F.array_distinct(toks)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     tf = (
-        all_t.where(F.col("doc_id") < 30)
+        nn.where(F.col("doc_id") < 30)
+        .select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
