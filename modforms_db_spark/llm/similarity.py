@@ -341,9 +341,13 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join.
 
     Measured note (r10 session 4, sf0.1, interleaved A/B min/median of
-    7): packing the probe leg cut 1.31/1.59 → 1.08/1.41 s noop (the
-    probe's interpreted 16-cell HOF runs on 20 rows — free — while two
-    jobs and a broadcast build disappear). Packing the ASSIGNMENT leg
+    7): packing the probe leg cut 1.31/1.59 → 1.08/1.41 s under the
+    noop sink (the probe's interpreted 16-cell HOF runs on 20 rows —
+    free — while two jobs and a broadcast build disappear); under the
+    bench's toPandas policy the same A/B is a wash (1.06/1.20 →
+    1.02/1.25 over 9 rounds), i.e. the win is plan simplification
+    (6 → 3 Window nodes, 6 → 5 scans, one less broadcast build), not
+    bench seconds. Packing the ASSIGNMENT leg
     the same way was probed and measured SLOWER (1.38/2.03 s): there
     the per-row cost multiplies by every vector, and building a
     16-struct array + array_max in interpreted HOF eval per vector
