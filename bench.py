@@ -22,6 +22,20 @@ MFDB_KMEANS_CACHE=0), i.e. a full per-call rebuild from the parquet
 inputs — so both the steady-state AND the build cost are on the record
 every round. The original headline names and headline_total are
 unchanged (entries may be added, never removed or renamed).
+
+r11 (second optimization round, measurement-accounting fixes only —
+all additions, no timing-policy change to existing entries):
+- ``spark_comparable_total`` scores each session-cache consumer at its
+  ``__cold`` time (VERDICT r10 item 1: the DuckDB denominator re-runs
+  from parquet every time, so the warm cache-read number does not
+  belong inside a competitive ratio). ``headline_total`` and every
+  per-query entry keep their r10 meaning; ``cache_consumers`` names
+  the warm entries whose round-over-round deltas track the cache, not
+  the plan.
+- ``streaming_watch``: every q_stream_* operator timed single-shot per
+  run (the family-panel rotation only reached one of ~15 per round).
+- bench_history.json entries carry a ``proto`` marker where the
+  measurement protocol differs from the default min-of-3 (ADVICE r10).
 """
 
 from __future__ import annotations
@@ -295,6 +309,14 @@ def main() -> None:
     panel_name_overrides = {"q_join_asof_native": quad_dir}
     panel: dict[str, dict] = {}
     for fam in sorted(families):
+        # The streaming family is covered exhaustively by the dedicated
+        # streaming_watch below (r11, VERDICT r10 item 5) — every
+        # q_stream_* operator timed every round instead of one name per
+        # ~15-round rotation. Skipping it here keeps each stream name on
+        # ONE measurement protocol in bench_history.json (the watch's
+        # single-run), per the r10 ADVICE protocol-mixing note.
+        if fam == "streams":
+            continue
         eligible = [
             n
             for n in families[fam]
@@ -363,8 +385,14 @@ def main() -> None:
     }
 
     # Append this run's timings to the durable ledger (bounded per name)
-    # so future rounds' rotations find same-scale priors.
-    def _hist_add(qn: str, sec: float, ent_dir: str | None) -> None:
+    # so future rounds' rotations find same-scale priors. ``proto``
+    # (r11, ADVICE r10): measurement-protocol marker — the __cold series
+    # switched single-run → min-of-2 in r10 and the streaming watch is
+    # single-run; trend readers must not compare entries across
+    # protocols as if they were the same measurement.
+    def _hist_add(
+        qn: str, sec: float, ent_dir: str | None, proto: str | None = None
+    ) -> None:
         entries = history.setdefault(qn, [])
         # One entry per (round, sf_dir): same-round re-runs (floor
         # hunting) overwrite instead of appending noise.
@@ -376,8 +404,32 @@ def main() -> None:
                 and _norm_dir(e.get("sf_dir")) == _norm_dir(ent_dir)
             )
         ]
-        entries.append({"round": round_idx, "sec": sec, "sf_dir": ent_dir})
+        ent = {"round": round_idx, "sec": sec, "sf_dir": ent_dir}
+        if proto:
+            ent["proto"] = proto
+        entries.append(ent)
         del entries[:-20]  # keep the last 20 rounds per name
+
+    # Streaming watch (r11, VERDICT r10 item 5): the micro-batch
+    # streaming operators had NO per-round timing signal (the family
+    # panel sampled one of ~15 every rotation round). Time every
+    # q_stream_* once per run — single-shot like the quadratic watch
+    # (each execution runs the full readStream → micro-batch → sink
+    # pipeline; its wall time is dominated by fixed micro-batch
+    # machinery, so a single run is the honest unit and min-of-N would
+    # mostly measure sink-table reuse). Read round-over-round against
+    # bench_history.json bands, not single deltas.
+    streaming = sorted(
+        n
+        for n, qd in reg.items()
+        if qd.module.rsplit(".", 1)[-1] == "streams" and n not in headline
+    )
+    stream_timings: dict[str, float] = {}
+    for name in streaming:
+        t0 = time.perf_counter()
+        reg[name].builder(spark, sf_dir).toPandas()
+        stream_timings[name] = round(time.perf_counter() - t0, 4)
+        gc.collect()
 
     # Cold-path entries (r10, optimization round): the dedup/kmeans index
     # consumers are timed above in their steady state (the session-cached
@@ -446,11 +498,13 @@ def main() -> None:
     for qn, sec in timings.items():
         _hist_add(qn, sec, main_dir)
     for qn, sec in cold_timings.items():
-        _hist_add(qn, sec, main_dir)
+        _hist_add(qn, sec, main_dir, proto="min2")
     for qn, ent in panel.items():
         _hist_add(qn, ent["sec"], ent["sf_dir"])
     for qn, sec in quad_timings.items():
         _hist_add(qn, sec, _norm_dir(quad_dir))
+    for qn, sec in stream_timings.items():
+        _hist_add(qn, sec, main_dir, proto="single")
     try:
         with open(hist_path, "w") as fh:
             json.dump(history, fh, indent=1, sort_keys=True)
@@ -458,7 +512,18 @@ def main() -> None:
     except Exception as exc:
         print(f"bench_history.json write skipped: {exc}", file=sys.stderr)
 
-    spark_cmp = round(sum(timings[n] for n in comparable), 4)
+    # r11 (VERDICT r10 item 1): a session-cache consumer enters the
+    # engine-vs-engine comparable total at its __cold time — the full
+    # rebuild-from-parquet number — because the DuckDB side re-runs its
+    # equivalent from parquet every time; scoring the Spark side at its
+    # warm cache-read time was a warm-vs-cold asymmetry inside a
+    # competitive ratio. (Of the four cache consumers only
+    # q_cluster_kmeans has an oracle and sits in `comparable`.) The
+    # warm numbers keep their own entries in `queries`/headline_total.
+    spark_cmp = round(
+        sum(cold_timings.get(f"{n}__cold", timings[n]) for n in comparable),
+        4,
+    )
     duck_cmp = round(sum(duck[n] for n in comparable), 4)
     # Totals lead the line (BENCH_r03's capture was head-truncated and
     # lost everything before the per-query dicts) AND are duplicated in
@@ -474,12 +539,17 @@ def main() -> None:
         "duckdb_total": round(sum(duck.values()), 4),
         "queries": {**timings, **cold_timings},
         "cold_path_queries": sorted(cold_timings),
+        # Steady-state entries for these names are session-cache reads;
+        # track plan quality via their __cold twins (VERDICT r10 item 2).
+        "cache_consumers": cold_consumers,
         "duckdb_oracle": duck,
         "comparable_queries": comparable,
         "write_path_queries": write_path,
         "demo_overhead_queries": demo_overhead,
         "quadratic_watch": quad_timings,
         "quadratic_watch_sf_dir": quad_dir,
+        "streaming_watch": stream_timings,
+        "streaming_watch_sf_dir": main_dir,
         "family_panel": panel,
         "family_panel_deltas": panel_deltas,
         "headline_deltas": headline_deltas,

