@@ -472,21 +472,31 @@ def main() -> None:
             # AND cleared between them), so the claim of the __cold
             # entries is unchanged; prior single-run numbers live in
             # BENCH_r*.json / bench_history.json.
-            gc.collect()
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-            time.sleep(2.0)
+            # r11: drain BETWEEN entries too, not only before the block
+            # — each cold rebuild leaves ~10 dead localCheckpoint RDDs
+            # whose async unpersist contends with the NEXT entry's
+            # rebuild (measured: the same rebuild reads 2.4 s as the
+            # first cold leg of a fresh session and 4-7 s late in a
+            # churning one). The entries' claim is unchanged: every
+            # timed run is a full rebuild from parquet.
+            def _drain() -> None:
+                gc.collect()
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+                time.sleep(2.0)
+
+            _drain()
             for name in cold_consumers:
                 best = float("inf")
                 for _ in range(2):
                     lsh_core_cache_clear()
                     kmeans_core_cache_clear()
+                    _drain()
                     t0 = time.perf_counter()
                     reg[name].builder(spark, sf_dir).toPandas()
                     best = min(best, time.perf_counter() - t0)
-                    gc.collect()
                 cold_timings[f"{name}__cold"] = round(best, 4)
         finally:
             for k, v in saved_env.items():

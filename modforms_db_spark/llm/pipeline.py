@@ -491,6 +491,22 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique, so "keep rows whose doc_id is the group min" ≡ "take the
     min-doc_id row per group"; same result, two fewer shuffles and no
     second pass over `clean`).
+
+    r11 (guide §2.3/§8): the repetition-filter join attaches `rep` to a
+    SLIM doc-grain frame — (doc_id, lang, n_toks, canonical hash), all
+    computed scan-side BEFORE the join — instead of to the raw document
+    rows. At 100 TB `rep` is doc-grain (billions of rows, far past any
+    broadcast), so that join becomes an SMJ; joining slim means the
+    exchange carries ~80-byte rows, never the document text. Measured
+    at sf0.1 (interleaved min/med-of-7, noop): 0.76/0.89 → 0.68/0.81 s
+    — projecting early also shrinks the bench-scale broadcast. A FUSED
+    single-pass variant (carry lang/n_toks/h through the bigram
+    aggregation as first() aggregates, drop the join entirely) was
+    probed per the r10 verdict and REJECTED: it wins ~5% locally (8 → 6
+    jobs, 0.84/0.90 → 0.79/0.87 s) but ships the 64-char canonical hash
+    with every distinct (doc, bigram) row through the pipeline's
+    dominant exchange — ~10× the per-row key bytes of this form's slim
+    join at corpus scale.
     """
     prep(spark)
     d = spread(load(spark, sf_dir, "documents"))
@@ -498,16 +514,15 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _per_doc_bigram_counts(d).select(
         "doc_id", (F.col("top_n") * 1.0 / F.col("total")).alias("ratio")
     )
-    clean = d.join(rep, "doc_id").where(F.col("ratio") <= 0.1)
     canon = F.sha2(
         F.array_join(F.array_sort(F.array_distinct(toks)), " "), 256
     )
-    reps = (
-        clean.select(
-            "doc_id", canon.alias("h"), "lang", F.size(toks).alias("n_toks")
-        )
-        .groupBy("h")
-        .agg(F.min_by(F.struct("lang", "n_toks"), "doc_id").alias("r"))
+    slim = d.select(
+        "doc_id", "lang", F.size(toks).alias("n_toks"), canon.alias("h")
+    )
+    clean = slim.join(rep, "doc_id").where(F.col("ratio") <= 0.1)
+    reps = clean.groupBy("h").agg(
+        F.min_by(F.struct("lang", "n_toks"), "doc_id").alias("r")
     )
     return (
         reps.groupBy(F.col("r.lang").alias("lang"))
